@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage: scan+filter+project, hash
+  * aggregation, broadcast + shuffle joins, semi/anti joins, windows,
+  * set ops, top-k.
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension tables (region/nation/supplier/part at these SFs, and in
+  *    TPC-H generally region/nation always) are broadcast explicitly so
+  *    the fact-table scan never shuffles for them.
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key — both
+  *    sides are pre-projected to the needed columns so the shuffle
+  *    payload is minimal; at warehouse scale these tables would be
+  *    bucketed by orderkey to eliminate the shuffle entirely.
+  *  - Aggregations are expressed as single groupBy so Catalyst plans
+  *    partial (map-side) aggregation before the exchange.
+  */
+object RelationalQueries {
+
+  // Pricing summary (TPC-H Q1 shape): single scan, partial-agg friendly.
+  private val q1 = QuerySpec.of(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    headline = true) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // Forecast revenue (TPC-H Q6 shape): tight filter, scalar agg —
+  // exercises predicate pushdown to the parquet scan.
+  private val q6 = QuerySpec.of(
+    "q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin,
+    headline = true) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.03, 0.07)
+        && col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  // Shipping-priority top-k (TPC-H Q3 shape): fact⋈fact shuffle join +
+  // agg + deterministic top 10.
+  private val q3 = QuerySpec.of(
+    "q3_top_orders",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin,
+    headline = true) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // Region revenue (TPC-H Q5 shape): 5-way join; all dims broadcast.
+  private val q5 = QuerySpec.of(
+    "q5_region_revenue",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin,
+    headline = true) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey", "n_name")
+    val r = Tables.region(s, d)
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select("r_regionkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  // Order-priority count (TPC-H Q4 shape): left-semi join (EXISTS).
+  private val q4 = QuerySpec.of(
+    "q4_priority_semi",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // Customers with no recent orders: left-anti join (NOT EXISTS).
+  private val qAnti = QuerySpec.of(
+    "q_customers_no_recent_orders",
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // Supplier revenue rank within nation: shuffle agg + window rank.
+  private val qWindow = QuerySpec.of(
+    "q_supplier_rank_window",
+    """WITH rev AS (
+      |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, n_name, revenue,
+      |  rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rnk,
+      |  round(sum(revenue) OVER (PARTITION BY n_name), 2) AS nation_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name, rnk, s_suppkey""".stripMargin,
+    headline = true) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
+        rank().over(w).as("rnk"),
+        round(sum("revenue").over(Window.partitionBy("n_name")), 2)
+          .as("nation_revenue"))
+      .orderBy(col("n_name"), col("rnk"), col("s_suppkey"))
+  }
+
+  // Market-segment stats: distinct aggregation + conditional aggregation.
+  private val qSegment = QuerySpec.of(
+    "q_segment_stats",
+    """SELECT c_mktsegment,
+      |  count(DISTINCT o_custkey) AS active_customers,
+      |  count(*) AS n_orders,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value,
+      |  round(max(o_totalprice), 2) AS max_order
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct("o_custkey").as("active_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0)), 2).as("finished_value"),
+        round(max("o_totalprice"), 2).as("max_order"))
+      .orderBy("c_mktsegment")
+  }
+
+  // Set operation: parts sold in early window UNION-minus-INTERSECT late
+  // window — exercises union/intersect/except distinct semantics.
+  private val qSetOps = QuerySpec.of(
+    "q_part_setops",
+    """WITH early AS (SELECT DISTINCT l_partkey FROM lineitem
+      |               WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |     late AS (SELECT DISTINCT l_partkey FROM lineitem
+      |              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'both' AS bucket, count(*) AS n FROM (SELECT * FROM early INTERSECT SELECT * FROM late) t
+      |UNION ALL
+      |SELECT 'early_only' AS bucket, count(*) AS n FROM (SELECT * FROM early EXCEPT SELECT * FROM late) t
+      |UNION ALL
+      |SELECT 'late_only' AS bucket, count(*) AS n FROM (SELECT * FROM late EXCEPT SELECT * FROM early) t
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_partkey", "l_shipdate")
+    val cut = lit("1997-01-01").cast("timestamp")
+    val early = li.filter(col("l_shipdate") < cut).select("l_partkey").distinct()
+    val late = li.filter(col("l_shipdate") >= cut).select("l_partkey").distinct()
+    val both = early.intersect(late).agg(count(lit(1)).as("n"))
+      .select(lit("both").as("bucket"), col("n"))
+    val earlyOnly = early.except(late).agg(count(lit(1)).as("n"))
+      .select(lit("early_only").as("bucket"), col("n"))
+    val lateOnly = late.except(early).agg(count(lit(1)).as("n"))
+      .select(lit("late_only").as("bucket"), col("n"))
+    both.unionByName(earlyOnly).unionByName(lateOnly).orderBy("bucket")
+  }
+
+  // Top customers by revenue (TPC-H Q10 shape) — join + agg + top-k.
+  private val qTopCustomers = QuerySpec.of(
+    "q10_top_customers",
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin,
+    headline = true) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(q1, q3, q4, q5, q6, qAnti, qWindow, qSegment, qSetOps, qTopCustomers)
+}
