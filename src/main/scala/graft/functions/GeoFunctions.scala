@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geometry math as Catalyst column expressions (no UDFs): haversine
+  * distances, geodesic line length, centroid, grid-cell spatial keys,
+  * VIIRS sinusoidal projection.
+  *
+  * Geometries are modeled as `array<array<double>>` — a list of
+  * [lon, lat] (optionally [lon, lat, z]) positions, the canonical
+  * internal form chosen in SURVEY §1.2. All math is double precision
+  * with fixed operation order so the DuckDB oracles (same formulas,
+  * same order) agree bit-for-bit.
+  *
+  * Reference semantics: turf geodesic length (SURVEY G1,
+  * `/root/reference/src/clustering/SkiAreaClusteringService.ts:66-71`),
+  * vertex-average centroid (G2, `SpotFormatter.ts:33`), VIIRS
+  * sinusoidal grid (E5, `/root/reference/src/utils/VIIRSPixelExtractor.ts:29-338`),
+  * 500 m grid-cell distance join (J1, SURVEY §2.6).
+  */
+object GeoFunctions {
+
+  /** Mean Earth radius in meters (turf.js uses 6371008.8). */
+  val EarthRadiusM = 6371008.8
+
+  /** VIIRS sinusoidal sphere radius (MODIS/VIIRS grid constant). */
+  val ViirsRadiusM = 6371007.181
+
+  /** Haversine distance in meters between [lon1,lat1] and [lon2,lat2]. */
+  def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** DuckDB twin of [[haversineM]] (same op order). */
+  def sqlHaversineM(lon1: String, lat1: String, lon2: String, lat2: String): String =
+    s"(2.0 * $EarthRadiusM) * asin(sqrt(" +
+      s"pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"pow(sin(radians($lon2 - $lon1) / 2), 2)))"
+
+  /** Geodesic length in meters of a coords array (sum of haversine
+    * segment lengths, left-to-right).
+    */
+  def lineLengthM(coords: Column): Column =
+    when(size(coords) < 2, 0.0).otherwise(
+      aggregate(
+        sequence(lit(0), size(coords) - 2),
+        lit(0.0),
+        (acc, i) => {
+          val p = element_at(coords, i + 1)
+          val q = element_at(coords, i + 2)
+          acc + haversineM(element_at(p, 1), element_at(p, 2),
+            element_at(q, 1), element_at(q, 2))
+        }))
+
+  /** Vertex-average centroid as struct(lon, lat) — turf `centroid`
+    * semantics (average of all vertices, not area-weighted).
+    */
+  def centroid(coords: Column): Column = struct(
+    (aggregate(coords, lit(0.0), (acc, p) => acc + element_at(p, 1))
+      / size(coords)).as("lon"),
+    (aggregate(coords, lit(0.0), (acc, p) => acc + element_at(p, 2))
+      / size(coords)).as("lat"))
+
+  /** Grid-cell key for the distance-join prefilter: floor(deg / cell).
+    * cellDeg must be >= the join radius in degrees at the highest
+    * latitude of interest so a 3×3 neighborhood covers the radius.
+    */
+  def gridCell(lon: Column, lat: Column, cellDeg: Double): Column =
+    struct(floor(lon / cellDeg).cast("long").as("cx"),
+      floor(lat / cellDeg).cast("long").as("cy"))
+
+  /** VIIRS sinusoidal 375 m pixel: struct(h, v, px, py).
+    * Projection: x = R·λ·cos(φ), y = R·φ on the VIIRS sphere; tiles are
+    * 10°×10° (1200 km), 3000 pixels per tile side.
+    */
+  def viirsPixel(lon: Column, lat: Column): Column = {
+    val T = lit(ViirsTileSizeM)
+    val x = lit(ViirsRadiusM) * radians(lon) * cos(radians(lat))
+    val y = lit(ViirsRadiusM) * radians(lat)
+    val gx = x + lit(18.0) * T   // offset from west edge of tile (0,·)
+    val gy = lit(9.0) * T - y    // offset from north edge of tile (·,0)
+    struct(
+      floor(gx / T).cast("int").as("h"),
+      floor(gy / T).cast("int").as("v"),
+      floor((gx - floor(gx / T) * T) / (T / 3000.0)).cast("int").as("px"),
+      floor((gy - floor(gy / T) * T) / (T / 3000.0)).cast("int").as("py"))
+  }
+
+  /** 10° tile width in sinusoidal meters: 2πR/36. */
+  val ViirsTileSizeM: Double = 2.0 * math.Pi * ViirsRadiusM / 36.0
+
+  /** DuckDB twin of [[viirsPixel]] producing the same 4 fields from
+    * `lon`/`lat` SQL expressions; yields a SQL struct literal.
+    */
+  def sqlViirsPixel(lon: String, lat: String): String = {
+    // CAST keeps DuckDB from binding the literal as DECIMAL (which
+    // overflows in DECIMAL×DECIMAL products like 18.0 * T).
+    val T = s"CAST($ViirsTileSizeM AS DOUBLE)"
+    val x = s"($ViirsRadiusM * radians($lon) * cos(radians($lat)))"
+    val y = s"($ViirsRadiusM * radians($lat))"
+    val gx = s"($x + 18.0 * $T)"
+    val gy = s"(9.0 * $T - $y)"
+    s"{'h': CAST(floor($gx / $T) AS INT), 'v': CAST(floor($gy / $T) AS INT), " +
+      s"'px': CAST(floor(($gx - floor($gx / $T) * $T) / ($T / 3000.0)) AS INT), " +
+      s"'py': CAST(floor(($gy - floor($gy / $T) * $T) / ($T / 3000.0)) AS INT)}"
+  }
+
+  /** Number of elevation-profile sample points for a line of length L
+    * at resolution r: the samples sit every r meters plus the endpoint
+    * (G5/E2 semantics: start/end always included).
+    */
+  def profilePointCount(lengthM: Column, resolutionM: Double): Column =
+    greatest(lit(2L), (floor(lengthM / resolutionM) + 2).cast("long"))
+}

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline operators:
+  * tokenization, token counting (whitespace + BPE-ish regex), quality
+  * scoring, language-ID heuristics, shingling, fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` column
+  * expressions (codegen'd, no UDFs) and has an exact DuckDB-SQL twin
+  * (see the oracle strings in [[graft.operators.TextAnalysis]]) — the
+  * regexes are restricted to syntax shared by Java regex and RE2.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens; empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation/symbol chars (non-alnum, non-space) to length. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") / n)
+  }
+
+  /** Ratio of digit chars to length. */
+  def digitRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / n)
+  }
+
+  /** English stopword sample used for quality scoring / language ID. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Count of tokens contained in a fixed vocabulary. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(x => x: Any): _*)))
+
+  /** Stopword ratio over token count (0 when no tokens). */
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(vocabHits(toks, enStopwords).cast("double") / size(toks))
+
+  /** Mean token length (0 when no tokens). */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+
+  /** Composite document quality score in [0,1] — length, stopword
+    * density, punctuation/digit noise. Same shape as the reference-class
+    * heuristics (length/punct/stopword ratios); exact formula is ours
+    * and is mirrored verbatim in the oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(lit(1.0), size(toks).cast("double") / 50.0)
+    val stopScore = least(lit(1.0), stopwordRatio(toks) * 4.0)
+    val noise = least(lit(1.0), (punctRatio(text) + digitRatio(text)) * 5.0)
+    round(lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - noise) * 0.2, 6)
+  }
+
+  /** Word-n-gram shingles as space-joined strings ("w1 w2 w3"). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Canonical fingerprint (the classic dedup "fingerprint method"):
+    * md5 over the sorted distinct token set.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** MinHash signature: for seeds 0..k-1, min over shingles of the
+    * seeded portable hash. Null-safe only for non-empty shingle arrays.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(sh, s =>
+        HashFunctions.hash64(concat(j.cast("string"), lit(":"), s)))))
+
+  /** 32-bit SimHash over the token multiset (±1 per bit, majority).
+    * The shift amount is a lambda-bound column, so the shifts go through
+    * `call_function` (the Scala `shiftright`/`shiftleft` helpers only
+    * accept a literal Int bit count).
+    */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => HashFunctions.hash32(t))
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+      val vote = aggregate(hashes, lit(0),
+        (s, h) => s + when(
+          call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+      acc + when(vote > 0, call_function("shiftleft", lit(1L), b))
+        .otherwise(0L)
+    })
+  }
+
+  /** DuckDB twins for oracle SQL composition. */
+  object sql {
+    val toks =
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    def vocabIn(vocab: Seq[String]): String =
+      vocab.map(w => s"'$w'").mkString("(", ",", ")")
+    def shingles(toksExpr: String, n: Int): String =
+      s"CASE WHEN len($toksExpr) < $n THEN [] ELSE " +
+        s"list_transform(range(0, len($toksExpr) - ${n - 1}), " +
+        s"i -> array_to_string(list_slice($toksExpr, i + 1, i + $n), ' ')) END"
+    val fingerprint =
+      s"md5(array_to_string(list_sort(list_distinct($toks)), ' '))"
+  }
+}

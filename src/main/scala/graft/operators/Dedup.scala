@@ -1,5 +1,256 @@
 package graft.operators
-import graft.QuerySpec
+
+import graft.{QuerySpec, Tables}
+import graft.functions.HashFunctions
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`.
+  *
+  * Scale design: every near-dup operator is CANDIDATE GENERATION via a
+  * key-equality join (LSH band bucket, simhash chunk, length band) +
+  * EXACT REFINE on the candidates — never an O(n²) cross join. At
+  * 100 TB the bucket join shuffles on the bucket key; skewed buckets
+  * (boilerplate docs) are the known hot spot and would be salted or
+  * capped; at test SFs AQE handles them.
+  */
 object Dedup {
-  val specs: Seq[QuerySpec] = Seq.empty
+
+  private val SHINGLE_N = 3
+  private val MINHASH_K = 12
+  private val BANDS = 4
+  private val ROWS = MINHASH_K / BANDS
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // ---- exact dedup (normalized-text hash) --------------------------------
+  private val qExact = QuerySpec.of(
+    "q_dedup_exact",
+    """WITH t AS (
+      |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+      |  FROM documents)
+      |SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,
+      |  count(*) - count(DISTINCT h) AS n_dup_rows
+      |FROM t""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_distinct"),
+        (count(lit(1)) - countDistinct("h")).as("n_dup_rows"))
+  }
+
+  // ---- MinHash + LSH candidate pairs -------------------------------------
+  /** doc_id, sig (MinHash signature) for docs with >=SHINGLE_N tokens. */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), SHINGLE_N).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        minhashSignature(col("sh"), MINHASH_K).as("sig"))
+
+  private val qMinhash = QuerySpec.of(
+    "q_dedup_minhash_lsh",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, len(toks) - ${SHINGLE_N - 1}),
+      |      i -> array_to_string(list_slice(toks, i + 1, i + $SHINGLE_N), ' ')) AS sh
+      |  FROM t WHERE len(toks) >= $SHINGLE_N),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, $MINHASH_K), j ->
+      |      list_aggregate(list_transform(sh, s ->
+      |        CAST(('0x' || substr(md5(j || ':' || s), 1, 15)) AS BIGINT)), 'min')) AS sig
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, sig, b,
+      |    md5(array_to_string(list_slice(sig, b * $ROWS + 1, b * $ROWS + $ROWS), ',')) AS bh
+      |  FROM sig, unnest(range(0, $BANDS)) AS u(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(len(list_filter(range(0, $MINHASH_K), i -> sig_a[i + 1] = sig_b[i + 1])) AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
+      |FROM pairs
+      |WHERE len(list_filter(range(0, $MINHASH_K), i -> sig_a[i + 1] = sig_b[i + 1])) >= ${MINHASH_K / 2}
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    headline = true) { (s, d) =>
+    val sig = signatures(Tables.documents(s, d))
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
+          struct(b.as("b"),
+            md5(concat_ws(",", slice(col("sig"), b * ROWS + 1, lit(ROWS))))
+              .as("bh")))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.b"), col("band.bh"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("b"), col("bh"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("b"), col("bh"))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    a.join(b, Seq("b", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("n_match", matches)
+      .filter(col("n_match") >= MINHASH_K / 2)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_match").cast("double") / MINHASH_K, 6).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- SimHash near-dup pairs --------------------------------------------
+  // Candidates share one of four 8-bit chunks; exact refine on hamming
+  // distance (<= 6 of 32 bits). Chunk-equality banding guarantees full
+  // recall for hamming <= 3 (pigeonhole); threshold 2 keeps full recall.
+  private val qSimhash = QuerySpec.of(
+    "q_dedup_simhash",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN list_sum(list_transform(toks, tok ->
+      |        CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) >> b) & 1 = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS sim
+      |  FROM t WHERE len(toks) > 0),
+      |chunks AS (
+      |  SELECT doc_id, sim, c, (sim >> (c * 8)) & 255 AS chunk
+      |  FROM sh, unnest(range(0, 4)) AS u(c)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sim AS sim_a, b.sim AS sim_b
+      |  FROM chunks a JOIN chunks b
+      |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+      |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sims = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), simhash32(col("toks")).as("sim"))
+    val chunked = sims.select(col("doc_id"), col("sim"),
+        explode(transform(sequence(lit(0), lit(3)), c =>
+          struct(c.as("c"),
+            call_function("shiftrightunsigned", col("sim"), c * 8)
+              .bitwiseAND(255).as("chunk"))))
+          .as("x"))
+      .select(col("doc_id"), col("sim"), col("x.c"), col("x.chunk"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+      col("c"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+      col("c"), col("chunk"))
+    a.join(b, Seq("c", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- n-gram Jaccard with length-band blocking --------------------------
+  // Each doc emits 2 blocking keys (lang, floor(len/20)) and
+  // (lang, floor(len/20)+1); pairs within 20 chars share >=1 key.
+  private val qNgramJaccard = QuerySpec.of(
+    "q_dedup_ngram_jaccard",
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, n_chars, $duckToks AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_distinct(list_transform(range(0, len(toks) - ${SHINGLE_N - 1}),
+      |      i -> array_to_string(list_slice(toks, i + 1, i + $SHINGLE_N), ' '))) AS grams
+      |  FROM t WHERE len(toks) >= $SHINGLE_N),
+      |k AS (
+      |  SELECT doc_id, lang, n_chars, grams,
+      |    (n_chars // 20) + o AS band
+      |  FROM g, unnest(range(0, 2)) AS u(o)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.n_chars AS ca, b.n_chars AS cb, a.grams AS ga, b.grams AS gb
+      |  FROM k a JOIN k b
+      |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(ga, x -> list_contains(gb, x))) AS inter,
+      |    len(ga) + len(gb) AS tot
+      |  FROM pairs WHERE abs(ca - cb) <= 20)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
+      |FROM j WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SHINGLE_N)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(shingles(col("toks"), SHINGLE_N)).as("grams"))
+    val keyed = grams.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("grams"),
+        explode(array((col("n_chars") / 20).cast("long"),
+          (col("n_chars") / 20).cast("long") + 1)).as("band"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
+      col("grams").as("ga"), col("lang"), col("band"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
+      col("grams").as("gb"), col("lang"), col("band"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    a.join(b, Seq("lang", "band"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 20)
+      .select("doc_a", "doc_b", "ca", "cb", "ga", "gb").distinct()
+      .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+        (size(col("ga")) + size(col("gb"))).as("tot"))
+      .filter(col("inter").cast("double") / (col("tot") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("tot") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- embedding cosine near-dup (exact, label-blocked) ------------------
+  // Blocking key = label (the coarse cluster id); exact cosine refine.
+  private val qEmbed = QuerySpec.of(
+    "q_dedup_embedding_cosine",
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+      |FROM p WHERE round(cos, 9) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("label"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("label"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot / (col("na") * col("nb")))
+      .filter(round(col("cos"), 9) >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qExact, qMinhash, qSimhash, qNgramJaccard, qEmbed)
 }

@@ -1,5 +1,159 @@
 package graft.operators
-import graft.QuerySpec
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: time-bucketed
+  * aggregation, gap-based sessionization, funnel analysis, duplicate
+  * collapsing, JSON property extraction.
+  *
+  * The parquet `ts` column is TIMESTAMP(NANOS), which Spark 4 refuses
+  * by default (PARQUET_TYPE_ILLEGAL) — we read it with
+  * `spark.sql.legacy.parquet.nanosAsLong` as raw epoch-nanos and floor
+  * to epoch MILLISECONDS immediately (integer `DIV`, exact — the
+  * nanos exceed double's 2^53 exact-integer range, so no double math).
+  * DuckDB's `epoch_ms(ts)` floors the same way, so ms values agree.
+  *
+  * Scale notes: sessionization is one shuffle on user_id (window
+  * functions over the user partition); at 100 TB the events table
+  * would be date-partitioned and bucketed by user so the window needs
+  * no extra exchange.
+  */
 object Events {
-  val specs: Seq[QuerySpec] = Seq.empty
+
+  private val SESSION_GAP_MS = 30 * 60 * 1000L
+
+  /** events with `ms: Long` (epoch millis) replacing the ns timestamp. */
+  private[operators] def eventsMs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, d)
+      .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .drop("ts")
+  }
+
+  /** Hour-bucket label from epoch ms, e.g. "2024-01-05 17:00". */
+  private def hourLabel(ms: org.apache.spark.sql.Column) =
+    date_format(timestamp_millis(ms - ms % 3600000L), "yyyy-MM-dd HH:00")
+
+  // ---- hourly windowed aggregation --------------------------------------
+  private[operators] val hourlyOracle =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin
+
+  private val qHourly = QuerySpec.of(
+    "q_events_hourly", hourlyOracle, headline = true) { (s, d) =>
+    eventsMs(s, d)
+      .groupBy(hourLabel(col("ms")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  // ---- gap-based sessionization -----------------------------------------
+  private val qSessionize = QuerySpec.of(
+    "q_events_sessionize",
+    s"""WITH t AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (
+      |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+      |  FROM t),
+      |f AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > $SESSION_GAP_MS
+      |    THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ms) AS start_ms, max(ms) - min(ms) AS duration_ms
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin,
+    headline = true) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    eventsMs(s, d)
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("prev", lag("ms", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ms") - col("prev") > SESSION_GAP_MS, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ms").as("start_ms"),
+        (max("ms") - min("ms")).as("duration_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ---- signup → purchase funnel -----------------------------------------
+  private val qFunnel = QuerySpec.of(
+    "q_events_funnel",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS first_signup,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS first_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users, count(first_signup) AS n_signed_up,
+      |  count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+      |FROM u""".stripMargin) { (s, d) =>
+    eventsMs(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ms"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ms"))).as("first_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("first_signup")).as("n_signed_up"),
+        count(when(col("first_purchase") > col("first_signup"), 1))
+          .as("n_converted"))
+  }
+
+  // ---- duplicate collapse (same user/type/minute) -----------------------
+  private val qDedup = QuerySpec.of(
+    "q_events_dedup",
+    """SELECT count(*) AS n_events,
+      |  count(DISTINCT (user_id, event_type, epoch_ms(ts) // 60000)) AS n_after_dedup
+      |FROM events""".stripMargin) { (s, d) =>
+    eventsMs(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ms DIV 60000 AS BIGINT)").as("minute"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id"), col("event_type"), col("minute"))
+          .as("n_after_dedup"))
+  }
+
+  // ---- JSON property extraction -----------------------------------------
+  private val qJson = QuerySpec.of(
+    "q_events_json_props",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    eventsMs(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  // ---- Structured Streaming variant of the hourly aggregation -----------
+  // Same semantics, same oracle: the parquet file drives a streaming
+  // query (AvailableNow) into a memory sink in complete mode.
+  private val qStreamHourly = QuerySpec.of(
+    "q_stream_events_hourly", hourlyOracle) { (s, d) =>
+    graft.streaming.EventsStreaming.hourlyViaStream(s, d)
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qStreamHourly)
 }

@@ -1,5 +1,150 @@
 package graft.operators
-import graft.QuerySpec
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: the correctness baseline. The query set
+  *    is tiny and broadcast, so the big side streams once with no
+  *    shuffle — at 100 TB this is the "score every candidate" scan.
+  *  - sign-LSH bucketed: 6 deterministic random hyperplanes hash each
+  *    vector to a 64-way bucket; search only same-bucket candidates.
+  *    This is the scale path: the bucket join touches ~1/64 of the
+  *    pair space, and the plane count scales with corpus size (log n).
+  *    (An IVF variant would k-means the corpus instead; sign-LSH keeps
+  *    the partitioner deterministic for the oracle.)
+  *
+  * Cosines are computed in double with a strict left-to-right fold so
+  * the DuckDB oracle (same op order) produces bit-identical results;
+  * ranking uses round(cos, 9) with vec_id tie-break.
+  */
 object Similarity {
-  val specs: Seq[QuerySpec] = Seq.empty
+
+  private val DIM = 64
+  private val PLANES = 6
+  private val TOPK = 5
+  private val NQUERIES = 10
+
+  /** Deterministic hyperplane component, identical to the oracle's
+    * `(CAST(('0x'||substr(md5(j||':'||i),1,8)) AS BIGINT) % 2001 - 1000) / 1000.0`.
+    */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    val hex = digest.take(4).map(b => f"${b & 0xff}%02x").mkString
+    ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+  }
+
+  private lazy val planes: Seq[Seq[Double]] =
+    (0 until PLANES).map(j => (0 until DIM).map(i => planeComponent(j, i)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** vec_id, v (double), nrm. */
+  private def normalized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private val duckNorm =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  private def duckDot(av: String, bv: String) =
+    s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $av[i] * $bv[i]))"
+
+  // ---- brute force -------------------------------------------------------
+  private val qBrute = QuerySpec.of(
+    "q_ann_bruteforce",
+    s"""WITH $duckNorm,
+      |q AS (SELECT * FROM n WHERE vec_id < $NQUERIES),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM s)
+      |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk
+      |FROM r WHERE rk <= $TOPK
+      |ORDER BY query_id, rk""".stripMargin,
+    headline = true) { (s, d) =>
+    val n = normalized(Tables.embeddings(s, d))
+    val q = n.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn")), 9))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  // ---- sign-LSH bucketed -------------------------------------------------
+  private def bucketExpr(v: Column): Column =
+    (0 until PLANES).map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val duckBucket = {
+    val planeC = (j: String, i: String) =>
+      s"((CAST(('0x' || substr(md5($j || ':' || $i), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0)"
+    val dotJ = s"list_sum(list_transform(range(1, ${DIM + 1}), " +
+      s"i -> v[i] * ${planeC("j", "(i - 1)")}))"
+    s"list_sum(list_transform(range(0, $PLANES), " +
+      s"j -> CASE WHEN $dotJ > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))"
+  }
+
+  private val qLsh = QuerySpec.of(
+    "q_ann_lsh",
+    s"""WITH $duckNorm,
+      |b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM n),
+      |q AS (SELECT * FROM b WHERE vec_id < $NQUERIES),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM s)
+      |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk
+      |FROM r WHERE rk <= $TOPK
+      |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val b = normalized(Tables.embeddings(s, d))
+      .withColumn("bucket", bucketExpr(col("v")))
+    val q = b.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = b.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn")), 9))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh)
 }

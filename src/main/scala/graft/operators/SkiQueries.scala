@@ -1,5 +1,265 @@
 package graft.operators
+
 import graft.QuerySpec
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.functions._
+
+/** Ski-domain operator queries (SURVEY §2): run formatting P1/P7-P10,
+  * geodesic length G1, grid-cell distance join J1, VIIRS pixel
+  * assignment E5, statistics A1 — all running over features
+  * synthesized from the driver tables (see [[SkiFeatures]]) so every
+  * operator is exercised at every scale factor with a DuckDB oracle
+  * that re-derives the semantics independently from the flat columns.
+  */
 object SkiQueries {
-  val specs: Seq[QuerySpec] = Seq.empty
+
+  // Shared oracle prelude: synthesized features, formatted (fmt).
+  private val oraclePrelude: String = {
+    import SkiFeatures.sql._
+    val validUses = SkiFeatures.ValidUses.map(u => s"'$u'").mkString(", ")
+    s"""f AS (
+      |  SELECT $wayId AS way_id, $lifecycle AS lifecycle,
+      |    $usesRaw AS uses_raw, $diffIdx AS diff_idx, $groomIdx AS groom_idx,
+      |    $taxPct AS tax_pct, l_suppkey % 3 AS ow_idx, l_partkey % 50 AS refnum,
+      |    p_name, p_brand, l_quantity,
+      |    $lon0 AS lon0, $lat0 AS lat0, $dx AS dx, $dy AS dy, $z0 AS z0
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |fmt AS (
+      |  SELECT way_id,
+      |    CASE WHEN lifecycle = 0 THEN 'abandoned'
+      |         WHEN lifecycle = 1 THEN 'proposed'
+      |         WHEN lifecycle = 2 THEN 'disused'
+      |         ELSE 'operating' END AS status,
+      |    list_filter(list_transform(string_split(uses_raw, ';'),
+      |      u -> lower(trim(u))), u -> u IN ($validUses)) AS uses,
+      |    CASE diff_idx WHEN 0 THEN 'novice' WHEN 1 THEN 'easy'
+      |         WHEN 2 THEN 'intermediate' WHEN 3 THEN 'advanced'
+      |         WHEN 4 THEN 'expert' WHEN 5 THEN 'freeride'
+      |         WHEN 6 THEN 'extreme' END AS difficulty,
+      |    CASE WHEN groom_idx = 0 THEN 'classic'
+      |         WHEN groom_idx = 1 THEN 'skating'
+      |         WHEN groom_idx = 2 THEN 'mogul'
+      |         WHEN groom_idx = 3 THEN 'backcountry'
+      |         WHEN (CASE diff_idx WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 1 END) = 1
+      |           THEN 'backcountry' END AS grooming,
+      |    CASE WHEN tax_pct >= 5 AND tax_pct < 7 THEN true
+      |         WHEN tax_pct >= 7 AND tax_pct < 8 THEN false
+      |         WHEN tax_pct >= 8 THEN true END AS gladed,
+      |    CASE WHEN ow_idx = 0 THEN true WHEN ow_idx = 1 THEN false
+      |         WHEN list_contains(list_filter(list_transform(string_split(uses_raw, ';'),
+      |           u -> lower(trim(u))), u -> u IN ($validUses)), 'downhill')
+      |           THEN true END AS oneway,
+      |    array_to_string(list_sort(list_distinct([p_name, p_brand])), ', ') AS name,
+      |    'R' || CAST(refnum AS VARCHAR) AS ref,
+      |    l_quantity, lon0, lat0, dx, dy, z0
+      |  FROM f WHERE lifecycle <> 3),
+      |kept AS (
+      |  SELECT * FROM fmt WHERE status = 'operating' AND len(uses) > 0)""".stripMargin
+  }
+
+  private def formatted(s: org.apache.spark.sql.SparkSession, d: String) =
+    Formatters.formatRuns(SkiFeatures.synthesize(s, d))
+
+  // ---- P1/P7-P10: full run formatting ------------------------------------
+  private val qFormat = QuerySpec.of(
+    "q_ski_format_runs",
+    s"""WITH $oraclePrelude
+      |SELECT way_id, status, array_to_string(uses, ';') AS uses,
+      |  difficulty, grooming, gladed, oneway, name, ref,
+      |  (status = 'operating' AND len(uses) > 0) AS kept
+      |FROM fmt ORDER BY way_id""".stripMargin) { (s, d) =>
+    formatted(s, d)
+      .select(col("way_id"), col("status"),
+        concat_ws(";", col("uses")).as("uses"),
+        col("difficulty"), col("grooming"), col("gladed"), col("oneway"),
+        col("name"), col("ref"), col("kept"))
+      .orderBy("way_id")
+  }
+
+  // ---- G1/G5: geodesic length + profile sampling per difficulty ----------
+  private val lenSql = GeoFunctions.sqlHaversineM("lon0", "lat0",
+    "(lon0 + dx)", "(lat0 + dy)") +
+    " + " + GeoFunctions.sqlHaversineM("(lon0 + dx)", "(lat0 + dy)",
+    "(lon0 + dx * 2)", "(lat0 + dy)")
+
+  private val qLength = QuerySpec.of(
+    "q_ski_run_length",
+    s"""WITH $oraclePrelude,
+      |r AS (SELECT coalesce(difficulty, 'other') AS difficulty,
+      |  ($lenSql) AS len_m FROM kept)
+      |SELECT difficulty, count(*) AS n_runs,
+      |  round(sum(len_m) / 1000.0, 4) AS total_km,
+      |  CAST(sum(greatest(CAST(2 AS BIGINT), CAST(floor(len_m / 25.0) + 2 AS BIGINT))) AS BIGINT) AS profile_points
+      |FROM r GROUP BY difficulty ORDER BY difficulty""".stripMargin,
+    headline = true) { (s, d) =>
+    formatted(s, d).filter(col("kept"))
+      .select(coalesce(col("difficulty"), lit("other")).as("difficulty"),
+        lineLengthM(col("coords")).as("len_m"))
+      .groupBy("difficulty")
+      .agg(count(lit(1)).as("n_runs"),
+        round(sum("len_m") / 1000.0, 4).as("total_km"),
+        sum(profilePointCount(col("len_m"), 25.0)).as("profile_points"))
+      .orderBy("difficulty")
+  }
+
+  // ---- A1: per-activity × difficulty statistics --------------------------
+  private val qStats = QuerySpec.of(
+    "q_ski_statistics",
+    s"""WITH $oraclePrelude,
+      |r AS (SELECT u.activity, coalesce(difficulty, 'other') AS difficulty,
+      |    ($lenSql) AS len_m, z0, (z0 + l_quantity * 2) AS z2
+      |  FROM kept, unnest(uses) AS u(activity))
+      |SELECT activity, difficulty, count(*) AS n_runs,
+      |  round(sum(len_m) / 1000.0, 4) AS total_km,
+      |  round(min(z0), 1) AS min_elev,
+      |  round(max(z2), 1) AS max_elev,
+      |  round(sum(z2 - z0), 2) AS vertical_m
+      |FROM r GROUP BY activity, difficulty
+      |ORDER BY activity, difficulty""".stripMargin,
+    headline = true) { (s, d) =>
+    formatted(s, d).filter(col("kept"))
+      .select(explode(col("uses")).as("activity"),
+        coalesce(col("difficulty"), lit("other")).as("difficulty"),
+        lineLengthM(col("coords")).as("len_m"),
+        element_at(element_at(col("coords"), 1), 3).as("z0"),
+        element_at(element_at(col("coords"), 3), 3).as("z2"))
+      .groupBy("activity", "difficulty")
+      .agg(count(lit(1)).as("n_runs"),
+        round(sum("len_m") / 1000.0, 4).as("total_km"),
+        round(min("z0"), 1).as("min_elev"),
+        round(max("z2"), 1).as("max_elev"),
+        round(sum(col("z2") - col("z0")), 2).as("vertical_m"))
+      .orderBy("activity", "difficulty")
+  }
+
+  // ---- J1: grid-cell distance join (500 m radius) ------------------------
+  private val CellDeg = 0.01
+  private val RadiusM = 500.0
+
+  private val qGridJoin = QuerySpec.of(
+    "q_ski_grid_join",
+    s"""WITH $oraclePrelude,
+      |areas AS (
+      |  SELECT o_orderkey AS area_id,
+      |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+      |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |acells AS (
+      |  SELECT area_id, alon, alat,
+      |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+      |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+      |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+      |rcells AS (
+      |  SELECT way_id, lon0, lat0,
+      |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
+      |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
+      |  FROM kept)
+      |SELECT area_id, count(*) AS n_runs
+      |FROM acells a JOIN rcells r ON a.cx = r.cx AND a.cy = r.cy
+      |WHERE ${GeoFunctions.sqlHaversineM("a.alon", "a.alat", "r.lon0", "r.lat0")} <= $RadiusM
+      |GROUP BY area_id ORDER BY area_id""".stripMargin,
+    headline = true) { (s, d) =>
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("alon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("alat"))
+    val acells = areas.select(col("area_id"), col("alon"), col("alat"),
+        explode(transform(
+          sequence(lit(-1), lit(1)),
+          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
+        floor(col("alat") / CellDeg).cast("long").as("cybase"))
+      .select(col("area_id"), col("alon"), col("alat"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cybase") + j)).as("cy"))
+    val rcells = formatted(s, d).filter(col("kept"))
+      .select(col("way_id"),
+        element_at(element_at(col("coords"), 1), 1).as("lon0"),
+        element_at(element_at(col("coords"), 1), 2).as("lat0"))
+      .withColumn("cx", floor(col("lon0") / CellDeg).cast("long"))
+      .withColumn("cy", floor(col("lat0") / CellDeg).cast("long"))
+    acells.join(rcells, Seq("cx", "cy"))
+      .filter(haversineM(col("alon"), col("alat"),
+        col("lon0"), col("lat0")) <= RadiusM)
+      .groupBy("area_id")
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy("area_id")
+  }
+
+  // ---- E5: VIIRS sinusoidal pixel assignment -----------------------------
+  private val qViirs = QuerySpec.of(
+    "q_ski_viirs_pixels", {
+      val T = s"CAST(${GeoFunctions.ViirsTileSizeM} AS DOUBLE)"
+      val R = GeoFunctions.ViirsRadiusM
+      val x = s"($R * radians((p).lon) * cos(radians((p).lat)))"
+      val y = s"($R * radians((p).lat))"
+      val gx = s"($x + 18.0 * $T)"
+      val gy = s"(9.0 * $T - $y)"
+      s"""WITH $oraclePrelude,
+        |pts AS (
+        |  SELECT way_id, p FROM kept,
+        |    unnest([{'lon': lon0, 'lat': lat0},
+        |            {'lon': lon0 + dx, 'lat': lat0 + dy},
+        |            {'lon': lon0 + dx * 2, 'lat': lat0 + dy}]) AS u(p)),
+        |px AS (
+        |  SELECT CAST(floor($gx / $T) AS INT) AS h,
+        |    CAST(floor($gy / $T) AS INT) AS v,
+        |    CAST(floor(($gx - floor($gx / $T) * $T) / ($T / 3000.0)) AS INT) AS px,
+        |    CAST(floor(($gy - floor($gy / $T) * $T) / ($T / 3000.0)) AS INT) AS py
+        |  FROM pts)
+        |SELECT h, v, count(DISTINCT (px, py)) AS n_pixels, count(*) AS n_points
+        |FROM px GROUP BY h, v ORDER BY h, v""".stripMargin
+    }) { (s, d) =>
+    formatted(s, d).filter(col("kept"))
+      .select(explode(col("coords")).as("pt"))
+      .select(viirsPixel(element_at(col("pt"), 1), element_at(col("pt"), 2))
+        .as("p"))
+      .select(col("p.h"), col("p.v"), col("p.px"), col("p.py"))
+      .groupBy("h", "v")
+      .agg(countDistinct(col("px"), col("py")).as("n_pixels"),
+        count(lit(1)).as("n_points"))
+      .orderBy("h", "v")
+  }
+
+  // ---- N1-N3: run topology normalization ---------------------------------
+  // Input: kept runs plus full-geometry duplicates for every way with
+  // line number 1. The oracle counts distinct quantized 2D geometries —
+  // exactly what arc-merge collapses here, because the synthesis
+  // guarantees overlaps are only ever whole-geometry (see SkiFeatures).
+  private val qNormalize = QuerySpec.of(
+    "q_ski_normalize",
+    s"""WITH $oraclePrelude,
+      |dup AS (
+      |  SELECT way_id AS run_id, lon0, lat0, dx, dy FROM kept
+      |  UNION ALL
+      |  SELECT way_id + 1000000000, lon0, lat0, dx, dy FROM kept
+      |  WHERE way_id % 10 = 1)
+      |SELECT count(*) AS n_in,
+      |  count(DISTINCT (
+      |    CAST(round(lon0 * 10000000) AS BIGINT),
+      |    CAST(round(lat0 * 10000000) AS BIGINT),
+      |    CAST(round((lon0 + dx) * 10000000) AS BIGINT),
+      |    CAST(round((lat0 + dy) * 10000000) AS BIGINT),
+      |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT))) AS n_out
+      |FROM dup""".stripMargin,
+    headline = true) { (s, d) =>
+    val kept = formatted(s, d).filter(col("kept"))
+      .select(col("way_id").as("run_id"),
+        coalesce(col("difficulty"), lit("other")).as("props"),
+        transform(col("coords"), p =>
+          array(element_at(p, 1), element_at(p, 2))).as("coords"))
+    val dup = kept.unionByName(
+      kept.filter(pmod(col("run_id"), lit(10)) === 1)
+        .withColumn("run_id", col("run_id") + 1000000000L))
+    val n_in = dup.count()
+    Normalization.normalizeRuns(dup)
+      .agg(count(lit(1)).as("n_out"))
+      .select(lit(n_in).as("n_in"), col("n_out"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize)
 }

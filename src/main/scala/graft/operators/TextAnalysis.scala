@@ -1,5 +1,138 @@
 package graft.operators
-import graft.QuerySpec
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language identification, fingerprinting.
+  *
+  * Scale notes: all are embarrassingly parallel per-row column
+  * expressions (single scan, no shuffle except the final aggregations),
+  * so they pipeline inside one whole-stage-codegen span per partition —
+  * exactly what you want for a 100 TB document corpus. The groupBys
+  * aggregate partial (map-side) before the exchange.
+  */
 object TextAnalysis {
-  val specs: Seq[QuerySpec] = Seq.empty
+
+  private val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "los", "las", "es", "y", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pas"))
+
+  // Per-document token statistics (whitespace + BPE-ish + char ratios).
+  private val qTokenStats = QuerySpec.of(
+    "q_text_token_stats",
+    """SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+      |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+      |  round(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) = 0 THEN 0.0 ELSE
+      |    CAST(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), t -> strlen(t))) AS DOUBLE)
+      |      / len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) END, 6) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    headline = true) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    docs.select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(meanTokenLen(tokens(col("text"))), 6).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  // Quality score distribution per source.
+  private val qQuality = QuerySpec.of(
+    "q_text_quality_by_source",
+    """WITH t AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+      |      + least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |          CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / len(toks) END) * 4.0) * 0.4
+      |      + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 5.0)) * 0.2, 6) AS score
+      |  FROM t)
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(score), 6) AS avg_quality,
+      |  round(min(score), 6) AS min_quality,
+      |  round(max(score), 6) AS max_quality
+      |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), qualityScore(col("text")).as("score"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("score"), 6).as("avg_quality"),
+        round(min("score"), 6).as("min_quality"),
+        round(max("score"), 6).as("max_quality"))
+      .orderBy("source")
+  }
+
+  // Language-ID confusion matrix: labeled lang vs n-gram/stopword
+  // heuristic prediction (argmax hits, fixed precedence, 0 → unknown).
+  private val qLangId = {
+    val sqlHits = langs.map { case (l, vocab) =>
+      s"len(list_filter(toks, t -> t IN ${sql.vocabIn(vocab)})) AS h_$l"
+    }.mkString(",\n      |    ")
+    val pred = langs.map { case (l, _) =>
+      s"WHEN h_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    QuerySpec.of(
+      "q_text_langid",
+      s"""WITH t AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT lang, $sqlHits FROM t),
+        |p AS (
+        |  SELECT lang, greatest(${langs.map("h_" + _._1).mkString(", ")}) AS best,
+        |    ${langs.map(x => "h_" + x._1).mkString(", ")} FROM h)
+        |SELECT lang, CASE $pred ELSE 'unknown' END AS lang_pred, count(*) AS n
+        |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val withHits = Tables.documents(s, d)
+        .select(col("lang") +: langs.map { case (l, vocab) =>
+          vocabHits(toks, vocab).as(s"h_$l")
+        }: _*)
+      val best = greatest(langs.map(x => col("h_" + x._1)): _*)
+      // foldRight so the first lang in `langs` wins ties — same
+      // precedence as the oracle's CASE order.
+      val pred = langs.foldRight(lit("unknown")) { case ((l, _), acc) =>
+        when(col("h_" + l) === best && best > 0, lit(l)).otherwise(acc)
+      }
+      withHits.select(col("lang"), pred.as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }
+  }
+
+  // Fingerprint duplicate groups (canonical token-set fingerprint).
+  private val qFingerprint = QuerySpec.of(
+    "q_text_fingerprint_dups",
+    s"""SELECT ${sql.fingerprint} AS fp, count(*) AS n_docs,
+      |  min(doc_id) AS keep_doc
+      |FROM documents
+      |GROUP BY fp HAVING count(*) > 1
+      |ORDER BY fp""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fp")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId, qFingerprint)
 }

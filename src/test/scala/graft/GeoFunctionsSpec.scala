@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.functions._
+
+class GeoFunctionsSpec extends SparkSpec {
+
+  private def eval1(c: org.apache.spark.sql.Column): Double = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.cast("double")).collect().head.getDouble(0)
+  }
+
+  test("haversine of 1 degree latitude ≈ 111.195 km") {
+    val d = eval1(haversineM(lit(0.0), lit(0.0), lit(0.0), lit(1.0)))
+    assert(math.abs(d - math.Pi * EarthRadiusM / 180.0) < 1e-6)
+  }
+
+  test("haversine is symmetric and zero at identity") {
+    val a = eval1(haversineM(lit(10.0), lit(45.0), lit(11.0), lit(46.0)))
+    val b = eval1(haversineM(lit(11.0), lit(46.0), lit(10.0), lit(45.0)))
+    assert(a == b)
+    assert(eval1(haversineM(lit(10.0), lit(45.0), lit(10.0), lit(45.0))) == 0.0)
+  }
+
+  test("lineLengthM sums segments; degenerate lines are 0") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(Seq(0.0, 0.0), Seq(0.0, 1.0), Seq(0.0, 2.0)),
+      Seq(Seq(5.0, 5.0))).toDF("coords")
+      .select(lineLengthM(col("coords")).as("len"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 2 * math.Pi * EarthRadiusM / 180.0) < 1e-5)
+    assert(got(1) == 0.0)
+  }
+
+  test("centroid is the vertex average") {
+    import spark.implicits._
+    val df = Seq(Seq(Seq(0.0, 0.0), Seq(2.0, 4.0))).toDF("coords")
+      .select(centroid(col("coords")).as("c"))
+      .select(col("c.lon"), col("c.lat"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 2.0)
+  }
+
+  test("viirs pixel: equator/prime-meridian lands in tile (18,8) top row") {
+    import spark.implicits._
+    // lat slightly >0 → just above the v=9 boundary → tile row 8
+    val df = Seq(1).toDF("x")
+      .select(viirsPixel(lit(0.0001), lit(0.0001)).as("p"))
+      .select(col("p.h"), col("p.v"), col("p.px"), col("p.py"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 18 && r.getInt(1) == 8)
+    assert(r.getInt(2) >= 0 && r.getInt(2) < 3000)
+    assert(r.getInt(3) >= 0 && r.getInt(3) < 3000)
+  }
+
+  test("grid cell floors negative coordinates correctly") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+      .select(gridCell(lit(-0.001), lit(0.001), 0.01).as("c"))
+      .select(col("c.cx"), col("c.cy"))
+    val r = df.collect().head
+    assert(r.getLong(0) == -1L && r.getLong(1) == 0L)
+  }
+
+  test("profilePointCount: every 25 m plus endpoints, min 2") {
+    import spark.implicits._
+    val df = Seq(0.0, 10.0, 60.0, 250.0).toDF("len")
+      .select(profilePointCount(col("len"), 25.0).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 2L, 4L, 12L))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Normalization
+import org.apache.spark.sql.functions._
+
+/** Scenario tests for run topology normalization, re-expressing the
+  * reference's MergeOverlappingRuns / CombineRunSegments /
+  * PointGraph unit-test behaviors on tiny DataFrames (SURVEY §5).
+  */
+class NormalizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runsDf(rows: (Long, String, Seq[Seq[Double]])*) =
+    rows.toDF("run_id", "props", "coords")
+
+  test("identical duplicate runs collapse to one") {
+    val line = Seq(Seq(10.0, 47.0), Seq(10.001, 47.0), Seq(10.002, 47.001))
+    val out = Normalization.normalizeRuns(
+      runsDf((1L, "a", line), (2L, "a", line))).collect()
+    assert(out.length == 1)
+    assert(out.head.getSeq[Any](out.head.fieldIndex("coords")).length == 3)
+  }
+
+  test("partial overlap splits into 3 arcs") {
+    // A: p0-p1-p2-p3 ; B: p1-p2 → arcs {A}:p0-p1, {A,B}:p1-p2, {A}:p2-p3
+    val p0 = Seq(10.0, 47.0); val p1 = Seq(10.001, 47.0)
+    val p2 = Seq(10.002, 47.0); val p3 = Seq(10.003, 47.0)
+    val out = Normalization.normalizeRuns(runsDf(
+      (1L, "a", Seq(p0, p1, p2, p3)), (2L, "b", Seq(p1, p2))))
+    val got = out.select("props").as[String].collect().sorted
+    assert(got.toSeq == Seq("a", "a", "a+b"))
+  }
+
+  test("same-props fragments chain-merge into one line") {
+    val out = Normalization.normalizeRuns(runsDf(
+      (1L, "a", Seq(Seq(10.0, 47.0), Seq(10.001, 47.0))),
+      (2L, "a", Seq(Seq(10.001, 47.0), Seq(10.002, 47.0)))))
+      .collect()
+    assert(out.length == 1)
+    val coords = out.head.getSeq[scala.collection.Seq[Double]](
+      out.head.fieldIndex("coords")).map(_.toSeq).toSeq
+    assert(coords == Seq(Seq(10.0, 47.0), Seq(10.001, 47.0), Seq(10.002, 47.0)))
+  }
+
+  test("different props do not chain-merge") {
+    val out = Normalization.normalizeRuns(runsDf(
+      (1L, "a", Seq(Seq(10.0, 47.0), Seq(10.001, 47.0))),
+      (2L, "b", Seq(Seq(10.001, 47.0), Seq(10.002, 47.0)))))
+    assert(out.count() == 2)
+  }
+
+  test("three-way junction does not merge (ambiguous)") {
+    val j = Seq(10.001, 47.0)
+    val out = Normalization.normalizeRuns(runsDf(
+      (1L, "a", Seq(Seq(10.0, 47.0), j)),
+      (2L, "a", Seq(j, Seq(10.002, 47.0))),
+      (3L, "a", Seq(j, Seq(10.001, 47.001)))))
+    assert(out.count() == 3)
+  }
+
+  test("reversed duplicate collapses (canonical edge orientation)") {
+    val out = Normalization.normalizeRuns(runsDf(
+      (1L, "a", Seq(Seq(10.0, 47.0), Seq(10.001, 47.0))),
+      (2L, "a", Seq(Seq(10.001, 47.0), Seq(10.0, 47.0)))))
+    assert(out.count() == 1)
+  }
+
+  test("stitch orients and orders fragments") {
+    val got = Normalization.stitch(Seq(
+      Seq(Seq(2L, 0L), Seq(1L, 0L)),       // reversed middle
+      Seq(Seq(0L, 0L), Seq(1L, 0L)),
+      Seq(Seq(2L, 0L), Seq(3L, 0L))))
+    val want = Seq(Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 0L), Seq(3L, 0L))
+    assert(got == want || got == want.reverse)
+  }
+}
