@@ -260,6 +260,67 @@ object SkiQueries {
       .select(lit(n_in).as("n_in"), col("n_out"))
   }
 
+  // ---- J10: transitive-closure clustering --------------------------------
+  // Areas seed at order anchors with one activity; objects are kept
+  // runs. Closure = chain of <=500 m hops between compatible objects;
+  // multi-reached objects resolve to the min area id. The oracle is the
+  // same closure as a DuckDB recursive CTE over the same grid cells.
+  private val qCluster = QuerySpec.of(
+    "q_ski_cluster", {
+      val hav = GeoFunctions.sqlHaversineM _
+      s"""WITH RECURSIVE $oraclePrelude,
+        |areas AS (
+        |  SELECT o_orderkey AS area_id,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'downhill' ELSE 'nordic' END AS act,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |rc AS (
+        |  SELECT way_id AS okey, uses, lon0 AS lon, lat0 AS lat,
+        |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
+        |  FROM kept),
+        |acell AS (
+        |  SELECT area_id, act, alon, alat,
+        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |reach AS (
+        |  SELECT a.area_id, a.act, o.okey, o.lon, o.lat, o.cx, o.cy
+        |  FROM acell a JOIN rc o ON a.cx = o.cx AND a.cy = o.cy
+        |  WHERE ${hav("a.alon", "a.alat", "o.lon", "o.lat")} <= $RadiusM
+        |    AND list_contains(o.uses, a.act)
+        |  UNION
+        |  SELECT r.area_id, r.act, o.okey, o.lon, o.lat, o.cx, o.cy
+        |  FROM reach r JOIN rc o
+        |    ON o.cx BETWEEN r.cx - 1 AND r.cx + 1
+        |    AND o.cy BETWEEN r.cy - 1 AND r.cy + 1
+        |  WHERE ${hav("r.lon", "r.lat", "o.lon", "o.lat")} <= $RadiusM
+        |    AND list_contains(o.uses, r.act))
+        |SELECT area_id, count(*) AS n_objects
+        |FROM (SELECT okey, min(area_id) AS area_id FROM reach GROUP BY okey) t
+        |GROUP BY area_id ORDER BY area_id""".stripMargin
+    },
+    headline = true) { (s, d) =>
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, "downhill")
+          .otherwise("nordic").as("act"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("lon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("lat"))
+    val objs = formatted(s, d).filter(col("kept"))
+      .select(col("way_id").as("okey"), col("uses"),
+        element_at(element_at(col("coords"), 1), 1).as("lon"),
+        element_at(element_at(col("coords"), 1), 2).as("lat"))
+    Clustering.transitiveAssign(areas, objs, RadiusM, CellDeg)
+      .groupBy("area_id")
+      .agg(count(lit(1)).as("n_objects"))
+      .orderBy("area_id")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize)
+    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize, qCluster)
 }

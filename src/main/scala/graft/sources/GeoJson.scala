@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GeoJSON feature IO (SURVEY S4/S5).
+  *
+  * Internal canonical geometry is (geomType: string, coords:
+  * array<array<double>>) — Point is a 1-element coords list, Polygon
+  * the outer ring (SURVEY §1.2 chose the inspectable nested-array form
+  * over WKB). Files are JSONL of Feature objects — the streaming-
+  * friendly shape; a literal FeatureCollection wrapper is a driver-side
+  * concat (`wrapFeatureCollection`), mirroring how the reference
+  * streams `features.*` (`/root/reference/src/io/GeoJSONReader.ts:4-8`)
+  * and re-wraps on write (`src/transforms/FeatureCollection.ts:3-9`).
+  *
+  * GeoJSON coordinates are schema-flexible (depth varies per geometry
+  * type), so they are extracted as raw JSON text (`get_json_object`)
+  * and decoded per type — the Spark-native version of the reference's
+  * duck-typed parse.
+  */
+object GeoJson {
+
+  /** Parse a JSONL file of GeoJSON Features into
+    * (properties: map<string,string>, geomType, coords).
+    * Supported: Point (1-element coords), LineString, Polygon (outer
+    * ring; `$.coordinates[0]`).
+    */
+  def readFeatures(spark: SparkSession, path: String): DataFrame =
+    decodeFeatures(spark.read.text(path), col("value"))
+
+  /** Same decode over an arbitrary column of Feature JSON strings. */
+  def decodeFeatures(df: DataFrame, json: Column): DataFrame = {
+    val line = ArrayType(ArrayType(DoubleType))
+    val geomType = get_json_object(json, "$.geometry.type")
+    df.select(
+      from_json(get_json_object(json, "$.properties"),
+        MapType(StringType, StringType)).as("properties"),
+      geomType.as("geomType"),
+      when(geomType === "Point",
+        array(from_json(get_json_object(json, "$.geometry.coordinates"),
+          ArrayType(DoubleType))))
+        .when(geomType === "Polygon",
+          from_json(get_json_object(json, "$.geometry.coordinates[0]"), line))
+        .otherwise(
+          from_json(get_json_object(json, "$.geometry.coordinates"), line))
+        .as("coords"))
+  }
+
+  /** Render (properties, geomType, coords) as a GeoJSON Feature JSON
+    * string (one per row — JSONL when written with text()). Polygon
+    * coords are re-wrapped as a single outer ring.
+    */
+  def featureJson(properties: Column, geomType: Column, coords: Column): Column =
+    concat(
+      lit("""{"type":"Feature","properties":"""),
+      coalesce(to_json(properties), lit("null")),
+      lit(""","geometry":{"type":""""), geomType,
+      lit("""","coordinates":"""),
+      when(geomType === "Point", to_json(element_at(coords, 1)))
+        .when(geomType === "Polygon",
+          concat(lit("["), to_json(coords), lit("]")))
+        .otherwise(to_json(coords)),
+      lit("}}"))
+
+  /** Driver-side FeatureCollection wrapper around a written JSONL dir. */
+  def wrapFeatureCollection(spark: SparkSession, jsonlDir: String,
+      outFile: String): Unit = {
+    val lines = spark.read.text(jsonlDir).collect().map(_.getString(0))
+    val body = lines.mkString(",\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      s"""{"type":"FeatureCollection","features":[\n$body\n]}"""
+        .getBytes("UTF-8"))
+  }
+}
