@@ -16,7 +16,9 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.Similarity.specs ++
       operators.Events.specs ++
-      operators.SkiQueries.specs
+      operators.SkiQueries.specs ++
+      operators.Multimodal.specs ++
+      operators.Enrichment.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

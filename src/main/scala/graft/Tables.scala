@@ -18,6 +18,18 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Round-robin fan-out to all cores. The test tables are single-
+    * row-group parquet files (one input split), so heavy per-row work
+    * right after a scan would otherwise run on one task; the exchange
+    * also acts as a projection barrier, keeping Catalyst from inlining
+    * an expensive upstream expression into every downstream consumer
+    * (higher-order functions are interpreted, not codegen'd).
+    * At warehouse scale inputs arrive already split, making this a
+    * cheap or removable no-op.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -97,8 +97,14 @@ object TextFunctions {
     * `call_function` (the Scala `shiftright`/`shiftleft` helpers only
     * accept a literal Int bit count).
     */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => HashFunctions.hash32(t))
+  def simhash32(toks: Column): Column =
+    simhash32FromHashes(transform(toks, t => HashFunctions.hash32(t)))
+
+  /** SimHash from a pre-computed token-hash array — use with the hash
+    * array materialized (e.g. behind an exchange) so the 32 bit-votes
+    * don't re-evaluate the hashing per bit.
+    */
+  def simhash32FromHashes(hashes: Column): Column = {
     aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
       val vote = aggregate(hashes, lit(0),
         (s, h) => s + when(

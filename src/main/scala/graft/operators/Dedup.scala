@@ -43,13 +43,26 @@ object Dedup {
   }
 
   // ---- MinHash + LSH candidate pairs -------------------------------------
-  /** doc_id, sig (MinHash signature) for docs with >=SHINGLE_N tokens. */
+  /** doc_id, sig (MinHash signature) for docs with >=SHINGLE_N tokens.
+    * The shingle array materializes behind a fanout barrier so the k
+    * min-hash branches read it as an attribute instead of re-running
+    * tokenization per hash function.
+    */
   private def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    graft.Tables.fanout(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles(col("toks"), SHINGLE_N).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
       .select(col("doc_id"),
         minhashSignature(col("sh"), MINHASH_K).as("sig"))
+
+  /** Buckets larger than this are skipped (boilerplate guard). At LSH
+    * scale a bucket this hot means near-identical boilerplate; skipping
+    * is the standard skew guard and keeps the pair join from exploding
+    * quadratically. Deterministic, and mirrored in the oracle.
+    */
+  private val MAX_BUCKET = 200
 
   private val qMinhash = QuerySpec.of(
     "q_dedup_minhash_lsh",
@@ -67,38 +80,55 @@ object Dedup {
       |        CAST(('0x' || substr(md5(j || ':' || s), 1, 15)) AS BIGINT)), 'min')) AS sig
       |  FROM sh),
       |bands AS (
-      |  SELECT doc_id, sig, b,
+      |  SELECT doc_id, b,
       |    md5(array_to_string(list_slice(sig, b * $ROWS + 1, b * $ROWS + $ROWS), ',')) AS bh
       |  FROM sig, unnest(range(0, $BANDS)) AS u(b)),
+      |small AS (
+      |  SELECT b, bh FROM bands GROUP BY b, bh
+      |  HAVING count(*) BETWEEN 2 AND $MAX_BUCKET),
       |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    a.sig AS sig_a, b.sig AS sig_b
-      |  FROM bands a JOIN bands b
-      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT bands.* FROM bands JOIN small USING (b, bh)) a
+      |  JOIN (SELECT bands.* FROM bands JOIN small USING (b, bh)) b
+      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(range(0, $MINHASH_K),
+      |      i -> sa.sig[i + 1] = sb.sig[i + 1])) AS n_match
+      |  FROM pairs JOIN sig sa ON doc_a = sa.doc_id
+      |    JOIN sig sb ON doc_b = sb.doc_id)
       |SELECT doc_a, doc_b,
-      |  round(CAST(len(list_filter(range(0, $MINHASH_K), i -> sig_a[i + 1] = sig_b[i + 1])) AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
-      |FROM pairs
-      |WHERE len(list_filter(range(0, $MINHASH_K), i -> sig_a[i + 1] = sig_b[i + 1])) >= ${MINHASH_K / 2}
+      |  round(CAST(n_match AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
+      |FROM est WHERE n_match >= ${MINHASH_K / 2}
       |ORDER BY doc_a, doc_b""".stripMargin,
     headline = true) { (s, d) =>
-    val sig = signatures(Tables.documents(s, d))
-    val bands = sig.select(col("doc_id"), col("sig"),
+    val sig = signatures(Tables.documents(s, d)).localCheckpoint()
+    // bands carry only (doc_id, b, bh): the pair join shuffles narrow
+    // rows; signatures re-attach after pair dedupe.
+    val bands = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
           struct(b.as("b"),
             md5(concat_ws(",", slice(col("sig"), b * ROWS + 1, lit(ROWS))))
               .as("bh")))).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.b"), col("band.bh"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("b"), col("bh"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("b"), col("bh"))
+      .select(col("doc_id"), col("band.b"), col("band.bh"))
+    val small = bands.groupBy("b", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, MAX_BUCKET))
+      .select("b", "bh")
+    val inSmall = bands.join(small, Seq("b", "bh"))
+    val pairs = inSmall.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
+      .join(inSmall.select(col("doc_id").as("doc_b"), col("b"), col("bh")),
+        Seq("b", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    a.join(b, Seq("b", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
       .withColumn("n_match", matches)
       .filter(col("n_match") >= MINHASH_K / 2)
       .select(col("doc_a"), col("doc_b"),
@@ -125,18 +155,29 @@ object Dedup {
       |chunks AS (
       |  SELECT doc_id, sim, c, (sim >> (c * 8)) & 255 AS chunk
       |  FROM sh, unnest(range(0, 4)) AS u(c)),
+      |small AS (
+      |  SELECT c, chunk FROM chunks GROUP BY c, chunk
+      |  HAVING count(*) BETWEEN 2 AND 200),
+      |cf AS (SELECT chunks.* FROM chunks JOIN small USING (c, chunk)),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.sim AS sim_a, b.sim AS sim_b
-      |  FROM chunks a JOIN chunks b
+      |  FROM cf a JOIN cf b
       |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sims = Tables.documents(s, d)
+    // token hashes materialize behind the barrier; the 32 bit-votes
+    // then read the hash array as an attribute (simhash32 applied
+    // directly would re-hash every token for every bit).
+    val sims = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), simhash32(col("toks")).as("sim"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => HashFunctions.hash32(t)).as("hashes"))
+      .localCheckpoint()
+      .select(col("doc_id"), simhash32FromHashes(col("hashes")).as("sim"))
+      .localCheckpoint()
     val chunked = sims.select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(3)), c =>
           struct(c.as("c"),
@@ -144,9 +185,12 @@ object Dedup {
               .bitwiseAND(255).as("chunk"))))
           .as("x"))
       .select(col("doc_id"), col("sim"), col("x.c"), col("x.chunk"))
-    val a = chunked.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+    val small = chunked.groupBy("c", "chunk").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 200)).select("c", "chunk")
+    val cf = chunked.join(small, Seq("c", "chunk"))
+    val a = cf.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
       col("c"), col("chunk"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+    val b = cf.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
       col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -187,24 +231,31 @@ object Dedup {
       |  round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
       |FROM j WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val grams = Tables.documents(s, d)
+    val grams = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= SHINGLE_N)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         array_distinct(shingles(col("toks"), SHINGLE_N)).as("grams"))
+      .localCheckpoint()
+    // The band join carries only (doc_id, n_chars); gram arrays
+    // re-attach after the narrow pair dedupe — shuffling the arrays
+    // through the distinct would dominate the query.
     val keyed = grams.select(col("doc_id"), col("lang"), col("n_chars"),
-        col("grams"),
         explode(array((col("n_chars") / 20).cast("long"),
           (col("n_chars") / 20).cast("long") + 1)).as("band"))
     val a = keyed.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
-      col("grams").as("ga"), col("lang"), col("band"))
+      col("lang"), col("band"))
     val b = keyed.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
-      col("grams").as("gb"), col("lang"), col("band"))
+      col("lang"), col("band"))
     val inter = size(array_intersect(col("ga"), col("gb")))
     a.join(b, Seq("lang", "band"))
       .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 20)
-      .select("doc_a", "doc_b", "ca", "cb", "ga", "gb").distinct()
+      .select("doc_a", "doc_b").distinct()
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
+        Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), inter.as("inter"),
         (size(col("ga")) + size(col("gb"))).as("tot"))
       .filter(col("inter").cast("double") / (col("tot") - col("inter")) >= 0.5)
@@ -232,7 +283,7 @@ object Dedup {
       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
       |FROM p WHERE round(cos, 9) >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
+    val e = Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",

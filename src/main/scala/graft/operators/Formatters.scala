@@ -17,6 +17,56 @@ import org.apache.spark.sql.functions._
   */
 object Formatters {
 
+  val ValidLiftTypes: Seq[String] = Seq("cable_car", "gondola", "chair_lift",
+    "drag_lift", "t-bar", "j-bar", "platter", "rope_tow", "magic_carpet",
+    "funicular")
+  val RailwayTypes: Seq[String] = Seq("rail", "light_rail", "subway",
+    "narrow_gauge", "funicular")
+
+  /** Lift formatter (SURVEY P2,
+    * `/root/reference/src/transforms/LiftFormatter.ts:27-155`):
+    * lifecycle status over `aerialway` else `railway` (rail values →
+    * "railway"), private/freight access drop, "mm:ss"-or-minutes
+    * duration → seconds, occupancy int, bubble/heating booleans.
+    * Input: (lift_id, tags map); output adds status/lift_type/
+    * duration_s/occupancy/bubble/heating.
+    */
+  def formatLifts(features: DataFrame): DataFrame = {
+    val tags = col("tags")
+    val aerialSt = lifecycleStatus(tags, "aerialway")
+    val railSt = lifecycleStatus(tags, "railway")
+    val st = when(col("ast").getField("status").isNotNull, col("ast"))
+      .otherwise(col("rst"))
+    val fromRail = col("ast").getField("status").isNull
+    val rawType = col("st").getField("value")
+    val liftType = when(fromRail &&
+        rawType.isin(RailwayTypes.map(x => x: Any): _*), "railway")
+      .when(!fromRail && rawType.isin(ValidLiftTypes.map(x => x: Any): _*),
+        rawType)
+    val dur = element_at(tags, "duration")
+    val durationS = when(dur.contains(":"),
+        split(dur, ":").getItem(0).cast("long") * 60
+          + split(dur, ":").getItem(1).cast("long"))
+      .otherwise(round(dur.cast("double") * 60).cast("long"))
+
+    features
+      .withColumn("ast", aerialSt)
+      .withColumn("rst", railSt)
+      .withColumn("st", st)
+      .filter(col("st").getField("status").isNotNull
+        && col("st").getField("status") =!= "dropped")
+      .filter(coalesce(element_at(tags, "access"), lit("yes")) =!= "private"
+        && coalesce(element_at(tags, "usage"), lit("")) =!= "freight")
+      .withColumn("status", col("st").getField("status"))
+      .withColumn("lift_type", liftType)
+      .withColumn("duration_s", durationS)
+      .withColumn("occupancy", element_at(tags, "aerialway:occupancy").cast("int"))
+      .withColumn("bubble", tagBoolean(element_at(tags, "aerialway:bubble")))
+      .withColumn("heating", tagBoolean(element_at(tags, "aerialway:heating")))
+      .withColumn("name", osmName(tags))
+      .drop("ast", "rst", "st", "tags")
+  }
+
   def formatRuns(features: DataFrame): DataFrame = {
     val tags = col("tags")
     val st = lifecycleStatus(tags, "piste:type")

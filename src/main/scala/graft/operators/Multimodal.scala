@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted in batched partition functions.
+  *
+  * The Spark-side plumbing is real — schema, partition batching,
+  * row shape — while the actual media decode is a clearly-marked
+  * DETERMINISTIC STUB (`stubDecode`): this container has no image or
+  * audio codecs, so the "decoder" derives features from the bytes via
+  * md5/length arithmetic. Swapping in a real codec changes only the
+  * body of `stubDecode`. In PySpark this layer would be a pandas UDF
+  * over `mapInPandas`; in Scala the idiomatic equivalent is a typed
+  * `mapPartitions`, which gets the same batch-per-partition shape.
+  *
+  * Scale notes: decode is embarrassingly parallel and CPU-bound — the
+  * fanout keeps every core busy; at 100 TB the media table would be
+  * size-bucketed so partitions have uniform decode cost, and frame
+  * sampling multiplies rows BEFORE the shuffle-free feature stage.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", IntegerType)))
+
+  /** Media table synthesized from `documents`: text bytes as the
+    * opaque payload, typed metadata from the flat columns.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(Tables.documents(s, d)).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+      (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height"),
+      (col("n_chars") * 10).cast("int").as("duration_ms"))
+
+  /** ??? REAL DECODER GOES HERE ??? — deterministic stand-in: features
+    * from byte length and the md5 digest. Mirrored exactly by the
+    * DuckDB oracle, which is what makes the plumbing testable without
+    * codecs.
+    */
+  private[operators] def stubDecode(bytes: Array[Byte]): Array[Double] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val head = md5.take(4).map(b => f"${b & 0xff}%02x").mkString
+    val h = java.lang.Long.parseLong(head, 16)
+    Array(
+      bytes.length.toDouble,
+      (h % 1000) / 1000.0,
+      ((h / 1000) % 1000) / 1000.0,
+      (bytes.headOption.map(_ & 0xff).getOrElse(0)).toDouble,
+      (bytes.lastOption.map(_ & 0xff).getOrElse(0)).toDouble,
+      (bytes.length % 256).toDouble,
+      ((h >> 20) % 997) / 997.0,
+      (h % 7).toDouble)
+  }
+
+  /** Batched feature extraction over the binary column: one partition
+    * = one batch, exactly the mapInPandas contract. Output: media_id,
+    * kind, features array<double>.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "kind", "bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), r.getString(1),
+            stubDecode(r.getAs[Array[Byte]](2)).toSeq)
+        }
+      }(enc)
+  }
+
+  /** "Frame sampling" for video rows: emit one row per sampled frame
+    * (every `stepMs`), bytes sliced deterministically — the row
+    * multiplication shape of real frame extraction.
+    */
+  def sampleFrames(media: DataFrame, stepMs: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"), col("duration_ms"),
+        explode(sequence(lit(0), col("duration_ms") - 1, lit(stepMs)))
+          .as("frame_ms"))
+      .select(col("media_id"), col("frame_ms"),
+        call_function("substring", col("bytes"),
+          (col("frame_ms") / lit(stepMs)).cast("int") + 1, lit(16))
+          .as("frame_bytes"))
+
+  // ---- query: feature extraction stats per kind --------------------------
+  private val qFeatures = QuerySpec.of(
+    "q_multimodal_features",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    text
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, kind,
+      |    octet_length(encode(text)) AS f0,
+      |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000) / 1000.0 AS f1,
+      |    ((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 1000) % 1000) / 1000.0 AS f2
+      |  FROM m)
+      |SELECT kind, count(*) AS n,
+      |  CAST(sum(f0) AS BIGINT) AS total_bytes,
+      |  round(avg(f1), 6) AS avg_f1,
+      |  round(avg(f2), 6) AS avg_f2
+      |FROM f GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
+    extractFeatures(mediaTable(s, d))
+      .select(col("kind"),
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 2).as("f1"),
+        element_at(col("features"), 3).as("f2"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum("f0").cast("long").as("total_bytes"),
+        round(avg("f1"), 6).as("avg_f1"),
+        round(avg("f2"), 6).as("avg_f2"))
+      .orderBy("kind")
+  }
+
+  // ---- query: frame sampling row-shape -----------------------------------
+  private val qFrames = QuerySpec.of(
+    "q_multimodal_frames",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+      |  FROM documents WHERE (doc_id % 3) + 1 = 3)
+      |SELECT media_id,
+      |  CAST(ceil(CAST(duration_ms AS DOUBLE) / 500.0) AS BIGINT) AS n_frames
+      |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
+    sampleFrames(mediaTable(s, d), 500)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy("media_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qFeatures, qFrames)
+}

@@ -108,9 +108,13 @@ object Normalization {
     * endpoints where exactly two same-props segments touch.
     * Returns run_id (component label), props, pts (stitched, quantized).
     */
-  def combineSegments(segments: DataFrame): DataFrame = {
-    val spark = segments.sparkSession
+  def combineSegments(segmentsIn: DataFrame): DataFrame = {
+    val spark = segmentsIn.sparkSession
     import spark.implicits._
+    // materialize: the label-propagation loop would otherwise re-run
+    // the whole upstream pipeline (synthesis, formatting, arc split)
+    // on every iteration's join.
+    val segments = segmentsIn.localCheckpoint()
 
     val ends = segments.select(col("seg_id"), col("props"),
         explode(array(element_at(col("pts"), 1),
@@ -132,7 +136,7 @@ object Normalization {
     var labels = segments.select(col("seg_id"),
       col("seg_id").as("label"))
     val biPairs = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b")))
+      pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < 20) {
@@ -151,17 +155,29 @@ object Normalization {
       iter += 1
     }
 
-    val labeled = segments.join(labels, "seg_id")
+    val labeledAll = segments.join(labels, "seg_id")
+
+    // Only multi-segment components need the object-path stitch; the
+    // overwhelming majority of components are singletons and stay in
+    // the columnar path (the Dataset deserializer is the hot spot
+    // otherwise).
+    val multiLabels = labels.filter(col("seg_id") =!= col("label"))
+      .select("label").distinct()
+    val singles = labeledAll
+      .join(multiLabels, Seq("label"), "left_anti")
+      .select(col("label").as("run_id"), col("props"), col("pts"))
+    val multis = labeledAll
+      .join(broadcast(multiLabels), Seq("label"))
       .select(col("label"), col("seg_id"), col("props"), col("pts"))
       .as[LabeledSeg]
-
-    labeled.groupByKey(_.label)
+      .groupByKey(_.label)
       .mapGroups { (label, it) =>
         val segs = it.toSeq
         val props = segs.head.props
-        (label, props, stitch(segs.map(s => s.pts)))
+        (label, props, stitch(segs.map(s => s.pts.map(_.toSeq).toSeq)))
       }
       .toDF("run_id", "props", "pts")
+    singles.unionByName(multis)
   }
 
   /** Stitch polyline fragments that pairwise share endpoints into one

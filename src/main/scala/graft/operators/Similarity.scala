@@ -47,7 +47,7 @@ object Similarity {
 
   /** vec_id, v (double), nrm. */
   private def normalized(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("label"),
+    graft.Tables.fanout(e).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))

