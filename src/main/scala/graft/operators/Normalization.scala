@@ -65,6 +65,10 @@ object Normalization {
         when(col("k1") < col("k2"), concat_ws("__", col("k1"), col("k2")))
           .otherwise(concat_ws("__", col("k2"), col("k1"))))
       .drop("k1", "k2")
+      // edges feed both the membership aggregation and the join back —
+      // materialize once so the quantize/explode chain isn't recomputed
+      // (and re-inlined) per consumer.
+      .localCheckpoint()
 
     // arc membership: which runs own each undirected edge
     val membership = edges.groupBy("ekey").agg(
