@@ -67,6 +67,41 @@ object Formatters {
       .drop("ast", "rst", "st", "tags")
   }
 
+  val ValidStationPositions: Seq[String] = Seq("top", "mid", "bottom")
+
+  /** Spot formatter (SURVEY P4,
+    * `/root/reference/src/transforms/SpotFormatter.ts:30-192`): ONE
+    * input node can emit up to 5 spots — crossing, lift station (with
+    * validated top/mid/bottom position), transceiver training,
+    * transceiver checkpoint, halfpipe — each gated by its own tag
+    * predicate. Input: (node_id, tags); output one row per emitted
+    * spot (node_id, spot_type, position).
+    */
+  def formatSpots(features: DataFrame): DataFrame = {
+    val tags = col("tags")
+    def cand(cond: org.apache.spark.sql.Column, t: String,
+        pos: org.apache.spark.sql.Column) =
+      when(cond, struct(lit(t).as("spot_type"), pos.as("position")))
+    val noPos = lit(null).cast("string")
+    val stationPos = {
+      val p = element_at(tags, "aerialway:station")
+      when(p.isin(ValidStationPositions.map(x => x: Any): _*), p)
+    }
+    val candidates = array(
+      cand(element_at(tags, "ski") === "crossing", "crossing", noPos),
+      cand(element_at(tags, "aerialway") === "station", "lift_station",
+        stationPos),
+      cand(element_at(tags, "avalanche_transceiver") === "training",
+        "avalanche_transceiver_training", noPos),
+      cand(element_at(tags, "avalanche_transceiver") === "checkpoint",
+        "avalanche_transceiver_checkpoint", noPos),
+      cand(element_at(tags, "halfpipe") === "yes", "halfpipe", noPos))
+    features
+      .select(col("node_id"),
+        explode(filter(candidates, c => c.isNotNull)).as("spot"))
+      .select(col("node_id"), col("spot.spot_type"), col("spot.position"))
+  }
+
   def formatRuns(features: DataFrame): DataFrame = {
     val tags = col("tags")
     val st = lifecycleStatus(tags, "piste:type")

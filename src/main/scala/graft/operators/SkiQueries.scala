@@ -397,7 +397,54 @@ object SkiQueries {
       .orderBy("lift_id")
   }
 
+  // ---- P4: multi-spot emission -------------------------------------------
+  // Spot features synthesized from events; 'error' and 'purchase'
+  // events carry tag combinations that emit TWO spots each, exercising
+  // the one-input-many-outputs explode path.
+  private val qSpots = QuerySpec.of(
+    "q_ski_format_spots",
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(floor(value) AS BIGINT) % 4 AS pidx
+      |  FROM events),
+      |s AS (
+      |  SELECT event_id, u.spot_type,
+      |    coalesce(CASE WHEN u.spot_type = 'lift_station' THEN
+      |      CASE pidx WHEN 0 THEN 'top' WHEN 1 THEN 'mid' WHEN 2 THEN 'bottom' END
+      |    END, '') AS position
+      |  FROM e, unnest(
+      |    CASE event_type
+      |      WHEN 'click' THEN ['crossing']
+      |      WHEN 'signup' THEN ['lift_station']
+      |      WHEN 'error' THEN ['avalanche_transceiver_training', 'halfpipe']
+      |      WHEN 'view' THEN ['avalanche_transceiver_checkpoint']
+      |      ELSE ['lift_station', 'crossing'] END) AS u(spot_type))
+      |SELECT spot_type, position, count(*) AS n
+      |FROM s GROUP BY spot_type, position
+      |ORDER BY spot_type, position""".stripMargin) { (s, d) =>
+    val pidx = pmod(floor(col("value")).cast("long"), lit(4))
+    val stationPos = when(pidx === 0, "top").when(pidx === 1, "mid")
+      .when(pidx === 2, "bottom").otherwise("junk")
+    val tags = map(
+      lit("ski"),
+      when(col("event_type").isin("click", "purchase"), "crossing"),
+      lit("aerialway"),
+      when(col("event_type").isin("signup", "purchase"), "station"),
+      lit("aerialway:station"), stationPos,
+      lit("avalanche_transceiver"),
+      when(col("event_type") === "error", "training")
+        .when(col("event_type") === "view", "checkpoint"),
+      lit("halfpipe"), when(col("event_type") === "error", "yes"))
+    val features = graft.Tables.fanout(Events.eventsMs(s, d))
+      .select(col("event_id").as("node_id"), tags.as("tags"))
+      .localCheckpoint()
+    Formatters.formatSpots(features)
+      .withColumn("position", coalesce(col("position"), lit("")))
+      .groupBy("spot_type", "position")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("spot_type", "position")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize, qCluster,
-      qLifts)
+      qLifts, qSpots)
 }
