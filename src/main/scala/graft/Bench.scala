@@ -30,6 +30,10 @@ object Bench {
     val results = SparkEntry.headlines.map { q =>
       val t = try {
         runOnce(q.fn) // warmup: codegen + broadcast + listing
+        // let the ContextCleaner drop the warmup's now-unreachable
+        // localCheckpoint blocks — otherwise they accumulate across
+        // queries and evict live cached data to disk, skewing timings
+        System.gc(); Thread.sleep(300)
         val t0 = System.nanoTime()
         runOnce(q.fn)
         (System.nanoTime() - t0) / 1e9
@@ -37,6 +41,7 @@ object Bench {
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         -1.0
       }
+      System.gc(); Thread.sleep(300)
       q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
