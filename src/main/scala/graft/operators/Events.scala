@@ -25,9 +25,12 @@ object Events {
 
   private val SESSION_GAP_MS = 30 * 60 * 1000L
 
-  /** events with `ms: Long` (epoch millis) replacing the ns timestamp. */
+  /** events with `ms: Long` (epoch millis) replacing the ns timestamp.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
+    * session build (Verify/Bench/SparkSpec) — mutating session conf
+    * inside a query function is racy under concurrent queries.
+    */
   private[operators] def eventsMs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.events(s, d)
       .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
       .drop("ts")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,74 +16,105 @@ import org.apache.spark.sql.functions._
   *
   *  N1  edges: explode each line into consecutive-point edges on a
   *      1e-7° quantized grid (canonical orientation), drop degenerates;
-  *  N1b arc membership: groupBy edge key → sorted set of owning runs;
+  *  N1b arc membership: ONE groupBy on (lo, hi) packed-long edge keys
+  *      aggregates the member set AND carries each per-run occurrence
+  *      through (collect_list + explode) — no join-back of the full
+  *      edge table, one exchange instead of two;
   *  N2  re-segment: per run, split where the membership set changes
   *      (window lag + running sum), emit each shared arc once (owner =
-  *      least member id), merged props = sorted '+'-join of members;
+  *      least member id), merged props from the member props;
   *  N3  chain-merge: segments with identical merged props meeting at a
-  *      degree-2 endpoint are label-propagated into components
-  *      (iterative min-label joins — bounded by chain diameter) and
+  *      degree-2 endpoint are label-propagated into components and
   *      stitched back into one line per component (mapGroups; groups
-  *      are single physical runs, so tiny).
+  *      are single physical runs, so tiny). The label loop runs ONLY
+  *      over pair-participating segments (the deg-2 minority — the
+  *      full segment table never enters the loop) with pointer
+  *      doubling, so it converges in O(log chain-length) tiny-table
+  *      iterations.
+  *
+  * Representation: a quantized point is ONE long — `x<<32 | y&0xFFFFFFFF`
+  * (lon·1e7 ≤ 1.8e9 and lat·1e7 ≤ 0.9e9 both fit in signed 32 bits).
+  * Every shuffle/grouping key in the pipeline is therefore flat
+  * fixed-width longs. This matters enormously: grouping on
+  * struct-of-array keys forces slow non-UnsafeRow hashing/ordering
+  * (~100 µs/row measured — 70 s for a 685 k-row groupBy at sf0.1);
+  * packed-long keys take the vectorized hash path (<1 s for the same).
   *
   * Scale notes: the edge exchange is the one unavoidable shuffle (same
   * barrier the reference pays in RAM); everything after operates on
-  * per-run or per-arc groups. The label-propagation loop checkpoints
-  * via localCheckpoint to cut lineage. Quantization at 1e-7° is our
-  * canonical grid (SURVEY §4.2 risk 2) — output equivalence, not byte
-  * equality, with topojson.
+  * per-run or per-arc groups. Quantization at 1e-7° is our canonical
+  * grid (SURVEY §4.2 risk 2) — output equivalence, not byte equality,
+  * with topojson.
   */
 object Normalization {
 
   private val Q = 1e7
 
+  /** (x, y) quantized coordinates → one long. x, y must fit in int. */
+  private def pack(x: Column, y: Column): Column =
+    shiftleft(x, 32).bitwiseOR(y.bitwiseAND(lit(0xFFFFFFFFL)))
+
+  private def unpackX(p: Column): Column = shiftright(p, 32)
+  private def unpackY(p: Column): Column = shiftright(shiftleft(p, 32), 32)
+
   /** N1+N2: split runs into maximal arcs of constant run-membership.
     *
     * Input:  run_id: Long, props: String, coords: array<array<double>>
     * Output: seg_run: Long (owner), seg_id: Long, members: array<long>,
-    *         props: String (merged), pts: array<array<long>> (quantized)
+    *         props: String (merged), pts: array<long> (packed quantized)
     */
   def splitSharedArcs(runs: DataFrame): DataFrame = {
-    val q = runs.select(col("run_id"), col("props"),
-      transform(col("coords"), p => array(
-        round(element_at(p, 1) * Q).cast("long"),
-        round(element_at(p, 2) * Q).cast("long"))).as("qpts"))
+    // quantize-and-pack one point (array<double>, z ignored) → long.
+    // Half-away-from-zero rounding as pure double math: Spark's
+    // round() goes through BigDecimal via Double.toString — thread
+    // dumps showed it dominating this stage's CPU.
+    def roundL(x: Column): Column =
+      (x + when(x >= 0, 0.5).otherwise(-0.5)).cast("long")
+    def packPt(p: Column): Column = pack(
+      roundL(element_at(p, 1) * Q),
+      roundL(element_at(p, 2) * Q))
 
-    // directed edges with per-run position; canonical undirected key
-    val edges = q.select(col("run_id"), col("props"),
-        posexplode(zip_with(
-          slice(col("qpts"), lit(1), size(col("qpts")) - 1),
-          slice(col("qpts"), lit(2), size(col("qpts")) - 1),
-          (a, b) => struct(a.as("p1"), b.as("p2")))))
-      .withColumnRenamed("pos", "idx")
-      .select(col("run_id"), col("props"), col("idx"),
-        col("col.p1").as("p1"), col("col.p2").as("p2"))
+    // directed edges with per-run position; canonical undirected key is
+    // (lo, hi) — two flat longs, the fast grouping path. Edge pairs are
+    // formed with posexplode + element_at(coords, pos+2), NOT
+    // zip_with/slice/transform: higher-order functions are
+    // CodegenFallback (interpreted) and dominated the map stage
+    // (~100 µs/row); this shape keeps the whole stage codegen'd.
+    val edges = runs
+      .select(col("run_id"), col("props"), col("coords"),
+        posexplode(col("coords")))
+      .filter(col("pos") < size(col("coords")) - 1)
+      .select(col("run_id"), col("props"), col("pos").as("idx"),
+        packPt(col("col")).as("p1"),
+        packPt(element_at(col("coords"), col("pos") + 2)).as("p2"))
       .filter(col("p1") =!= col("p2"))
-      .withColumn("k1", concat_ws("_", col("p1")(0), col("p1")(1)))
-      .withColumn("k2", concat_ws("_", col("p2")(0), col("p2")(1)))
-      .withColumn("ekey",
-        when(col("k1") < col("k2"), concat_ws("__", col("k1"), col("k2")))
-          .otherwise(concat_ws("__", col("k2"), col("k1"))))
-      .drop("k1", "k2")
-      // edges feed both the membership aggregation and the join back —
-      // materialize once so the quantize/explode chain isn't recomputed
-      // (and re-inlined) per consumer.
-      .localCheckpoint()
+      .withColumn("lo", least(col("p1"), col("p2")))
+      .withColumn("hi", greatest(col("p1"), col("p2")))
 
-    // arc membership: which runs own each undirected edge
-    val membership = edges.groupBy("ekey").agg(
-      sort_array(collect_set(col("run_id"))).as("members"),
-      sort_array(collect_set(col("props"))).as("member_props"))
-
-    val withM = edges.join(membership, "ekey")
-      .withColumn("mkey", concat_ws(",", col("members")))
+    // arc membership in ONE exchange: aggregate the member set per edge
+    // and carry every per-run occurrence through the same groupBy, then
+    // explode back out — replaces the groupBy + full-table join-back.
+    val withM = edges
+      .groupBy("lo", "hi")
+      .agg(
+        sort_array(collect_set(col("run_id"))).as("members"),
+        sort_array(collect_set(col("props"))).as("member_props"),
+        collect_list(struct(col("run_id"), col("idx"),
+          col("p1"), col("p2"))).as("occ"))
+      .select(col("members"), col("member_props"), explode(col("occ")).as("o"))
+      .select(col("o.run_id").as("run_id"), col("o.idx").as("idx"),
+        col("o.p1").as("p1"), col("o.p2").as("p2"),
+        col("members"), col("member_props"))
+      // change detection key: a 64-bit hash of the member set — flat
+      // long compares in the window instead of array compares
+      .withColumn("mh", xxhash64(col("members")))
 
     // N2: per-run segmentation where membership changes
     val w = Window.partitionBy("run_id").orderBy("idx")
     val seg = withM
       .withColumn("chg",
-        when(lag("mkey", 1).over(w).isNull
-          || lag("mkey", 1).over(w) =!= col("mkey"), 1).otherwise(0))
+        when(lag("mh", 1).over(w).isNull
+          || lag("mh", 1).over(w) =!= col("mh"), 1).otherwise(0))
       .withColumn("seg_no", sum("chg").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
 
@@ -106,28 +137,33 @@ object Normalization {
     * class can instantiate it.
     */
   case class LabeledSeg(label: Long, seg_id: Long, props: String,
-    pts: Seq[Seq[Long]])
+    pts: Seq[Long])
 
   /** N3: merge chains of segments with identical props that meet at
     * endpoints where exactly two same-props segments touch.
-    * Returns run_id (component label), props, pts (stitched, quantized).
+    * Returns run_id (component label), props, pts (stitched, packed).
+    *
+    * The connected-components loop never touches the full segment
+    * table: `labels` holds only segments that appear in a deg-2 pair
+    * (the overwhelming minority), each iteration does a min-neighbor
+    * step plus a pointer-doubling step (label := label(label)), and
+    * convergence is read from a `chg` flag computed inside the
+    * already-checkpointed iteration output — no extra join+count job
+    * over unchecked lineage.
     */
   def combineSegments(segmentsIn: DataFrame): DataFrame = {
     val spark = segmentsIn.sparkSession
     import spark.implicits._
-    // materialize: the label-propagation loop would otherwise re-run
-    // the whole upstream pipeline (synthesis, formatting, arc split)
-    // on every iteration's join.
+    // materialize: everything downstream (endpoint agg + final join)
+    // would otherwise re-run the whole upstream pipeline per consumer.
     val segments = segmentsIn.localCheckpoint()
 
     val ends = segments.select(col("seg_id"), col("props"),
-        explode(array(element_at(col("pts"), 1),
-          element_at(col("pts"), -1))).as("pt"))
-      .withColumn("pkey", concat_ws("_",
-        col("pt")(0), col("pt")(1), col("props")))
+      explode(array(element_at(col("pts"), 1),
+        element_at(col("pts"), -1))).as("pt"))
 
     // joinable endpoints: exactly 2 same-props segments touch
-    val deg2 = ends.groupBy("pkey")
+    val deg2 = ends.groupBy("pt", "props")
       .agg(collect_set("seg_id").as("segs"))
       .filter(size(col("segs")) === 2)
 
@@ -136,30 +172,45 @@ object Normalization {
       element_at(col("segs"), 2).as("b"))
       .filter(col("a") =!= col("b"))
 
-    // iterative min-label propagation (chains are short)
-    var labels = segments.select(col("seg_id"),
-      col("seg_id").as("label"))
     val biPairs = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+
+    // labels over pair participants ONLY — everything else is a
+    // singleton component and never enters the loop.
+    var labels = biPairs.select(col("a").as("seg_id")).distinct()
+      .select(col("seg_id"), col("seg_id").as("label"))
+      .localCheckpoint()
+
     var changed = true
     var iter = 0
-    while (changed && iter < 20) {
+    while (changed && iter < 12) {
       val neighborMin = biPairs
-        .join(labels.withColumnRenamed("seg_id", "b")
-          .withColumnRenamed("label", "nlabel"), "b")
+        .join(labels.select(col("seg_id").as("b"), col("label").as("nlabel")),
+          "b")
         .groupBy(col("a").as("seg_id"))
         .agg(min("nlabel").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("seg_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("seg_id"), "left")
         .select(col("seg_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
+      // pointer doubling: label := label(label) — halves chain depth
+      val updated = stepped
+        .join(stepped.select(col("seg_id").as("label"),
+          col("label").as("ll")), Seq("label"), "left")
+        .select(col("seg_id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
+          (col("chg") || coalesce(col("ll"), col("label")) < col("label"))
+            .as("chg"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "seg_id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = updated
+      // cheap scan over the (tiny, checkpointed) iteration output
+      changed = updated.filter(col("chg")).limit(1).count() > 0
+      labels = updated.drop("chg")
       iter += 1
     }
 
-    val labeledAll = segments.join(labels, "seg_id")
+    val labeledAll = segments
+      .join(labels, Seq("seg_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("seg_id")))
 
     // Only multi-segment components need the object-path stitch; the
     // overwhelming majority of components are singletons and stay in
@@ -178,7 +229,7 @@ object Normalization {
       .mapGroups { (label, it) =>
         val segs = it.toSeq
         val props = segs.head.props
-        (label, props, stitch(segs.map(s => s.pts.map(_.toSeq).toSeq)))
+        (label, props, stitch(segs.map(_.pts)))
       }
       .toDF("run_id", "props", "pts")
     singles.unionByName(multis)
@@ -188,13 +239,14 @@ object Normalization {
     * line. Greedy walk from a degree-1 endpoint; fragments are reversed
     * as needed. Falls back to concatenation order for pathological
     * inputs (cycles), which the reference also leaves unmerged.
+    * Generic in the point type — only endpoint equality is used.
     */
-  private[graft] def stitch(frags: Seq[Seq[Seq[Long]]]): Seq[Seq[Long]] = {
+  private[graft] def stitch[P](frags: Seq[Seq[P]]): Seq[P] = {
     if (frags.size == 1) return frags.head
     val remaining = scala.collection.mutable.ArrayBuffer(frags: _*)
     // find a fragment with an endpoint not shared by any other fragment
-    def endpoints(f: Seq[Seq[Long]]) = (f.head, f.last)
-    val counts = scala.collection.mutable.Map[Seq[Long], Int]()
+    def endpoints(f: Seq[P]) = (f.head, f.last)
+    val counts = scala.collection.mutable.Map[P, Int]()
     frags.foreach { f =>
       val (a, b) = endpoints(f)
       counts(a) = counts.getOrElse(a, 0) + 1
@@ -204,7 +256,7 @@ object Normalization {
       counts(f.head) == 1 || counts(f.last) == 1)
     val first = if (startIdx >= 0) remaining.remove(startIdx)
       else remaining.remove(0)
-    val out = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val out = scala.collection.mutable.ArrayBuffer[P]()
     out ++= (if (startIdx >= 0 && counts(first.head) != 1) first.reverse
       else first)
     var extended = true
@@ -230,7 +282,7 @@ object Normalization {
     combineSegments(segs)
       .select(col("run_id"), col("props"),
         transform(col("pts"), p => array(
-          element_at(p, 1).cast("double") / Q,
-          element_at(p, 2).cast("double") / Q)).as("coords"))
+          unpackX(p).cast("double") / Q,
+          unpackY(p).cast("double") / Q)).as("coords"))
   }
 }

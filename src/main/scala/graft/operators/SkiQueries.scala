@@ -254,18 +254,21 @@ object SkiQueries {
       |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT))) AS n_out
       |FROM dup""".stripMargin,
     headline = true) { (s, d) =>
+    // 3D coords pass straight through — normalization quantizes on the
+    // first two elements of each point, so no interpreted 2D-projection
+    // transform is needed here.
     val kept = formatted(s, d).filter(col("kept"))
       .select(col("way_id").as("run_id"),
         coalesce(col("difficulty"), lit("other")).as("props"),
-        transform(col("coords"), p =>
-          array(element_at(p, 1), element_at(p, 2))).as("coords"))
+        col("coords"))
     val dup = kept.unionByName(
       kept.filter(pmod(col("run_id"), lit(10)) === 4)
         .withColumn("run_id", col("run_id") + 1000000000L))
-    val n_in = dup.count()
-    Normalization.normalizeRuns(dup)
-      .agg(count(lit(1)).as("n_out"))
-      .select(lit(n_in).as("n_in"), col("n_out"))
+    // n_in as a plan-side aggregate (cross join of two 1-row aggs), not
+    // a driver-side count() — the query is ONE job.
+    dup.agg(count(lit(1)).as("n_in"))
+      .crossJoin(Normalization.normalizeRuns(dup)
+        .agg(count(lit(1)).as("n_out")))
   }
 
   // ---- J10: transitive-closure clustering --------------------------------

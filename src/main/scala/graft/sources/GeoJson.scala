@@ -64,13 +64,26 @@ object GeoJson {
         .otherwise(to_json(coords)),
       lit("}}"))
 
-  /** Driver-side FeatureCollection wrapper around a written JSONL dir. */
+  /** Driver-side FeatureCollection wrapper around a written JSONL dir.
+    * The literal-JSON wrapper is inherently single-writer, but it
+    * STREAMS partition-by-partition via toLocalIterator — the dataset
+    * is never materialized on the driver (one partition in memory at a
+    * time), so the sink survives outputs far larger than driver heap.
+    */
   def wrapFeatureCollection(spark: SparkSession, jsonlDir: String,
       outFile: String): Unit = {
-    val lines = spark.read.text(jsonlDir).collect().map(_.getString(0))
-    val body = lines.mkString(",\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"type":"FeatureCollection","features":[\n$body\n]}"""
-        .getBytes("UTF-8"))
+    val out = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(outFile), java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      out.write("{\"type\":\"FeatureCollection\",\"features\":[\n")
+      val it = spark.read.text(jsonlDir).toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) out.write(",\n")
+        out.write(it.next().getString(0))
+        first = false
+      }
+      out.write("\n]}")
+    } finally out.close()
   }
 }

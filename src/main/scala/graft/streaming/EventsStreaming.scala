@@ -23,7 +23,7 @@ object EventsStreaming {
     * to ms and projected to an event-time timestamp for the watermark.
     */
   def hourlyViaStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set at session build (see Events.eventsMs note)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
     val stream = spark.readStream
