@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   *    `/root/reference/src/transforms/RunFormatter.ts:110-113`)
   *  - ref selection `/root/reference/src/transforms/OSMTransforms.ts:103-109`
   *  - name collection + ref-prefix strip `OSMTransforms.ts:37-65,111-131`
-  *  - yes/no boolean mapping `OSMTransforms.ts:15-24`
+  *  - yes/no boolean mapping `OSMTransforms.ts:15-24` (strictly yes/no —
+  *    the reference maps nothing else)
+  *
+  * NOTE: synthesized tag maps may carry NULL values for absent tags
+  * (CreateMap with null branches); everything here treats a null value
+  * as an absent key, matching `hasOwnProperty` on a real map.
   */
 object TagFunctions {
 
-  /** Lifecycle states recognized by the status parser, in check order. */
+  /** Lifecycle states recognized by the status parser, in check order
+    * (Status.ts lifecycleStates Set insertion order).
+    */
   val states: Seq[String] =
     Seq("disused", "abandoned", "proposed", "planned", "construction")
 
@@ -24,25 +31,30 @@ object TagFunctions {
   val droppedStates: Seq[String] = Seq("demolished", "removed", "razed")
 
   /** Parse lifecycle status for a base key (e.g. "piste:type"):
-    * returns struct(status, value) where value is the effective tag
-    * value, or NULL status when the feature has no such tag at all.
+    * returns struct(status, value).
     *
-    * Cascade (reference order):
-    *  1. `piste:abandoned=yes` ⇒ abandoned, value from base key;
-    *  2. dropped-state prefix present (`demolished:key` …) ⇒ status
-    *     "dropped" (callers filter it out);
-    *  3. first `{state}:{key}` present ⇒ that state, its value;
-    *  4. base key whose VALUE is itself a state name ⇒ that state,
+    * Cascade (Status.ts order):
+    *  1. unsupported ⇒ "dropped" (callers filter): base key's VALUE is
+    *     demolished/removed/razed, or a bare `demolished=yes` /
+    *     `removed=yes` / `razed=yes` tag exists. (Prefixed
+    *     `demolished:{key}` tags are NOT consulted — the reference
+    *     never looks at them.)
+    *  2. base key present and its value is a state name ⇒ that state,
     *     value from `tags[stateName]` when present;
-    *  5. base key present ⇒ operating;
-    *  6. else NULL.
+    *  3. base key ABSENT: first `{state}:{key}` present ⇒ that state,
+    *     its value. (When the base key IS present with a non-state
+    *     value, prefixed keys are ignored.)
+    *  4. otherwise: status = first bare `{state}=yes` if any, else
+    *     "operating"; value = base (null when the key is absent —
+    *     callers drop on empty value/uses, not on status).
     */
   def lifecycleStatus(tags: Column, key: String): Column = {
     val base = element_at(tags, key)
-    val abandonedFlag = element_at(tags, "piste:abandoned") === "yes"
-    val dropped = droppedStates
-      .map(s => element_at(tags, s"$s:$key").isNotNull)
-      .reduce(_ || _)
+    val unsupported =
+      base.isin(droppedStates.map(x => x: Any): _*) ||
+        droppedStates.map(s => element_at(tags, s) === "yes")
+          .reduce(_ || _)
+    val valueIsState = base.isin(states.map(x => x: Any): _*)
     val prefixedStatus = states.foldRight(lit(null).cast("string")) {
       (s, acc) => when(element_at(tags, s"$s:$key").isNotNull, lit(s)).otherwise(acc)
     }
@@ -50,24 +62,19 @@ object TagFunctions {
       (s, acc) => when(element_at(tags, s"$s:$key").isNotNull,
         element_at(tags, s"$s:$key")).otherwise(acc)
     }
-    val valueIsState = states.foldRight(lit(null).cast("string")) {
-      (s, acc) => when(base === s, lit(s)).otherwise(acc)
+    val bareState = states.foldRight(lit(null).cast("string")) {
+      (s, acc) => when(element_at(tags, s) === "yes", lit(s)).otherwise(acc)
     }
     val status =
-      when(abandonedFlag && base.isNotNull, lit("abandoned"))
-        .when(dropped, lit("dropped"))
-        .when(prefixedStatus.isNotNull, prefixedStatus)
-        .when(valueIsState.isNotNull, valueIsState)
-        .when(base.isNotNull, lit("operating"))
-        .otherwise(lit(null).cast("string"))
+      when(unsupported, lit("dropped"))
+        .when(base.isNotNull && valueIsState, base)
+        .when(base.isNull && prefixedStatus.isNotNull, prefixedStatus)
+        .otherwise(coalesce(bareState, lit("operating")))
     val value =
-      when(abandonedFlag && base.isNotNull, base)
-        .when(dropped, lit(null).cast("string"))
-        .when(prefixedStatus.isNotNull, prefixedValue)
-        .when(valueIsState.isNotNull,
-          coalesce(element_at(tags, valueIsState), lit(null).cast("string")))
-        .when(base.isNotNull, base)
-        .otherwise(lit(null).cast("string"))
+      when(unsupported, lit(null).cast("string"))
+        .when(base.isNotNull && valueIsState, element_at(tags, base))
+        .when(base.isNull && prefixedStatus.isNotNull, prefixedValue)
+        .otherwise(base)
     struct(status.as("status"), value.as("value"))
   }
 
@@ -76,26 +83,60 @@ object TagFunctions {
     coalesce(element_at(tags, "piste:loc_ref"), element_at(tags, "piste:ref"),
       element_at(tags, "loc_ref"), element_at(tags, "ref"))
 
-  /** Collect `name` and `name:*` values, sorted + uniqued, comma-joined;
-    * empty result → NULL (P9).
+  /** Collect `{root}` and `{root}:*` values in KEY-sorted order, unique
+    * preserving first occurrence, comma-joined; falls back to
+    * `{fallbackRoot}` when the root yields nothing; strips a leading
+    * "{ref} - "-style prefix (P9, OSMTransforms.getOSMName).
     */
-  def osmName(tags: Column): Column = {
-    val nameMap = map_filter(tags,
-      (k, _) => k === "name" || k.startsWith("name:"))
-    val joined = array_join(array_sort(array_distinct(map_values(nameMap))), ", ")
-    when(joined === "", lit(null).cast("string")).otherwise(joined)
+  def osmName(tags: Column, rootKey: String,
+      fallbackRootKey: Option[String] = None,
+      ref: Column = lit(null).cast("string")): Column = {
+    def nameMap(root: String) = map_filter(tags,
+      (k, v) => (k === root || k.startsWith(root + ":")) && v.isNotNull)
+    val rootM = nameMap(rootKey)
+    val m = fallbackRootKey
+      .map(f => when(size(map_keys(rootM)) > 0, rootM).otherwise(nameMap(f)))
+      .getOrElse(rootM)
+    // array_sort on array<struct<key,value>> orders by key first — the
+    // reference sorts the KEYS and emits values in that order.
+    val vals = array_distinct(
+      transform(array_sort(map_entries(m)), e => e.getField("value")))
+    val joined = array_join(vals, ", ")
+    val name =
+      when(joined === "", lit(null).cast("string")).otherwise(joined)
+    stripRefPrefix(name, ref)
   }
 
-  /** Strip a leading "{ref} - " / "{ref} " prefix from a name (P9). */
+  /** Strip a leading "{ref} - " / "{ref}- " / "{ref} " prefix (P9). */
   def stripRefPrefix(name: Column, ref: Column): Column =
     when(ref.isNotNull && name.isNotNull,
       regexp_replace(name,
         concat(lit("^\\Q"), ref, lit("\\E(\\s*-?\\s+|-\\s*)")), lit("")))
       .otherwise(name)
 
-  /** yes/no/1/0/true/false → boolean, anything else → NULL (P10). */
+  /** yes → true, no → false, anything else → NULL (P10 — the reference
+    * maps strictly yes/no, not 1/0/true/false).
+    */
   def tagBoolean(v: Column): Column =
-    when(v.isin("yes", "true", "1"), lit(true))
-      .when(v.isin("no", "false", "0"), lit(false))
+    when(v === "yes", lit(true))
+      .when(v === "no", lit(false))
       .otherwise(lit(null).cast("boolean"))
+
+  /** Numeric tag → double, else NULL (OSMTransforms.mapOSMNumber).
+    * Regex-gated so the cast never throws under ANSI mode.
+    */
+  def tagNumber(v: Column): Column =
+    when(v.rlike("^-?[0-9]+(\\.[0-9]+)?$"), v.cast("double"))
+      .otherwise(lit(null).cast("double"))
+
+  /** First ';'-separated value of a tag (OSMTransforms.getOSMFirstValue). */
+  def tagFirstValue(tags: Column, key: String): Column = {
+    val v = element_at(tags, key)
+    when(v.isNotNull, split(v, ";").getItem(0))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** First non-null of several tag keys (OSMTransforms.getOrElse). */
+  def tagOrElse(tags: Column, keys: String*): Column =
+    coalesce(keys.map(k => element_at(tags, k)): _*)
 }

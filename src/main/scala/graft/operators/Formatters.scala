@@ -1,70 +1,110 @@
 package graft.operators
 
+import graft.functions.HashFunctions
 import graft.functions.TagFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Run formatter (SURVEY P1): the reference's per-record normalization
   * (`/root/reference/src/transforms/RunFormatter.ts:30-189`) as one
   * declarative select over (way_id, tags, coords) —
   * lifecycle status (P7), `piste:type` list → validated uses,
-  * difficulty validation, grooming defaulting (`no`→backcountry,
-  * expert/freeride/extreme absent→backcountry), gladed fallback from
-  * `natural=wood`, oneway default for downhill, name/ref extraction.
+  * difficulty validation, grooming normalization + defaulting, gladed
+  * fallback from `natural=wood`/`landuse=forest`, oneway default for
+  * downhill, patrolled/snowmaking/snowfarming/tunnel/lit booleans,
+  * name/ref extraction with ref-prefix strip, website/wikidata, and a
+  * content-hash id (P11, `FeatureBuilder.ts:4-21`).
   *
-  * Everything is a column expression → single codegen'd map stage, no
-  * shuffle, predicate pushdown unobstructed.
+  * Everything is a column expression → single map stage, no shuffle,
+  * predicate pushdown unobstructed.
   */
 object Formatters {
 
+  /** openskidata-format LiftType enum values. */
   val ValidLiftTypes: Seq[String] = Seq("cable_car", "gondola", "chair_lift",
-    "drag_lift", "t-bar", "j-bar", "platter", "rope_tow", "magic_carpet",
-    "funicular")
-  val RailwayTypes: Seq[String] = Seq("rail", "light_rail", "subway",
-    "narrow_gauge", "funicular")
+    "mixed_lift", "drag_lift", "t-bar", "j-bar", "platter", "rope_tow",
+    "magic_carpet", "funicular", "railway")
+
+  /** railway= values that map to LiftType.Railway
+    * (`LiftFormatter.ts:120-133`; funicular stays its own lift type).
+    */
+  val RailwayTypes: Seq[String] = Seq("narrow_gauge", "rail", "light_rail",
+    "tram", "subway", "monorail")
 
   /** Lift formatter (SURVEY P2,
     * `/root/reference/src/transforms/LiftFormatter.ts:27-155`):
-    * lifecycle status over `aerialway` else `railway` (rail values →
-    * "railway"), private/freight access drop, "mm:ss"-or-minutes
-    * duration → seconds, occupancy int, bubble/heating booleans.
-    * Input: (lift_id, tags map); output adds status/lift_type/
-    * duration_s/occupancy/bubble/heating.
+    * lifecycle status over `aerialway`, falling back to `railway` when
+    * the aerialway VALUE is null (rail values → "railway", funicular
+    * kept); drop predicate per `LiftFormatter.ts:42-53` (passenger=no,
+    * access=no/forestry, foot=no/private, usage=freight/industrial,
+    * railway:traffic_mode=freight — access=private is NOT dropped, it
+    * becomes the `access` column); `aerialway:duration`
+    * "mm:ss"-or-minutes → seconds (null unless exactly 2 components);
+    * occupancy/capacity numbers; bubble/heating/detachable booleans;
+    * name with ref-prefix strip.
+    * Input: (lift_id, tags map).
     */
   def formatLifts(features: DataFrame): DataFrame = {
     val tags = col("tags")
-    val aerialSt = lifecycleStatus(tags, "aerialway")
-    val railSt = lifecycleStatus(tags, "railway")
-    val st = when(col("ast").getField("status").isNotNull, col("ast"))
-      .otherwise(col("rst"))
-    val fromRail = col("ast").getField("status").isNull
+    val dropPred =
+      element_at(tags, "passenger") === "no" ||
+        element_at(tags, "access").isin("forestry", "no") ||
+        element_at(tags, "foot").isin("no", "private") ||
+        element_at(tags, "usage").isin("freight", "industrial") ||
+        element_at(tags, "railway:traffic_mode") === "freight"
+
+    val useRail = col("ast").getField("value").isNull
+    val st = when(useRail, col("rst")).otherwise(col("ast"))
     val rawType = col("st").getField("value")
-    val liftType = when(fromRail &&
-        rawType.isin(RailwayTypes.map(x => x: Any): _*), "railway")
-      .when(!fromRail && rawType.isin(ValidLiftTypes.map(x => x: Any): _*),
-        rawType)
-    val dur = element_at(tags, "duration")
-    val durationS = when(dur.contains(":"),
+    val mappedType = when(col("useRail") &&
+        rawType.isin(RailwayTypes.map(x => x: Any): _*), lit("railway"))
+      .otherwise(rawType)
+    val liftType =
+      when(mappedType.isin(ValidLiftTypes.map(x => x: Any): _*), mappedType)
+
+    val dur = element_at(tags, "aerialway:duration")
+    // minutes (numeric) → round(x*60); "m:ss" (exactly 2 components) →
+    // m*60+ss; anything else (incl. "h:m:s") → null. Regex-gated casts
+    // so ANSI mode never throws.
+    val durationS =
+      when(dur.rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+        (dur.cast("double") * 60 + 0.5).cast("long"))
+      .when(dur.rlike("^[0-9]+:[0-9]+$"),
         split(dur, ":").getItem(0).cast("long") * 60
           + split(dur, ":").getItem(1).cast("long"))
-      .otherwise(round(dur.cast("double") * 60).cast("long"))
+
+    val ref = osmRef(tags)
 
     features
-      .withColumn("ast", aerialSt)
-      .withColumn("rst", railSt)
+      .filter(!coalesce(dropPred, lit(false)))
+      .withColumn("ast", lifecycleStatus(tags, "aerialway"))
+      .withColumn("rst", lifecycleStatus(tags, "railway"))
+      .withColumn("useRail", useRail)
       .withColumn("st", st)
-      .filter(col("st").getField("status").isNotNull
-        && col("st").getField("status") =!= "dropped")
-      .filter(coalesce(element_at(tags, "access"), lit("yes")) =!= "private"
-        && coalesce(element_at(tags, "usage"), lit("")) =!= "freight")
       .withColumn("status", col("st").getField("status"))
       .withColumn("lift_type", liftType)
+      .filter(not(col("status") <=> "dropped") && col("lift_type").isNotNull)
       .withColumn("duration_s", durationS)
-      .withColumn("occupancy", element_at(tags, "aerialway:occupancy").cast("int"))
+      .withColumn("occupancy",
+        tagNumber(element_at(tags, "aerialway:occupancy")).cast("int"))
+      .withColumn("capacity",
+        tagNumber(element_at(tags, "aerialway:capacity")).cast("int"))
       .withColumn("bubble", tagBoolean(element_at(tags, "aerialway:bubble")))
       .withColumn("heating", tagBoolean(element_at(tags, "aerialway:heating")))
-      .withColumn("name", osmName(tags))
-      .drop("ast", "rst", "st", "tags")
+      .withColumn("detachable",
+        tagBoolean(element_at(tags, "aerialway:detachable")))
+      .withColumn("oneway", tagBoolean(element_at(tags, "oneway")))
+      .withColumn("tunnel",
+        when(element_at(tags, "tunnel").isNotNull, lit(true)))
+      .withColumn("access",
+        when(element_at(tags, "access") === "private", lit("private")))
+      .withColumn("ref", ref)
+      .withColumn("name", osmName(tags, "name", None, ref))
+      .withColumn("wikidata_id", tagFirstValue(tags, "wikidata"))
+      .withColumn("website", element_at(tags, "website"))
+      .withColumn("id", HashFunctions.contentId(lit("lift"), col("lift_id"),
+        col("status"), col("lift_type"), col("name")))
+      .drop("ast", "rst", "useRail", "st", "tags")
   }
 
   val ValidStationPositions: Seq[String] = Seq("top", "mid", "bottom")
@@ -79,8 +119,7 @@ object Formatters {
     */
   def formatSpots(features: DataFrame): DataFrame = {
     val tags = col("tags")
-    def cand(cond: org.apache.spark.sql.Column, t: String,
-        pos: org.apache.spark.sql.Column) =
+    def cand(cond: Column, t: String, pos: Column) =
       when(cond, struct(lit(t).as("spot_type"), pos.as("position")))
     val noPos = lit(null).cast("string")
     val stationPos = {
@@ -102,40 +141,79 @@ object Formatters {
       .select(col("node_id"), col("spot.spot_type"), col("spot.position"))
   }
 
+  /** P1: see object doc. Emits every non-dropped feature with a `kept`
+    * flag (status=operating AND ≥1 valid use) — the reference drops
+    * non-kept features outright; keeping them visible exercises the
+    * full cascade under the oracle.
+    */
   def formatRuns(features: DataFrame): DataFrame = {
     val tags = col("tags")
     val st = lifecycleStatus(tags, "piste:type")
+
     val usesArr = filter(
       transform(split(col("st").getField("value"), ";"), u => lower(trim(u))),
       u => u.isin(SkiFeatures.ValidUses.map(x => x: Any): _*))
-    val diffTag = element_at(tags, "piste:difficulty")
+
+    val diffRaw = element_at(tags, "piste:difficulty")
     val difficulty = when(
-      diffTag.isin(SkiFeatures.ValidDifficulties.map(x => x: Any): _*), diffTag)
-    val groomTag = element_at(tags, "piste:grooming")
+      diffRaw.isin(SkiFeatures.ValidDifficulties.map(x => x: Any): _*), diffRaw)
+
+    // grooming (RunFormatter.getGrooming): normalize first ';' → '+',
+    // classic+skating combination, enum validation, then
+    // difficulty-based backcountry default (raw tag value!), then
+    // grooming=no → backcountry.
+    val groomRaw = element_at(tags, "piste:grooming")
+    val groomNorm = when(groomRaw.contains(";"),
+        concat(substring_index(groomRaw, ";", 1), lit("+"),
+          groomRaw.substr(instr(groomRaw, ";") + 1, length(groomRaw))))
+      .otherwise(groomRaw)
+    val groomParts = split(groomNorm, "\\+")
     val grooming =
-      when(groomTag.isin(SkiFeatures.ValidGrooming.map(x => x: Any): _*), groomTag)
-        .when(groomTag === "no", "backcountry")
-        .when(groomTag.isNull &&
-          difficulty.isin("expert", "freeride", "extreme"), "backcountry")
+      when(groomRaw.isNotNull && array_contains(groomParts, "classic")
+          && array_contains(groomParts, "skating"), lit("classic+skating"))
+        .when(groomRaw.isNotNull &&
+          groomNorm.isin(SkiFeatures.ValidGrooming.map(x => x: Any): _*),
+          groomNorm)
+        .when(diffRaw.isin("expert", "freeride", "extreme"), lit("backcountry"))
+        .when(groomRaw === "no", lit("backcountry"))
+
     val gladed = coalesce(
-      tagBoolean(element_at(tags, "gladed")),
-      when(element_at(tags, "natural") === "wood", true))
-    val status = col("st").getField("status")
+      tagBoolean(tagOrElse(tags, "piste:gladed", "gladed")),
+      when(element_at(tags, "natural") === "wood"
+        || element_at(tags, "landuse") === "forest", true))
+
+    val ref = osmRef(tags)
+    val status =
+      when(element_at(tags, "piste:abandoned") === "yes", lit("abandoned"))
+        .otherwise(col("st").getField("status"))
 
     features
       .withColumn("st", st)
-      .filter(status.isNotNull && status =!= "dropped")
+      .filter(not(col("st").getField("status") <=> "dropped"))
       .withColumn("uses", usesArr)
       .withColumn("difficulty", difficulty)
       .withColumn("grooming", grooming)
       .withColumn("gladed", gladed)
       .withColumn("oneway", coalesce(
-        tagBoolean(element_at(tags, "oneway")),
+        tagBoolean(tagOrElse(tags, "piste:oneway", "oneway")),
         when(array_contains(col("uses"), "downhill"), true)))
-      .withColumn("ref", osmRef(tags))
-      .withColumn("name", osmName(tags))
+      .withColumn("patrolled",
+        tagBoolean(tagOrElse(tags, "piste:patrolled", "patrolled")))
+      .withColumn("snowmaking", tagBoolean(element_at(tags, "piste:snowmaking")))
+      .withColumn("snowfarming",
+        tagBoolean(element_at(tags, "piste:snowfarming")))
+      .withColumn("tunnel",
+        when(element_at(tags, "tunnel").isNotNull, lit(true)))
+      .withColumn("lit", tagBoolean(tagOrElse(tags, "piste:lit", "lit")))
+      .withColumn("ref", ref)
+      .withColumn("name", osmName(tags, "piste:name", Some("name"), ref))
+      .withColumn("website", element_at(tags, "website"))
+      .withColumn("wikidata_id", tagFirstValue(tags, "wikidata"))
       .withColumn("status", status)
-      .withColumn("kept", status === "operating" && size(col("uses")) > 0)
+      .withColumn("kept", col("status") === "operating" && size(col("uses")) > 0)
+      .withColumn("id", HashFunctions.contentId(lit("run"), col("way_id"),
+        col("status"), concat_ws(";", col("uses")), col("difficulty"),
+        col("name")))
       .drop("st", "tags")
   }
 }

@@ -13,13 +13,33 @@ import org.apache.spark.sql.functions._
   *
   * One lineitem row → one candidate run feature:
   *  - `way_id`   = l_orderkey·10 + l_linenumber
-  *  - `tags`     = OSM tag map exercising the lifecycle cascade (P7),
-  *                 uses list parsing (P1), difficulty/grooming rules,
-  *                 name collection (P9) and ref selection (P8)
+  *  - `tags`     = OSM tag map exercising the full lifecycle cascade
+  *                 (P7 Status.ts order: dropped base values, bare
+  *                 removed=yes, value-is-state, prefixed-only-when-base-
+  *                 absent, bare state=yes), uses list parsing (P1),
+  *                 difficulty/grooming rules incl. ';'→'+' combination
+  *                 and invalid-value difficulty default, gladed priority
+  *                 piste:gladed > gladed > natural/landuse, oneway
+  *                 priority piste:oneway > oneway > downhill default,
+  *                 patrolled/snowmaking/snowfarming/tunnel/lit, name
+  *                 rootKey piste:name with fallback name + ref-prefix
+  *                 strip (P9), ref selection (P8), website/wikidata
   *  - `coords`   = 3-point LineString near a deterministic per-order
   *                 anchor (lat clamped to ±60 so the 0.01° grid join's
   *                 3×3 neighborhood always covers a 500 m radius),
   *                 with z from the part/quantity columns
+  *
+  * Lifecycle encoding (lifecycle = l_linenumber % 7):
+  *  0  piste:type=uses + piste:abandoned=yes        → abandoned
+  *  1  proposed:piste:type=uses (base absent)       → proposed
+  *  2  piste:type="disused" + disused=uses          → disused
+  *  3  l_partkey even: piste:type="demolished"      → dropped
+  *     l_partkey odd:  piste:type=uses + removed=yes → dropped
+  *  4  piste:type=uses + proposed:piste:type=junk   → operating
+  *     (prefixed keys ignored when the base key is present)
+  *  5  piste:type=uses + construction=no            → operating
+  *     (bare state tags only fire on =yes)
+  *  6  piste:type=uses                              → operating
   */
 object SkiFeatures {
 
@@ -50,6 +70,7 @@ object SkiFeatures {
         .when(col("l_returnflag") === "A", "Downhill;Nordic")
         .otherwise("nordic;junk")
     val lifecycle = pmod(col("l_linenumber"), lit(7))
+    val pkEven = pmod(col("l_partkey"), lit(2)) === 0
     val diffIdx = pmod(floor(col("l_quantity")).cast("long"), lit(9))
     val difficultyRaw = (ValidDifficulties.zipWithIndex.foldRight(
       when(diffIdx === 7, "bogus")) { case ((v, i), acc) =>
@@ -57,21 +78,47 @@ object SkiFeatures {
     }) // idx 8 → null (absent)
     val groomIdx = pmod(floor(col("l_discount") * 100).cast("long"), lit(5))
     val groomingRaw =
-      when(groomIdx === 0, "classic").when(groomIdx === 1, "skating")
-        .when(groomIdx === 2, "mogul").when(groomIdx === 3, "no")
+      when(groomIdx === 0, "classic").when(groomIdx === 1, "classic;skating")
+        .when(groomIdx === 2, "junk").when(groomIdx === 3, "no")
     // idx 4 → absent
     val taxPct = floor(col("l_tax") * 100).cast("long")
-    val gladedTag = when(taxPct >= 5 && taxPct < 7, "yes")
+    val pisteGladed = when(taxPct === 1, "no")
+    val gladedTag = when(taxPct === 1, "yes")
+      .when(taxPct >= 5 && taxPct < 7, "yes")
       .when(taxPct >= 7 && taxPct < 8, "no")
     val natural = when(taxPct >= 8, "wood")
+    val landuse = when(taxPct === 4, "forest")
+    val ow5 = pmod(col("l_suppkey"), lit(5))
+    val pisteOneway = when(ow5 === 0, "yes").when(ow5 === 1, "no")
     val onewayTag = when(pmod(col("l_suppkey"), lit(3)) === 0, "yes")
       .when(pmod(col("l_suppkey"), lit(3)) === 1, "no")
-    val ref = concat(lit("R"), pmod(col("l_partkey"), lit(50)).cast("string"))
+    val sup7 = pmod(col("l_suppkey"), lit(7))
+    val pistePatrolled = when(sup7 === 0, "yes").when(sup7 === 2, "no")
+    val patrolledTag = when(sup7 === 1, "no").when(sup7 === 2, "yes")
+    val pk3 = pmod(col("l_partkey"), lit(3))
+    val snowmaking = when(pk3 === 0, "yes").when(pk3 === 1, "no")
+    val qk4 = pmod(floor(col("l_quantity")).cast("long"), lit(4))
+    val snowfarming = when(qk4 === 0, "yes").when(qk4 === 1, "no")
+    val ok11 = pmod(col("l_orderkey"), lit(11))
+    val tunnel = when(ok11 === 0, "yes").when(ok11 === 1, "no")
+    val ok13 = pmod(col("l_orderkey"), lit(13))
+    val pisteLit = when(ok13 === 0, "yes")
+    val litTag = when(ok13 === 1, "no")
+    val refnum = pmod(col("l_partkey"), lit(50))
+    val ref = concat(lit("R"), refnum.cast("string"))
+    val pk4 = pmod(col("l_partkey"), lit(4))
+    val pisteName = when(pk4 === 0,
+      concat(ref, lit(" - "), col("p_name")))
+    val pk5 = pmod(col("l_partkey"), lit(5))
+    val website = when(pk5 === 0,
+      concat(lit("https://example.com/"), wayId.cast("string")))
+    val pk7 = pmod(col("l_partkey"), lit(7))
+    val wikidata = when(pk7 === 0,
+      concat(lit("Q"), wayId.cast("string"), lit(";Q999")))
 
-    // lifecycle variants place the uses value under different keys
-    val baseVal = when(lifecycle === 1 || lifecycle === 3,
-      lit(null).cast("string"))
+    val baseVal = when(lifecycle === 1, lit(null).cast("string"))
       .when(lifecycle === 2, lit("disused"))
+      .when(lifecycle === 3 && pkEven, lit("demolished"))
       .otherwise(usesRaw)
     // plain CreateMap (codegen'd) with null values for absent tags —
     // element_at treats a null value and a missing key identically, so
@@ -79,16 +126,31 @@ object SkiFeatures {
     val tags = map(
         lit("piste:type"), baseVal,
         lit("piste:abandoned"), when(lifecycle === 0, "yes"),
-        lit("proposed:piste:type"), when(lifecycle === 1, usesRaw),
+        lit("proposed:piste:type"),
+        when(lifecycle === 1, usesRaw).when(lifecycle === 4, "ignoredjunk"),
         lit("disused"), when(lifecycle === 2, usesRaw),
-        lit("demolished:piste:type"), when(lifecycle === 3, usesRaw),
+        lit("removed"), when(lifecycle === 3 && !pkEven, "yes"),
+        lit("construction"), when(lifecycle === 5, "no"),
         lit("piste:difficulty"), difficultyRaw,
         lit("piste:grooming"), groomingRaw,
+        lit("piste:gladed"), pisteGladed,
         lit("gladed"), gladedTag,
         lit("natural"), natural,
+        lit("landuse"), landuse,
+        lit("piste:oneway"), pisteOneway,
         lit("oneway"), onewayTag,
+        lit("piste:patrolled"), pistePatrolled,
+        lit("patrolled"), patrolledTag,
+        lit("piste:snowmaking"), snowmaking,
+        lit("piste:snowfarming"), snowfarming,
+        lit("tunnel"), tunnel,
+        lit("piste:lit"), pisteLit,
+        lit("lit"), litTag,
+        lit("piste:name"), pisteName,
         lit("name"), col("p_name"),
         lit("name:xx"), col("p_brand"),
+        lit("website"), website,
+        lit("wikidata"), wikidata,
         lit("piste:ref"), ref)
 
     val lon0 = (pmod(col("l_orderkey") * 7919, lit(360000)).cast("double")

@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
 object SkiQueries {
 
   // Shared oracle prelude: synthesized features, formatted (fmt).
+  // Mirrors SkiFeatures' synthesis + Formatters.formatRuns semantics
+  // (Status.ts cascade, grooming/gladed/oneway priority chains,
+  // key-sorted name collection with ref-prefix strip).
   private val oraclePrelude: String = {
     import SkiFeatures.sql._
     val validUses = SkiFeatures.ValidUses.map(u => s"'$u'").mkString(", ")
     s"""f AS (
       |  SELECT $wayId AS way_id, $lifecycle AS lifecycle,
       |    $usesRaw AS uses_raw, $diffIdx AS diff_idx, $groomIdx AS groom_idx,
-      |    $taxPct AS tax_pct, l_suppkey % 3 AS ow_idx, l_partkey % 50 AS refnum,
+      |    $taxPct AS tax_pct, l_suppkey % 5 AS ow5, l_suppkey % 3 AS ow3,
+      |    l_suppkey % 7 AS sup7, l_partkey % 3 AS pk3,
+      |    CAST(floor(l_quantity) AS BIGINT) % 4 AS qk4,
+      |    l_orderkey % 11 AS ok11, l_orderkey % 13 AS ok13,
+      |    l_partkey % 4 AS pk4, l_partkey % 5 AS pk5, l_partkey % 7 AS pk7,
+      |    l_partkey % 50 AS refnum,
       |    p_name, p_brand, l_quantity,
       |    $lon0 AS lon0, $lat0 AS lat0, $dx AS dx, $dy AS dy, $z0 AS z0
       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -38,20 +46,29 @@ object SkiQueries {
       |         WHEN 4 THEN 'expert' WHEN 5 THEN 'freeride'
       |         WHEN 6 THEN 'extreme' END AS difficulty,
       |    CASE WHEN groom_idx = 0 THEN 'classic'
-      |         WHEN groom_idx = 1 THEN 'skating'
-      |         WHEN groom_idx = 2 THEN 'mogul'
-      |         WHEN groom_idx = 3 THEN 'backcountry'
-      |         WHEN (CASE diff_idx WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 1 END) = 1
-      |           THEN 'backcountry' END AS grooming,
-      |    CASE WHEN tax_pct >= 5 AND tax_pct < 7 THEN true
+      |         WHEN groom_idx = 1 THEN 'classic+skating'
+      |         WHEN diff_idx IN (4, 5, 6) THEN 'backcountry'
+      |         WHEN groom_idx = 3 THEN 'backcountry' END AS grooming,
+      |    CASE WHEN tax_pct = 1 THEN false
+      |         WHEN tax_pct >= 5 AND tax_pct < 7 THEN true
       |         WHEN tax_pct >= 7 AND tax_pct < 8 THEN false
-      |         WHEN tax_pct >= 8 THEN true END AS gladed,
-      |    CASE WHEN ow_idx = 0 THEN true WHEN ow_idx = 1 THEN false
+      |         WHEN tax_pct >= 8 THEN true
+      |         WHEN tax_pct = 4 THEN true END AS gladed,
+      |    CASE WHEN ow5 = 0 THEN true WHEN ow5 = 1 THEN false
+      |         WHEN ow3 = 0 THEN true WHEN ow3 = 1 THEN false
       |         WHEN list_contains(list_filter(list_transform(string_split(uses_raw, ';'),
       |           u -> lower(trim(u))), u -> u IN ($validUses)), 'downhill')
       |           THEN true END AS oneway,
-      |    array_to_string(list_sort(list_distinct([p_name, p_brand])), ', ') AS name,
+      |    CASE WHEN sup7 = 0 THEN true WHEN sup7 IN (1, 2) THEN false END AS patrolled,
+      |    CASE WHEN pk3 = 0 THEN true WHEN pk3 = 1 THEN false END AS snowmaking,
+      |    CASE WHEN qk4 = 0 THEN true WHEN qk4 = 1 THEN false END AS snowfarming,
+      |    CASE WHEN ok11 IN (0, 1) THEN true END AS tunnel,
+      |    CASE WHEN ok13 = 0 THEN true WHEN ok13 = 1 THEN false END AS lit,
+      |    CASE WHEN pk4 = 0 THEN p_name
+      |         ELSE p_name || ', ' || p_brand END AS name,
       |    'R' || CAST(refnum AS VARCHAR) AS ref,
+      |    CASE WHEN pk5 = 0 THEN 'https://example.com/' || CAST(way_id AS VARCHAR) END AS website,
+      |    CASE WHEN pk7 = 0 THEN 'Q' || CAST(way_id AS VARCHAR) END AS wikidata_id,
       |    l_quantity, lon0, lat0, dx, dy, z0
       |  FROM f WHERE lifecycle <> 3),
       |kept AS (
@@ -69,19 +86,24 @@ object SkiQueries {
     fmtMemo.getOrElseUpdate((s, d),
       Formatters.formatRuns(SkiFeatures.synthesize(s, d)).localCheckpoint())
 
-  // ---- P1/P7-P10: full run formatting ------------------------------------
+  // ---- P1/P7-P12: full run formatting ------------------------------------
   private val qFormat = QuerySpec.of(
     "q_ski_format_runs",
     s"""WITH $oraclePrelude
       |SELECT way_id, status, array_to_string(uses, ';') AS uses,
-      |  difficulty, grooming, gladed, oneway, name, ref,
+      |  difficulty, grooming, gladed, oneway, patrolled, snowmaking,
+      |  snowfarming, tunnel, lit, name, ref, website, wikidata_id,
+      |  md5(concat_ws('|', 'run', CAST(way_id AS VARCHAR), status,
+      |    array_to_string(uses, ';'), difficulty, name)) AS id,
       |  (status = 'operating' AND len(uses) > 0) AS kept
       |FROM fmt ORDER BY way_id""".stripMargin) { (s, d) =>
     formatted(s, d)
       .select(col("way_id"), col("status"),
         concat_ws(";", col("uses")).as("uses"),
         col("difficulty"), col("grooming"), col("gladed"), col("oneway"),
-        col("name"), col("ref"), col("kept"))
+        col("patrolled"), col("snowmaking"), col("snowfarming"),
+        col("tunnel"), col("lit"), col("name"), col("ref"),
+        col("website"), col("wikidata_id"), col("id"), col("kept"))
       .orderBy("way_id")
   }
 
@@ -334,16 +356,20 @@ object SkiQueries {
 
   // ---- P2: lift formatter ------------------------------------------------
   // Lift features synthesized from orders: lifecycle over aerialway
-  // (railway fallback), duration "m:ss"/fractional-minutes parsing,
-  // access/freight drops, occupancy and cabin booleans.
+  // (railway fallback by VALUE, rail values → 'railway', funicular
+  // kept), "m:ss"/minutes/3-component aerialway:duration parsing, the
+  // LiftFormatter.ts:42-53 drop set (access=private kept as a column),
+  // occupancy/capacity numbers, cabin booleans, name ref-prefix strip.
   private val qLifts = QuerySpec.of(
     "q_ski_format_lifts",
     """WITH o AS (
       |  SELECT o_orderkey AS lift_id, o_orderkey % 5 AS lifecycle,
-      |    o_custkey % 6 AS tidx, o_custkey % 7 AS acc,
-      |    o_orderkey % 12 AS mins, o_custkey % 60 AS secs,
-      |    o_orderkey % 2 AS dfmt, o_custkey % 8 + 1 AS occ,
-      |    o_custkey % 2 AS bub, o_custkey % 3 AS heat
+      |    o_custkey % 8 AS tidx, o_custkey % 13 AS ck13, o_custkey % 7 AS acc7,
+      |    o_orderkey % 3 AS dfmt, o_orderkey % 12 AS mins, o_custkey % 60 AS secs,
+      |    o_custkey % 8 + 1 AS occ, o_custkey % 60 + 4 AS cap,
+      |    o_custkey % 2 AS bub, o_custkey % 3 AS heat,
+      |    o_orderkey % 4 AS det, o_custkey % 5 AS ow,
+      |    o_orderkey % 2 AS nm, o_custkey % 30 AS refn
       |  FROM orders),
       |fmt AS (
       |  SELECT lift_id,
@@ -352,51 +378,80 @@ object SkiQueries {
       |         ELSE 'operating' END AS status,
       |    CASE WHEN tidx = 0 THEN 'chair_lift' WHEN tidx = 1 THEN 'gondola'
       |         WHEN tidx = 2 THEN 'cable_car' WHEN tidx = 3 THEN 'drag_lift'
-      |         WHEN tidx = 5 THEN 'railway' END AS lift_type,
+      |         WHEN tidx IN (5, 6) THEN 'railway'
+      |         WHEN tidx = 7 THEN 'funicular' END AS lift_type,
       |    CASE WHEN dfmt = 0 THEN mins * 60 + secs
-      |         ELSE mins * 60 + 30 END AS duration_s,
-      |    occ AS occupancy,
+      |         WHEN dfmt = 1 THEN mins * 60 + 30 END AS duration_s,
+      |    occ AS occupancy, cap AS capacity,
       |    (bub = 0) AS bubble,
-      |    CASE WHEN heat = 0 THEN true WHEN heat = 1 THEN false END AS heating
-      |  FROM o WHERE acc <> 0)
+      |    CASE WHEN heat = 0 THEN true WHEN heat = 1 THEN false END AS heating,
+      |    CASE WHEN det = 0 THEN true WHEN det = 1 THEN false END AS detachable,
+      |    CASE WHEN ow = 0 THEN true WHEN ow = 1 THEN false END AS oneway,
+      |    CASE WHEN acc7 = 0 THEN 'private' END AS access,
+      |    CASE WHEN nm = 0 THEN 'Apex' ELSE 'Apex Lift' END AS name,
+      |    'L' || CAST(refn AS VARCHAR) AS ref
+      |  FROM o WHERE ck13 > 7 AND tidx <> 4)
       |SELECT * FROM fmt ORDER BY lift_id""".stripMargin) { (s, d) =>
     val o = graft.Tables.orders(s, d)
     val lifecycle = pmod(col("o_orderkey"), lit(5))
-    val tidx = pmod(col("o_custkey"), lit(6))
-    val typeVal = when(tidx === 0, "chair_lift").when(tidx === 1, "gondola")
+    val tidx = pmod(col("o_custkey"), lit(8))
+    val ck13 = pmod(col("o_custkey"), lit(13))
+    val acc7 = pmod(col("o_custkey"), lit(7))
+    val aerialVal = when(tidx === 0, "chair_lift").when(tidx === 1, "gondola")
       .when(tidx === 2, "cable_car").when(tidx === 3, "drag_lift")
       .when(tidx === 4, "junk")
-    val aerialVal = when(tidx === 5, lit(null).cast("string")).otherwise(typeVal)
-    val railVal = when(tidx === 5, "funicular")
+    val railVal = when(tidx === 5, "narrow_gauge").when(tidx === 6, "tram")
+      .when(tidx === 7, "funicular")
     val mins = pmod(col("o_orderkey"), lit(12))
     val secs = pmod(col("o_custkey"), lit(60))
-    val duration = when(pmod(col("o_orderkey"), lit(2)) === 0,
+    val dfmt = pmod(col("o_orderkey"), lit(3))
+    val duration = when(dfmt === 0,
         concat(mins.cast("string"), lit(":"),
           lpad(secs.cast("string"), 2, "0")))
-      .otherwise(concat(mins.cast("string"), lit(".5")))
+      .when(dfmt === 1, concat(mins.cast("string"), lit(".5")))
+      .otherwise(lit("1:2:3"))
+    val refn = pmod(col("o_custkey"), lit(30))
     val tags = map(
-      lit("aerialway"),
-      when(lifecycle >= 2, aerialVal),
+      lit("aerialway"), when(lifecycle >= 2, aerialVal),
       lit("proposed:aerialway"), when(lifecycle === 0, aerialVal),
       lit("disused:aerialway"), when(lifecycle === 1, aerialVal),
       lit("railway"), when(lifecycle >= 2, railVal),
       lit("proposed:railway"), when(lifecycle === 0, railVal),
       lit("disused:railway"), when(lifecycle === 1, railVal),
-      lit("access"), when(pmod(col("o_custkey"), lit(7)) === 0, "private"),
-      lit("duration"), duration,
+      lit("passenger"), when(ck13 === 0, "no"),
+      lit("access"), when(ck13 === 1, "no").when(ck13 === 2, "forestry")
+        .when(acc7 === 0, "private"),
+      lit("foot"), when(ck13 === 3, "no").when(ck13 === 4, "private"),
+      lit("usage"), when(ck13 === 5, "freight").when(ck13 === 6, "industrial"),
+      lit("railway:traffic_mode"), when(ck13 === 7, "freight"),
+      lit("aerialway:duration"), duration,
       lit("aerialway:occupancy"),
       (pmod(col("o_custkey"), lit(8)) + 1).cast("string"),
+      lit("aerialway:capacity"),
+      (pmod(col("o_custkey"), lit(60)) + 4).cast("string"),
       lit("aerialway:bubble"),
       when(pmod(col("o_custkey"), lit(2)) === 0, "yes").otherwise("no"),
       lit("aerialway:heating"),
       when(pmod(col("o_custkey"), lit(3)) === 0, "yes")
-        .when(pmod(col("o_custkey"), lit(3)) === 1, "no"))
+        .when(pmod(col("o_custkey"), lit(3)) === 1, "no"),
+      lit("aerialway:detachable"),
+      when(pmod(col("o_orderkey"), lit(4)) === 0, "yes")
+        .when(pmod(col("o_orderkey"), lit(4)) === 1, "no"),
+      lit("oneway"),
+      when(pmod(col("o_custkey"), lit(5)) === 0, "yes")
+        .when(pmod(col("o_custkey"), lit(5)) === 1, "no"),
+      lit("name"),
+      when(pmod(col("o_orderkey"), lit(2)) === 0,
+        concat(lit("L"), refn.cast("string"), lit(" - Apex")))
+        .otherwise(lit("Apex Lift")),
+      lit("ref"), concat(lit("L"), refn.cast("string")))
     val features = graft.Tables.fanout(o)
       .select(col("o_orderkey").as("lift_id"), tags.as("tags"))
       .localCheckpoint()
     Formatters.formatLifts(features)
       .select("lift_id", "status", "lift_type", "duration_s", "occupancy",
-        "bubble", "heating")
+        "capacity", "bubble", "heating", "detachable", "oneway", "access",
+        "name", "ref")
       .orderBy("lift_id")
   }
 

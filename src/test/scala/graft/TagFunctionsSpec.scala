@@ -23,9 +23,16 @@ class TagFunctionsSpec extends SparkSpec {
     assert(statusOf(Map("piste:type" -> "downhill")) == ("operating", "downhill"))
   }
 
-  test("piste:abandoned=yes → abandoned, value from base") {
+  test("piste:abandoned=yes → abandoned at the run-formatter level") {
+    // Status.ts itself does not know piste:abandoned — the override
+    // lives in RunFormatter.getStatusAndUses (formatRuns here).
     assert(statusOf(Map("piste:type" -> "downhill", "piste:abandoned" -> "yes"))
-      == ("abandoned", "downhill"))
+      == ("operating", "downhill"))
+    import spark.implicits._
+    val df = operators.Formatters.formatRuns(
+      Seq((1L, Map("piste:type" -> "downhill", "piste:abandoned" -> "yes"),
+        Seq(Seq(0.0, 0.0), Seq(0.001, 0.0)))).toDF("way_id", "tags", "coords"))
+    assert(df.select("status").collect().head.getString(0) == "abandoned")
   }
 
   test("prefixed lifecycle key → that state") {
@@ -38,12 +45,38 @@ class TagFunctionsSpec extends SparkSpec {
       == ("abandoned", "downhill"))
   }
 
-  test("demolished prefix → dropped") {
-    assert(statusOf(Map("demolished:piste:type" -> "downhill"))._1 == "dropped")
+  test("base value demolished/removed/razed → dropped") {
+    assert(statusOf(Map("piste:type" -> "demolished"))._1 == "dropped")
+    assert(statusOf(Map("piste:type" -> "razed"))._1 == "dropped")
   }
 
-  test("no piste tags → null status") {
-    assert(statusOf(Map("highway" -> "path"))._1 == null)
+  test("bare removed=yes → dropped even with a live base tag") {
+    assert(statusOf(Map("piste:type" -> "downhill", "removed" -> "yes"))._1
+      == "dropped")
+  }
+
+  test("demolished:prefixed key alone is NOT consulted (Status.ts)") {
+    // base key absent, only a demolished: prefix → falls through to
+    // operating with null value (callers drop on empty uses)
+    assert(statusOf(Map("demolished:piste:type" -> "downhill"))
+      == ("operating", null))
+  }
+
+  test("prefixed key is ignored when the base key is present") {
+    assert(statusOf(Map("piste:type" -> "downhill",
+      "proposed:piste:type" -> "nordic")) == ("operating", "downhill"))
+  }
+
+  test("bare state=yes overrides operating") {
+    assert(statusOf(Map("piste:type" -> "downhill", "abandoned" -> "yes"))
+      == ("abandoned", "downhill"))
+    // =no does not fire
+    assert(statusOf(Map("piste:type" -> "downhill", "construction" -> "no"))
+      == ("operating", "downhill"))
+  }
+
+  test("no piste tags → operating with null value (reference fallthrough)") {
+    assert(statusOf(Map("highway" -> "path")) == ("operating", null))
   }
 
   test("osmRef precedence piste:loc_ref > piste:ref > loc_ref > ref") {
@@ -56,13 +89,31 @@ class TagFunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("a", "b", "d"))
   }
 
-  test("osmName collects name + name:* sorted, uniqued, comma-joined") {
+  test("osmName emits values in KEY-sorted order, uniqued, comma-joined") {
     import spark.implicits._
+    // primary 'name' key sorts first even when its value sorts last
     val df = Seq(
       Map("name" -> "Zeta", "name:en" -> "Alpha", "name:fr" -> "Zeta"),
-      Map("other" -> "x")).toDF("tags").select(osmName(col("tags")))
+      Map("other" -> "x")).toDF("tags").select(osmName(col("tags"), "name"))
     val got = df.collect().map(_.getString(0)).toSeq
-    assert(got == Seq("Alpha, Zeta", null))
+    assert(got == Seq("Zeta, Alpha", null))
+  }
+
+  test("osmName falls back to the fallback root key (piste:name > name)") {
+    import spark.implicits._
+    val df = Seq(
+      Map("piste:name" -> "Piste", "name" -> "Base"),
+      Map("name" -> "Base")).toDF("tags")
+      .select(osmName(col("tags"), "piste:name", Some("name")))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Piste", "Base"))
+  }
+
+  test("osmName strips the ref prefix") {
+    import spark.implicits._
+    val df = Seq(Map("name" -> "11 - Peak Chair", "ref" -> "11"))
+      .toDF("tags")
+      .select(osmName(col("tags"), "name", None, osmRef(col("tags"))))
+    assert(df.collect().head.getString(0) == "Peak Chair")
   }
 
   test("stripRefPrefix removes leading ref") {
@@ -73,12 +124,12 @@ class TagFunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("Foo run", "Bar", "Baz"))
   }
 
-  test("tagBoolean maps yes/no/1/0 and rejects junk") {
+  test("tagBoolean maps strictly yes/no (reference mapOSMBoolean)") {
     import spark.implicits._
     val df = Seq("yes", "no", "1", "0", "maybe").toDF("v")
       .select(tagBoolean(col("v")))
     assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq
-      == Seq(true, false, true, false, null))
+      == Seq(true, false, null, null, null))
   }
 
   test("formatRuns end to end on a hand-built feature") {
