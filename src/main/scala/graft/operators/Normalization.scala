@@ -57,13 +57,91 @@ object Normalization {
   private def unpackX(p: Column): Column = shiftright(p, 32)
   private def unpackY(p: Column): Column = shiftright(shiftleft(p, 32), 32)
 
+  /** N4: how member props merge when runs share an arc, and how merged
+    * props compare for chain-joining (N3). `mergeAgg` is an aggregate
+    * expression over the per-arc member rows' `props` column; `hash`
+    * must be a FLAT (64-bit) equality key — chain-merge groups on it.
+    */
+  trait PropsMerge {
+    def mergeAgg: Column
+    def hash(props: Column): Column = xxhash64(props)
+  }
+
+  /** Plain string props: sorted-unique '+'-join (test/simple path). */
+  object StringProps extends PropsMerge {
+    def mergeAgg: Column =
+      concat_ws("+", sort_array(collect_set(col("props"))))
+  }
+
+  /** Field-wise run-property priority lattice
+    * (`/root/reference/src/transforms/normalization/RunJoining.ts:46-208`):
+    * uses = set union; name/ref = trimmed-unique ", "-join; difficulty
+    * picks the EASIEST value present (novice → extreme priority);
+    * grooming classic+skating > skating > classic > mogul > scooter >
+    * backcountry; status operating > construction > planned > proposed
+    * > disused > abandoned; oneway = AND (null-skipping); the
+    * true > false > null lattices are max(); wikidataID = first
+    * non-null (canonicalized to min for determinism).
+    *
+    * Expects props struct {uses: array<string>, name, ref, difficulty,
+    * grooming, status, oneway, gladed, patrolled, snowmaking,
+    * snowfarming, tunnel, lit, wikidata_id}.
+    */
+  object RunPropsLattice extends PropsMerge {
+    private def ranked(c: Column, order: Seq[String]): Column =
+      order.zipWithIndex.foldRight(lit(order.size + 1)) {
+        case ((v, i), acc) => when(c === v, lit(i + 1)).otherwise(acc)
+      }
+    private def unranked(r: Column, order: Seq[String]): Column =
+      order.zipWithIndex.foldRight(lit(null).cast("string")) {
+        case ((v, i), acc) => when(r === i + 1, lit(v)).otherwise(acc)
+      }
+    val difficultyOrder: Seq[String] = Seq("novice", "easy", "intermediate",
+      "advanced", "expert", "freeride", "extreme")
+    val groomingOrder: Seq[String] = Seq("classic+skating", "skating",
+      "classic", "mogul", "scooter", "backcountry")
+    val statusOrder: Seq[String] = Seq("operating", "construction",
+      "planned", "proposed", "disused", "abandoned")
+
+    private def joined(c: Column): Column = {
+      val j = array_join(sort_array(collect_set(
+        when(length(trim(c)) > 0, trim(c)))), ", ")
+      when(j === "", lit(null).cast("string")).otherwise(j)
+    }
+
+    def mergeAgg: Column = {
+      val p = col("props")
+      struct(
+        sort_array(array_distinct(flatten(
+          collect_list(p.getField("uses"))))).as("uses"),
+        joined(p.getField("name")).as("name"),
+        joined(p.getField("ref")).as("ref"),
+        unranked(min(ranked(p.getField("difficulty"), difficultyOrder)),
+          difficultyOrder).as("difficulty"),
+        unranked(min(ranked(p.getField("grooming"), groomingOrder)),
+          groomingOrder).as("grooming"),
+        unranked(min(ranked(p.getField("status"), statusOrder)),
+          statusOrder).as("status"),
+        min(p.getField("oneway")).as("oneway"),
+        max(p.getField("gladed")).as("gladed"),
+        max(p.getField("patrolled")).as("patrolled"),
+        max(p.getField("snowmaking")).as("snowmaking"),
+        max(p.getField("snowfarming")).as("snowfarming"),
+        max(p.getField("tunnel")).as("tunnel"),
+        max(p.getField("lit")).as("lit"),
+        min(p.getField("wikidata_id")).as("wikidata_id"))
+    }
+  }
+
   /** N1+N2: split runs into maximal arcs of constant run-membership.
     *
-    * Input:  run_id: Long, props: String, coords: array<array<double>>
+    * Input:  run_id: Long, props (any type), coords: array<array<double>>
     * Output: seg_run: Long (owner), seg_id: Long, members: array<long>,
-    *         props: String (merged), pts: array<long> (packed quantized)
+    *         props (merged via `merge`), phash: Long,
+    *         pts: array<long> (packed quantized)
     */
-  def splitSharedArcs(runs: DataFrame): DataFrame = {
+  def splitSharedArcs(runs: DataFrame,
+      merge: PropsMerge = StringProps): DataFrame = {
     // quantize-and-pack one point (array<double>, z ignored) → long.
     // Half-away-from-zero rounding as pure double math: Spark's
     // round() goes through BigDecimal via Double.toString — thread
@@ -91,20 +169,22 @@ object Normalization {
       .withColumn("lo", least(col("p1"), col("p2")))
       .withColumn("hi", greatest(col("p1"), col("p2")))
 
-    // arc membership in ONE exchange: aggregate the member set per edge
-    // and carry every per-run occurrence through the same groupBy, then
+    // arc membership in ONE exchange: aggregate the member set AND the
+    // merged props per edge, carry every per-run occurrence through the
+    // same groupBy (collect_SET — exact duplicate input rows, e.g.
+    // synthesized way_id collisions, must not duplicate points), then
     // explode back out — replaces the groupBy + full-table join-back.
     val withM = edges
       .groupBy("lo", "hi")
       .agg(
         sort_array(collect_set(col("run_id"))).as("members"),
-        sort_array(collect_set(col("props"))).as("member_props"),
-        collect_list(struct(col("run_id"), col("idx"),
+        merge.mergeAgg.as("mprops"),
+        collect_set(struct(col("run_id"), col("idx"),
           col("p1"), col("p2"))).as("occ"))
-      .select(col("members"), col("member_props"), explode(col("occ")).as("o"))
+      .select(col("members"), col("mprops"), explode(col("occ")).as("o"))
       .select(col("o.run_id").as("run_id"), col("o.idx").as("idx"),
         col("o.p1").as("p1"), col("o.p2").as("p2"),
-        col("members"), col("member_props"))
+        col("members"), col("mprops"))
       // change detection key: a 64-bit hash of the member set — flat
       // long compares in the window instead of array compares
       .withColumn("mh", xxhash64(col("members")))
@@ -123,21 +203,22 @@ object Normalization {
       .groupBy(col("run_id").as("seg_run"), col("seg_no"))
       .agg(
         first(col("members")).as("members"),
-        concat_ws("+", first(col("member_props"))).as("props"),
+        first(col("mprops")).as("props"),
         array_append(
           transform(sort_array(collect_list(struct(col("idx"), col("p1")))),
             s => s.getField("p1")),
           max_by(col("p2"), col("idx"))).as("pts"))
       .withColumn("seg_id",
         col("seg_run") * 100000 + col("seg_no"))
-      .select("seg_run", "seg_id", "members", "props", "pts")
+      .withColumn("phash", merge.hash(col("props")))
+      .select("seg_run", "seg_id", "members", "props", "phash", "pts")
   }
 
   /** Public (not private) so the Catalyst-generated encoder projection
-    * class can instantiate it.
+    * class can instantiate it. Props stay out of the object path — the
+    * stitcher only needs geometry; merged props re-join by label.
     */
-  case class LabeledSeg(label: Long, seg_id: Long, props: String,
-    pts: Seq[Long])
+  case class LabeledSeg(label: Long, seg_id: Long, pts: Seq[Long])
 
   /** N3: merge chains of segments with identical props that meet at
     * endpoints where exactly two same-props segments touch.
@@ -158,12 +239,13 @@ object Normalization {
     // would otherwise re-run the whole upstream pipeline per consumer.
     val segments = segmentsIn.localCheckpoint()
 
-    val ends = segments.select(col("seg_id"), col("props"),
+    val ends = segments.select(col("seg_id"), col("phash"),
       explode(array(element_at(col("pts"), 1),
         element_at(col("pts"), -1))).as("pt"))
 
-    // joinable endpoints: exactly 2 same-props segments touch
-    val deg2 = ends.groupBy("pt", "props")
+    // joinable endpoints: exactly 2 same-props segments touch (props
+    // equality via the flat 64-bit phash — N3's isPartOfSameRun)
+    val deg2 = ends.groupBy("pt", "phash")
       .agg(collect_set("seg_id").as("segs"))
       .filter(size(col("segs")) === 2)
 
@@ -221,17 +303,22 @@ object Normalization {
     val singles = labeledAll
       .join(multiLabels, Seq("label"), "left_anti")
       .select(col("label").as("run_id"), col("props"), col("pts"))
-    val multis = labeledAll
+    val multiSegs = labeledAll
       .join(broadcast(multiLabels), Seq("label"))
-      .select(col("label"), col("seg_id"), col("props"), col("pts"))
+    val stitched = multiSegs
+      .select(col("label"), col("seg_id"), col("pts"))
       .as[LabeledSeg]
       .groupByKey(_.label)
       .mapGroups { (label, it) =>
-        val segs = it.toSeq
-        val props = segs.head.props
-        (label, props, stitch(segs.map(_.pts)))
+        (label, stitch(it.map(_.pts).toSeq))
       }
-      .toDF("run_id", "props", "pts")
+      .toDF("run_id", "pts")
+    // chain members have identical props by construction (phash-equal);
+    // re-attach any member's merged props per component.
+    val chainProps = multiSegs.groupBy(col("label").as("run_id"))
+      .agg(first(col("props")).as("props"))
+    val multis = stitched.join(chainProps, "run_id")
+      .select(col("run_id"), col("props"), col("pts"))
     singles.unionByName(multis)
   }
 
@@ -277,8 +364,9 @@ object Normalization {
   }
 
   /** Full N1→N3 pipeline; returns run_id, props, coords (degrees). */
-  def normalizeRuns(runs: DataFrame): DataFrame = {
-    val segs = splitSharedArcs(runs)
+  def normalizeRuns(runs: DataFrame,
+      merge: PropsMerge = StringProps): DataFrame = {
+    val segs = splitSharedArcs(runs, merge)
     combineSegments(segs)
       .select(col("run_id"), col("props"),
         transform(col("pts"), p => array(

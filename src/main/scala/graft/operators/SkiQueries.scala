@@ -256,25 +256,43 @@ object SkiQueries {
 
   // ---- N1-N3: run topology normalization ---------------------------------
   // Input: kept runs plus full-geometry duplicates for every way with
-  // line number 1. The oracle counts distinct quantized 2D geometries —
-  // exactly what arc-merge collapses here, because the synthesis
-  // guarantees overlaps are only ever whole-geometry (see SkiFeatures).
+  // way_id % 10 = 4. The oracle counts distinct quantized 2D geometries
+  // — exactly what arc-merge collapses here, because the synthesis
+  // guarantees overlaps are only ever whole-geometry (see SkiFeatures) —
+  // AND checksums the output geometries (orientation-canonical 60-bit
+  // hash per distinct geometry, summed mod 1e12), so the merged POINT
+  // SEQUENCES are verified, not just the row count.
   private val qNormalize = QuerySpec.of(
-    "q_ski_normalize",
-    s"""WITH $oraclePrelude,
-      |dup AS (
-      |  SELECT way_id AS run_id, lon0, lat0, dx, dy FROM kept
-      |  UNION ALL
-      |  SELECT way_id + 1000000000, lon0, lat0, dx, dy FROM kept
-      |  WHERE way_id % 10 = 4)
-      |SELECT count(*) AS n_in,
-      |  count(DISTINCT (
-      |    CAST(round(lon0 * 10000000) AS BIGINT),
-      |    CAST(round(lat0 * 10000000) AS BIGINT),
-      |    CAST(round((lon0 + dx) * 10000000) AS BIGINT),
-      |    CAST(round((lat0 + dy) * 10000000) AS BIGINT),
-      |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT))) AS n_out
-      |FROM dup""".stripMargin,
+    "q_ski_normalize", {
+      val h = graft.functions.HashFunctions.sqlHash64(
+        "least(gs, grev)")
+      s"""WITH $oraclePrelude,
+        |dup AS (
+        |  SELECT DISTINCT
+        |    CAST(round(lon0 * 10000000) AS BIGINT) AS x0,
+        |    CAST(round(lat0 * 10000000) AS BIGINT) AS y0,
+        |    CAST(round((lon0 + dx) * 10000000) AS BIGINT) AS x1,
+        |    CAST(round((lat0 + dy) * 10000000) AS BIGINT) AS y1,
+        |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT) AS x2
+        |  FROM kept),
+        |n AS (
+        |  SELECT count(*) AS n_in FROM (
+        |    SELECT 1 FROM kept
+        |    UNION ALL
+        |    SELECT 1 FROM kept WHERE way_id % 10 = 4)),
+        |r AS (
+        |  SELECT
+        |    (CAST(x0 AS VARCHAR) || '_' || CAST(y0 AS VARCHAR) || ';' ||
+        |     CAST(x1 AS VARCHAR) || '_' || CAST(y1 AS VARCHAR) || ';' ||
+        |     CAST(x2 AS VARCHAR) || '_' || CAST(y1 AS VARCHAR)) AS gs,
+        |    (CAST(x2 AS VARCHAR) || '_' || CAST(y1 AS VARCHAR) || ';' ||
+        |     CAST(x1 AS VARCHAR) || '_' || CAST(y1 AS VARCHAR) || ';' ||
+        |     CAST(x0 AS VARCHAR) || '_' || CAST(y0 AS VARCHAR)) AS grev
+        |  FROM dup)
+        |SELECT (SELECT n_in FROM n) AS n_in, count(*) AS n_out,
+        |  CAST(sum($h % 1000000000000) AS BIGINT) AS geom_checksum
+        |FROM r""".stripMargin
+    },
     headline = true) { (s, d) =>
     // 3D coords pass straight through — normalization quantizes on the
     // first two elements of each point, so no interpreted 2D-projection
@@ -286,11 +304,135 @@ object SkiQueries {
     val dup = kept.unionByName(
       kept.filter(pmod(col("run_id"), lit(10)) === 4)
         .withColumn("run_id", col("run_id") + 1000000000L))
+    def qi(c: org.apache.spark.sql.Column) =
+      (c * 1e7 + when(c >= 0, 0.5).otherwise(-0.5)).cast("long")
+    val rendered = Normalization.normalizeRuns(dup)
+      .withColumn("qs", transform(col("coords"), p =>
+        concat(qi(element_at(p, 1)), lit("_"), qi(element_at(p, 2)))))
+      .withColumn("gs", array_join(col("qs"), ";"))
+      .withColumn("grev", array_join(reverse(col("qs")), ";"))
+      .select(graft.functions.HashFunctions
+        .hash64(least(col("gs"), col("grev"))).as("h"))
     // n_in as a plan-side aggregate (cross join of two 1-row aggs), not
     // a driver-side count() — the query is ONE job.
     dup.agg(count(lit(1)).as("n_in"))
-      .crossJoin(Normalization.normalizeRuns(dup)
-        .agg(count(lit(1)).as("n_out")))
+      .crossJoin(rendered.agg(
+        count(lit(1)).as("n_out"),
+        sum(pmod(col("h"), lit(1000000000000L))).as("geom_checksum")))
+  }
+
+  // ---- N4: field-wise property merge lattice over partial overlaps ------
+  // Every kept run with way_id % 10 = 4 gains a PARTIAL-overlap
+  // duplicate covering only its middle edge [p1,p2], with deliberately
+  // conflicting props (novice difficulty, oneway=false, patrolled=true,
+  // name 'ZDUP', uses ['skitour'], wikidata 'Q1'). The run re-segments
+  // into [p0,p1] (own props) + [p1,p2] (lattice-merged props); the two
+  // segments have different merged props, so chain-merge must NOT
+  // re-join them. The oracle groups kept runs by full quantized
+  // geometry (way_id collisions merge too) and replays the
+  // RunJoining.ts reducers per segment field-by-field.
+  private val qNormalizeProps = QuerySpec.of(
+    "q_ski_normalize_props",
+    s"""WITH $oraclePrelude,
+      |g AS (
+      |  SELECT CAST(round(lon0 * 10000000) AS BIGINT) AS x0,
+      |    CAST(round(lat0 * 10000000) AS BIGINT) AS y0,
+      |    CAST(round((lon0 + dx) * 10000000) AS BIGINT) AS x1,
+      |    CAST(round((lat0 + dy) * 10000000) AS BIGINT) AS y1,
+      |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT) AS x2,
+      |    way_id, uses, difficulty, grooming, oneway, gladed, patrolled,
+      |    snowmaking, snowfarming, tunnel, lit, name, ref, wikidata_id
+      |  FROM kept),
+      |grp AS (
+      |  SELECT x0, y0, x1, y1, x2,
+      |    bool_or(way_id % 10 = 4) AS has_dup,
+      |    list_sort(list_distinct(flatten(list(uses)))) AS m_uses,
+      |    list_distinct(list(name)) AS m_names,
+      |    list_distinct(list(ref)) AS m_refs,
+      |    min(CASE difficulty WHEN 'novice' THEN 1 WHEN 'easy' THEN 2
+      |      WHEN 'intermediate' THEN 3 WHEN 'advanced' THEN 4
+      |      WHEN 'expert' THEN 5 WHEN 'freeride' THEN 6
+      |      WHEN 'extreme' THEN 7 ELSE 8 END) AS dmin,
+      |    min(CASE grooming WHEN 'classic+skating' THEN 1 WHEN 'skating' THEN 2
+      |      WHEN 'classic' THEN 3 WHEN 'mogul' THEN 4 WHEN 'scooter' THEN 5
+      |      WHEN 'backcountry' THEN 6 ELSE 7 END) AS gmin,
+      |    bool_and(oneway) AS m_oneway, bool_or(gladed) AS m_gladed,
+      |    bool_or(patrolled) AS m_patrolled, bool_or(snowmaking) AS m_snowmaking,
+      |    bool_or(snowfarming) AS m_snowfarming, bool_or(tunnel) AS m_tunnel,
+      |    bool_or(lit) AS m_lit, min(wikidata_id) AS m_wikidata
+      |  FROM g GROUP BY 1, 2, 3, 4, 5),
+      |segs AS (
+      |  SELECT x0, y0, CASE WHEN has_dup THEN x1 ELSE x2 END AS xn,
+      |    y1 AS yn, CASE WHEN has_dup THEN 2 ELSE 3 END AS npts,
+      |    m_uses AS uses, m_names AS names, m_refs AS refs, dmin, gmin,
+      |    m_oneway AS oneway, m_gladed AS gladed, m_patrolled AS patrolled,
+      |    m_snowmaking AS snowmaking, m_snowfarming AS snowfarming,
+      |    m_tunnel AS tunnel, m_lit AS lit, m_wikidata AS wikidata_id
+      |  FROM grp
+      |  UNION ALL
+      |  SELECT x1, y1, x2, y1, 2,
+      |    list_sort(list_distinct(m_uses || ['skitour'])),
+      |    m_names || ['ZDUP'], m_refs, 1 AS dmin, gmin,
+      |    false AS oneway, m_gladed, true AS patrolled,
+      |    m_snowmaking, m_snowfarming, m_tunnel, m_lit, 'Q1' AS wikidata_id
+      |  FROM grp WHERE has_dup)
+      |SELECT x0, y0, xn, yn, npts,
+      |  array_to_string(uses, ';') AS uses,
+      |  array_to_string(list_sort(list_distinct(names)), ', ') AS name,
+      |  array_to_string(list_sort(list_distinct(refs)), ', ') AS ref,
+      |  CASE dmin WHEN 1 THEN 'novice' WHEN 2 THEN 'easy'
+      |    WHEN 3 THEN 'intermediate' WHEN 4 THEN 'advanced'
+      |    WHEN 5 THEN 'expert' WHEN 6 THEN 'freeride'
+      |    WHEN 7 THEN 'extreme' END AS difficulty,
+      |  CASE gmin WHEN 1 THEN 'classic+skating' WHEN 2 THEN 'skating'
+      |    WHEN 3 THEN 'classic' WHEN 4 THEN 'mogul' WHEN 5 THEN 'scooter'
+      |    WHEN 6 THEN 'backcountry' END AS grooming,
+      |  'operating' AS status, oneway, gladed, patrolled, snowmaking,
+      |  snowfarming, tunnel, lit, wikidata_id
+      |FROM segs
+      |ORDER BY x0, y0, xn, yn, npts""".stripMargin) { (s, d) =>
+    val fk = formatted(s, d).filter(col("kept"))
+    val propsCol = struct(
+      col("uses"), col("name"), col("ref"), col("difficulty"),
+      col("grooming"), col("status"), col("oneway"), col("gladed"),
+      col("patrolled"), col("snowmaking"), col("snowfarming"),
+      col("tunnel"), col("lit"), col("wikidata_id"))
+    val base = fk.select(col("way_id").as("run_id"), propsCol.as("props"),
+      col("coords"))
+    val dupProps = struct(
+      array(lit("skitour")).as("uses"), lit("ZDUP").as("name"),
+      lit(null).cast("string").as("ref"), lit("novice").as("difficulty"),
+      lit(null).cast("string").as("grooming"), lit("operating").as("status"),
+      lit(false).as("oneway"), lit(null).cast("boolean").as("gladed"),
+      lit(true).as("patrolled"), lit(null).cast("boolean").as("snowmaking"),
+      lit(null).cast("boolean").as("snowfarming"),
+      lit(null).cast("boolean").as("tunnel"),
+      lit(null).cast("boolean").as("lit"), lit("Q1").as("wikidata_id"))
+    val overlap = fk.filter(pmod(col("way_id"), lit(10)) === 4)
+      .select((col("way_id") + 1000000000L).as("run_id"),
+        dupProps.as("props"), slice(col("coords"), 2, 2).as("coords"))
+    def qi(c: org.apache.spark.sql.Column) =
+      (c * 1e7 + when(c >= 0, 0.5).otherwise(-0.5)).cast("long")
+    Normalization
+      .normalizeRuns(base.unionByName(overlap), Normalization.RunPropsLattice)
+      .select(
+        qi(element_at(element_at(col("coords"), 1), 1)).as("x0"),
+        qi(element_at(element_at(col("coords"), 1), 2)).as("y0"),
+        qi(element_at(element_at(col("coords"), -1), 1)).as("xn"),
+        qi(element_at(element_at(col("coords"), -1), 2)).as("yn"),
+        size(col("coords")).as("npts"),
+        concat_ws(";", col("props.uses")).as("uses"),
+        col("props.name").as("name"), col("props.ref").as("ref"),
+        col("props.difficulty").as("difficulty"),
+        col("props.grooming").as("grooming"),
+        col("props.status").as("status"),
+        col("props.oneway").as("oneway"), col("props.gladed").as("gladed"),
+        col("props.patrolled").as("patrolled"),
+        col("props.snowmaking").as("snowmaking"),
+        col("props.snowfarming").as("snowfarming"),
+        col("props.tunnel").as("tunnel"), col("props.lit").as("lit"),
+        col("props.wikidata_id").as("wikidata_id"))
+      .orderBy("x0", "y0", "xn", "yn", "npts")
   }
 
   // ---- J10: transitive-closure clustering --------------------------------
@@ -503,6 +645,6 @@ object SkiQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize, qCluster,
-      qLifts, qSpots)
+    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize,
+      qNormalizeProps, qCluster, qLifts, qSpots)
 }
