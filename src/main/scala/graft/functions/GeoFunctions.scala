@@ -117,4 +117,28 @@ object GeoFunctions {
     */
   def profilePointCount(lengthM: Column, resolutionM: Double): Column =
     greatest(lit(2L), (floor(lengthM / resolutionM) + 2).cast("long"))
+
+  /** Even-odd ray-cast point-in-polygon (J2 refine; the columnar
+    * analog of the reference's ST_CoveredBy refine,
+    * `/root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:680-711`).
+    * `ring` is an OPEN ring (first vertex not repeated) as
+    * array<array<double>>. Handles any simple polygon; for convex rings
+    * "line covered by polygon" reduces to all-vertices-inside.
+    * The crossing test `px < (x2-x1)*(py-y1)/(y2-y1)+x1` is written
+    * with the exact op order the oracle uses, so boundary decisions are
+    * bit-identical.
+    */
+  def pointInPolygon(px: Column, py: Column, ring: Column): Column =
+    aggregate(
+      sequence(lit(1), size(ring)),
+      lit(false),
+      (acc, i) => {
+        val v1 = element_at(ring, i)
+        val v2 = element_at(ring, pmod(i, size(ring)) + 1)
+        val x1 = element_at(v1, 1); val y1 = element_at(v1, 2)
+        val x2 = element_at(v2, 1); val y2 = element_at(v2, 2)
+        val crosses = ((y1 > py) =!= (y2 > py)) &&
+          (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
+        when(crosses, !acc).otherwise(acc)
+      })
 }

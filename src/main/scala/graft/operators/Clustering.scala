@@ -79,4 +79,49 @@ object Clustering {
     objCells.unpersist()
     reached.groupBy("okey").agg(min("area_id").as("area_id"))
   }
+
+  /** Connected components over an undirected edge list `(a, b)` by
+    * min-label propagation with pointer doubling (label := label(label)
+    * each round → O(log diameter) tiny-table iterations). Only nodes
+    * that appear in some pair are returned — callers treat absent nodes
+    * as singleton components. Returns (nid, label).
+    *
+    * Scale notes: the loop tables hold only edge-participating nodes;
+    * every iteration is a join + groupBy on flat longs over
+    * checkpointed inputs, and convergence is read from a `chg` flag
+    * inside the already-materialized iteration output.
+    */
+  def minLabelComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.localCheckpoint()
+    val biPairs = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    var labels = biPairs.select(col("a").as("nid")).distinct()
+      .select(col("nid"), col("nid").as("label"))
+      .localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 25) {
+      val neighborMin = biPairs
+        .join(labels.select(col("nid").as("b"), col("label").as("nlabel")),
+          "b")
+        .groupBy(col("a").as("nid"))
+        .agg(min("nlabel").as("nmin"))
+      val stepped = labels.join(neighborMin, Seq("nid"), "left")
+        .select(col("nid"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
+      val updated = stepped
+        .join(stepped.select(col("nid").as("label"),
+          col("label").as("ll")), Seq("label"), "left")
+        .select(col("nid"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
+          (col("chg") || coalesce(col("ll"), col("label")) < col("label"))
+            .as("chg"))
+        .localCheckpoint()
+      changed = updated.filter(col("chg")).limit(1).count() > 0
+      labels = updated.drop("chg")
+      iter += 1
+    }
+    labels
+  }
 }

@@ -254,41 +254,11 @@ object Normalization {
       element_at(col("segs"), 2).as("b"))
       .filter(col("a") =!= col("b"))
 
-    val biPairs = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
-
     // labels over pair participants ONLY — everything else is a
-    // singleton component and never enters the loop.
-    var labels = biPairs.select(col("a").as("seg_id")).distinct()
-      .select(col("seg_id"), col("seg_id").as("label"))
-      .localCheckpoint()
-
-    var changed = true
-    var iter = 0
-    while (changed && iter < 12) {
-      val neighborMin = biPairs
-        .join(labels.select(col("seg_id").as("b"), col("label").as("nlabel")),
-          "b")
-        .groupBy(col("a").as("seg_id"))
-        .agg(min("nlabel").as("nmin"))
-      val stepped = labels.join(neighborMin, Seq("seg_id"), "left")
-        .select(col("seg_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
-      // pointer doubling: label := label(label) — halves chain depth
-      val updated = stepped
-        .join(stepped.select(col("seg_id").as("label"),
-          col("label").as("ll")), Seq("label"), "left")
-        .select(col("seg_id"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
-          (col("chg") || coalesce(col("ll"), col("label")) < col("label"))
-            .as("chg"))
-        .localCheckpoint()
-      // cheap scan over the (tiny, checkpointed) iteration output
-      changed = updated.filter(col("chg")).limit(1).count() > 0
-      labels = updated.drop("chg")
-      iter += 1
-    }
+    // singleton component and never enters the loop (shared min-label +
+    // pointer-doubling kernel, Clustering.minLabelComponents).
+    val labels = Clustering.minLabelComponents(pairs)
+      .withColumnRenamed("nid", "seg_id")
 
     val labeledAll = segments
       .join(labels, Seq("seg_id"), "left")

@@ -435,6 +435,246 @@ object SkiQueries {
       .orderBy("x0", "y0", "xn", "yn", "npts")
   }
 
+  // ---- J2 + clustering step 2: polygon containment assignment ------------
+  // OSM polygon ski areas (irregular convex hexagons around the order
+  // anchors) take ownership of runs fully COVERED by the polygon
+  // (`SkiAreaClusteringService.ts:353-361` + the ST_CoveredBy refine at
+  // `database/PostgreSQLClusteringDatabase.ts:680-711`): grid-cell
+  // prefilter → even-odd ray-cast refine on every run vertex. Areas
+  // with no covered objects are removed (`removeIfNoObjectsFound`), and
+  // areas whose members are >50%-by-length inside a site=piste relation
+  // are removed (`removeIfSubstantialNumberOfObjectsInSkiAreaSite`,
+  // `SkiAreaClusteringService.ts:684-700`; scenario
+  // `ClusterSkiAreas.integration.test.ts:2456`).
+  private val qPolygonAssign = QuerySpec.of(
+    "q_ski_polygon_assign", {
+      val lenSqlLocal = lenSql
+      s"""WITH $oraclePrelude,
+        |areas AS (
+        |  SELECT o_orderkey AS area_id,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |verts AS (
+        |  SELECT area_id, alon, alat, k,
+        |    alon + (CAST(0.004 AS DOUBLE) * (CAST(1 AS DOUBLE)
+        |      + CAST((area_id + k) % 3 AS DOUBLE) * CAST(0.3 AS DOUBLE)))
+        |      * (CASE k WHEN 0 THEN CAST(1 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE)
+        |         WHEN 2 THEN CAST(-0.5 AS DOUBLE) WHEN 3 THEN CAST(-1 AS DOUBLE)
+        |         WHEN 4 THEN CAST(-0.5 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) AS vx,
+        |    alat + (CAST(0.004 AS DOUBLE) * (CAST(1 AS DOUBLE)
+        |      + CAST((area_id + k) % 3 AS DOUBLE) * CAST(0.3 AS DOUBLE)))
+        |      * (CASE k WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN sqrt(CAST(3 AS DOUBLE)) / 2
+        |         WHEN 2 THEN sqrt(CAST(3 AS DOUBLE)) / 2 WHEN 3 THEN CAST(0 AS DOUBLE)
+        |         WHEN 4 THEN -(sqrt(CAST(3 AS DOUBLE)) / 2)
+        |         ELSE -(sqrt(CAST(3 AS DOUBLE)) / 2) END) AS vy
+        |  FROM areas, unnest([0, 1, 2, 3, 4, 5]) AS uk(k)),
+        |edges AS (
+        |  SELECT a.area_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+        |  FROM verts a JOIN verts b
+        |    ON a.area_id = b.area_id AND b.k = (a.k + 1) % 6),
+        |acells AS (
+        |  SELECT area_id, alon, alat,
+        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |runs AS (
+        |  SELECT way_id, (way_id % 8 = 3) AS in_site, ($lenSqlLocal) AS len_m,
+        |    lon0, lat0, dx, dy,
+        |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
+        |  FROM kept),
+        |cand AS (
+        |  SELECT a.area_id, r.way_id, r.in_site, r.len_m,
+        |    r.lon0, r.lat0, r.dx, r.dy
+        |  FROM acells a JOIN runs r ON a.cx = r.cx AND a.cy = r.cy),
+        |pts AS (
+        |  SELECT area_id, way_id, in_site, len_m, pidx,
+        |    CASE pidx WHEN 0 THEN lon0 WHEN 1 THEN lon0 + dx ELSE lon0 + dx * 2 END AS px,
+        |    CASE pidx WHEN 0 THEN lat0 ELSE lat0 + dy END AS py
+        |  FROM cand, unnest([0, 1, 2]) AS up(pidx)),
+        |inside AS (
+        |  SELECT p.area_id, p.way_id, p.in_site, p.len_m, p.pidx
+        |  FROM pts p JOIN edges e ON p.area_id = e.area_id
+        |  WHERE ((e.y1 > p.py) <> (e.y2 > p.py))
+        |    AND p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1
+        |  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) % 2 = 1),
+        |covered AS (
+        |  SELECT area_id, way_id, any_value(in_site) AS in_site,
+        |    any_value(len_m) AS len_m
+        |  FROM inside GROUP BY area_id, way_id HAVING count(*) = 3),
+        |agg AS (
+        |  SELECT area_id, count(*) AS n_runs,
+        |    CAST(sum(CASE WHEN in_site THEN 1 ELSE 0 END) AS BIGINT) AS n_site,
+        |    sum(len_m) AS total_m,
+        |    sum(CASE WHEN in_site THEN len_m ELSE CAST(0 AS DOUBLE) END) AS site_m
+        |  FROM covered GROUP BY area_id)
+        |SELECT area_id, n_runs, n_site, round(total_m / 1000.0, 4) AS total_km
+        |FROM agg
+        |WHERE NOT (total_m > 0 AND site_m / total_m > CAST(0.5 AS DOUBLE))
+        |ORDER BY area_id""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.GeoFunctions.pointInPolygon
+    val sqrt32 = sqrt(lit(3.0)) / 2
+    val cosK = Seq(lit(1.0), lit(0.5), lit(-0.5), lit(-1.0), lit(-0.5), lit(0.5))
+    val sinK = Seq(lit(0.0), sqrt32, sqrt32, lit(0.0), -sqrt32, -sqrt32)
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("alon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("alat"))
+      .withColumn("ring", array((0 until 6).map { k =>
+        val r = lit(0.004) * (lit(1.0)
+          + pmod(col("area_id") + k, lit(3)).cast("double") * lit(0.3))
+        array(col("alon") + r * cosK(k), col("alat") + r * sinK(k))
+      }: _*))
+    val acells = areas
+      .select(col("area_id"), col("ring"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
+        floor(col("alat") / CellDeg).cast("long").as("cyb"))
+      .select(col("area_id"), col("ring"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cyb") + j)).as("cy"))
+    val runs = formatted(s, d).filter(col("kept"))
+      .select(col("way_id"),
+        (pmod(col("way_id"), lit(8)) === 3).as("in_site"),
+        lineLengthM(col("coords")).as("len_m"), col("coords"))
+      .withColumn("cx", floor(element_at(element_at(col("coords"), 1), 1)
+        / CellDeg).cast("long"))
+      .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
+        / CellDeg).cast("long"))
+    val covered = acells.join(runs, Seq("cx", "cy"))
+      .filter(forall(col("coords"), p => pointInPolygon(
+        element_at(p, 1), element_at(p, 2), col("ring"))))
+    covered.groupBy("area_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(when(col("in_site"), 1L).otherwise(0L)).as("n_site"),
+        sum(col("len_m")).as("total_m"),
+        sum(when(col("in_site"), col("len_m")).otherwise(lit(0.0))).as("site_m"))
+      .filter(!(col("total_m") > 0 && col("site_m") / col("total_m") > 0.5))
+      .select(col("area_id"), col("n_runs"), col("n_site"),
+        round(col("total_m") / 1000.0, 4).as("total_km"))
+      .orderBy("area_id")
+  }
+
+  // ---- Clustering step 6: generate ski areas for unassigned objects ------
+  // The reference seeds a new ski area from each unassigned run and
+  // BFS-claims compatible objects within 500 m
+  // (`SkiAreaClusteringService.ts:903-1032`), then applies the
+  // ≥1-lift rule: a downhill area with no lift member loses its
+  // downhill activity (and members without another activity) —
+  // scenario "does not generate ski area for lone downhill run
+  // without lift" (`ClusterSkiAreas.integration.test.ts:186`).
+  // Spark-first canonicalization (order-independent, documented):
+  // per-activity connected components over the 500 m proximity graph —
+  // one generated area per (activity, component) containing ≥1 run,
+  // minus downhill components without a lift. Node ids encode the
+  // activity (oid·2 + nordic), so ONE label-propagation handles both
+  // activity graphs at once.
+  private val qAreaGen = QuerySpec.of(
+    "q_ski_area_gen", {
+      val hav = GeoFunctions.sqlHaversineM("l.lon", "l.lat", "r.lon", "r.lat")
+      s"""WITH RECURSIVE $oraclePrelude,
+        |rn AS (
+        |  SELECT way_id AS oid, u.act, lon0 AS lon, lat0 AS lat,
+        |    false AS is_lift
+        |  FROM kept, unnest(list_filter(uses,
+        |    x -> x IN ('downhill', 'nordic'))) AS u(act)),
+        |lf AS (
+        |  SELECT o_orderkey + 100000000 AS oid, 'downhill' AS act,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat,
+        |    true AS is_lift
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |nodes AS (
+        |  SELECT oid * 2 + CASE WHEN act = 'nordic' THEN 1 ELSE 0 END AS nid,
+        |    act, lon, lat, is_lift
+        |  FROM (SELECT * FROM rn UNION ALL SELECT * FROM lf)),
+        |cells AS (
+        |  SELECT nid, act, lon, lat,
+        |    CAST(floor(lon / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat / $CellDeg) AS BIGINT) AS cy
+        |  FROM nodes),
+        |lcells AS (
+        |  SELECT nid, act, lon, lat, cx + i AS cx2, cy + j AS cy2
+        |  FROM cells, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |pairs AS (
+        |  SELECT l.nid AS a, r.nid AS b
+        |  FROM lcells l JOIN cells r
+        |    ON l.act = r.act AND l.cx2 = r.cx AND l.cy2 = r.cy
+        |  WHERE l.nid < r.nid AND $hav <= $RadiusM),
+        |bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT nid, nid AS label FROM nodes
+        |  UNION
+        |  SELECT bi.b AS nid, r.label FROM reach r
+        |  JOIN bi ON bi.a = r.nid WHERE r.label < bi.b),
+        |lab AS (SELECT nid, min(label) AS label FROM reach GROUP BY nid),
+        |areas AS (
+        |  SELECT n.act, l.label,
+        |    count(CASE WHEN NOT n.is_lift THEN 1 END) AS n_runs,
+        |    count(CASE WHEN n.is_lift THEN 1 END) AS n_lifts
+        |  FROM nodes n JOIN lab l ON n.nid = l.nid
+        |  GROUP BY 1, 2)
+        |SELECT act AS activity, label // 2 AS area_oid, n_runs, n_lifts
+        |FROM areas
+        |WHERE n_runs > 0 AND NOT (act = 'downhill' AND n_lifts = 0)
+        |ORDER BY activity, area_oid""".stripMargin
+    }) { (s, d) =>
+    val runNodes = formatted(s, d).filter(col("kept"))
+      .select(col("way_id").as("oid"),
+        explode(array_intersect(col("uses"),
+          array(lit("downhill"), lit("nordic")))).as("act"),
+        element_at(element_at(col("coords"), 1), 1).as("lon"),
+        element_at(element_at(col("coords"), 1), 2).as("lat"))
+      .withColumn("is_lift", lit(false))
+    val liftNodes = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("oid"),
+        lit("downhill").as("act"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("lon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("lat"))
+      .withColumn("is_lift", lit(true))
+    val nodes = runNodes.unionByName(liftNodes)
+      .withColumn("nid",
+        col("oid") * 2 + when(col("act") === "nordic", 1L).otherwise(0L))
+      .withColumn("cx", floor(col("lon") / CellDeg).cast("long"))
+      .withColumn("cy", floor(col("lat") / CellDeg).cast("long"))
+      .localCheckpoint()
+    val lcells = nodes
+      .select(col("act"), col("nid").as("a"),
+        col("lon").as("alon"), col("lat").as("alat"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          i => col("cx") + i)).as("cx"),
+        col("cy").as("cyb"))
+      .select(col("act"), col("a"), col("alon"), col("alat"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cyb") + j)).as("cy"))
+    val pairs = lcells
+      .join(nodes.select(col("act"), col("nid").as("b"),
+        col("lon"), col("lat"), col("cx"), col("cy")), Seq("act", "cx", "cy"))
+      .filter(col("a") < col("b") &&
+        haversineM(col("alon"), col("alat"), col("lon"), col("lat")) <= RadiusM)
+      .select("a", "b")
+    val labels = Clustering.minLabelComponents(pairs)
+    nodes.join(labels, Seq("nid"), "left")
+      .withColumn("label", coalesce(col("label"), col("nid")))
+      .groupBy("act", "label")
+      .agg(count(when(!col("is_lift"), 1)).as("n_runs"),
+        count(when(col("is_lift"), 1)).as("n_lifts"))
+      .filter(col("n_runs") > 0 &&
+        !(col("act") === "downhill" && col("n_lifts") === 0))
+      .select(col("act").as("activity"),
+        shiftright(col("label"), 1).as("area_oid"),
+        col("n_runs"), col("n_lifts"))
+      .orderBy("activity", "area_oid")
+  }
+
   // ---- J10: transitive-closure clustering --------------------------------
   // Areas seed at order anchors with one activity; objects are kept
   // runs. Closure = chain of <=500 m hops between compatible objects;
@@ -646,5 +886,5 @@ object SkiQueries {
 
   val specs: Seq[QuerySpec] =
     Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize,
-      qNormalizeProps, qCluster, qLifts, qSpots)
+      qNormalizeProps, qPolygonAssign, qAreaGen, qCluster, qLifts, qSpots)
 }
