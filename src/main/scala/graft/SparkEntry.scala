@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Similarity.specs ++
       operators.Events.specs ++
       operators.SkiQueries.specs ++
+      operators.OutputFormats.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs
 

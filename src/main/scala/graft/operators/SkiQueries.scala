@@ -18,7 +18,7 @@ object SkiQueries {
   // Mirrors SkiFeatures' synthesis + Formatters.formatRuns semantics
   // (Status.ts cascade, grooming/gladed/oneway priority chains,
   // key-sorted name collection with ref-prefix strip).
-  private val oraclePrelude: String = {
+  private[operators] val oraclePrelude: String = {
     import SkiFeatures.sql._
     val validUses = SkiFeatures.ValidUses.map(u => s"'$u'").mkString(", ")
     s"""f AS (
@@ -82,7 +82,7 @@ object SkiQueries {
   // memoized + checkpointed so the interpreted formatter expressions
   // evaluate once per (session, sf) instead of being re-inlined into
   // each query plan (see SkiFeatures.build).
-  private def formatted(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[operators] def formatted(s: org.apache.spark.sql.SparkSession, d: String) =
     fmtMemo.getOrElseUpdate((s, d),
       Formatters.formatRuns(SkiFeatures.synthesize(s, d)).localCheckpoint())
 
@@ -108,7 +108,7 @@ object SkiQueries {
   }
 
   // ---- G1/G5: geodesic length + profile sampling per difficulty ----------
-  private val lenSql = GeoFunctions.sqlHaversineM("lon0", "lat0",
+  private[operators] val lenSql = GeoFunctions.sqlHaversineM("lon0", "lat0",
     "(lon0 + dx)", "(lat0 + dy)") +
     " + " + GeoFunctions.sqlHaversineM("(lon0 + dx)", "(lat0 + dy)",
     "(lon0 + dx * 2)", "(lat0 + dy)")
@@ -164,8 +164,8 @@ object SkiQueries {
   }
 
   // ---- J1: grid-cell distance join (500 m radius) ------------------------
-  private val CellDeg = 0.01
-  private val RadiusM = 500.0
+  private[operators] val CellDeg = 0.01
+  private[operators] val RadiusM = 500.0
 
   private val qGridJoin = QuerySpec.of(
     "q_ski_grid_join",
@@ -736,15 +736,10 @@ object SkiQueries {
       .orderBy("area_id")
   }
 
-  // ---- P2: lift formatter ------------------------------------------------
-  // Lift features synthesized from orders: lifecycle over aerialway
-  // (railway fallback by VALUE, rail values → 'railway', funicular
-  // kept), "m:ss"/minutes/3-component aerialway:duration parsing, the
-  // LiftFormatter.ts:42-53 drop set (access=private kept as a column),
-  // occupancy/capacity numbers, cabin booleans, name ref-prefix strip.
-  private val qLifts = QuerySpec.of(
-    "q_ski_format_lifts",
-    """WITH o AS (
+  // Shared DuckDB CTEs for the synthesized lift features → `lfmt`
+  // (mirrors liftFeatures + Formatters.formatLifts).
+  private[operators] val liftOracleCtes: String =
+    """o AS (
       |  SELECT o_orderkey AS lift_id, o_orderkey % 5 AS lifecycle,
       |    o_custkey % 8 AS tidx, o_custkey % 13 AS ck13, o_custkey % 7 AS acc7,
       |    o_orderkey % 3 AS dfmt, o_orderkey % 12 AS mins, o_custkey % 60 AS secs,
@@ -753,7 +748,7 @@ object SkiQueries {
       |    o_orderkey % 4 AS det, o_custkey % 5 AS ow,
       |    o_orderkey % 2 AS nm, o_custkey % 30 AS refn
       |  FROM orders),
-      |fmt AS (
+      |lfmt AS (
       |  SELECT lift_id,
       |    CASE WHEN lifecycle = 0 THEN 'proposed'
       |         WHEN lifecycle = 1 THEN 'disused'
@@ -772,8 +767,20 @@ object SkiQueries {
       |    CASE WHEN acc7 = 0 THEN 'private' END AS access,
       |    CASE WHEN nm = 0 THEN 'Apex' ELSE 'Apex Lift' END AS name,
       |    'L' || CAST(refn AS VARCHAR) AS ref
-      |  FROM o WHERE ck13 > 7 AND tidx <> 4)
-      |SELECT * FROM fmt ORDER BY lift_id""".stripMargin) { (s, d) =>
+      |  FROM o WHERE ck13 > 7 AND tidx <> 4)""".stripMargin
+
+  private val liftMemo = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  /** Formatted lift features (memoized + checkpointed scaffolding). */
+  private[operators] def formattedLifts(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    liftMemo.getOrElseUpdate((s, d),
+      Formatters.formatLifts(liftFeatures(s, d)).localCheckpoint())
+
+  /** Synthesized raw lift features (lift_id, tags). */
+  private def liftFeatures(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val o = graft.Tables.orders(s, d)
     val lifecycle = pmod(col("o_orderkey"), lit(5))
     val tidx = pmod(col("o_custkey"), lit(8))
@@ -827,10 +834,22 @@ object SkiQueries {
         concat(lit("L"), refn.cast("string"), lit(" - Apex")))
         .otherwise(lit("Apex Lift")),
       lit("ref"), concat(lit("L"), refn.cast("string")))
-    val features = graft.Tables.fanout(o)
+    graft.Tables.fanout(o)
       .select(col("o_orderkey").as("lift_id"), tags.as("tags"))
       .localCheckpoint()
-    Formatters.formatLifts(features)
+  }
+
+  // ---- P2: lift formatter ------------------------------------------------
+  // Lift features synthesized from orders: lifecycle over aerialway
+  // (railway fallback by VALUE, rail values → 'railway', funicular
+  // kept), "m:ss"/minutes/3-component aerialway:duration parsing, the
+  // LiftFormatter.ts:42-53 drop set (access=private kept as a column),
+  // occupancy/capacity numbers, cabin booleans, name ref-prefix strip.
+  private val qLifts = QuerySpec.of(
+    "q_ski_format_lifts",
+    s"""WITH $liftOracleCtes
+      |SELECT * FROM lfmt ORDER BY lift_id""".stripMargin) { (s, d) =>
+    formattedLifts(s, d)
       .select("lift_id", "status", "lift_type", "duration_s", "occupancy",
         "capacity", "bubble", "heating", "detachable", "oneway", "access",
         "name", "ref")
