@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Events.specs ++
       operators.SkiQueries.specs ++
       operators.OutputFormats.specs ++
+      operators.SnowCover.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs
 

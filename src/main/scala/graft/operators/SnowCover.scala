@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snow-cover history (SURVEY E6 + A2,
+  * `/root/reference/src/utils/snowCoverHistory.ts:22-265`,
+  * `src/statistics/SkiAreaStatistics.ts:237-308`).
+  *
+  * The reference stores a weekly VIIRS archive per pixel —
+  * `data[week] = [snow_cover, cloud_persistence]` — and converts it to
+  * daily history: week w of base year starts at Jan 1 + (w−1)·7 days,
+  * the measurement lands `cloud_persistence` days EARLIER (possibly in
+  * the previous year), invalid codes (snow > 100) are dropped, and when
+  * two weeks of one pixel land on the same (year, day) the one with
+  * LESS cloud persistence wins (earlier week on ties). Aggregation over
+  * a pixel set emits per (year, day): round(mean snow cover) and
+  * round(contributing / total pixels · 100).
+  *
+  * Here the archive is synthesized deterministically from the pixel
+  * ids (the container has no VIIRS archive; the SHAPE — weekly arrays,
+  * invalid codes, persistence shifts across year boundaries, same-day
+  * collisions — is fully exercised), pixels come from the runs' E5
+  * VIIRS assignment, and both the per-tile history (E6) and the
+  * per-activity statistics (A2: activities ∩ {downhill, nordic},
+  * else 'other') are oracle-checked per (group, year, day) row.
+  *
+  * Scale notes: archive synthesis explodes (pixel × year × week) —
+  * at 100 TB the archive is a real table partitioned by tile, and this
+  * pipeline is one narrow projection + two hash aggregations on flat
+  * keys; the only shuffle is the (group, year, day) groupBy.
+  */
+object SnowCover {
+
+  private val Years = Seq(2022, 2023)
+  private val SampleMod = 997
+
+  /** Per-pixel daily measurements (h, v, px, py, ayear, day, snow)
+    * after validity filtering and min-persistence dedupe.
+    */
+  private def dailyFromPixels(pixels: DataFrame): DataFrame = {
+    val arch = pixels
+      .select(col("h"), col("v"), col("px"), col("py"),
+        explode(lit(Years.toArray)).as("byear"))
+      .select(col("*"), explode(sequence(lit(1), lit(52))).as("week"))
+      .withColumn("snow",
+        pmod(col("px") * 7 + col("py") * 3 + col("week") * 11, lit(110)))
+      .withColumn("pers", pmod(col("px") + col("py") + col("week"), lit(9)))
+    val shifted = arch
+      .filter(col("snow") <= 100)
+      .withColumn("d", date_add(make_date(col("byear"), lit(1), lit(1)),
+        (col("week") - 1) * 7 - col("pers")))
+      .withColumn("ayear", year(col("d")))
+      .withColumn("day", dayofyear(col("d")))
+    val w = Window.partitionBy("h", "v", "px", "py", "ayear", "day")
+      .orderBy("pers", "week")
+    shifted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("h", "v", "px", "py", "ayear", "day", "snow")
+  }
+
+  /** Sampled run pixels: way_id, uses, h, v, px, py (first point). */
+  private def runPixels(s: SparkSession, d: String): DataFrame =
+    SkiQueries.formatted(s, d).filter(col("kept"))
+      .filter(pmod(col("way_id"), lit(SampleMod)) === 0)
+      .select(col("way_id"), col("uses"),
+        GeoFunctions.viirsPixel(
+          element_at(element_at(col("coords"), 1), 1),
+          element_at(element_at(col("coords"), 1), 2)).as("p"))
+      .select(col("way_id"), col("uses"),
+        col("p.h").as("h"), col("p.v").as("v"),
+        col("p.px").as("px"), col("p.py").as("py"))
+
+  private def roundHalfUp(c: Column): Column =
+    floor(c + 0.5).cast("long")
+
+  // Shared oracle SQL fragments -------------------------------------------
+  private def sqlPix: String = {
+    val sv = GeoFunctions.sqlViirsPixel("lon0", "lat0")
+    s"""pix0 AS (
+      |  SELECT way_id, uses, $sv AS sv
+      |  FROM kept WHERE way_id % $SampleMod = 0),
+      |pixw AS (
+      |  SELECT way_id, uses, (sv).h AS h, (sv).v AS v,
+      |    (sv).px AS px, (sv).py AS py
+      |  FROM pix0),
+      |pix AS (SELECT DISTINCT h, v, px, py FROM pixw),
+      |arch AS (
+      |  SELECT h, v, px, py, y.byear, w.week,
+      |    (px * 7 + py * 3 + week * 11) % 110 AS snow,
+      |    (px + py + week) % 9 AS pers
+      |  FROM pix, unnest([${Years.mkString(", ")}]) AS y(byear),
+      |    unnest(generate_series(1, 52)) AS w(week)),
+      |daily AS (
+      |  SELECT h, v, px, py,
+      |    year(make_date(byear, 1, 1) + CAST((week - 1) * 7 - pers AS INT)) AS ayear,
+      |    dayofyear(make_date(byear, 1, 1) + CAST((week - 1) * 7 - pers AS INT)) AS day,
+      |    snow
+      |  FROM arch WHERE snow <= 100
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY h, v, px, py, ayear, day ORDER BY pers, week) = 1)""".stripMargin
+  }
+
+  // ---- E6: per-tile snow-cover history -----------------------------------
+  private val qHistory = QuerySpec.of(
+    "q_ski_snow_history",
+    s"""WITH ${SkiQueries.oraclePrelude},
+      |$sqlPix,
+      |tot AS (SELECT h, v, count(*) AS npix FROM pix GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT h, v, ayear, day, count(*) AS n,
+      |    CAST(sum(snow) AS BIGINT) AS snow_sum
+      |  FROM daily GROUP BY 1, 2, 3, 4)
+      |SELECT a.h, a.v, a.ayear AS year, a.day,
+      |  CAST(floor(CAST(snow_sum AS DOUBLE) / n + 0.5) AS BIGINT) AS snow_cover,
+      |  CAST(floor(CAST(n AS DOUBLE) / npix * 100 + 0.5) AS BIGINT) AS valid_pct
+      |FROM agg a JOIN tot t ON a.h = t.h AND a.v = t.v
+      |ORDER BY a.h, a.v, year, a.day""".stripMargin) { (s, d) =>
+    val pixels = runPixels(s, d).select("h", "v", "px", "py").distinct()
+      .localCheckpoint()
+    val daily = dailyFromPixels(pixels)
+    val tot = pixels.groupBy("h", "v").agg(count(lit(1)).as("npix"))
+    daily.groupBy("h", "v", "ayear", "day")
+      .agg(count(lit(1)).as("n"), sum("snow").as("snow_sum"))
+      .join(tot, Seq("h", "v"))
+      .select(col("h"), col("v"), col("ayear").as("year"), col("day"),
+        roundHalfUp(col("snow_sum").cast("double") / col("n"))
+          .as("snow_cover"),
+        roundHalfUp(col("n").cast("double") / col("npix") * 100)
+          .as("valid_pct"))
+      .orderBy("h", "v", "year", "day")
+  }
+
+  // ---- A2: per-activity snow-cover statistics ----------------------------
+  private val qStats = QuerySpec.of(
+    "q_ski_snow_stats",
+    s"""WITH ${SkiQueries.oraclePrelude},
+      |$sqlPix,
+      |apx0 AS (
+      |  SELECT u.activity, h, v, px, py
+      |  FROM pixw, unnest(
+      |    CASE WHEN len(list_filter(uses, x -> x IN ('downhill', 'nordic'))) = 0
+      |      THEN ['other']
+      |      ELSE list_filter(uses, x -> x IN ('downhill', 'nordic'))
+      |    END) AS u(activity)),
+      |apx AS (SELECT DISTINCT activity, h, v, px, py FROM apx0),
+      |atot AS (SELECT activity, count(*) AS npix FROM apx GROUP BY 1),
+      |aagg AS (
+      |  SELECT p.activity, d.ayear, d.day, count(*) AS n,
+      |    CAST(sum(d.snow) AS BIGINT) AS snow_sum
+      |  FROM daily d JOIN apx p
+      |    ON d.h = p.h AND d.v = p.v AND d.px = p.px AND d.py = p.py
+      |  GROUP BY 1, 2, 3)
+      |SELECT a.activity, a.ayear AS year, a.day,
+      |  CAST(floor(CAST(snow_sum AS DOUBLE) / n + 0.5) AS BIGINT) AS snow_cover,
+      |  CAST(floor(CAST(n AS DOUBLE) / npix * 100 + 0.5) AS BIGINT) AS valid_pct
+      |FROM aagg a JOIN atot t ON a.activity = t.activity
+      |ORDER BY a.activity, year, a.day""".stripMargin) { (s, d) =>
+    val rp = runPixels(s, d).localCheckpoint()
+    val acts = filter(col("uses"), u => u.isin("downhill", "nordic"))
+    val apx = rp
+      .select(explode(when(size(acts) === 0, array(lit("other")))
+        .otherwise(acts)).as("activity"),
+        col("h"), col("v"), col("px"), col("py"))
+      .distinct()
+      .localCheckpoint()
+    val daily = dailyFromPixels(
+      rp.select("h", "v", "px", "py").distinct())
+    val atot = apx.groupBy("activity").agg(count(lit(1)).as("npix"))
+    daily.join(apx, Seq("h", "v", "px", "py"))
+      .groupBy("activity", "ayear", "day")
+      .agg(count(lit(1)).as("n"), sum("snow").as("snow_sum"))
+      .join(atot, Seq("activity"))
+      .select(col("activity"), col("ayear").as("year"), col("day"),
+        roundHalfUp(col("snow_sum").cast("double") / col("n"))
+          .as("snow_cover"),
+        roundHalfUp(col("n").cast("double") / col("npix") * 100)
+          .as("valid_pct"))
+      .orderBy("activity", "year", "day")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qHistory, qStats)
+}
