@@ -19,6 +19,7 @@ object SparkEntry {
       operators.SkiQueries.specs ++
       operators.OutputFormats.specs ++
       operators.SnowCover.specs ++
+      operators.LiftStations.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs
 

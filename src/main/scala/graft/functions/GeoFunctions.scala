@@ -118,6 +118,41 @@ object GeoFunctions {
   def profilePointCount(lengthM: Column, resolutionM: Double): Column =
     greatest(lit(2L), (floor(lengthM / resolutionM) + 2).cast("long"))
 
+  /** Nearest point on a polyline (G3, the columnar analog of turf
+    * nearest-point-on-line used by the lift-station associator,
+    * `/root/reference/src/clustering/LiftStationAssociator.ts:155-186`):
+    * per segment, project the point in a local equirectangular frame
+    * (lon scaled by cos(lat)), clamp to the segment, take the snapped
+    * point of the closest segment (earlier segment wins ties).
+    * Returns struct(dist_m, lon, lat, t).
+    */
+  def nearestPointOnLine(plon: Column, plat: Column, coords: Column): Column = {
+    val kx = cos(radians(plat))
+    aggregate(
+      sequence(lit(1), size(coords) - 1),
+      struct(lit(Double.MaxValue).as("dist_m"), lit(0.0).as("lon"),
+        lit(0.0).as("lat"), lit(0.0).as("t")),
+      (best, i) => {
+        val a = element_at(coords, i)
+        val b = element_at(coords, i + 1)
+        val ax = (element_at(a, 1) - plon) * kx
+        val ay = element_at(a, 2) - plat
+        val bx = (element_at(b, 1) - plon) * kx
+        val by = element_at(b, 2) - plat
+        val dx = bx - ax
+        val dy = by - ay
+        val tRaw = -(ax * dx + ay * dy) / (dx * dx + dy * dy)
+        val t = least(greatest(tRaw, lit(0.0)), lit(1.0))
+        val slon = plon + (ax + dx * t) / kx
+        val slat = plat + (ay + dy * t)
+        val dist = haversineM(plon, plat, slon, slat)
+        val cand = struct(dist.as("dist_m"), slon.as("lon"),
+          slat.as("lat"), t.as("t"))
+        when(cand.getField("dist_m") < best.getField("dist_m"), cand)
+          .otherwise(best)
+      })
+  }
+
   /** Even-odd ray-cast point-in-polygon (J2 refine; the columnar
     * analog of the reference's ST_CoveredBy refine,
     * `/root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:680-711`).
