@@ -25,7 +25,6 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val DIM = 64
-  private val PLANES = 6
   private val TOPK = 5
   private val NQUERIES = 10
 
@@ -38,9 +37,6 @@ object Similarity {
     val hex = digest.take(4).map(b => f"${b & 0xff}%02x").mkString
     ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
   }
-
-  private lazy val planes: Seq[Seq[Double]] =
-    (0 until PLANES).map(j => (0 until DIM).map(i => planeComponent(j, i)))
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -96,46 +92,107 @@ object Similarity {
   }
 
   // ---- sign-LSH bucketed -------------------------------------------------
-  private def bucketExpr(v: Column): Column =
-    (0 until PLANES).map { j =>
-      val plane = array(planes(j).map(lit): _*)
+  // Scale design: the plane count derives from the corpus size
+  // (log2(n / targetBucket) → buckets stay ~constant-sized at any scale
+  // instead of going quadratic), TWO independent hash tables (seed
+  // bases 0 and 1000) recover the recall lost to more planes, and each
+  // bucket caps its candidate list at BUCKET_CAP (deterministic
+  // lowest-vec_id survivors) with the dropped-candidate count LOGGED,
+  // not silent. Corpus count is read once at plan time (metadata, like
+  // AQE statistics); the oracle recomputes the identical plane count
+  // from its own count(*).
+  private val TARGET_BUCKET = 256
+  private val BUCKET_CAP = 50
+
+  private def nPlanes(n: Long): Int =
+    math.max(4, math.ceil(math.log(n / TARGET_BUCKET.toDouble)
+      / math.log(2.0)).toInt)
+
+  private def bucketExpr(v: Column, table: Int, np: Int): Column =
+    (0 until np).map { j =>
+      val plane = array((0 until DIM)
+        .map(i => lit(planeComponent(table * 1000 + j, i))): _*)
       when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private val duckBucket = {
+  private def duckBucket(table: Int) = {
     val planeC = (j: String, i: String) =>
       s"((CAST(('0x' || substr(md5($j || ':' || $i), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0)"
     val dotJ = s"list_sum(list_transform(range(1, ${DIM + 1}), " +
-      s"i -> v[i] * ${planeC("j", "(i - 1)")}))"
-    s"list_sum(list_transform(range(0, $PLANES), " +
+      s"i -> v[i] * ${planeC(s"(${table * 1000} + j)", "(i - 1)")}))"
+    s"list_sum(list_transform(range(0, np), " +
       s"j -> CASE WHEN $dotJ > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))"
   }
 
   private val qLsh = QuerySpec.of(
     "q_ann_lsh",
     s"""WITH $duckNorm,
-      |b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM n),
+      |cnt AS (SELECT greatest(4, CAST(ceil(log2(CAST(count(*) AS DOUBLE)
+      |  / $TARGET_BUCKET)) AS INT)) AS np FROM e),
+      |b AS (SELECT vec_id, v, nrm, ${duckBucket(0)} AS b0,
+      |  ${duckBucket(1)} AS b1 FROM n CROSS JOIN cnt),
+      |capped AS (
+      |  SELECT *, row_number() OVER (PARTITION BY b0 ORDER BY vec_id) AS r0,
+      |    row_number() OVER (PARTITION BY b1 ORDER BY vec_id) AS r1
+      |  FROM b),
       |q AS (SELECT * FROM b WHERE vec_id < $NQUERIES),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      |  FROM q JOIN capped c ON q.b0 = c.b0
+      |  WHERE c.r0 <= $BUCKET_CAP AND c.vec_id <> q.vec_id
+      |  UNION
+      |  SELECT q.vec_id, c.vec_id
+      |  FROM q JOIN capped c ON q.b1 = c.b1
+      |  WHERE c.r1 <= $BUCKET_CAP AND c.vec_id <> q.vec_id),
       |s AS (
-      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |  SELECT p.query_id, p.cand_id,
       |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
-      |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+      |  FROM pairs p JOIN b q ON p.query_id = q.vec_id
+      |  JOIN b c ON p.cand_id = c.vec_id),
       |r AS (SELECT *, row_number() OVER
       |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM s)
       |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk
       |FROM r WHERE rk <= $TOPK
       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    // plan-time metadata: corpus size → plane count (the oracle
+    // recomputes the same from count(*))
+    val np = nPlanes(Tables.embeddings(s, d).count())
     val b = normalized(Tables.embeddings(s, d))
-      .withColumn("bucket", bucketExpr(col("v")))
-    val q = b.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
-    val c = b.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-      col("nrm").as("cn"), col("bucket"))
+      .withColumn("b0", bucketExpr(col("v"), 0, np))
+      .withColumn("b1", bucketExpr(col("v"), 1, np))
+      .localCheckpoint()
+    val c0 = b.withColumn("r",
+      row_number().over(Window.partitionBy("b0").orderBy("vec_id")))
+    val c1 = b.withColumn("r",
+      row_number().over(Window.partitionBy("b1").orderBy("vec_id")))
+    val dropped = c0.filter(col("r") > BUCKET_CAP).count() +
+      c1.filter(col("r") > BUCKET_CAP).count()
+    if (dropped > 0)
+      println(s"[ann-lsh] planes=$np cap=$BUCKET_CAP dropped=$dropped " +
+        "candidate slots (deterministic lowest-id kept)")
+    val qSel = b.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("b0").as("qb0"),
+        col("b1").as("qb1"))
+    val p0 = c0.filter(col("r") <= BUCKET_CAP)
+      .select(col("vec_id").as("cand_id"), col("b0"))
+      .join(broadcast(qSel), col("b0") === col("qb0"))
+      .select("query_id", "cand_id")
+    val p1 = c1.filter(col("r") <= BUCKET_CAP)
+      .select(col("vec_id").as("cand_id"), col("b1"))
+      .join(broadcast(qSel), col("b1") === col("qb1"))
+      .select("query_id", "cand_id")
+    val pairs = p0.unionByName(p1)
+      .filter(col("cand_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "cand_id")
+    val qv = b.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val cv = b.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("cand_id") =!= col("query_id"))
+    pairs
+      .join(broadcast(qv.filter(col("query_id") < NQUERIES)), "query_id")
+      .join(cv, "cand_id")
       .withColumn("cos", round(dot(col("qv"), col("cv"))
         / (col("qn") * col("cn")), 9))
       .select(col("query_id"), col("cand_id"), col("cos"))
