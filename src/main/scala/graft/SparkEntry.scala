@@ -20,6 +20,7 @@ object SparkEntry {
       operators.OutputFormats.specs ++
       operators.SnowCover.specs ++
       operators.LiftStations.specs ++
+      operators.Geocoding.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs
 

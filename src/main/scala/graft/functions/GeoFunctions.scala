@@ -118,6 +118,48 @@ object GeoFunctions {
   def profilePointCount(lengthM: Column, resolutionM: Double): Column =
     greatest(lit(2L), (floor(lengthM / resolutionM) + 2).cast("long"))
 
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash-6 cell key (E3 geocode cache keying,
+    * `/root/reference/src/transforms/Geocoder.ts:58,140`): 30 bits —
+    * 15 lon + 15 lat interleaved lon-first — base32-encoded. Pure
+    * integer/bit column expressions; the oracle computes the identical
+    * interleave (`sql` CTE fragments below).
+    */
+  def geohash6(lon: Column, lat: Column): Column = {
+    val lonN = least(greatest(
+      floor((lon + 180.0) / 360.0 * 32768.0).cast("long"), lit(0L)),
+      lit(32767L))
+    val latN = least(greatest(
+      floor((lat + 90.0) / 180.0 * 32768.0).cast("long"), lit(0L)),
+      lit(32767L))
+    val iv = (0 until 15).map { k =>
+      shiftleft(shiftright(lonN, k).bitwiseAND(lit(1L)), 2 * k + 1) +
+        shiftleft(shiftright(latN, k).bitwiseAND(lit(1L)), 2 * k)
+    }.reduce(_ + _)
+    concat((0 until 6).map { c =>
+      val digit = shiftright(iv, 25 - 5 * c).bitwiseAND(lit(31L))
+      lit(GeohashAlphabet).substr((digit + 1).cast("int"), lit(1))
+    }: _*)
+  }
+
+  /** DuckDB twin of [[geohash6]]: (lonN expr, latN expr, iv expr from
+    * lonN/latN columns, geohash expr from an iv column).
+    */
+  def sqlGeohash6(lon: String, lat: String): (String, String, String, String) = {
+    val lonN =
+      s"least(greatest(CAST(floor(($lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 0), 32767)"
+    val latN =
+      s"least(greatest(CAST(floor(($lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 0), 32767)"
+    val iv = (0 until 15).map { k =>
+      s"(((lonN >> $k) & 1) << ${2 * k + 1}) + (((latN >> $k) & 1) << ${2 * k})"
+    }.mkString(" + ")
+    val gh = (0 until 6).map { c =>
+      s"substr('$GeohashAlphabet', CAST(((iv >> ${25 - 5 * c}) & 31) + 1 AS INT), 1)"
+    }.mkString(" || ")
+    (lonN, latN, iv, gh)
+  }
+
   /** Nearest point on a polyline (G3, the columnar analog of turf
     * nearest-point-on-line used by the lift-station associator,
     * `/root/reference/src/clustering/LiftStationAssociator.ts:155-186`):

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.{GeoFunctions, HashFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reverse geocoding (SURVEY E3,
+  * `/root/reference/src/transforms/Geocoder.ts:62-389` +
+  * `src/transforms/PlaceUtils.ts:7-69`): geometry points are keyed by
+  * GEOHASH-6 cells (the reference's `geocodePrecision = 6`), looked up
+  * through the cache-aside kernel (distinct keys → anti-join vs cache
+  * → batched fetch → join back), resolved to places, then per feature
+  * DEDUPLICATED by (locality, region, country) and SORTED locality →
+  * region → country with nulls LAST (PlaceUtils.sortPlaces/
+  * uniquePlaces).
+  *
+  * The geocoding backend is a deterministic stub (zero-egress
+  * container): place fields derive from the portable hash of the
+  * geohash key, with nulls injected to exercise the nulls-last sort.
+  * A place renders as "locality/region/country" with '~' for null —
+  * '~' sorts after alphanumerics, so one string serves as both sort
+  * key and display (the oracle uses the identical encoding).
+  *
+  * Scale notes: geohash keying collapses nearby points into one cache
+  * key BEFORE the fetch (the reference's request dedup, distributed);
+  * the per-feature aggregation is one groupBy on way_id.
+  */
+object Geocoding {
+
+  private val SampleMod = 13
+
+  /** Deterministic place stub from a geohash key. */
+  private def stubPlace(key: Column): Column = {
+    val h = HashFunctions.hash32(key)
+    val ctry = concat(lit("C"), pmod(h, lit(40)))
+    val reg = when(pmod(h, lit(7)) === 0, lit("~"))
+      .otherwise(concat(lit("R"), pmod(h, lit(150))))
+    val loc = when(pmod(h, lit(3)) === 0, lit("~"))
+      .otherwise(concat(lit("L"), pmod(h, lit(900))))
+    concat(loc, lit("/"), reg, lit("/"), ctry)
+  }
+
+  private def sqlStubPlace(key: String): String = {
+    val h = HashFunctions.sqlHash32(key)
+    s"""(CASE WHEN $h % 3 = 0 THEN '~' ELSE 'L' || CAST($h % 900 AS VARCHAR) END)
+       | || '/' ||
+       |(CASE WHEN $h % 7 = 0 THEN '~' ELSE 'R' || CAST($h % 150 AS VARCHAR) END)
+       | || '/' || ('C' || CAST($h % 40 AS VARCHAR))""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
+  private val qGeocode = QuerySpec.of(
+    "q_ski_geocode", {
+      val (lonN, latN, iv, gh) = GeoFunctions.sqlGeohash6("(p).lon", "(p).lat")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |pts AS (
+        |  SELECT way_id, p FROM kept,
+        |    unnest([{'lon': lon0, 'lat': lat0},
+        |            {'lon': lon0 + dx, 'lat': lat0 + dy},
+        |            {'lon': lon0 + dx * 2, 'lat': lat0 + dy}]) AS u(p)
+        |  WHERE way_id % $SampleMod = 0),
+        |g1 AS (SELECT way_id, $lonN AS lonN, $latN AS latN FROM pts),
+        |g2 AS (SELECT way_id, $iv AS iv FROM g1),
+        |g3 AS (SELECT way_id, $gh AS key FROM g2),
+        |resolved AS (
+        |  SELECT way_id, ${sqlStubPlace("key")} AS place FROM g3)
+        |SELECT way_id,
+        |  CAST(len(list_sort(list_distinct(list(place)))) AS BIGINT) AS n_places,
+        |  array_to_string(list_sort(list_distinct(list(place))), '; ') AS places
+        |FROM resolved GROUP BY way_id ORDER BY way_id""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val pts = SkiQueries.formatted(s, d).filter(col("kept"))
+      .filter(pmod(col("way_id"), lit(SampleMod)) === 0)
+      .select(col("way_id"), explode(col("coords")).as("p"))
+      .select(col("way_id"),
+        GeoFunctions.geohash6(element_at(col("p"), 1),
+          element_at(col("p"), 2)).as("key"))
+    // cache-aside through the shared kernel (empty initial cache — the
+    // distinct-key anti-join + batched stub fetch mechanics are real)
+    val cache0 = Seq.empty[(String, String)].toDF("key", "value")
+    val (lookup, _) = Enrichment.cacheAside(
+      pts.select("key"), cache0, lit(true),
+      missing => missing.withColumn("value", stubPlace(col("key"))))
+    pts.join(lookup, "key")
+      .groupBy("way_id")
+      .agg(
+        size(array_sort(array_distinct(collect_list(col("value")))))
+          .cast("long").as("n_places"),
+        array_join(array_sort(array_distinct(collect_list(col("value")))),
+          "; ").as("places"))
+      .orderBy("way_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qGeocode)
+}
