@@ -21,6 +21,7 @@ object SparkEntry {
       operators.SnowCover.specs ++
       operators.LiftStations.specs ++
       operators.Geocoding.specs ++
+      operators.Statistics.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs
 

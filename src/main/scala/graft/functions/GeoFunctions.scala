@@ -118,6 +118,40 @@ object GeoFunctions {
   def profilePointCount(lengthM: Column, resolutionM: Double): Column =
     greatest(lit(2L), (floor(lengthM / resolutionM) + 2).cast("long"))
 
+  /** E2: elevation-profile HEIGHTS — z sampled every `res` meters of
+    * along-line distance (linear interpolation within each segment)
+    * plus the endpoint (`/root/reference/src/transforms/Elevation.ts:108-144`).
+    * General segment walk as a fold; coords are 3D [lon, lat, z].
+    */
+  def profileHeights(coords: Column, res: Double): Column = {
+    val l = lineLengthM(coords)
+    val lastZ = element_at(element_at(coords, -1), 3)
+    val samples = transform(
+      sequence(lit(0L), floor(l / res).cast("long")),
+      k => {
+        val t = k.cast("double") * res
+        val acc = aggregate(
+          sequence(lit(1), size(coords) - 1),
+          struct(lit(0.0).as("d"), lit(null).cast("double").as("z")),
+          (a, i) => {
+            val p = element_at(coords, i)
+            val q = element_at(coords, i + 1)
+            val segLen = haversineM(element_at(p, 1), element_at(p, 2),
+              element_at(q, 1), element_at(q, 2))
+            val za = element_at(p, 3)
+            val zb = element_at(q, 3)
+            when(a.getField("z").isNull && segLen > 0
+                && t <= a.getField("d") + segLen,
+              struct((a.getField("d") + segLen).as("d"),
+                (za + (zb - za) * (t - a.getField("d")) / segLen).as("z")))
+              .otherwise(struct((a.getField("d") + segLen).as("d"),
+                a.getField("z").as("z")))
+          })
+        coalesce(acc.getField("z"), lastZ)
+      })
+    concat(samples, array(lastZ))
+  }
+
   val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
   /** Geohash-6 cell key (E3 geocode cache keying,
