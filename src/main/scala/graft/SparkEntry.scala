@@ -22,6 +22,7 @@ object SparkEntry {
       operators.LiftStations.specs ++
       operators.Geocoding.specs ++
       operators.Statistics.specs ++
+      operators.SkiAreaOps.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs
 

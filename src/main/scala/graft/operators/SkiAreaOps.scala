@@ -1,0 +1,457 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ski-area object operations: the Skimap↔OSM merge (clustering step 4,
+  * `/root/reference/src/clustering/MergeSkiAreaObjects.ts:8-100`), the
+  * guaranteed-inside central point (G6,
+  * `src/transforms/GeoTransforms.ts:16-82`), the synthetic ski-area
+  * point (G4, `src/clustering/SkiAreaClusteringService.ts:1273-1300`)
+  * and a bbox/center viewport hint (G7, documented stand-in for the
+  * unvendored openskidata-format computeViewportHint).
+  *
+  * Merge semantics: each Skimap.org ski area merges into every OSM ski
+  * area within 500 m sharing an activity (grid-cell candidate join) —
+  * name/status/wikidata first-non-null (primary first), activities
+  * union, websites prefer the pure-OSM side when it has any, geometry
+  * prefers the non-placeholder side ([360, 360] placeholder rule).
+  * Merged Skimap areas are removed; unmatched ones survive standalone.
+  * Multi-merge reduces in ascending Skimap id order (the reference
+  * reduces in cursor order — canonicalized here).
+  */
+object SkiAreaOps {
+
+  private val CellDeg = 0.01
+  private val RadiusM = 500.0
+
+  // ---- step 4: Skimap ↔ OSM ski-area merge -------------------------------
+  private val qMerge = QuerySpec.of(
+    "q_ski_area_merge", {
+      val hav = GeoFunctions.sqlHaversineM("o.lon", "o.lat", "k.lon", "k.lat")
+      s"""WITH osm AS (
+        |  SELECT o_orderkey AS area_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE 'Osm ' || CAST(o_orderkey AS VARCHAR) END AS name,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN ['downhill'] ELSE ['nordic'] END AS acts,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |      THEN ['https://osm.example/' || CAST(o_orderkey AS VARCHAR)]
+        |      ELSE [] END AS websites,
+        |    CASE WHEN o_orderkey % 11 = 0
+        |      THEN 'Q' || CAST(o_orderkey AS VARCHAR) END AS wikidata,
+        |    (o_orderkey % 5 = 0) AS placeholder,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN CAST(360 AS DOUBLE)
+        |      ELSE CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0
+        |    END AS glon,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN CAST(360 AS DOUBLE)
+        |      ELSE CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0
+        |    END AS glat,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |sk AS (
+        |  SELECT o_orderkey AS sk_id, 'Skimap ' || CAST(o_orderkey AS VARCHAR) AS name,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN ['downhill']
+        |      ELSE ['downhill', 'nordic'] END AS acts,
+        |    ['https://skimap.example/' || CAST(o_orderkey AS VARCHAR)] AS websites,
+        |    CASE WHEN o_orderkey % 13 = 0
+        |      THEN 'Q' || CAST(o_orderkey * 2 AS VARCHAR) END AS wikidata,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat
+        |  FROM orders WHERE o_orderkey % 41 = 0),
+        |ocell AS (
+        |  SELECT area_id, lon, lat, acts,
+        |    CAST(floor(lon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(lat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM osm, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |kcell AS (
+        |  SELECT sk_id, lon, lat, acts,
+        |    CAST(floor(lon / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat / $CellDeg) AS BIGINT) AS cy
+        |  FROM sk),
+        |matched AS (
+        |  SELECT o.area_id, k.sk_id
+        |  FROM ocell o JOIN kcell k ON o.cx = k.cx AND o.cy = k.cy
+        |  WHERE ($hav) <= $RadiusM
+        |    AND len(list_intersect(o.acts, k.acts)) > 0),
+        |msk AS (
+        |  SELECT m.area_id,
+        |    list_sort(list_distinct(flatten(list(k.acts)))) AS sk_acts,
+        |    list_sort(list_distinct(flatten(list(k.websites)))) AS sk_webs
+        |  FROM matched m JOIN sk k ON m.sk_id = k.sk_id
+        |  GROUP BY m.area_id),
+        |mfirst AS (
+        |  SELECT m.area_id, k.name AS first_name, k.lon AS first_lon,
+        |    k.lat AS first_lat
+        |  FROM matched m JOIN sk k ON m.sk_id = k.sk_id
+        |  QUALIFY row_number() OVER (PARTITION BY m.area_id
+        |    ORDER BY m.sk_id) = 1),
+        |mwk AS (
+        |  SELECT m.area_id, k.wikidata
+        |  FROM matched m JOIN sk k ON m.sk_id = k.sk_id
+        |  QUALIFY row_number() OVER (PARTITION BY m.area_id
+        |    ORDER BY CASE WHEN k.wikidata IS NULL THEN 1 ELSE 0 END, m.sk_id) = 1),
+        |merged AS (
+        |  SELECT o.area_id, 'openstreetmap' AS source,
+        |    coalesce(o.name, f.first_name) AS name,
+        |    array_to_string(list_sort(list_distinct(o.acts ||
+        |      coalesce(s.sk_acts, []))), ';') AS activities,
+        |    coalesce(array_to_string(
+        |      CASE WHEN len(o.websites) > 0 THEN list_sort(o.websites)
+        |        ELSE list_sort(list_distinct(o.websites ||
+        |          coalesce(s.sk_webs, []))) END, ';'), '') AS websites,
+        |    coalesce(o.wikidata, w.wikidata) AS wikidata,
+        |    round(CASE WHEN o.placeholder AND f.first_lon IS NOT NULL
+        |      THEN f.first_lon ELSE o.glon END, 6) AS lon,
+        |    round(CASE WHEN o.placeholder AND f.first_lat IS NOT NULL
+        |      THEN f.first_lat ELSE o.glat END, 6) AS lat
+        |  FROM osm o LEFT JOIN msk s ON o.area_id = s.area_id
+        |  LEFT JOIN mfirst f ON o.area_id = f.area_id
+        |  LEFT JOIN mwk w ON o.area_id = w.area_id),
+        |standalone AS (
+        |  SELECT sk_id AS area_id, 'skimap' AS source, name,
+        |    array_to_string(list_sort(acts), ';') AS activities,
+        |    array_to_string(list_sort(websites), ';') AS websites,
+        |    wikidata, round(lon, 6) AS lon, round(lat, 6) AS lat
+        |  FROM sk WHERE sk_id NOT IN (SELECT sk_id FROM matched))
+        |SELECT * FROM merged
+        |UNION ALL SELECT * FROM standalone
+        |ORDER BY source, area_id""".stripMargin
+    }) { (s, d) =>
+    val o = graft.Tables.orders(s, d)
+    val anchorLon = (pmod(col("o_orderkey") * 7919, lit(360000))
+      .cast("double") / 1000.0 - 180.0)
+    val anchorLat = (pmod(col("o_orderkey") * 104729, lit(120000))
+      .cast("double") / 1000.0 - 60.0)
+    val osm = o.filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        when(pmod(col("o_orderkey"), lit(7)) =!= 0,
+          concat(lit("Osm "), col("o_orderkey"))).as("name"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, array(lit("downhill")))
+          .otherwise(array(lit("nordic"))).as("acts"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          array(concat(lit("https://osm.example/"), col("o_orderkey"))))
+          .otherwise(array().cast("array<string>")).as("websites"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0,
+          concat(lit("Q"), col("o_orderkey"))).as("wikidata"),
+        (pmod(col("o_orderkey"), lit(5)) === 0).as("placeholder"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(360.0))
+          .otherwise(anchorLon).as("glon"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(360.0))
+          .otherwise(anchorLat).as("glat"),
+        anchorLon.as("lon"), anchorLat.as("lat"))
+      .localCheckpoint()
+    val sk = o.filter(pmod(col("o_orderkey"), lit(41)) === 0)
+      .select(col("o_orderkey").as("sk_id"),
+        concat(lit("Skimap "), col("o_orderkey")).as("name"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, array(lit("downhill")))
+          .otherwise(array(lit("downhill"), lit("nordic"))).as("acts"),
+        array(concat(lit("https://skimap.example/"), col("o_orderkey")))
+          .as("websites"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0,
+          concat(lit("Q"), col("o_orderkey") * 2)).as("wikidata"),
+        anchorLon.as("lon"), anchorLat.as("lat"))
+      .localCheckpoint()
+    val ocell = osm.select(col("area_id"), col("lon"), col("lat"), col("acts"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          i => floor(col("lon") / CellDeg).cast("long") + i)).as("cx"),
+        floor(col("lat") / CellDeg).cast("long").as("cyb"))
+      .select(col("area_id"), col("lon").as("olon"), col("lat").as("olat"),
+        col("acts").as("oacts"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cyb") + j)).as("cy"))
+    val kcell = sk.select(col("sk_id"), col("lon"), col("lat"), col("acts"),
+      floor(col("lon") / CellDeg).cast("long").as("cx"),
+      floor(col("lat") / CellDeg).cast("long").as("cy"))
+    val matched = ocell.join(kcell, Seq("cx", "cy"))
+      .filter(haversineM(col("olon"), col("olat"), col("lon"), col("lat"))
+        <= RadiusM
+        && size(array_intersect(col("oacts"), col("acts"))) > 0)
+      .select("area_id", "sk_id")
+      .localCheckpoint()
+    val mj = matched.join(sk, "sk_id")
+    val bySk = Window.partitionBy("area_id").orderBy("sk_id")
+    val firsts = mj
+      .withColumn("rn", row_number().over(bySk))
+      .filter(col("rn") === 1)
+      .select(col("area_id"), col("name").as("first_name"),
+        col("lon").as("first_lon"), col("lat").as("first_lat"))
+    val aggd = mj.groupBy("area_id")
+      .agg(
+        sort_array(array_distinct(flatten(collect_list(col("acts")))))
+          .as("sk_acts"),
+        sort_array(array_distinct(flatten(collect_list(col("websites")))))
+          .as("sk_webs"))
+    val wkWin = Window.partitionBy("area_id")
+      .orderBy(when(col("wikidata").isNull, 1).otherwise(0), col("sk_id"))
+    val mwk = mj.withColumn("rn", row_number().over(wkWin))
+      .filter(col("rn") === 1)
+      .select(col("area_id"), col("wikidata").as("sk_wikidata"))
+    val merged = osm
+      .join(aggd, Seq("area_id"), "left")
+      .join(firsts, Seq("area_id"), "left")
+      .join(mwk, Seq("area_id"), "left")
+      .select(col("area_id"), lit("openstreetmap").as("source"),
+        coalesce(col("name"), col("first_name")).as("name"),
+        concat_ws(";", sort_array(array_distinct(concat(col("acts"),
+          coalesce(col("sk_acts"), array().cast("array<string>"))))))
+          .as("activities"),
+        concat_ws(";",
+          when(size(col("websites")) > 0, sort_array(col("websites")))
+            .otherwise(sort_array(array_distinct(concat(col("websites"),
+              coalesce(col("sk_webs"), array().cast("array<string>")))))))
+          .as("websites"),
+        coalesce(col("wikidata"), col("sk_wikidata")).as("wikidata"),
+        round(when(col("placeholder") && col("first_lon").isNotNull,
+          col("first_lon")).otherwise(col("glon")), 6).as("lon"),
+        round(when(col("placeholder") && col("first_lat").isNotNull,
+          col("first_lat")).otherwise(col("glat")), 6).as("lat"))
+    val standalone = sk
+      .join(matched.select("sk_id").distinct(), Seq("sk_id"), "left_anti")
+      .select(col("sk_id").as("area_id"), lit("skimap").as("source"),
+        col("name"),
+        concat_ws(";", sort_array(col("acts"))).as("activities"),
+        concat_ws(";", sort_array(col("websites"))).as("websites"),
+        col("wikidata"),
+        round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+    merged.unionByName(standalone).orderBy("source", "area_id")
+  }
+
+  // ---- G6: guaranteed-inside central point -------------------------------
+  // Even area ids: convex rectangle (centroid inside). Odd ids: a
+  // C-shaped ring whose vertex-average centroid falls in the notch —
+  // the fallback snaps to the nearest point on the ring boundary.
+  private val qCentral = QuerySpec.of(
+    "q_ski_central_point", {
+      val hav = GeoFunctions.sqlHaversineM("cx0", "cy0", "snap_lon", "snap_lat")
+      s"""WITH areas AS (
+        |  SELECT o_orderkey AS area_id, (o_orderkey % 2 = 0) AS convex,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |verts AS (
+        |  SELECT area_id, convex, alon, alat, (p).k AS k,
+        |    alon + (p).vx * 0.001 AS x, alat + (p).vy * 0.001 AS y
+        |  FROM areas, unnest(CASE WHEN convex
+        |    THEN [{'k': 0, 'vx': CAST(0 AS DOUBLE), 'vy': CAST(0 AS DOUBLE)},
+        |          {'k': 1, 'vx': CAST(3 AS DOUBLE), 'vy': CAST(0 AS DOUBLE)},
+        |          {'k': 2, 'vx': CAST(3 AS DOUBLE), 'vy': CAST(3 AS DOUBLE)},
+        |          {'k': 3, 'vx': CAST(0 AS DOUBLE), 'vy': CAST(3 AS DOUBLE)}]
+        |    ELSE [{'k': 0, 'vx': CAST(0 AS DOUBLE), 'vy': CAST(0 AS DOUBLE)},
+        |          {'k': 1, 'vx': CAST(3 AS DOUBLE), 'vy': CAST(0 AS DOUBLE)},
+        |          {'k': 2, 'vx': CAST(3 AS DOUBLE), 'vy': CAST(1 AS DOUBLE)},
+        |          {'k': 3, 'vx': CAST(1 AS DOUBLE), 'vy': CAST(1 AS DOUBLE)},
+        |          {'k': 4, 'vx': CAST(1 AS DOUBLE), 'vy': CAST(2 AS DOUBLE)},
+        |          {'k': 5, 'vx': CAST(3 AS DOUBLE), 'vy': CAST(2 AS DOUBLE)},
+        |          {'k': 6, 'vx': CAST(3 AS DOUBLE), 'vy': CAST(4 AS DOUBLE)},
+        |          {'k': 7, 'vx': CAST(0 AS DOUBLE), 'vy': CAST(4 AS DOUBLE)}]
+        |    END) AS u(p)),
+        |cent AS (
+        |  SELECT area_id, any_value(convex) AS convex,
+        |    sum(x) / count(*) AS cx0, sum(y) / count(*) AS cy0,
+        |    count(*) AS n
+        |  FROM verts GROUP BY area_id),
+        |edges AS (
+        |  SELECT a.area_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2, a.k
+        |  FROM verts a JOIN verts b ON a.area_id = b.area_id
+        |    AND b.k = (a.k + 1) % (CASE WHEN a.convex THEN 4 ELSE 8 END)),
+        |inside AS (
+        |  SELECT c.area_id
+        |  FROM cent c JOIN edges e ON c.area_id = e.area_id
+        |  WHERE ((e.y1 > c.cy0) <> (e.y2 > c.cy0))
+        |    AND c.cx0 < (e.x2 - e.x1) * (c.cy0 - e.y1) / (e.y2 - e.y1) + e.x1
+        |  GROUP BY c.area_id HAVING count(*) % 2 = 1),
+        |proj0 AS (
+        |  SELECT e.area_id, e.k, c.cx0, c.cy0, cos(radians(c.cy0)) AS kx,
+        |    e.x1, e.y1, e.x2, e.y2
+        |  FROM edges e JOIN cent c ON e.area_id = c.area_id
+        |  WHERE e.area_id NOT IN (SELECT area_id FROM inside)),
+        |proj1 AS (
+        |  SELECT *, (x1 - cx0) * kx AS ax, y1 - cy0 AS ay,
+        |    (x2 - cx0) * kx AS bx, y2 - cy0 AS "by" FROM proj0),
+        |proj2 AS (SELECT *, bx - ax AS ddx, "by" - ay AS ddy FROM proj1),
+        |proj3 AS (
+        |  SELECT *, least(greatest(
+        |    (-(ax * ddx + ay * ddy)) / (ddx * ddx + ddy * ddy),
+        |    CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS t FROM proj2),
+        |proj4 AS (
+        |  SELECT *, cx0 + (ax + ddx * t) / kx AS snap_lon,
+        |    cy0 + (ay + ddy * t) AS snap_lat FROM proj3),
+        |proj5 AS (SELECT *, ($hav) AS dist_m FROM proj4),
+        |snapped AS (
+        |  SELECT area_id, snap_lon, snap_lat FROM proj5
+        |  QUALIFY row_number() OVER (PARTITION BY area_id
+        |    ORDER BY dist_m, k) = 1)
+        |SELECT c.area_id, (i.area_id IS NOT NULL) AS centroid_inside,
+        |  round(CASE WHEN i.area_id IS NOT NULL THEN c.cx0 ELSE s.snap_lon END, 6) AS lon,
+        |  round(CASE WHEN i.area_id IS NOT NULL THEN c.cy0 ELSE s.snap_lat END, 6) AS lat
+        |FROM cent c
+        |LEFT JOIN inside i ON c.area_id = i.area_id
+        |LEFT JOIN snapped s ON c.area_id = s.area_id
+        |ORDER BY c.area_id""".stripMargin
+    }) { (s, d) =>
+    // The C-shape is asymmetric (top arm taller) so the notch centroid
+    // is NOT equidistant from the two notch edges — the nearest-edge
+    // pick must not ride on float noise.
+    val rectXY = Seq((0, 0), (3, 0), (3, 3), (0, 3))
+    val cXY = Seq((0, 0), (3, 0), (3, 1), (1, 1), (1, 2), (3, 2), (3, 4), (0, 4))
+    def ring(pts: Seq[(Int, Int)]): Column = array(pts.map { case (vx, vy) =>
+      array(col("alon") + lit(vx.toDouble) * 0.001,
+        col("alat") + lit(vy.toDouble) * 0.001)
+    }: _*)
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey"), lit(2)) === 0).as("convex"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("alon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("alat"))
+      .withColumn("ring",
+        when(col("convex"), ring(rectXY)).otherwise(ring(cXY)))
+    val c = GeoFunctions.centroid(col("ring"))
+    val withC = areas
+      .withColumn("cx0", c.getField("lon"))
+      .withColumn("cy0", c.getField("lat"))
+      .withColumn("ins",
+        GeoFunctions.pointInPolygon(col("cx0"), col("cy0"), col("ring")))
+    // closed ring for the boundary walk: append the first vertex
+    val closed = concat(col("ring"), slice(col("ring"), 1, 1))
+    val np = GeoFunctions.nearestPointOnLine(col("cx0"), col("cy0"), closed)
+    withC
+      .withColumn("np", np)
+      .select(col("area_id"), col("ins").as("centroid_inside"),
+        round(when(col("ins"), col("cx0"))
+          .otherwise(col("np.lon")), 6).as("lon"),
+        round(when(col("ins"), col("cy0"))
+          .otherwise(col("np.lat")), 6).as("lat"))
+      .orderBy("area_id")
+  }
+
+  // ---- G4 + G7: synthetic ski-area point + viewport hint -----------------
+  // Members = kept runs grid-assigned to the area (min-area); centroid
+  // over every member vertex; nearest member vertex to the centroid;
+  // if they are >100 m apart the point sits 0.1 km along the
+  // nearest→centroid line (linear interpolation stand-in for turf
+  // `along`), else at the centroid. G7 = member-vertex bbox + center.
+  private val qAreaPoint = QuerySpec.of(
+    "q_ski_area_point", {
+      val havAssign = GeoFunctions.sqlHaversineM("a.alon", "a.alat", "r.lon0", "r.lat0")
+      val havC = GeoFunctions.sqlHaversineM("cx0", "cy0", "px", "py")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |areas AS (
+        |  SELECT o_orderkey AS area_id,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |acells AS (
+        |  SELECT area_id, alon, alat,
+        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |rr AS (
+        |  SELECT way_id, lon0, lat0, dx, dy,
+        |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
+        |  FROM kept),
+        |rasg AS (
+        |  SELECT r.way_id, min(a.area_id) AS area_id
+        |  FROM acells a JOIN rr r ON a.cx = r.cx AND a.cy = r.cy
+        |  WHERE ($havAssign) <= $RadiusM GROUP BY r.way_id),
+        |pts AS (
+        |  SELECT g.area_id, r.way_id, u.pidx,
+        |    CASE u.pidx WHEN 0 THEN lon0 WHEN 1 THEN lon0 + dx
+        |      ELSE lon0 + dx * 2 END AS px,
+        |    CASE u.pidx WHEN 0 THEN lat0 ELSE lat0 + dy END AS py
+        |  FROM rr r JOIN rasg g ON r.way_id = g.way_id,
+        |    unnest([0, 1, 2]) AS u(pidx)),
+        |cent AS (
+        |  SELECT area_id, count(DISTINCT way_id) AS n_members,
+        |    round(sum(px) / count(*), 9) AS cx0,
+        |    round(sum(py) / count(*), 9) AS cy0,
+        |    min(px) AS bw, min(py) AS bs, max(px) AS be, max(py) AS bn
+        |  FROM pts GROUP BY area_id),
+        |nearest AS (
+        |  SELECT p.area_id, p.px, p.py, c.cx0, c.cy0, c.n_members,
+        |    c.bw, c.bs, c.be, c.bn, ($havC) AS dist_m
+        |  FROM pts p JOIN cent c ON p.area_id = c.area_id
+        |  QUALIFY row_number() OVER (PARTITION BY p.area_id
+        |    ORDER BY ($havC), p.way_id, p.pidx) = 1)
+        |SELECT area_id, n_members,
+        |  round(CASE WHEN dist_m > 100.0
+        |    THEN px + (cx0 - px) * (100.0 / dist_m)
+        |    ELSE cx0 END, 6) AS lon,
+        |  round(CASE WHEN dist_m > 100.0
+        |    THEN py + (cy0 - py) * (100.0 / dist_m)
+        |    ELSE cy0 END, 6) AS lat,
+        |  round(bw, 6) AS bbox_w, round(bs, 6) AS bbox_s,
+        |  round(be, 6) AS bbox_e, round(bn, 6) AS bbox_n,
+        |  round((bw + be) / 2, 6) AS center_lon,
+        |  round((bs + bn) / 2, 6) AS center_lat
+        |FROM nearest ORDER BY area_id""".stripMargin
+    }) { (s, d) =>
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("alon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("alat"))
+    val acells = areas
+      .select(col("area_id"), col("alon"), col("alat"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
+        floor(col("alat") / CellDeg).cast("long").as("cyb"))
+      .select(col("area_id"), col("alon"), col("alat"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cyb") + j)).as("cy"))
+    def p1(j: Int) = element_at(element_at(col("coords"), 1), j)
+    val rr = SkiQueries.formatted(s, d).filter(col("kept"))
+      .select(col("way_id"), col("coords"),
+        p1(1).as("lon"), p1(2).as("lat"))
+      .withColumn("cx", floor(col("lon") / CellDeg).cast("long"))
+      .withColumn("cy", floor(col("lat") / CellDeg).cast("long"))
+    val rasg = acells.join(rr.select("way_id", "lon", "lat", "cx", "cy"),
+        Seq("cx", "cy"))
+      .filter(haversineM(col("alon"), col("alat"), col("lon"), col("lat"))
+        <= RadiusM)
+      .groupBy("way_id").agg(min("area_id").as("area_id"))
+    val pts = rr.join(rasg, "way_id")
+      .select(col("area_id"), col("way_id"),
+        posexplode(col("coords")))
+      .select(col("area_id"), col("way_id"), col("pos").as("pidx"),
+        element_at(col("col"), 1).as("px"),
+        element_at(col("col"), 2).as("py"))
+    val cent = pts.groupBy("area_id")
+      .agg(countDistinct("way_id").as("n_members"),
+        round(sum("px") / count(lit(1)), 9).as("cx0"),
+        round(sum("py") / count(lit(1)), 9).as("cy0"),
+        min("px").as("bw"), min("py").as("bs"),
+        max("px").as("be"), max("py").as("bn"))
+    val w = Window.partitionBy("area_id")
+      .orderBy(col("dist_m"), col("way_id"), col("pidx"))
+    pts.join(cent, "area_id")
+      .withColumn("dist_m",
+        haversineM(col("cx0"), col("cy0"), col("px"), col("py")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("area_id"), col("n_members"),
+        round(when(col("dist_m") > 100.0,
+          col("px") + (col("cx0") - col("px")) * (lit(100.0) / col("dist_m")))
+          .otherwise(col("cx0")), 6).as("lon"),
+        round(when(col("dist_m") > 100.0,
+          col("py") + (col("cy0") - col("py")) * (lit(100.0) / col("dist_m")))
+          .otherwise(col("cy0")), 6).as("lat"),
+        round(col("bw"), 6).as("bbox_w"), round(col("bs"), 6).as("bbox_s"),
+        round(col("be"), 6).as("bbox_e"), round(col("bn"), 6).as("bbox_n"),
+        round((col("bw") + col("be")) / 2, 6).as("center_lon"),
+        round((col("bs") + col("bn")) / 2, 6).as("center_lat"))
+      .orderBy("area_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qMerge, qCentral, qAreaPoint)
+}
