@@ -69,4 +69,57 @@ class GeoFunctionsSpec extends SparkSpec {
       .select(profilePointCount(col("len"), 25.0).as("n"))
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 2L, 4L, 12L))
   }
+
+  test("pointInPolygon: ray cast handles convex and concave rings") {
+    import spark.implicits._
+    // C-shape: notch interior points are OUTSIDE
+    val c = Seq(Seq(0.0, 0.0), Seq(3.0, 0.0), Seq(3.0, 1.0), Seq(1.0, 1.0),
+      Seq(1.0, 2.0), Seq(3.0, 2.0), Seq(3.0, 3.0), Seq(0.0, 3.0))
+    val df = Seq(
+      (0.5, 0.5, true),   // inside left arm
+      (2.0, 1.5, false),  // in the notch
+      (2.0, 0.5, true),   // bottom arm
+      (5.0, 5.0, false))  // far outside
+      .toDF("px", "py", "want")
+      .withColumn("got", graft.functions.GeoFunctions.pointInPolygon(
+        col("px"), col("py"), typedLit(c)))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+  }
+
+  test("nearestPointOnLine snaps onto the segment with clamping") {
+    import spark.implicits._
+    val line = Seq(Seq(0.0, 0.0), Seq(1.0, 0.0))
+    val df = Seq((0.5, 0.1), (-1.0, 0.0), (2.0, 0.5)).toDF("px", "py")
+      .withColumn("np", graft.functions.GeoFunctions.nearestPointOnLine(
+        col("px"), col("py"), typedLit(line)))
+      .select(col("np.lon"), col("np.lat"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.5) < 1e-9
+      && math.abs(rows(0).getDouble(1)) < 1e-9)
+    assert(rows(1).getDouble(0) == 0.0) // clamped to start
+    assert(rows(2).getDouble(0) == 1.0) // clamped to end
+  }
+
+  test("geohash6 matches the canonical geohash") {
+    import spark.implicits._
+    // well-known reference: geohash(57.64911 N, 10.40744 E) = u4pruydqqvj
+    val df = Seq((10.40744, 57.64911), (-5.6, -70.2)).toDF("lon", "lat")
+      .select(graft.functions.GeoFunctions.geohash6(col("lon"), col("lat")))
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got.head == "u4pruy")
+    assert(got(1).length == 6)
+  }
+
+  test("profileHeights interpolates along segments and appends endpoint") {
+    import spark.implicits._
+    // ~111.2 km of latitude, z 0 -> 1000; 25 km resolution
+    val line = Seq(Seq(0.0, 0.0, 0.0), Seq(0.0, 1.0, 1000.0))
+    val df = Seq(1).toDF("x")
+      .select(graft.functions.GeoFunctions.profileHeights(
+        typedLit(line), 25000.0).as("hs"))
+    val hs = df.collect().head.getSeq[Double](0)
+    assert(hs.length == 6) // floor(111.19/25)+1 samples + endpoint
+    assert(hs.head == 0.0 && hs.last == 1000.0)
+    assert(hs(1) > 200 && hs(1) < 250) // ~224.9 at 25 km of ~111.19
+  }
 }
