@@ -31,6 +31,11 @@ object Geocoding {
   private val SampleMod = 13
 
   /** Deterministic place stub from a geohash key. */
+  private[operators] def stubPlaceFor(key: Column): Column = stubPlace(key)
+
+  private[operators] def sqlStubPlaceFor(key: String): String =
+    sqlStubPlace(key)
+
   private def stubPlace(key: Column): Column = {
     val h = HashFunctions.hash32(key)
     val ctry = concat(lit("C"), pmod(h, lit(40)))

@@ -453,5 +453,136 @@ object SkiAreaOps {
       .orderBy("area_id")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qMerge, qCentral, qAreaPoint)
+  // ---- step 9/10: augmentation + geometry-less removal -------------------
+  // (`SkiAreaClusteringService.ts:1181-1271`): per ski area — OSM areas
+  // with no member objects and no Skimap source are REMOVED; places
+  // come from member-run places (deduped + nulls-last sorted per
+  // PlaceUtils), falling back to geocoding the area's own point;
+  // runConvention derives from the geometry; the viewport hint is the
+  // member bbox center. Placeholder-geometry OSM areas are removed at
+  // the end (step 10, `removeSkiAreasWithoutGeometry`). Member places
+  // reuse the geohash-6 place stub of each member run's first point.
+  private val qAugment = QuerySpec.of(
+    "q_ski_area_augment", {
+      val havAssign = GeoFunctions.sqlHaversineM("a.alon", "a.alat", "r.lon0", "r.lat0")
+      val (lonN, latN, iv, gh) = GeoFunctions.sqlGeohash6("plon", "plat")
+      val conv = OutputFormats.sqlDifficultyConvention
+        .replaceAll("lon0", "alon").replaceAll("lat0", "alat")
+        .replaceAll("\n", " ")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |areas AS (
+        |  SELECT o_orderkey AS area_id,
+        |    (o_orderkey % 41 = 0) AS has_skimap,
+        |    (o_orderkey % 5 = 0) AS placeholder,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |acells AS (
+        |  SELECT area_id, alon, alat,
+        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |rr AS (
+        |  SELECT way_id, lon0, lat0, dx, dy,
+        |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
+        |  FROM kept),
+        |rasg AS (
+        |  SELECT r.way_id, min(a.area_id) AS area_id,
+        |    any_value(r.lon0) AS plon, any_value(r.lat0) AS plat
+        |  FROM acells a JOIN rr r ON a.cx = r.cx AND a.cy = r.cy
+        |  WHERE ($havAssign) <= $RadiusM GROUP BY r.way_id),
+        |keyg1 AS (SELECT area_id, way_id, plon, plat, $lonN AS lonN, $latN AS latN FROM rasg),
+        |keyg2 AS (SELECT area_id, way_id, $iv AS iv FROM keyg1),
+        |keyg3 AS (SELECT area_id, way_id, $gh AS key FROM keyg2),
+        |mplaces AS (
+        |  SELECT area_id,
+        |    array_to_string(list_sort(list_distinct(
+        |      list(${Geocoding.sqlStubPlaceFor("key")}))), '; ') AS places,
+        |    count(*) AS n_members
+        |  FROM keyg3 GROUP BY area_id),
+        |abbox AS (
+        |  SELECT g.area_id,
+        |    round((min(r.lon0) + max(r.lon0)) / 2, 6) AS center_lon,
+        |    round((min(r.lat0) + max(r.lat0)) / 2, 6) AS center_lat
+        |  FROM rasg g JOIN rr r ON g.way_id = r.way_id GROUP BY g.area_id),
+        |selfg1 AS (SELECT area_id, alon AS plon, alat AS plat FROM areas),
+        |selfg2 AS (SELECT area_id, $lonN AS lonN, $latN AS latN FROM selfg1),
+        |selfg3 AS (SELECT area_id, $iv AS iv FROM selfg2),
+        |selfg4 AS (SELECT area_id, $gh AS key FROM selfg3),
+        |selfplace AS (
+        |  SELECT area_id, ${Geocoding.sqlStubPlaceFor("key")} AS place
+        |  FROM selfg4)
+        |SELECT a.area_id, a.has_skimap,
+        |  coalesce(m.n_members, 0) AS n_members,
+        |  ($conv) AS run_convention,
+        |  coalesce(m.places, s.place) AS places,
+        |  coalesce(b.center_lon, round(a.alon, 6)) AS center_lon,
+        |  coalesce(b.center_lat, round(a.alat, 6)) AS center_lat
+        |FROM areas a
+        |LEFT JOIN mplaces m ON a.area_id = m.area_id
+        |LEFT JOIN abbox b ON a.area_id = b.area_id
+        |LEFT JOIN selfplace s ON a.area_id = s.area_id
+        |WHERE (m.area_id IS NOT NULL OR a.has_skimap) AND NOT a.placeholder
+        |ORDER BY a.area_id""".stripMargin
+    }) { (s, d) =>
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey"), lit(41)) === 0).as("has_skimap"),
+        (pmod(col("o_orderkey"), lit(5)) === 0).as("placeholder"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("alon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("alat"))
+      .localCheckpoint()
+    val acells = areas
+      .select(col("area_id"), col("alon"), col("alat"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
+        floor(col("alat") / CellDeg).cast("long").as("cyb"))
+      .select(col("area_id"), col("alon"), col("alat"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cyb") + j)).as("cy"))
+    def p1(j: Int) = element_at(element_at(col("coords"), 1), j)
+    val rr = SkiQueries.formatted(s, d).filter(col("kept"))
+      .select(col("way_id"), p1(1).as("lon"), p1(2).as("lat"))
+      .withColumn("cx", floor(col("lon") / CellDeg).cast("long"))
+      .withColumn("cy", floor(col("lat") / CellDeg).cast("long"))
+    val rasg = acells.join(rr, Seq("cx", "cy"))
+      .filter(haversineM(col("alon"), col("alat"), col("lon"), col("lat"))
+        <= RadiusM)
+      .groupBy("way_id")
+      .agg(min("area_id").as("area_id"),
+        first("lon").as("plon"), first("lat").as("plat"))
+    val mplaces = rasg
+      .withColumn("place", Geocoding.stubPlaceFor(
+        GeoFunctions.geohash6(col("plon"), col("plat"))))
+      .groupBy("area_id")
+      .agg(array_join(array_sort(array_distinct(collect_list(col("place")))),
+        "; ").as("places"),
+        count(lit(1)).as("n_members"))
+    val abbox = rasg.groupBy("area_id")
+      .agg(round((min("plon") + max("plon")) / 2, 6).as("center_lon"),
+        round((min("plat") + max("plat")) / 2, 6).as("center_lat"))
+    val selfplace = areas.select(col("area_id"),
+      Geocoding.stubPlaceFor(
+        GeoFunctions.geohash6(col("alon"), col("alat"))).as("self_place"))
+    areas
+      .join(mplaces, Seq("area_id"), "left")
+      .join(abbox, Seq("area_id"), "left")
+      .join(selfplace, Seq("area_id"), "left")
+      .filter((col("n_members").isNotNull || col("has_skimap"))
+        && !col("placeholder"))
+      .select(col("area_id"), col("has_skimap"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        OutputFormats.difficultyConvention(col("alon"), col("alat"))
+          .as("run_convention"),
+        coalesce(col("places"), col("self_place")).as("places"),
+        coalesce(col("center_lon"), round(col("alon"), 6)).as("center_lon"),
+        coalesce(col("center_lat"), round(col("alat"), 6)).as("center_lat"))
+      .orderBy("area_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qMerge, qCentral, qAreaPoint, qAugment)
 }
