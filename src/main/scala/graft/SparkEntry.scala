@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Geocoding.specs ++
       operators.Statistics.specs ++
       operators.SkiAreaOps.specs ++
+      operators.ClusterPipeline.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs
 
