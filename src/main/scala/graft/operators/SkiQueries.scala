@@ -219,6 +219,101 @@ object SkiQueries {
       .orderBy("area_id")
   }
 
+  // ---- J3: distance-to-GEOMETRY join -------------------------------------
+  // The reference's "intersects" search is ST_DWithin against the full
+  // geometry (`database/PostgreSQLClusteringDatabase.ts:688-693`) —
+  // distance to the run LINE, not to a representative vertex. Candidates
+  // come from the run-vertex grid cells (a run within 500 m of an anchor
+  // has some vertex within 500 m + one segment length, covered by the
+  // 3×3 neighborhood at this geometry scale); the refine snaps the
+  // anchor onto the line (G3) and checks the snapped distance.
+  private val qLineJoin = QuerySpec.of(
+    "q_ski_line_distance_join", {
+      val hav = GeoFunctions.sqlHaversineM("alon", "alat", "snap_lon", "snap_lat")
+      s"""WITH $oraclePrelude,
+        |areas AS (
+        |  SELECT o_orderkey AS area_id,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |acells AS (
+        |  SELECT area_id, alon, alat,
+        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |rverts AS (
+        |  SELECT DISTINCT way_id,
+        |    CAST(floor((CASE v WHEN 0 THEN lon0 WHEN 1 THEN lon0 + dx
+        |      ELSE lon0 + dx * 2 END) / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor((CASE v WHEN 0 THEN lat0 ELSE lat0 + dy END)
+        |      / $CellDeg) AS BIGINT) AS cy
+        |  FROM kept, unnest([0, 1, 2]) AS uv(v)),
+        |cand AS (
+        |  SELECT DISTINCT a.area_id, a.alon, a.alat, r.way_id
+        |  FROM acells a JOIN rverts r ON a.cx = r.cx AND a.cy = r.cy),
+        |seg AS (
+        |  SELECT c.area_id, c.alon, c.alat, c.way_id, sg.k,
+        |    CASE WHEN sg.k = 1 THEN f.lon0 ELSE f.lon0 + f.dx END AS x1,
+        |    CASE WHEN sg.k = 1 THEN f.lat0 ELSE f.lat0 + f.dy END AS y1,
+        |    CASE WHEN sg.k = 1 THEN f.lon0 + f.dx ELSE f.lon0 + f.dx * 2 END AS x2,
+        |    CASE WHEN sg.k = 1 THEN f.lat0 + f.dy ELSE f.lat0 + f.dy END AS y2
+        |  FROM cand c JOIN kept f ON c.way_id = f.way_id,
+        |  unnest([1, 2]) AS sg(k)),
+        |proj0 AS (SELECT *, cos(radians(alat)) AS kx FROM seg),
+        |proj1 AS (
+        |  SELECT *, (x1 - alon) * kx AS ax, y1 - alat AS ay,
+        |    (x2 - alon) * kx AS bx, y2 - alat AS "by" FROM proj0),
+        |proj2 AS (SELECT *, bx - ax AS ddx, "by" - ay AS ddy FROM proj1),
+        |proj3 AS (
+        |  SELECT *, least(greatest(
+        |    (-(ax * ddx + ay * ddy)) / (ddx * ddx + ddy * ddy),
+        |    CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS t FROM proj2),
+        |proj4 AS (
+        |  SELECT *, alon + (ax + ddx * t) / kx AS snap_lon,
+        |    alat + (ay + ddy * t) AS snap_lat FROM proj3),
+        |proj5 AS (SELECT area_id, way_id, ($hav) AS dist_m FROM proj4),
+        |best AS (
+        |  SELECT area_id, way_id, min(dist_m) AS dist_m
+        |  FROM proj5 GROUP BY 1, 2)
+        |SELECT area_id, count(*) AS n_runs,
+        |  round(min(dist_m), 2) AS min_dist_m
+        |FROM best WHERE dist_m <= $RadiusM
+        |GROUP BY area_id ORDER BY area_id""".stripMargin
+    }) { (s, d) =>
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("alon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("alat"))
+    val acells = areas
+      .select(col("area_id"), col("alon"), col("alat"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
+        floor(col("alat") / CellDeg).cast("long").as("cyb"))
+      .select(col("area_id"), col("alon"), col("alat"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cyb") + j)).as("cy"))
+    val rverts = formatted(s, d).filter(col("kept"))
+      .select(col("way_id"), col("coords"), explode(col("coords")).as("v"))
+      .select(col("way_id"), col("coords"),
+        floor(element_at(col("v"), 1) / CellDeg).cast("long").as("cx"),
+        floor(element_at(col("v"), 2) / CellDeg).cast("long").as("cy"))
+      .dropDuplicates("way_id", "cx", "cy")
+    val cand = acells.join(rverts, Seq("cx", "cy"))
+      .dropDuplicates("area_id", "way_id")
+    cand
+      .withColumn("np", GeoFunctions.nearestPointOnLine(
+        col("alon"), col("alat"), col("coords")))
+      .select(col("area_id"), col("way_id"), col("np.dist_m").as("dist_m"))
+      .filter(col("dist_m") <= RadiusM)
+      .groupBy("area_id")
+      .agg(count(lit(1)).as("n_runs"),
+        round(min("dist_m"), 2).as("min_dist_m"))
+      .orderBy("area_id")
+  }
+
   // ---- E5: VIIRS sinusoidal pixel assignment -----------------------------
   private val qViirs = QuerySpec.of(
     "q_ski_viirs_pixels", {
@@ -904,6 +999,6 @@ object SkiQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(qFormat, qLength, qStats, qGridJoin, qViirs, qNormalize,
+    Seq(qFormat, qLength, qStats, qGridJoin, qLineJoin, qViirs, qNormalize,
       qNormalizeProps, qPolygonAssign, qAreaGen, qCluster, qLifts, qSpots)
 }
