@@ -67,4 +67,28 @@ class ClusteringSpec extends SparkSpec {
       objsDf((9L, Seq("downhill"), 0.0046, 0.0)))
     assert(!far.contains(9L))
   }
+
+  test("minLabelComponents: long chain converges to the component min") {
+    import spark.implicits._
+    // 200-node chain — deep enough that plain one-hop propagation would
+    // need ~200 rounds; pointer doubling must converge well under the
+    // loop's iteration cap.
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val labels = operators.Clustering.minLabelComponents(
+      chain.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 1L))
+  }
+
+  test("minLabelComponents: disjoint components keep separate min labels") {
+    import spark.implicits._
+    val pairs = Seq((10L, 11L), (11L, 12L), (50L, 51L)).toDF("a", "b")
+    val labels = operators.Clustering.minLabelComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(50L, 51L).forall(labels(_) == 50L))
+    // isolated nodes never appear — callers treat them as singletons
+    assert(!labels.contains(99L))
+  }
 }
