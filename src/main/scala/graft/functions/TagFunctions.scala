@@ -48,6 +48,12 @@ object TagFunctions {
     *     "operating"; value = base (null when the key is absent —
     *     callers drop on empty value/uses, not on status).
     */
+  /** JS `x || null` falsiness on tag values: '' → null (Status.ts
+    * returns `properties[k] || null` on every value path).
+    */
+  private def emptyToNull(v: Column): Column =
+    when(v === "", lit(null).cast("string")).otherwise(v)
+
   def lifecycleStatus(tags: Column, key: String): Column = {
     val base = element_at(tags, key)
     val unsupported =
@@ -60,7 +66,7 @@ object TagFunctions {
     }
     val prefixedValue = states.foldRight(lit(null).cast("string")) {
       (s, acc) => when(element_at(tags, s"$s:$key").isNotNull,
-        element_at(tags, s"$s:$key")).otherwise(acc)
+        emptyToNull(element_at(tags, s"$s:$key"))).otherwise(acc)
     }
     val bareState = states.foldRight(lit(null).cast("string")) {
       (s, acc) => when(element_at(tags, s) === "yes", lit(s)).otherwise(acc)
@@ -72,9 +78,9 @@ object TagFunctions {
         .otherwise(coalesce(bareState, lit("operating")))
     val value =
       when(unsupported, lit(null).cast("string"))
-        .when(base.isNotNull && valueIsState, element_at(tags, base))
+        .when(base.isNotNull && valueIsState, emptyToNull(element_at(tags, base)))
         .when(base.isNull && prefixedStatus.isNotNull, prefixedValue)
-        .otherwise(base)
+        .otherwise(emptyToNull(base))
     struct(status.as("status"), value.as("value"))
   }
 
@@ -122,12 +128,51 @@ object TagFunctions {
       .when(v === "no", lit(false))
       .otherwise(lit(null).cast("boolean"))
 
-  /** Numeric tag → double, else NULL (OSMTransforms.mapOSMNumber).
-    * Regex-gated so the cast never throws under ANSI mode.
+  /** Numeric tag → double, else NULL (OSMTransforms.mapOSMNumber =
+    * `Number(input)` with NaN → null). Full JS Number() parity:
+    * surrounding whitespace trimmed, '' → 0, optional sign,
+    * leading/trailing dot, exponent, hex/binary/octal literals,
+    * ±Infinity. Regex-gated so the cast never throws under ANSI mode.
     */
-  def tagNumber(v: Column): Column =
-    when(v.rlike("^-?[0-9]+(\\.[0-9]+)?$"), v.cast("double"))
+  def tagNumber(v: Column): Column = {
+    val t = regexp_replace(v, "^[\\s\\u00A0\\uFEFF]+|[\\s\\u00A0\\uFEFF]+$", "")
+    when(t === "", lit(0.0))
+      .when(t.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+        t.cast("double"))
+      .when(t.rlike("^0[xX][0-9a-fA-F]+$"),
+        conv(t.substr(lit(3), length(t)), 16, 10).cast("double"))
+      .when(t.rlike("^0[bB][01]+$"),
+        conv(t.substr(lit(3), length(t)), 2, 10).cast("double"))
+      .when(t.rlike("^0[oO][0-7]+$"),
+        conv(t.substr(lit(3), length(t)), 8, 10).cast("double"))
+      .when(t.isin("Infinity", "+Infinity"), lit(Double.PositiveInfinity))
+      .when(t === "-Infinity", lit(Double.NegativeInfinity))
       .otherwise(lit(null).cast("double"))
+  }
+
+  /** tagNumber narrowed to int, with non-finite / out-of-range values
+    * nulled so the ANSI-mode cast can never throw.
+    */
+  def tagNumberInt(v: Column): Column = {
+    val n = tagNumber(v)
+    when(n.between(Int.MinValue.toDouble, Int.MaxValue.toDouble),
+      n.cast("int"))
+  }
+
+  /** JS `parseFloat` prefix parse (trim leading whitespace, longest
+    * valid decimal prefix), NaN → null. Used by the lift duration's
+    * `isNumeric` branch (LiftFormatter.ts:133-142).
+    */
+  def jsParseFloat(v: Column): Column = {
+    val t = regexp_replace(v, "^[\\s\\u00A0\\uFEFF]+", "")
+    val pfx = regexp_extract(t,
+      "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?", 0)
+    when(pfx =!= "", pfx.cast("double"))
+      .when(t.rlike("^[+-]?Infinity"),
+        when(t.startsWith("-"), lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.PositiveInfinity)))
+      .otherwise(lit(null).cast("double"))
+  }
 
   /** First ';'-separated value of a tag (OSMTransforms.getOSMFirstValue). */
   def tagFirstValue(tags: Column, key: String): Column = {

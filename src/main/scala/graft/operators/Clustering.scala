@@ -122,6 +122,12 @@ object Clustering {
       labels = updated.drop("chg")
       iter += 1
     }
+    if (changed)
+      // pointer doubling covers diameter 2^25 — hitting this means the
+      // caller would silently see split components, so make it loud.
+      System.err.println(
+        s"[minLabelComponents] WARNING: label propagation NOT converged " +
+          s"after $iter iterations; components may be split")
     labels
   }
 }

@@ -63,15 +63,26 @@ object Formatters {
       when(mappedType.isin(ValidLiftTypes.map(x => x: Any): _*), mappedType)
 
     val dur = element_at(tags, "aerialway:duration")
-    // minutes (numeric) → round(x*60); "m:ss" (exactly 2 components) →
-    // m*60+ss; anything else (incl. "h:m:s") → null. Regex-gated casts
-    // so ANSI mode never throws.
+    // LiftFormatter.mapDuration parity: isNumeric(s) (= whole string is
+    // a finite JS Number AND parseFloat parses) → Math.round(parseFloat
+    // (s)*60); else "a:b" with exactly 2 components → parseInt each
+    // (prefix parse; either NaN → null); anything else (incl. "h:m:s")
+    // → null. Regex-gated casts so ANSI mode never throws.
+    val durNum = tagNumber(dur)
+    val durPf = jsParseFloat(dur)
+    val durFinite = durNum.isNotNull &&
+      durNum =!= Double.PositiveInfinity && durNum =!= Double.NegativeInfinity
+    val colonParts = split(dur, ":", -1)
+    def parseIntPart(i: Int) = {
+      val p = regexp_extract(colonParts.getItem(i),
+        "^[\\s\\u00A0\\uFEFF]*([+-]?[0-9]+)", 1)
+      when(p =!= "", p.cast("long"))
+    }
     val durationS =
-      when(dur.rlike("^-?[0-9]+(\\.[0-9]+)?$"),
-        (dur.cast("double") * 60 + 0.5).cast("long"))
-      .when(dur.rlike("^[0-9]+:[0-9]+$"),
-        split(dur, ":").getItem(0).cast("long") * 60
-          + split(dur, ":").getItem(1).cast("long"))
+      when(durFinite && durPf.isNotNull,
+        floor(durPf * 60 + 0.5).cast("long"))
+      .when(size(colonParts) === 2,
+        parseIntPart(0) * 60 + parseIntPart(1))
 
     val ref = osmRef(tags)
 
@@ -86,9 +97,9 @@ object Formatters {
       .filter(not(col("status") <=> "dropped") && col("lift_type").isNotNull)
       .withColumn("duration_s", durationS)
       .withColumn("occupancy",
-        tagNumber(element_at(tags, "aerialway:occupancy")).cast("int"))
+        tagNumberInt(element_at(tags, "aerialway:occupancy")))
       .withColumn("capacity",
-        tagNumber(element_at(tags, "aerialway:capacity")).cast("int"))
+        tagNumberInt(element_at(tags, "aerialway:capacity")))
       .withColumn("bubble", tagBoolean(element_at(tags, "aerialway:bubble")))
       .withColumn("heating", tagBoolean(element_at(tags, "aerialway:heating")))
       .withColumn("detachable",

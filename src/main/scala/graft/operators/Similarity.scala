@@ -165,8 +165,14 @@ object Similarity {
       row_number().over(Window.partitionBy("b0").orderBy("vec_id")))
     val c1 = b.withColumn("r",
       row_number().over(Window.partitionBy("b1").orderBy("vec_id")))
-    val dropped = c0.filter(col("r") > BUCKET_CAP).count() +
-      c1.filter(col("r") > BUCKET_CAP).count()
+    // dropped-candidate diagnostic in ONE job: both tables' bucket
+    // sizes aggregated together, overflow summed (no window re-eval).
+    val dropped = b.select(lit(0).as("tb"), col("b0").as("bk"))
+      .unionByName(b.select(lit(1).as("tb"), col("b1").as("bk")))
+      .groupBy("tb", "bk")
+      .agg(greatest(count(lit(1)) - BUCKET_CAP, lit(0L)).as("d"))
+      .agg(sum("d"))
+      .first().getLong(0)
     if (dropped > 0)
       println(s"[ann-lsh] planes=$np cap=$BUCKET_CAP dropped=$dropped " +
         "candidate slots (deterministic lowest-id kept)")
