@@ -279,27 +279,43 @@ object Normalization {
       .select(col("label"), col("seg_id"), col("pts"))
       .as[LabeledSeg]
       .groupByKey(_.label)
-      .mapGroups { (label, it) =>
-        (label, stitch(it.map(_.pts).toSeq))
+      .flatMapGroups { (label, it) =>
+        val segs = it.toSeq
+        stitch(segs.map(_.pts)) match {
+          case Some(pts) => Iterator.single((label, label, pts))
+          // pathological component (walk can't order the fragments):
+          // leave every segment unmerged, mirroring the reference,
+          // whose PointGraph only ever follows matching endpoints
+          // (/root/reference/src/transforms/normalization/PointGraph.ts:86-127)
+          case None => segs.iterator.map(s => (s.seg_id, label, s.pts))
+        }
       }
-      .toDF("run_id", "pts")
+      .toDF("run_id", "label", "pts")
     // chain members have identical props by construction (phash-equal);
-    // re-attach any member's merged props per component.
-    val chainProps = multiSegs.groupBy(col("label").as("run_id"))
+    // re-attach any member's merged props per component label.
+    val chainProps = multiSegs.groupBy(col("label"))
       .agg(first(col("props")).as("props"))
-    val multis = stitched.join(chainProps, "run_id")
+    val multis = stitched.join(chainProps, "label")
       .select(col("run_id"), col("props"), col("pts"))
     singles.unionByName(multis)
   }
 
   /** Stitch polyline fragments that pairwise share endpoints into one
-    * line. Greedy walk from a degree-1 endpoint; fragments are reversed
-    * as needed. Falls back to concatenation order for pathological
-    * inputs (cycles), which the reference also leaves unmerged.
+    * line. Greedy walk from a degree-1 endpoint (or, for a pure cycle,
+    * from an arbitrary fragment — the reference's PointGraph likewise
+    * merges cycles into one closed line, since `_expand` follows
+    * inbound/outbound matches until it re-reaches a processed feature,
+    * `/root/reference/src/transforms/normalization/PointGraph.ts:80-127`).
+    * Fragments are reversed as needed. Returns None when the walk
+    * cannot consume every fragment (a component the endpoint-following
+    * walk can't linearize) — the caller leaves those segments unmerged,
+    * exactly as the reference does by construction: PointGraph only
+    * ever concatenates at matching endpoints and would throw rather
+    * than emit a disconnected geometry (PointGraph.ts:55-57).
     * Generic in the point type — only endpoint equality is used.
     */
-  private[graft] def stitch[P](frags: Seq[Seq[P]]): Seq[P] = {
-    if (frags.size == 1) return frags.head
+  private[graft] def stitch[P](frags: Seq[Seq[P]]): Option[Seq[P]] = {
+    if (frags.size == 1) return Some(frags.head)
     val remaining = scala.collection.mutable.ArrayBuffer(frags: _*)
     // find a fragment with an endpoint not shared by any other fragment
     def endpoints(f: Seq[P]) = (f.head, f.last)
@@ -328,9 +344,8 @@ object Normalization {
         extended = true
       }
     }
-    // anything unreachable (shouldn't happen for true chains): append raw
-    remaining.foreach(f => out ++= f)
-    out.toSeq
+    // anything unreachable → not a linearizable chain: leave unmerged
+    if (remaining.nonEmpty) None else Some(out.toSeq)
   }
 
   /** Full N1→N3 pipeline; returns run_id, props, coords (degrees). */

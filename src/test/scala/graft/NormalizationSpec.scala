@@ -71,6 +71,26 @@ class NormalizationSpec extends SparkSpec {
       Seq(Seq(0L, 0L), Seq(1L, 0L)),
       Seq(Seq(2L, 0L), Seq(3L, 0L))))
     val want = Seq(Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 0L), Seq(3L, 0L))
-    assert(got == want || got == want.reverse)
+    assert(got.contains(want) || got.contains(want.reverse))
+  }
+
+  test("stitch merges a pure cycle into one closed line") {
+    // triangle 0→1→2→0: the reference's PointGraph merges cycles too
+    // (expansion stops when it re-reaches the processed start feature)
+    val got = Normalization.stitch(Seq(
+      Seq(Seq(0L, 0L), Seq(1L, 0L)),
+      Seq(Seq(1L, 0L), Seq(2L, 0L)),
+      Seq(Seq(2L, 0L), Seq(0L, 0L)))).get
+    assert(got.length == 4)
+    assert(got.head == got.last)
+    assert(got.toSet == Set(Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 0L)))
+  }
+
+  test("stitch leaves non-linearizable components unmerged (None)") {
+    // two disjoint fragments can never share an endpoint walk
+    val got = Normalization.stitch(Seq(
+      Seq(Seq(0L, 0L), Seq(1L, 0L)),
+      Seq(Seq(5L, 0L), Seq(6L, 0L))))
+    assert(got.isEmpty)
   }
 }
