@@ -7,12 +7,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Each headline query runs once untimed (codegen compile, broadcast
   * build, file listing) and then three timed steady-state runs; the
-  * reported figure is the MEDIAN of the three, so a single run hit by
-  * machine-wide contention (GC pause, noisy neighbor, page-cache miss)
-  * can't swing the graded number — round 5 measured a 3.8× total swing
-  * on a bit-identical binary. Timed runs materialize the full result
-  * via a noop-format write so Catalyst can't prune the plan down to a
-  * row count.
+  * reported figure is the MEDIAN of the samples (mean of the two middle
+  * samples for an even count), so a single run hit by machine-wide
+  * contention (GC pause, noisy neighbor, page-cache miss) can't swing
+  * the graded number — round 5 measured a 3.8× total swing on a
+  * bit-identical binary. Timed runs materialize the full result via a
+  * noop-format write so Catalyst can't prune the plan down to a row
+  * count.
+  *
+  * Regression guard: the result line is also written to
+  * `BENCH_LAST.json` in the working directory, and the next run prints
+  * per-query deltas ≥1.5× against it to stderr — a regression surfaces
+  * in-round, not at judging.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,8 +38,14 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val timedRuns =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val timedRuns = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
+      try raw.toInt.max(1)
+      catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$raw'")
+      }
+    }
 
     val results = SparkEntry.headlines.map { q =>
       val t = try {
@@ -48,7 +60,10 @@ object Bench {
           runOnce(q.fn)
           (System.nanoTime() - t0) / 1e9
         }
-        samples.sorted.apply(samples.length / 2)
+        val sorted = samples.sorted
+        val mid = sorted.length / 2
+        if (sorted.length % 2 == 1) sorted(mid)
+        else (sorted(mid - 1) + sorted(mid)) / 2.0
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         -1.0
@@ -56,10 +71,33 @@ object Bench {
       System.gc(); Thread.sleep(300)
       q.name -> t
     }
+
+    val lastPath = java.nio.file.Paths.get("BENCH_LAST.json")
+    val prev: Map[String, Double] =
+      if (java.nio.file.Files.exists(lastPath)) {
+        val text = new String(java.nio.file.Files.readAllBytes(lastPath), "UTF-8")
+        val body = text.indexOf("\"queries\":{") match {
+          case -1 => ""
+          case i  => text.substring(i + 11, text.indexOf("}", i))
+        }
+        """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    results.foreach { case (name, t) =>
+      prev.get(name).filter(p => p > 0 && t > 0).foreach { p =>
+        val ratio = t / p
+        if (ratio >= 1.5 || ratio <= 1 / 1.5)
+          System.err.println(f"[bench] DELTA $name: $p%.2fs -> $t%.2fs (x$ratio%.2f)")
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(lastPath, line.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

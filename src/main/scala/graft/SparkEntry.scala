@@ -25,7 +25,8 @@ object SparkEntry {
       operators.SkiAreaOps.specs ++
       operators.ClusterPipeline.specs ++
       operators.Multimodal.specs ++
-      operators.Enrichment.specs
+      operators.Enrichment.specs ++
+      operators.PipelineE2E.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -30,6 +30,26 @@ object Tables {
   def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Content fingerprint of one table's file set — sorted
+    * (name, length, mtime) triples hashed, prefixed with the path.
+    * Memo caches (ANN plane count, minhash signatures) key on this
+    * instead of the bare directory so data regenerated at the same
+    * path within one JVM lifetime invalidates the entry instead of
+    * silently serving stale state. One filesystem listing; no data
+    * read.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String, name: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats =
+      if (fs.getFileStatus(path).isDirectory) fs.listStatus(path)
+      else Array(fs.getFileStatus(path))
+    val sig = stats
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    s"$sfDir/$name@${java.lang.Integer.toHexString(sig.hashCode)}"
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Full-chain pipeline query (SURVEY §2 composition; the reference's
+  * `prepare()` DAG, `/root/reference/src/PrepareGeoJSON.ts:95-270`,
+  * exercised end-to-end by `PrepareGeoJSON.int.test.ts:25-806`):
+  *
+  *   formatRuns (P1/P7-P10)
+  *     → normalizeRuns with the RunPropsLattice (N1-N4), over kept runs
+  *       PLUS partial-overlap duplicates so the lattice merge and
+  *       re-segmentation actually fire (same input as
+  *       `q_ski_normalize_props`)
+  *     → elevation enrichment (E1 cache-aside, stub backend) at each
+  *       normalized segment's endpoints, keyed by the segment's
+  *       quantized endpoint coordinates
+  *     → transitive-closure clustering (J10/J7) of the segments onto
+  *       area anchors via their canonical endpoint anchor
+  *     → per-area statistics (A1 projection): segment count, geodesic
+  *       km, difficulty histogram, min/max elevation, combined vertical.
+  *
+  * Unlike the per-stage queries (each green in isolation), this query
+  * pipes each stage's OUTPUT into the next stage's INPUT, so schema or
+  * semantic drift between stages breaks a single full-chain oracle.
+  *
+  * Orientation independence: N3's stitch walk may emit a chain from
+  * either end, so the clustering anchor is the CANONICAL endpoint (the
+  * (x, y)-lexicographically smaller of the two), and all per-segment
+  * stats (length, |Δz|, min/max z) are direction-symmetric.
+  */
+object PipelineE2E {
+
+  private val CellDeg = 0.01
+  private val RadiusM = 500.0
+
+  private def qix(c: Column): Column =
+    (c * 1e7 + when(c >= 0, 0.5).otherwise(-0.5)).cast("long")
+
+  private val qPipeline = QuerySpec.of(
+    "q_pipeline_e2e", {
+      val D = (x: String) => s"(CAST($x AS DOUBLE) / 10000000.0)"
+      val hav = GeoFunctions.sqlHaversineM _
+      val zStart = Enrichment.sqlStubElevation(
+        "(CAST(x0 AS VARCHAR) || '_' || CAST(y0 AS VARCHAR))")
+      val zEnd = Enrichment.sqlStubElevation(
+        "(CAST(xn AS VARCHAR) || '_' || CAST(yn AS VARCHAR))")
+      val len3 = hav(D("e.x0"), D("e.y0"), D("e.x1"), D("e.y1")) + " + " +
+        hav(D("e.x1"), D("e.y1"), D("e.xn"), D("e.yn"))
+      val len2 = hav(D("e.x0"), D("e.y0"), D("e.xn"), D("e.yn"))
+      s"""WITH RECURSIVE ${SkiQueries.oraclePrelude},
+        |g AS (
+        |  SELECT CAST(round(lon0 * 10000000) AS BIGINT) AS x0,
+        |    CAST(round(lat0 * 10000000) AS BIGINT) AS y0,
+        |    CAST(round((lon0 + dx) * 10000000) AS BIGINT) AS x1,
+        |    CAST(round((lat0 + dy) * 10000000) AS BIGINT) AS y1,
+        |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT) AS x2,
+        |    way_id, uses, difficulty
+        |  FROM kept),
+        |grp AS (
+        |  SELECT x0, y0, x1, y1, x2,
+        |    bool_or(way_id % 10 = 4) AS has_dup,
+        |    list_sort(list_distinct(flatten(list(uses)))) AS m_uses,
+        |    min(CASE difficulty WHEN 'novice' THEN 1 WHEN 'easy' THEN 2
+        |      WHEN 'intermediate' THEN 3 WHEN 'advanced' THEN 4
+        |      WHEN 'expert' THEN 5 WHEN 'freeride' THEN 6
+        |      WHEN 'extreme' THEN 7 ELSE 8 END) AS dmin
+        |  FROM g GROUP BY 1, 2, 3, 4, 5),
+        |segs AS (
+        |  SELECT x0, y0, x1, y1,
+        |    CASE WHEN has_dup THEN x1 ELSE x2 END AS xn,
+        |    y1 AS yn,
+        |    CASE WHEN has_dup THEN 2 ELSE 3 END AS npts,
+        |    m_uses AS uses,
+        |    CASE dmin WHEN 1 THEN 'novice' WHEN 2 THEN 'easy'
+        |      WHEN 3 THEN 'intermediate' WHEN 4 THEN 'advanced'
+        |      WHEN 5 THEN 'expert' WHEN 6 THEN 'freeride'
+        |      WHEN 7 THEN 'extreme' ELSE 'other' END AS difficulty
+        |  FROM grp
+        |  UNION ALL
+        |  SELECT x1, y1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    x2, y1, 2,
+        |    list_sort(list_distinct(m_uses || ['skitour'])), 'novice'
+        |  FROM grp WHERE has_dup),
+        |elev AS (
+        |  SELECT *, $zStart AS z_start, $zEnd AS z_end,
+        |    CASE WHEN x0 < xn OR (x0 = xn AND y0 <= yn)
+        |      THEN ${D("x0")} ELSE ${D("xn")} END AS lon,
+        |    CASE WHEN x0 < xn OR (x0 = xn AND y0 <= yn)
+        |      THEN ${D("y0")} ELSE ${D("yn")} END AS lat
+        |  FROM segs),
+        |oc AS (
+        |  SELECT x0, y0, xn, yn, npts, uses, lon, lat,
+        |    CAST(floor(lon / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat / $CellDeg) AS BIGINT) AS cy
+        |  FROM elev),
+        |areas AS (
+        |  SELECT o_orderkey AS area_id,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'downhill' ELSE 'nordic' END AS act,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |acell AS (
+        |  SELECT area_id, act, alon, alat,
+        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |reach AS (
+        |  SELECT a.area_id, a.act, o.x0, o.y0, o.xn, o.yn, o.npts,
+        |    o.lon, o.lat, o.cx, o.cy
+        |  FROM acell a JOIN oc o ON a.cx = o.cx AND a.cy = o.cy
+        |  WHERE ${hav("a.alon", "a.alat", "o.lon", "o.lat")} <= $RadiusM
+        |    AND list_contains(o.uses, a.act)
+        |  UNION
+        |  SELECT r.area_id, r.act, o.x0, o.y0, o.xn, o.yn, o.npts,
+        |    o.lon, o.lat, o.cx, o.cy
+        |  FROM reach r JOIN oc o
+        |    ON o.cx BETWEEN r.cx - 1 AND r.cx + 1
+        |    AND o.cy BETWEEN r.cy - 1 AND r.cy + 1
+        |  WHERE ${hav("r.lon", "r.lat", "o.lon", "o.lat")} <= $RadiusM
+        |    AND list_contains(o.uses, r.act)),
+        |asg AS (
+        |  SELECT x0, y0, xn, yn, npts, min(area_id) AS area_id
+        |  FROM reach GROUP BY 1, 2, 3, 4, 5),
+        |j AS (
+        |  SELECT e.*, a.area_id,
+        |    CASE WHEN e.npts = 3 THEN $len3 ELSE $len2 END AS len_m
+        |  FROM elev e JOIN asg a
+        |    ON e.x0 = a.x0 AND e.y0 = a.y0 AND e.xn = a.xn
+        |    AND e.yn = a.yn AND e.npts = a.npts),
+        |dh AS (
+        |  SELECT area_id, difficulty, count(*) AS n FROM j GROUP BY 1, 2),
+        |dhs AS (
+        |  SELECT area_id,
+        |    string_agg(difficulty || ':' || CAST(n AS VARCHAR), ';'
+        |      ORDER BY difficulty) AS difficulties
+        |  FROM dh GROUP BY 1),
+        |sc AS (
+        |  SELECT area_id, count(*) AS n_segments,
+        |    round(sum(len_m) / 1000.0, 4) AS total_km,
+        |    round(min(least(z_start, z_end)), 1) AS min_elev,
+        |    round(max(greatest(z_start, z_end)), 1) AS max_elev,
+        |    round(sum(abs(z_end - z_start)), 2) AS vertical_m
+        |  FROM j GROUP BY 1)
+        |SELECT area_id, n_segments, total_km, difficulties,
+        |  min_elev, max_elev, vertical_m
+        |FROM sc JOIN dhs USING (area_id)
+        |ORDER BY area_id""".stripMargin
+    },
+    headline = true) { (s, d) =>
+    // ---- stage 1: format (P1/P7-P10, shared scaffolding) ----
+    val fk = SkiQueries.formatted(s, d).filter(col("kept"))
+    val propsCol = struct(
+      col("uses"), col("name"), col("ref"), col("difficulty"),
+      col("grooming"), col("status"), col("oneway"), col("gladed"),
+      col("patrolled"), col("snowmaking"), col("snowfarming"),
+      col("tunnel"), col("lit"), col("wikidata_id"))
+    val base = fk.select(col("way_id").as("run_id"), propsCol.as("props"),
+      col("coords"))
+    // partial-overlap duplicates with conflicting props — same
+    // construction as q_ski_normalize_props, so N2 re-segmentation and
+    // the N4 lattice both fire inside the chain
+    val dupProps = struct(
+      array(lit("skitour")).as("uses"), lit("ZDUP").as("name"),
+      lit(null).cast("string").as("ref"), lit("novice").as("difficulty"),
+      lit(null).cast("string").as("grooming"), lit("operating").as("status"),
+      lit(false).as("oneway"), lit(null).cast("boolean").as("gladed"),
+      lit(true).as("patrolled"), lit(null).cast("boolean").as("snowmaking"),
+      lit(null).cast("boolean").as("snowfarming"),
+      lit(null).cast("boolean").as("tunnel"),
+      lit(null).cast("boolean").as("lit"), lit("Q1").as("wikidata_id"))
+    val overlap = fk.filter(pmod(col("way_id"), lit(10)) === 4)
+      .select((col("way_id") + 1000000000L).as("run_id"),
+        dupProps.as("props"), slice(col("coords"), 2, 2).as("coords"))
+
+    // ---- stage 2: normalize (N1-N4) ----
+    // checkpoint: the normalized table feeds three consumers (elevation
+    // keys, clustering objects, final stats) and the clustering loop
+    // would otherwise re-run the whole normalization per iteration.
+    val norm = Normalization
+      .normalizeRuns(base.unionByName(overlap), Normalization.RunPropsLattice)
+      .localCheckpoint()
+
+    val withEnds = norm.select(col("run_id").as("okey"), col("props"),
+        col("coords"),
+        qix(element_at(element_at(col("coords"), 1), 1)).as("x0"),
+        qix(element_at(element_at(col("coords"), 1), 2)).as("y0"),
+        qix(element_at(element_at(col("coords"), -1), 1)).as("xn"),
+        qix(element_at(element_at(col("coords"), -1), 2)).as("yn"))
+      .withColumn("k_start", concat_ws("_", col("x0"), col("y0")))
+      .withColumn("k_end", concat_ws("_", col("xn"), col("yn")))
+
+    // ---- stage 3: elevation enrichment (E1 cache-aside, stub) ----
+    val keys = withEnds.select(
+      explode(array(col("k_start"), col("k_end"))).as("key"))
+    val emptyCache = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("key string, value double"))
+    val (cache, _) = Enrichment.cacheAside(keys, emptyCache, lit(true),
+      missing => missing.select(col("key"),
+        Enrichment.stubElevation(col("key")).as("value")))
+    val enriched = withEnds
+      .join(cache.select(col("key").as("k_start"), col("value").as("z_start")),
+        Seq("k_start"))
+      .join(cache.select(col("key").as("k_end"), col("value").as("z_end")),
+        Seq("k_end"))
+
+    // ---- stage 4: clustering (J10/J7) on the canonical anchor ----
+    val startIsAnchor = col("x0") < col("xn") ||
+      (col("x0") === col("xn") && col("y0") <= col("yn"))
+    val objs = enriched.select(col("okey"), col("props.uses").as("uses"),
+      (when(startIsAnchor, col("x0")).otherwise(col("xn"))
+        .cast("double") / 1e7).as("lon"),
+      (when(startIsAnchor, col("y0")).otherwise(col("yn"))
+        .cast("double") / 1e7).as("lat"))
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0, "downhill")
+          .otherwise("nordic").as("act"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("lon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("lat"))
+    val asg = Clustering.transitiveAssign(areas, objs, RadiusM, CellDeg)
+
+    // ---- stage 5: per-area statistics (A1 projection) ----
+    val assigned = enriched.join(asg, Seq("okey"))
+      .withColumn("len_m", lineLengthM(col("coords")))
+      .withColumn("difficulty",
+        coalesce(col("props.difficulty"), lit("other")))
+    val dhs = assigned.groupBy("area_id", "difficulty")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("area_id")
+      .agg(array_join(array_sort(collect_list(
+        concat(col("difficulty"), lit(":"), col("n")))), ";")
+        .as("difficulties"))
+    assigned.groupBy("area_id")
+      .agg(count(lit(1)).as("n_segments"),
+        round(sum("len_m") / 1000.0, 4).as("total_km"),
+        round(min(least(col("z_start"), col("z_end"))), 1).as("min_elev"),
+        round(max(greatest(col("z_start"), col("z_end"))), 1).as("max_elev"),
+        round(sum(abs(col("z_end") - col("z_start"))), 2).as("vertical_m"))
+      .join(dhs, Seq("area_id"))
+      .select(col("area_id"), col("n_segments"), col("total_km"),
+        col("difficulties"), col("min_elev"), col("max_elev"),
+        col("vertical_m"))
+      .orderBy("area_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qPipeline)
+}

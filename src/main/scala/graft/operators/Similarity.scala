@@ -108,18 +108,21 @@ object Similarity {
     math.max(4, math.ceil(math.log(n / TARGET_BUCKET.toDouble)
       / math.log(2.0)).toInt)
 
-  /** Plane count per dataset directory, computed ONCE (first execution
-    * runs one count() job — metadata-only over parquet footers) and
-    * memoized: repeated executions (bench warmup + 3 timed runs) add
-    * zero extra driver actions. At cluster scale this is the "index
-    * build parameter" — derived at ingest, stored with the index, never
-    * recomputed per query.
+  /** Plane count per dataset fingerprint, computed ONCE (first
+    * execution runs one count() job — metadata-only over parquet
+    * footers) and memoized: repeated executions (bench warmup + 3
+    * timed runs) add zero extra driver actions. Keyed on
+    * Tables.fingerprint (file names/sizes/mtimes), not the bare dir,
+    * so data regenerated at the same path invalidates the entry. At
+    * cluster scale this is the "index build parameter" — derived at
+    * ingest, stored with the index, never recomputed per query.
     */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def nPlanesFor(s: org.apache.spark.sql.SparkSession, d: String): Int =
-    planeCache.computeIfAbsent(d, _ => nPlanes(Tables.embeddings(s, d).count()))
+    planeCache.computeIfAbsent(Tables.fingerprint(s, d, "embeddings"),
+      _ => nPlanes(Tables.embeddings(s, d).count()))
 
   /** Per-dir guard so the dropped-candidate diagnostic job runs once,
     * not once per execution.
@@ -187,7 +190,7 @@ object Similarity {
     // dropped-candidate diagnostic in ONE job, run once per dataset
     // dir (not per execution): both tables' bucket sizes aggregated
     // together, overflow summed (no window re-eval).
-    if (droppedLogged.add(d)) {
+    if (droppedLogged.add(Tables.fingerprint(s, d, "embeddings"))) {
       val dropped = b.select(lit(0).as("tb"), col("b0").as("bk"))
         .unionByName(b.select(lit(1).as("tb"), col("b1").as("bk")))
         .groupBy("tb", "bk")
