@@ -315,5 +315,457 @@ object OutputFormats {
       .orderBy("way_id")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qGlRuns, qGlLifts, qCsvRuns)
+  // ---- shared CSV field helpers (CSVFormatter.ts:294-321) ----------------
+  private def esc(c: Column): Column =
+    when(c.isNull, "")
+      .when(c.rlike("[,\";\\n\\r]"),
+        concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+      .otherwise(c)
+
+  private def yn(c: Column): Column =
+    when(c.isNull, "").when(c, "yes").otherwise("no")
+
+  /** JS `Math.round(x).toString()` (round half toward +inf). */
+  private def fixed0(c: Column): Column =
+    floor(c + 0.5).cast("long").cast("string")
+
+  private val sqlFixed0 = (x: String) =>
+    s"CAST(CAST(floor($x + 0.5) AS BIGINT) AS VARCHAR)"
+
+  // ---- P6: CSV lift export rows -------------------------------------------
+  // CSVFormatter.formatLift column layout (CSVFormatter.ts:215-249).
+  // The synthesized lift features carry no geometry, so the elevation
+  // block and lat/lng render as the reference's empty strings (JS
+  // `elevationData?.x` → undefined → '' in join; getGeometry catch
+  // path), and `duration ? toString : ''` means a 0-second duration
+  // renders empty (JS truthiness), mirrored exactly.
+  private val qCsvLifts = QuerySpec.of(
+    "q_csv_lifts",
+    s"""WITH ${SkiQueries.liftOracleCtes},
+      |x AS (
+      |  SELECT lift_id, status, lift_type, duration_s, occupancy, capacity,
+      |    bubble, heating, detachable, oneway, access, name, ref,
+      |    md5(concat_ws('|', 'lift', CAST(lift_id AS VARCHAR), status,
+      |      lift_type, name)) AS id
+      |  FROM lfmt)
+      |SELECT lift_id,
+      |  concat_ws(',', name, ref, '', lift_type, status,
+      |    coalesce(access, ''), '', '', '', '',
+      |    CASE WHEN oneway IS NULL THEN ''
+      |         WHEN oneway THEN 'yes' ELSE 'no' END,
+      |    CASE WHEN duration_s IS NULL OR duration_s = 0 THEN ''
+      |         ELSE CAST(duration_s AS VARCHAR) END,
+      |    CASE WHEN capacity IS NULL OR capacity = 0 THEN ''
+      |         ELSE CAST(capacity AS VARCHAR) END,
+      |    CASE WHEN occupancy IS NULL OR occupancy = 0 THEN ''
+      |         ELSE CAST(occupancy AS VARCHAR) END,
+      |    CASE WHEN detachable IS NULL THEN ''
+      |         WHEN detachable THEN 'yes' ELSE 'no' END,
+      |    CASE WHEN bubble IS NULL THEN ''
+      |         WHEN bubble THEN 'yes' ELSE 'no' END,
+      |    CASE WHEN heating IS NULL THEN ''
+      |         WHEN heating THEN 'yes' ELSE 'no' END,
+      |    '', '', '', '', '', '', '',
+      |    '', '',
+      |    'https://openskimap.org/?obj=' || id, id,
+      |    'LineString', '', '', '', '', '') AS line
+      |FROM x ORDER BY lift_id""".stripMargin) { (s, d) =>
+    SkiQueries.formattedLifts(s, d)
+      .withColumn("id", md5(concat_ws("|", lit("lift"), col("lift_id"),
+        col("status"), col("lift_type"), col("name"))))
+      .select(col("lift_id"), concat_ws(",",
+        esc(col("name")), esc(col("ref")), lit(""),
+        coalesce(col("lift_type"), lit("")), col("status"),
+        coalesce(col("access"), lit("")),
+        lit(""), lit(""), lit(""), lit(""),
+        yn(col("oneway")),
+        when(col("duration_s").isNull || col("duration_s") === 0, "")
+          .otherwise(col("duration_s").cast("string")),
+        when(col("capacity").isNull || col("capacity") === 0, "")
+          .otherwise(col("capacity").cast("string")),
+        when(col("occupancy").isNull || col("occupancy") === 0, "")
+          .otherwise(col("occupancy").cast("string")),
+        yn(col("detachable")), yn(col("bubble")), yn(col("heating")),
+        lit(""), lit(""), lit(""), lit(""), lit(""), lit(""), lit(""),
+        lit(""), lit(""),
+        concat(lit("https://openskimap.org/?obj="), col("id")), col("id"),
+        lit("LineString"), lit(""), lit(""),
+        lit(""), lit(""), lit("")).as("line"))
+      .orderBy("lift_id")
+  }
+
+  // ---- P6: CSV ski-area export rows ---------------------------------------
+  // CSVFormatter.formatSkiArea (CSVFormatter.ts:250-292) incl. the
+  // surface-lift subtotal set (:379-408, restricted to the lift types
+  // the synthesis produces) and the JS-truthy "render '' for 0 or
+  // missing" counts/elevations. Statistics come from the shared
+  // per-area machinery (Statistics.areaFrames), activities from the
+  // q_ski_cluster parity convention.
+  private val qCsvSkiAreas = QuerySpec.of(
+    "q_csv_ski_areas", {
+      val conv = sqlDifficultyConvention
+        .replace("lon0", "alon").replace("lat0", "alat")
+        .replaceAll("\n", " ")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |${Statistics.statsOracleCtes},
+        |adp AS (
+        |  SELECT area_id,
+        |    sum(CASE WHEN activity = 'downhill' THEN km END) AS dkm,
+        |    sum(CASE WHEN activity = 'nordic' THEN km END) AS nkm
+        |  FROM runs GROUP BY 1),
+        |lc AS (
+        |  SELECT area_id, count(*) AS n_lifts,
+        |    sum(CASE WHEN lift_type IN ('t-bar', 'platter', 'drag_lift')
+        |      THEN 1 ELSE 0 END) AS n_surface
+        |  FROM lj GROUP BY 1),
+        |el AS (
+        |  SELECT coalesce(r.area_id, l.area_id) AS area_id,
+        |    CASE WHEN run_min IS NULL THEN lift_min
+        |      WHEN lift_min IS NULL THEN run_min
+        |      ELSE greatest(run_min, lift_min) END AS mn,
+        |    CASE WHEN run_max IS NULL THEN lift_max
+        |      WHEN lift_max IS NULL THEN run_max
+        |      ELSE least(run_max, lift_max) END AS mx
+        |  FROM rroot r FULL OUTER JOIN lroot l ON r.area_id = l.area_id),
+        |x AS (
+        |  SELECT a.area_id, a.alon, a.alat, adp.dkm, adp.nkm,
+        |    lc.n_lifts, lc.n_surface, el.mn, el.mx,
+        |    md5('skiArea|' || CAST(a.area_id AS VARCHAR)) AS id
+        |  FROM areas a LEFT JOIN adp USING (area_id)
+        |  LEFT JOIN lc USING (area_id) LEFT JOIN el USING (area_id))
+        |SELECT area_id,
+        |  concat_ws(',',
+        |    'Area #' || CAST(area_id AS VARCHAR), '', '', '', 'operating',
+        |    CASE WHEN area_id % 2 = 0 THEN 'yes' ELSE 'no' END,
+        |    CASE WHEN area_id % 2 = 0 THEN 'no' ELSE 'yes' END,
+        |    CASE WHEN dkm IS NOT NULL THEN ${sqlFixed0("dkm")} ELSE '' END,
+        |    CASE WHEN nkm IS NOT NULL THEN ${sqlFixed0("nkm")} ELSE '' END,
+        |    CASE WHEN mn IS NOT NULL AND mx IS NOT NULL
+        |      THEN ${sqlFixed0("(mx - mn)")} ELSE '' END,
+        |    CASE WHEN mn IS NOT NULL THEN ${sqlFixed0("mn")} ELSE '' END,
+        |    CASE WHEN mx IS NOT NULL THEN ${sqlFixed0("mx")} ELSE '' END,
+        |    CASE WHEN n_lifts > 0 THEN CAST(n_lifts AS VARCHAR) ELSE '' END,
+        |    CASE WHEN n_surface > 0 THEN CAST(n_surface AS VARCHAR) ELSE '' END,
+        |    ($conv), '', '',
+        |    'https://openskimap.org/?obj=' || id, id,
+        |    'Point', printf('%.6f', alat), printf('%.6f', alon), '') AS line
+        |FROM x ORDER BY area_id""".stripMargin
+    }) { (s, d) =>
+    val af = Statistics.areaFrames(s, d)
+    val adp = af.runs.groupBy("area_id").agg(
+      sum(when(col("activity") === "downhill", col("km"))).as("dkm"),
+      sum(when(col("activity") === "nordic", col("km"))).as("nkm"))
+    val lc = af.lj.groupBy("area_id").agg(
+      count(lit(1)).as("n_lifts"),
+      sum(when(col("lift_type").isin("t-bar", "platter", "drag_lift"), 1)
+        .otherwise(0)).as("n_surface"))
+    val el = af.rroot.join(af.lroot, Seq("area_id"), "full_outer")
+      .select(col("area_id"),
+        when(col("run_min").isNull, col("lift_min"))
+          .when(col("lift_min").isNull, col("run_min"))
+          .otherwise(greatest(col("run_min"), col("lift_min"))).as("mn"),
+        when(col("run_max").isNull, col("lift_max"))
+          .when(col("lift_max").isNull, col("run_max"))
+          .otherwise(least(col("run_max"), col("lift_max"))).as("mx"))
+    val hasDownhill = pmod(col("area_id"), lit(2)) === 0
+    af.areas
+      .join(adp, Seq("area_id"), "left")
+      .join(lc, Seq("area_id"), "left")
+      .join(el, Seq("area_id"), "left")
+      .withColumn("id",
+        md5(concat_ws("|", lit("skiArea"), col("area_id"))))
+      .select(col("area_id"), concat_ws(",",
+        concat(lit("Area #"), col("area_id")),
+        lit(""), lit(""), lit(""), lit("operating"),
+        when(hasDownhill, "yes").otherwise("no"),
+        when(hasDownhill, "no").otherwise("yes"),
+        when(col("dkm").isNotNull, fixed0(col("dkm"))).otherwise(""),
+        when(col("nkm").isNotNull, fixed0(col("nkm"))).otherwise(""),
+        when(col("mn").isNotNull && col("mx").isNotNull,
+          fixed0(col("mx") - col("mn"))).otherwise(""),
+        when(col("mn").isNotNull, fixed0(col("mn"))).otherwise(""),
+        when(col("mx").isNotNull, fixed0(col("mx"))).otherwise(""),
+        when(col("n_lifts") > 0, col("n_lifts").cast("string")).otherwise(""),
+        when(col("n_surface") > 0, col("n_surface").cast("string"))
+          .otherwise(""),
+        difficultyConvention(col("alon"), col("alat")),
+        lit(""), lit(""),
+        concat(lit("https://openskimap.org/?obj="), col("id")), col("id"),
+        lit("Point"),
+        format_string("%.6f", col("alat")),
+        format_string("%.6f", col("alon")),
+        lit("")).as("line"))
+      .orderBy("area_id")
+  }
+
+  // ---- P6: CSV spot export rows -------------------------------------------
+  // CSVFormatter.formatSpot (CSVFormatter.ts:407-444): shared columns +
+  // a type-specific block — dismount for crossings; name / position /
+  // entry / exit for lift stations; empty for the rest. Spot geometry
+  // and the crossing/station attributes synthesize deterministically
+  // from the event id.
+  private val qCsvSpots = QuerySpec.of(
+    "q_csv_spots",
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value) AS BIGINT) % 4 AS pidx
+      |  FROM events),
+      |s AS (
+      |  SELECT event_id, u.spot_type,
+      |    CASE WHEN u.spot_type = 'lift_station' THEN
+      |      CASE pidx WHEN 0 THEN 'top' WHEN 1 THEN 'mid'
+      |        WHEN 2 THEN 'bottom' END
+      |    END AS position
+      |  FROM e, unnest(
+      |    CASE event_type
+      |      WHEN 'click' THEN ['crossing']
+      |      WHEN 'signup' THEN ['lift_station']
+      |      WHEN 'error' THEN ['avalanche_transceiver_training', 'halfpipe']
+      |      WHEN 'view' THEN ['avalanche_transceiver_checkpoint']
+      |      ELSE ['lift_station', 'crossing'] END) AS u(spot_type)),
+      |x AS (
+      |  SELECT event_id AS node_id, spot_type, position,
+      |    CAST((event_id * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon,
+      |    CAST((event_id * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat,
+      |    md5('spot|' || CAST(event_id AS VARCHAR) || '|' || spot_type) AS id
+      |  FROM s)
+      |SELECT node_id, spot_type,
+      |  concat_ws(',', id, spot_type,
+      |    printf('%.6f', lon), printf('%.6f', lat),
+      |    '', '', '', '', '',
+      |    CASE WHEN spot_type = 'crossing' THEN
+      |      CASE node_id % 3 WHEN 0 THEN 'yes' WHEN 1 THEN 'no'
+      |        ELSE 'sometimes' END ELSE '' END,
+      |    CASE WHEN spot_type = 'lift_station'
+      |      THEN 'Station ' || CAST(node_id AS VARCHAR) ELSE '' END,
+      |    CASE WHEN spot_type = 'lift_station'
+      |      THEN coalesce(position, '') ELSE '' END,
+      |    CASE WHEN spot_type = 'lift_station' THEN
+      |      CASE WHEN node_id % 2 = 0 THEN 'yes' ELSE 'no' END ELSE '' END,
+      |    CASE WHEN spot_type = 'lift_station' THEN
+      |      CASE WHEN node_id % 5 < 2 THEN 'yes' ELSE 'no' END ELSE '' END
+      |  ) AS line
+      |FROM x ORDER BY node_id, spot_type""".stripMargin) { (s, d) =>
+    val pidx = pmod(floor(col("value")).cast("long"), lit(4))
+    val stationPos = when(pidx === 0, "top").when(pidx === 1, "mid")
+      .when(pidx === 2, "bottom").otherwise("junk")
+    val tags = map(
+      lit("ski"),
+      when(col("event_type").isin("click", "purchase"), "crossing"),
+      lit("aerialway"),
+      when(col("event_type").isin("signup", "purchase"), "station"),
+      lit("aerialway:station"), stationPos,
+      lit("avalanche_transceiver"),
+      when(col("event_type") === "error", "training")
+        .when(col("event_type") === "view", "checkpoint"),
+      lit("halfpipe"), when(col("event_type") === "error", "yes"))
+    val features = graft.Tables.fanout(Events.eventsMs(s, d))
+      .select(col("event_id").as("node_id"), tags.as("tags"))
+      .localCheckpoint()
+    val isStation = col("spot_type") === "lift_station"
+    Formatters.formatSpots(features)
+      .withColumn("lon",
+        pmod(col("node_id") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0)
+      .withColumn("lat",
+        pmod(col("node_id") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0)
+      .withColumn("id", md5(concat_ws("|", lit("spot"), col("node_id"),
+        col("spot_type"))))
+      .select(col("node_id"), col("spot_type"), concat_ws(",",
+        col("id"), col("spot_type"),
+        format_string("%.6f", col("lon")),
+        format_string("%.6f", col("lat")),
+        lit(""), lit(""), lit(""), lit(""), lit(""),
+        when(col("spot_type") === "crossing",
+          when(pmod(col("node_id"), lit(3)) === 0, "yes")
+            .when(pmod(col("node_id"), lit(3)) === 1, "no")
+            .otherwise("sometimes")).otherwise(""),
+        when(isStation, concat(lit("Station "), col("node_id")))
+          .otherwise(""),
+        when(isStation, coalesce(col("position"), lit(""))).otherwise(""),
+        when(isStation,
+          when(pmod(col("node_id"), lit(2)) === 0, "yes").otherwise("no"))
+          .otherwise(""),
+        when(isStation,
+          when(pmod(col("node_id"), lit(5)) < 2, "yes").otherwise("no"))
+          .otherwise("")).as("line"))
+      .orderBy("node_id", "spot_type")
+  }
+
+  // ---- P5: MapboxGL ski-area properties -----------------------------------
+  // MapboxGLFormatter.formatSkiArea (MapboxGLFormatter.ts:204-245):
+  // shortened name (>20 chars → cut at first '(' and trim), rounded
+  // per-activity distances (null when the activity block is absent),
+  // maxElevation/vertical with JS-truthy zero-is-missing, has_downhill/
+  // has_nordic present only for the area's activities, geometry reduced
+  // to the central point (the anchor point for these synthetic areas).
+  // A third of the areas get a long parenthesized name so the
+  // shortening path actually fires.
+  private val qGlSkiAreas = QuerySpec.of(
+    "q_mapbox_ski_areas", {
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |${Statistics.statsOracleCtes},
+        |adp AS (
+        |  SELECT area_id,
+        |    sum(CASE WHEN activity = 'downhill' THEN km END) AS dkm,
+        |    sum(CASE WHEN activity = 'nordic' THEN km END) AS nkm
+        |  FROM runs GROUP BY 1),
+        |el AS (
+        |  SELECT coalesce(r.area_id, l.area_id) AS area_id,
+        |    CASE WHEN run_min IS NULL THEN lift_min
+        |      WHEN lift_min IS NULL THEN run_min
+        |      ELSE greatest(run_min, lift_min) END AS mn,
+        |    CASE WHEN run_max IS NULL THEN lift_max
+        |      WHEN lift_max IS NULL THEN run_max
+        |      ELSE least(run_max, lift_max) END AS mx
+        |  FROM rroot r FULL OUTER JOIN lroot l ON r.area_id = l.area_id),
+        |nm AS (
+        |  SELECT a.area_id, a.alon, a.alat, adp.dkm, adp.nkm, el.mn, el.mx,
+        |    CASE WHEN a.area_id % 3 = 0
+        |      THEN 'Area #' || CAST(a.area_id AS VARCHAR)
+        |        || ' Grand Resort (Main Sector)'
+        |      ELSE 'Area #' || CAST(a.area_id AS VARCHAR) END AS raw_name
+        |  FROM areas a LEFT JOIN adp USING (area_id)
+        |  LEFT JOIN el USING (area_id))
+        |SELECT area_id,
+        |  md5('skiArea|' || CAST(area_id AS VARCHAR)) AS id,
+        |  CASE WHEN len(raw_name) > 20
+        |    THEN trim(string_split(raw_name, '(')[1])
+        |    ELSE raw_name END AS name,
+        |  'operating' AS status,
+        |  CASE WHEN dkm IS NOT NULL
+        |    THEN CAST(floor(dkm + 0.5) AS BIGINT) END AS downhill_distance,
+        |  CASE WHEN nkm IS NOT NULL
+        |    THEN CAST(floor(nkm + 0.5) AS BIGINT) END AS nordic_distance,
+        |  CASE WHEN mx IS NOT NULL
+        |    THEN CAST(floor(mx + 0.5) AS BIGINT) END AS max_elevation,
+        |  CASE WHEN mn IS NOT NULL AND mx IS NOT NULL
+        |    THEN CAST(floor(mx - mn + 0.5) AS BIGINT) END AS vertical,
+        |  CASE WHEN area_id % 2 = 0 THEN true END AS has_downhill,
+        |  CASE WHEN area_id % 2 <> 0 THEN true END AS has_nordic,
+        |  round(alon, 6) AS lon, round(alat, 6) AS lat
+        |FROM nm ORDER BY area_id""".stripMargin
+    }) { (s, d) =>
+    val af = Statistics.areaFrames(s, d)
+    val adp = af.runs.groupBy("area_id").agg(
+      sum(when(col("activity") === "downhill", col("km"))).as("dkm"),
+      sum(when(col("activity") === "nordic", col("km"))).as("nkm"))
+    val el = af.rroot.join(af.lroot, Seq("area_id"), "full_outer")
+      .select(col("area_id"),
+        when(col("run_min").isNull, col("lift_min"))
+          .when(col("lift_min").isNull, col("run_min"))
+          .otherwise(greatest(col("run_min"), col("lift_min"))).as("mn"),
+        when(col("run_max").isNull, col("lift_max"))
+          .when(col("lift_max").isNull, col("run_max"))
+          .otherwise(least(col("run_max"), col("lift_max"))).as("mx"))
+    def jsRound(c: Column) = floor(c + 0.5).cast("long")
+    val rawName = when(pmod(col("area_id"), lit(3)) === 0,
+        concat(lit("Area #"), col("area_id"),
+          lit(" Grand Resort (Main Sector)")))
+      .otherwise(concat(lit("Area #"), col("area_id")))
+    af.areas
+      .join(adp, Seq("area_id"), "left")
+      .join(el, Seq("area_id"), "left")
+      .withColumn("raw_name", rawName)
+      .select(col("area_id"),
+        md5(concat_ws("|", lit("skiArea"), col("area_id"))).as("id"),
+        shortenedName(col("raw_name")).as("name"),
+        lit("operating").as("status"),
+        when(col("dkm").isNotNull, jsRound(col("dkm")))
+          .as("downhill_distance"),
+        when(col("nkm").isNotNull, jsRound(col("nkm"))).as("nordic_distance"),
+        when(col("mx").isNotNull, jsRound(col("mx"))).as("max_elevation"),
+        when(col("mn").isNotNull && col("mx").isNotNull,
+          jsRound(col("mx") - col("mn"))).as("vertical"),
+        when(pmod(col("area_id"), lit(2)) === 0, true).as("has_downhill"),
+        when(pmod(col("area_id"), lit(2)) =!= 0, true).as("has_nordic"),
+        round(col("alon"), 6).as("lon"), round(col("alat"), 6).as("lat"))
+      .orderBy("area_id")
+  }
+
+  // ---- P5: MapboxGL spot properties ---------------------------------------
+  // MapboxGLFormatter.formatSpot (MapboxGLFormatter.ts:153-196): base
+  // {id, spotType, skiAreas} plus lift-station {name, liftId, position,
+  // entry, exit} or crossing {dismount}; the transceiver/halfpipe types
+  // carry base properties only (null type-specific columns here).
+  private val qGlSpots = QuerySpec.of(
+    "q_mapbox_spots",
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value) AS BIGINT) % 4 AS pidx
+      |  FROM events),
+      |s AS (
+      |  SELECT event_id, u.spot_type,
+      |    CASE WHEN u.spot_type = 'lift_station' THEN
+      |      CASE pidx WHEN 0 THEN 'top' WHEN 1 THEN 'mid'
+      |        WHEN 2 THEN 'bottom' END
+      |    END AS position
+      |  FROM e, unnest(
+      |    CASE event_type
+      |      WHEN 'click' THEN ['crossing']
+      |      WHEN 'signup' THEN ['lift_station']
+      |      WHEN 'error' THEN ['avalanche_transceiver_training', 'halfpipe']
+      |      WHEN 'view' THEN ['avalanche_transceiver_checkpoint']
+      |      ELSE ['lift_station', 'crossing'] END) AS u(spot_type))
+      |SELECT event_id AS node_id, spot_type,
+      |  md5('spot|' || CAST(event_id AS VARCHAR) || '|' || spot_type) AS id,
+      |  CASE WHEN spot_type = 'lift_station'
+      |    THEN 'Station ' || CAST(event_id AS VARCHAR) END AS name,
+      |  CASE WHEN spot_type = 'lift_station'
+      |    THEN 'lift_' || CAST(event_id % 97 AS VARCHAR) END AS lift_id,
+      |  CASE WHEN spot_type = 'lift_station' THEN position END AS position,
+      |  CASE WHEN spot_type = 'lift_station'
+      |    THEN event_id % 2 = 0 END AS entry,
+      |  CASE WHEN spot_type = 'lift_station'
+      |    THEN event_id % 5 < 2 END AS exit,
+      |  CASE WHEN spot_type = 'crossing' THEN
+      |    CASE event_id % 3 WHEN 0 THEN 'yes' WHEN 1 THEN 'no'
+      |      ELSE 'sometimes' END END AS dismount,
+      |  round(CAST((event_id * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0, 6)
+      |    AS lon,
+      |  round(CAST((event_id * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0, 6)
+      |    AS lat
+      |FROM s ORDER BY node_id, spot_type""".stripMargin) { (s, d) =>
+    val pidx = pmod(floor(col("value")).cast("long"), lit(4))
+    val stationPos = when(pidx === 0, "top").when(pidx === 1, "mid")
+      .when(pidx === 2, "bottom").otherwise("junk")
+    val tags = map(
+      lit("ski"),
+      when(col("event_type").isin("click", "purchase"), "crossing"),
+      lit("aerialway"),
+      when(col("event_type").isin("signup", "purchase"), "station"),
+      lit("aerialway:station"), stationPos,
+      lit("avalanche_transceiver"),
+      when(col("event_type") === "error", "training")
+        .when(col("event_type") === "view", "checkpoint"),
+      lit("halfpipe"), when(col("event_type") === "error", "yes"))
+    val features = graft.Tables.fanout(Events.eventsMs(s, d))
+      .select(col("event_id").as("node_id"), tags.as("tags"))
+      .localCheckpoint()
+    val isStation = col("spot_type") === "lift_station"
+    Formatters.formatSpots(features)
+      .select(col("node_id"), col("spot_type"),
+        md5(concat_ws("|", lit("spot"), col("node_id"), col("spot_type")))
+          .as("id"),
+        when(isStation, concat(lit("Station "), col("node_id"))).as("name"),
+        when(isStation, concat(lit("lift_"),
+          pmod(col("node_id"), lit(97)))).as("lift_id"),
+        when(isStation, col("position")).as("position"),
+        when(isStation, pmod(col("node_id"), lit(2)) === 0).as("entry"),
+        when(isStation, pmod(col("node_id"), lit(5)) < 2).as("exit"),
+        when(col("spot_type") === "crossing",
+          when(pmod(col("node_id"), lit(3)) === 0, "yes")
+            .when(pmod(col("node_id"), lit(3)) === 1, "no")
+            .otherwise("sometimes")).as("dismount"),
+        round(pmod(col("node_id") * 7919, lit(360000)).cast("double")
+          / 1000.0 - 180.0, 6).as("lon"),
+        round(pmod(col("node_id") * 104729, lit(120000)).cast("double")
+          / 1000.0 - 60.0, 6).as("lat"))
+      .orderBy("node_id", "spot_type")
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qGlRuns, qGlLifts, qCsvRuns, qCsvLifts, qCsvSkiAreas, qCsvSpots,
+      qGlSkiAreas, qGlSpots)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QuerySpec
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Full ski-area statistics shape (SURVEY A1,
@@ -30,128 +30,96 @@ object Statistics {
   private val CellDeg = 0.01
   private val RadiusM = 500.0
 
-  // ---- A1 full shape -----------------------------------------------------
-  private val qFull = QuerySpec.of(
-    "q_ski_statistics_full", {
-      val havRun = GeoFunctions.sqlHaversineM("a.alon", "a.alat", "r.lon0", "r.lat0")
-      val lenRun = SkiQueries.lenSql
-      val havLift = GeoFunctions.sqlHaversineM("a.alon", "a.alat", "l.llon", "l.llat")
-      val lenLift = GeoFunctions.sqlHaversineM("llon", "llat",
-        "(llon + ldx)", "(llat + ldy)") + " + " +
-        GeoFunctions.sqlHaversineM("(llon + ldx)", "(llat + ldy)",
-          "(llon + ldx * 2)", "(llat + ldy)")
-      s"""WITH ${SkiQueries.oraclePrelude},
-        |areas AS (
-        |  SELECT o_orderkey AS area_id,
-        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
-        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
-        |  FROM orders WHERE o_orderkey % 37 = 0),
-        |acells AS (
-        |  SELECT area_id, alon, alat,
-        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
-        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
-        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
-        |rr AS (
-        |  SELECT way_id, uses, coalesce(difficulty, 'other') AS difficulty,
-        |    snowmaking, snowfarming, ($lenRun) / 1000.0 AS km,
-        |    (z0 + l_quantity * 2 - z0) AS dz, z0 AS minz,
-        |    (z0 + l_quantity * 2) AS maxz, lon0, lat0,
-        |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
-        |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
-        |  FROM kept),
-        |rasg AS (
-        |  SELECT r.way_id, min(a.area_id) AS area_id
-        |  FROM acells a JOIN rr r ON a.cx = r.cx AND a.cy = r.cy
-        |  WHERE ($havRun) <= $RadiusM GROUP BY r.way_id),
-        |runs AS (
-        |  SELECT g.area_id, u.activity, r.*
-        |  FROM rr r JOIN rasg g ON r.way_id = g.way_id,
-        |    unnest(list_filter(r.uses, x -> x IN ('downhill', 'nordic'))) AS u(activity)),
-        |rd AS (
-        |  SELECT area_id, activity, difficulty, count(*) AS n,
-        |    sum(km) AS km, sum(CASE WHEN snowmaking THEN km ELSE 0 END) AS smk,
-        |    sum(CASE WHEN snowfarming THEN km ELSE 0 END) AS sfk,
-        |    sum(abs(dz)) AS cdz,
-        |    min(CASE WHEN minz <> 0 THEN minz END) AS mn,
-        |    max(CASE WHEN maxz <> 0 THEN maxz END) AS mx
-        |  FROM runs GROUP BY 1, 2, 3),
-        |ra AS (
-        |  SELECT area_id, activity,
-        |    string_agg(difficulty || ':{n=' || CAST(n AS VARCHAR)
-        |      || ',km=' || printf('%.4f', km) || ',smk=' || printf('%.4f', smk)
-        |      || ',sfk=' || printf('%.4f', sfk) || ',dz=' || printf('%.4f', cdz)
-        |      || ',min=' || coalesce(printf('%.1f', mn), '-')
-        |      || ',max=' || coalesce(printf('%.1f', mx), '-') || '}',
-        |      ';' ORDER BY difficulty) AS diffs
-        |  FROM rd GROUP BY 1, 2),
-        |rroot AS (
-        |  SELECT area_id,
-        |    min(CASE WHEN minz <> 0 THEN minz END) AS run_min,
-        |    max(CASE WHEN maxz <> 0 THEN maxz END) AS run_max
-        |  FROM runs GROUP BY 1),
-        |rstr AS (
-        |  SELECT area_id,
-        |    string_agg(activity || ':{' || diffs || '}', '|' ORDER BY activity)
-        |      AS runs_stats
-        |  FROM ra GROUP BY 1),
-        |lifts0 AS (
-        |  SELECT o_orderkey AS lift_id,
-        |    CASE o_custkey % 6 WHEN 0 THEN 'chair_lift' WHEN 1 THEN 'gondola'
-        |      WHEN 2 THEN 't-bar' WHEN 3 THEN 'platter'
-        |      WHEN 4 THEN 'drag_lift' ELSE NULL END AS lift_type,
-        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS llon,
-        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS llat,
-        |    CAST((o_orderkey % 4 + 1) AS DOUBLE) * 0.0012 AS ldx,
-        |    CAST((o_orderkey % 3 + 1) AS DOUBLE) * 0.0004 AS ldy,
-        |    CAST(o_orderkey % 2500 AS DOUBLE) AS lz0,
-        |    CAST(o_custkey % 400 + 50 AS DOUBLE) AS rise
-        |  FROM orders WHERE o_orderkey % 23 = 0),
-        |ll AS (
-        |  SELECT lift_id, coalesce(lift_type, 'other') AS lift_type,
-        |    ($lenLift) / 1000.0 AS km, 2.0 * rise AS dz,
-        |    lz0 AS minz, lz0 + 2.0 * rise AS maxz, llon, llat,
-        |    CAST(floor(llon / $CellDeg) AS BIGINT) AS cx,
-        |    CAST(floor(llat / $CellDeg) AS BIGINT) AS cy
-        |  FROM lifts0),
-        |lasg AS (
-        |  SELECT l.lift_id, min(a.area_id) AS area_id
-        |  FROM acells a JOIN ll l ON a.cx = l.cx AND a.cy = l.cy
-        |  WHERE ($havLift) <= $RadiusM GROUP BY l.lift_id),
-        |lj AS (
-        |  SELECT g.area_id, l.* FROM ll l JOIN lasg g ON l.lift_id = g.lift_id),
-        |lt AS (
-        |  SELECT area_id, lift_type, count(*) AS n, sum(km) AS km,
-        |    sum(abs(dz)) AS cdz,
-        |    min(CASE WHEN minz <> 0 THEN minz END) AS mn,
-        |    max(CASE WHEN maxz <> 0 THEN maxz END) AS mx
-        |  FROM lj GROUP BY 1, 2),
-        |lstr AS (
-        |  SELECT area_id,
-        |    string_agg(lift_type || ':{n=' || CAST(n AS VARCHAR)
-        |      || ',km=' || printf('%.4f', km) || ',dz=' || printf('%.4f', cdz)
-        |      || ',min=' || coalesce(printf('%.1f', mn), '-')
-        |      || ',max=' || coalesce(printf('%.1f', mx), '-') || '}',
-        |      '|' ORDER BY lift_type) AS lifts_stats
-        |  FROM lt GROUP BY 1),
-        |lroot AS (
-        |  SELECT area_id,
-        |    min(CASE WHEN minz <> 0 THEN minz END) AS lift_min,
-        |    max(CASE WHEN maxz <> 0 THEN maxz END) AS lift_max
-        |  FROM lj GROUP BY 1)
-        |SELECT coalesce(r.area_id, l.area_id) AS area_id,
-        |  coalesce(rstr.runs_stats, '') AS runs_stats,
-        |  coalesce(lstr.lifts_stats, '') AS lifts_stats,
-        |  round(CASE WHEN run_min IS NULL THEN lift_min
-        |    WHEN lift_min IS NULL THEN run_min
-        |    ELSE greatest(run_min, lift_min) END, 1) AS min_elevation,
-        |  round(CASE WHEN run_max IS NULL THEN lift_max
-        |    WHEN lift_max IS NULL THEN run_max
-        |    ELSE least(run_max, lift_max) END, 1) AS max_elevation
-        |FROM rroot r FULL OUTER JOIN lroot l ON r.area_id = l.area_id
-        |LEFT JOIN rstr ON coalesce(r.area_id, l.area_id) = rstr.area_id
-        |LEFT JOIN lstr ON coalesce(r.area_id, l.area_id) = lstr.area_id
-        |ORDER BY area_id""".stripMargin
-    }) { (s, d) =>
+  /** Shared oracle CTE block for the per-area machinery (areas, grid
+    * assignment, per-activity run rows, lift rows, root elevations) —
+    * prefixed by `SkiQueries.oraclePrelude` at each use site. Reused by
+    * the full-statistics oracle and the ski-area CSV oracle so both
+    * replay identical assignment semantics.
+    */
+  private[operators] val statsOracleCtes: String = {
+    val havRun = GeoFunctions.sqlHaversineM("a.alon", "a.alat", "r.lon0", "r.lat0")
+    val lenRun = SkiQueries.lenSql
+    val havLift = GeoFunctions.sqlHaversineM("a.alon", "a.alat", "l.llon", "l.llat")
+    val lenLift = GeoFunctions.sqlHaversineM("llon", "llat",
+      "(llon + ldx)", "(llat + ldy)") + " + " +
+      GeoFunctions.sqlHaversineM("(llon + ldx)", "(llat + ldy)",
+        "(llon + ldx * 2)", "(llat + ldy)")
+    s"""areas AS (
+      |  SELECT o_orderkey AS area_id,
+      |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+      |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |acells AS (
+      |  SELECT area_id, alon, alat,
+      |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+      |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+      |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+      |rr AS (
+      |  SELECT way_id, uses, coalesce(difficulty, 'other') AS difficulty,
+      |    snowmaking, snowfarming, ($lenRun) / 1000.0 AS km,
+      |    (z0 + l_quantity * 2 - z0) AS dz, z0 AS minz,
+      |    (z0 + l_quantity * 2) AS maxz, lon0, lat0,
+      |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
+      |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
+      |  FROM kept),
+      |rasg AS (
+      |  SELECT r.way_id, min(a.area_id) AS area_id
+      |  FROM acells a JOIN rr r ON a.cx = r.cx AND a.cy = r.cy
+      |  WHERE ($havRun) <= $RadiusM GROUP BY r.way_id),
+      |runs AS (
+      |  SELECT g.area_id, u.activity, r.*
+      |  FROM rr r JOIN rasg g ON r.way_id = g.way_id,
+      |    unnest(list_filter(r.uses, x -> x IN ('downhill', 'nordic'))) AS u(activity)),
+      |rroot AS (
+      |  SELECT area_id,
+      |    min(CASE WHEN minz <> 0 THEN minz END) AS run_min,
+      |    max(CASE WHEN maxz <> 0 THEN maxz END) AS run_max
+      |  FROM runs GROUP BY 1),
+      |lifts0 AS (
+      |  SELECT o_orderkey AS lift_id,
+      |    CASE o_custkey % 6 WHEN 0 THEN 'chair_lift' WHEN 1 THEN 'gondola'
+      |      WHEN 2 THEN 't-bar' WHEN 3 THEN 'platter'
+      |      WHEN 4 THEN 'drag_lift' ELSE NULL END AS lift_type,
+      |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS llon,
+      |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS llat,
+      |    CAST((o_orderkey % 4 + 1) AS DOUBLE) * 0.0012 AS ldx,
+      |    CAST((o_orderkey % 3 + 1) AS DOUBLE) * 0.0004 AS ldy,
+      |    CAST(o_orderkey % 2500 AS DOUBLE) AS lz0,
+      |    CAST(o_custkey % 400 + 50 AS DOUBLE) AS rise
+      |  FROM orders WHERE o_orderkey % 23 = 0),
+      |ll AS (
+      |  SELECT lift_id, coalesce(lift_type, 'other') AS lift_type,
+      |    ($lenLift) / 1000.0 AS km, 2.0 * rise AS dz,
+      |    lz0 AS minz, lz0 + 2.0 * rise AS maxz, llon, llat,
+      |    CAST(floor(llon / $CellDeg) AS BIGINT) AS cx,
+      |    CAST(floor(llat / $CellDeg) AS BIGINT) AS cy
+      |  FROM lifts0),
+      |lasg AS (
+      |  SELECT l.lift_id, min(a.area_id) AS area_id
+      |  FROM acells a JOIN ll l ON a.cx = l.cx AND a.cy = l.cy
+      |  WHERE ($havLift) <= $RadiusM GROUP BY l.lift_id),
+      |lj AS (
+      |  SELECT g.area_id, l.* FROM ll l JOIN lasg g ON l.lift_id = g.lift_id),
+      |lroot AS (
+      |  SELECT area_id,
+      |    min(CASE WHEN minz <> 0 THEN minz END) AS lift_min,
+      |    max(CASE WHEN maxz <> 0 THEN maxz END) AS lift_max
+      |  FROM lj GROUP BY 1)""".stripMargin
+  }
+
+  /** Spark twin of [[statsOracleCtes]]: the shared per-area dataflow.
+    * `areas` = (area_id, alon, alat); `runs` = per-(run, activity)
+    * rows with the min-area assignment; `rroot`/`lroot` = per-area
+    * non-zero elevation extremes ("JS truthiness" — elevation 0 counts
+    * as missing); `lj` = assigned lift rows.
+    */
+  private[operators] final case class AreaFrames(
+      areas: DataFrame, runs: DataFrame, rroot: DataFrame,
+      lj: DataFrame, lroot: DataFrame)
+
+  private[operators] def areaFrames(s: SparkSession, d: String): AreaFrames = {
+    def nzMin(c: Column) = min(when(c =!= 0.0, c))
+    def nzMax(c: Column) = max(when(c =!= 0.0, c))
     val areas = graft.Tables.orders(s, d)
       .filter(pmod(col("o_orderkey"), lit(37)) === 0)
       .select(col("o_orderkey").as("area_id"),
@@ -187,34 +155,6 @@ object Statistics {
     val runs = rr.join(rasg, "way_id")
       .select(col("*"), explode(filter(col("uses"),
         u => u.isin("downhill", "nordic"))).as("activity"))
-
-    def nzMin(c: Column) = min(when(c =!= 0.0, c))
-    def nzMax(c: Column) = max(when(c =!= 0.0, c))
-    val rd = runs.groupBy("area_id", "activity", "difficulty")
-      .agg(count(lit(1)).as("n"), sum("km").as("km"),
-        sum(when(col("snowmaking"), col("km")).otherwise(0.0)).as("smk"),
-        sum(when(col("snowfarming"), col("km")).otherwise(0.0)).as("sfk"),
-        sum(abs(col("dz"))).as("cdz"),
-        nzMin(col("minz")).as("mn"), nzMax(col("maxz")).as("mx"))
-    val diffEntry = concat(col("difficulty"), lit(":{n="), col("n"),
-      lit(",km="), format_string("%.4f", col("km")),
-      lit(",smk="), format_string("%.4f", col("smk")),
-      lit(",sfk="), format_string("%.4f", col("sfk")),
-      lit(",dz="), format_string("%.4f", col("cdz")),
-      lit(",min="), when(col("mn").isNull, lit("-"))
-        .otherwise(format_string("%.1f", col("mn"))),
-      lit(",max="), when(col("mx").isNull, lit("-"))
-        .otherwise(format_string("%.1f", col("mx"))),
-      lit("}"))
-    val ra = rd.withColumn("entry", diffEntry)
-      .groupBy("area_id", "activity")
-      .agg(array_join(array_sort(collect_list(col("entry"))), ";").as("diffs"))
-    val rstr = ra
-      .withColumn("ablock", concat(col("activity"), lit(":{"),
-        col("diffs"), lit("}")))
-      .groupBy("area_id")
-      .agg(array_join(array_sort(collect_list(col("ablock"))), "|")
-        .as("runs_stats"))
     val rroot = runs.groupBy("area_id")
       .agg(nzMin(col("minz")).as("run_min"), nzMax(col("maxz")).as("run_max"))
 
@@ -249,7 +189,98 @@ object Statistics {
         <= RadiusM)
       .groupBy("lift_id").agg(min("area_id").as("area_id"))
     val lj = ll.join(lasg, "lift_id")
-    val lt = lj.groupBy("area_id", "lift_type")
+    val lroot = lj.groupBy("area_id")
+      .agg(nzMin(col("minz")).as("lift_min"), nzMax(col("maxz")).as("lift_max"))
+    AreaFrames(areas, runs, rroot, lj, lroot)
+  }
+
+  // ---- A1 full shape -----------------------------------------------------
+  private val qFull = QuerySpec.of(
+    "q_ski_statistics_full", {
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |$statsOracleCtes,
+        |rd AS (
+        |  SELECT area_id, activity, difficulty, count(*) AS n,
+        |    sum(km) AS km, sum(CASE WHEN snowmaking THEN km ELSE 0 END) AS smk,
+        |    sum(CASE WHEN snowfarming THEN km ELSE 0 END) AS sfk,
+        |    sum(abs(dz)) AS cdz,
+        |    min(CASE WHEN minz <> 0 THEN minz END) AS mn,
+        |    max(CASE WHEN maxz <> 0 THEN maxz END) AS mx
+        |  FROM runs GROUP BY 1, 2, 3),
+        |ra AS (
+        |  SELECT area_id, activity,
+        |    string_agg(difficulty || ':{n=' || CAST(n AS VARCHAR)
+        |      || ',km=' || printf('%.4f', km) || ',smk=' || printf('%.4f', smk)
+        |      || ',sfk=' || printf('%.4f', sfk) || ',dz=' || printf('%.4f', cdz)
+        |      || ',min=' || coalesce(printf('%.1f', mn), '-')
+        |      || ',max=' || coalesce(printf('%.1f', mx), '-') || '}',
+        |      ';' ORDER BY difficulty) AS diffs
+        |  FROM rd GROUP BY 1, 2),
+        |rstr AS (
+        |  SELECT area_id,
+        |    string_agg(activity || ':{' || diffs || '}', '|' ORDER BY activity)
+        |      AS runs_stats
+        |  FROM ra GROUP BY 1),
+        |lt AS (
+        |  SELECT area_id, lift_type, count(*) AS n, sum(km) AS km,
+        |    sum(abs(dz)) AS cdz,
+        |    min(CASE WHEN minz <> 0 THEN minz END) AS mn,
+        |    max(CASE WHEN maxz <> 0 THEN maxz END) AS mx
+        |  FROM lj GROUP BY 1, 2),
+        |lstr AS (
+        |  SELECT area_id,
+        |    string_agg(lift_type || ':{n=' || CAST(n AS VARCHAR)
+        |      || ',km=' || printf('%.4f', km) || ',dz=' || printf('%.4f', cdz)
+        |      || ',min=' || coalesce(printf('%.1f', mn), '-')
+        |      || ',max=' || coalesce(printf('%.1f', mx), '-') || '}',
+        |      '|' ORDER BY lift_type) AS lifts_stats
+        |  FROM lt GROUP BY 1)
+        |SELECT coalesce(r.area_id, l.area_id) AS area_id,
+        |  coalesce(rstr.runs_stats, '') AS runs_stats,
+        |  coalesce(lstr.lifts_stats, '') AS lifts_stats,
+        |  round(CASE WHEN run_min IS NULL THEN lift_min
+        |    WHEN lift_min IS NULL THEN run_min
+        |    ELSE greatest(run_min, lift_min) END, 1) AS min_elevation,
+        |  round(CASE WHEN run_max IS NULL THEN lift_max
+        |    WHEN lift_max IS NULL THEN run_max
+        |    ELSE least(run_max, lift_max) END, 1) AS max_elevation
+        |FROM rroot r FULL OUTER JOIN lroot l ON r.area_id = l.area_id
+        |LEFT JOIN rstr ON coalesce(r.area_id, l.area_id) = rstr.area_id
+        |LEFT JOIN lstr ON coalesce(r.area_id, l.area_id) = lstr.area_id
+        |ORDER BY area_id""".stripMargin
+    }) { (s, d) =>
+    val af = areaFrames(s, d)
+    val runs = af.runs
+
+    def nzMin(c: Column) = min(when(c =!= 0.0, c))
+    def nzMax(c: Column) = max(when(c =!= 0.0, c))
+    val rd = runs.groupBy("area_id", "activity", "difficulty")
+      .agg(count(lit(1)).as("n"), sum("km").as("km"),
+        sum(when(col("snowmaking"), col("km")).otherwise(0.0)).as("smk"),
+        sum(when(col("snowfarming"), col("km")).otherwise(0.0)).as("sfk"),
+        sum(abs(col("dz"))).as("cdz"),
+        nzMin(col("minz")).as("mn"), nzMax(col("maxz")).as("mx"))
+    val diffEntry = concat(col("difficulty"), lit(":{n="), col("n"),
+      lit(",km="), format_string("%.4f", col("km")),
+      lit(",smk="), format_string("%.4f", col("smk")),
+      lit(",sfk="), format_string("%.4f", col("sfk")),
+      lit(",dz="), format_string("%.4f", col("cdz")),
+      lit(",min="), when(col("mn").isNull, lit("-"))
+        .otherwise(format_string("%.1f", col("mn"))),
+      lit(",max="), when(col("mx").isNull, lit("-"))
+        .otherwise(format_string("%.1f", col("mx"))),
+      lit("}"))
+    val ra = rd.withColumn("entry", diffEntry)
+      .groupBy("area_id", "activity")
+      .agg(array_join(array_sort(collect_list(col("entry"))), ";").as("diffs"))
+    val rstr = ra
+      .withColumn("ablock", concat(col("activity"), lit(":{"),
+        col("diffs"), lit("}")))
+      .groupBy("area_id")
+      .agg(array_join(array_sort(collect_list(col("ablock"))), "|")
+        .as("runs_stats"))
+    val rroot = af.rroot
+    val lt = af.lj.groupBy("area_id", "lift_type")
       .agg(count(lit(1)).as("n"), sum("km").as("km"),
         sum(abs(col("dz"))).as("cdz"),
         nzMin(col("minz")).as("mn"), nzMax(col("maxz")).as("mx"))
@@ -265,8 +296,7 @@ object Statistics {
       .groupBy("area_id")
       .agg(array_join(array_sort(collect_list(col("entry"))), "|")
         .as("lifts_stats"))
-    val lroot = lj.groupBy("area_id")
-      .agg(nzMin(col("minz")).as("lift_min"), nzMax(col("maxz")).as("lift_max"))
+    val lroot = af.lroot
 
     rroot.join(lroot, Seq("area_id"), "full_outer")
       .join(rstr, Seq("area_id"), "left")
