@@ -26,7 +26,9 @@ object SparkEntry {
       operators.ClusterPipeline.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs ++
-      operators.PipelineE2E.specs
+      operators.PipelineE2E.specs ++
+      operators.GeoPackage.specs ++
+      operators.Validity.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

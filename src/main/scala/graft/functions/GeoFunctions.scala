@@ -252,4 +252,45 @@ object GeoFunctions {
           (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
         when(crosses, !acc).otherwise(acc)
       })
+
+  // ---- P12/J6: geometry validity + repair ---------------------------------
+  // The reference validates features with turf booleanValid and drops
+  // invalid ones (`/root/reference/src/transforms/GeoTransforms.ts:113-130`),
+  // and the clustering ingest normalizes every geometry with
+  // ST_MakeValid(ST_Force2D(...)) (`PostgreSQLClusteringDatabase.ts:50,291`).
+  // Columnar equivalents: validity predicates per geometry class, the
+  // close-ring repair (the 'method=structure' fix for the common
+  // unclosed-ring case), and the 2D projection.
+
+  /** Drop z (and any higher ordinate) from every position. */
+  def force2D(coords: Column): Column = transform(coords, p => slice(p, 1, 2))
+
+  /** Every position within lon ∈ [-180, 180], lat ∈ [-90, 90]. */
+  def coordsInRange(coords: Column): Column =
+    forall(coords, p => abs(element_at(p, 1)) <= 180.0 &&
+      abs(element_at(p, 2)) <= 90.0)
+
+  /** Ring closure: first position equals last (array equality — apply
+    * after [[force2D]] so a 3D first vertex compares equal to a 2D
+    * repair-appended copy).
+    */
+  def ringClosed(ring: Column): Column =
+    element_at(ring, 1) === element_at(ring, -1)
+
+  /** Polygon-ring validity: ≥4 positions, closed, in range. */
+  def ringValid(ring: Column): Column =
+    size(ring) >= 4 && ringClosed(ring) && coordsInRange(ring)
+
+  /** LineString validity: ≥2 positions, in range. */
+  def lineValid(coords: Column): Column =
+    size(coords) >= 2 && coordsInRange(coords)
+
+  /** Close-ring repair: append the first position when unclosed. A
+    * repaired ring is valid iff it then has ≥4 positions and is in
+    * range — too-short or out-of-range rings stay invalid (the
+    * reference drops those).
+    */
+  def closeRing(ring: Column): Column =
+    when(ringClosed(ring), ring)
+      .otherwise(array_append(ring, element_at(ring, 1)))
 }

@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GeoPackage sink row semantics (SURVEY S7) and the output-merger
+  * (S11) as DataFrames.
+  *
+  * The reference writes four typed SQLite layers
+  * (`/root/reference/src/io/GeoPackageWriter.ts:154-467`: SKI_AREA /
+  * LIFT / RUN / SPOT schemas over a COMMON_SCHEMA prefix, ski areas
+  * additionally reduced to a `_point` centroid layer, booleans stored
+  * as SQLite 0/1/NULL via `toSQLiteBoolean`, :37-42) and merges
+  * per-region GeoPackages by skipping rows whose `feature_id` already
+  * exists in the target (`GeoPackageMerger.ts:161-201`, INSERT OR
+  * IGNORE + a feature_id set — first writer wins).
+  *
+  * The SQLite container itself is a driver-side post-step (no SQLite
+  * lib in this environment); what the engine owns is exactly what's
+  * modeled here: the typed row projections each layer receives, and
+  * the merger's id-dedupe as a distributed anti-join (the set-lookup
+  * re-expressed so it scales past one process's RAM).
+  */
+object GeoPackage {
+
+  /** toSQLiteBoolean (GeoPackageWriter.ts:37-42): null → NULL ('' in
+    * the rendered row), true → 1, false → 0.
+    */
+  private def b01(c: Column): Column =
+    when(c.isNull, "").when(c, "1").otherwise("0")
+
+  private val sqlB01 = (x: String) =>
+    s"CASE WHEN $x IS NULL THEN '' WHEN $x THEN '1' ELSE '0' END"
+
+  // ---- S7: the four typed layer projections -------------------------------
+  private val qLayers = QuerySpec.of(
+    "q_gpkg_layers", {
+      val conv = OutputFormats.sqlDifficultyConvention.replaceAll("\n", " ")
+      val aconv = OutputFormats.sqlDifficultyConvention
+        .replace("lon0", "alon").replace("lat0", "alat")
+        .replaceAll("\n", " ")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |${Statistics.statsOracleCtes},
+        |${SkiQueries.liftOracleCtes},
+        |run_rows AS (
+        |  SELECT 'runs' AS layer,
+        |    md5(concat_ws('|', 'run', CAST(way_id AS VARCHAR), status,
+        |      array_to_string(uses, ';'), difficulty, name)) AS fid,
+        |    concat_ws('|', name, status, array_to_string(uses, ','),
+        |      coalesce(ref, ''), coalesce(difficulty, ''), ($conv),
+        |      ${sqlB01("oneway")}, ${sqlB01("lit")}, ${sqlB01("gladed")},
+        |      ${sqlB01("patrolled")}, ${sqlB01("snowmaking")},
+        |      ${sqlB01("snowfarming")}, coalesce(grooming, '')) AS line
+        |  FROM kept),
+        |lift_rows AS (
+        |  SELECT 'lifts' AS layer,
+        |    md5(concat_ws('|', 'lift', CAST(lift_id AS VARCHAR), status,
+        |      lift_type, name)) AS fid,
+        |    concat_ws('|', name, status, coalesce(lift_type, ''),
+        |      coalesce(access, ''), coalesce(ref, ''), ${sqlB01("oneway")},
+        |      coalesce(CAST(occupancy AS VARCHAR), ''),
+        |      coalesce(CAST(capacity AS VARCHAR), ''),
+        |      coalesce(CAST(duration_s AS VARCHAR), ''),
+        |      ${sqlB01("detachable")}, ${sqlB01("bubble")},
+        |      ${sqlB01("heating")}) AS line
+        |  FROM lfmt),
+        |el AS (
+        |  SELECT coalesce(r.area_id, l.area_id) AS area_id,
+        |    CASE WHEN run_min IS NULL THEN lift_min
+        |      WHEN lift_min IS NULL THEN run_min
+        |      ELSE greatest(run_min, lift_min) END AS mn,
+        |    CASE WHEN run_max IS NULL THEN lift_max
+        |      WHEN lift_max IS NULL THEN run_max
+        |      ELSE least(run_max, lift_max) END AS mx
+        |  FROM rroot r FULL OUTER JOIN lroot l ON r.area_id = l.area_id),
+        |area_rows AS (
+        |  SELECT 'ski_areas_point' AS layer,
+        |    md5('skiArea|' || CAST(a.area_id AS VARCHAR)) AS fid,
+        |    concat_ws('|', 'Area #' || CAST(a.area_id AS VARCHAR),
+        |      'operating',
+        |      CASE WHEN a.area_id % 2 = 0 THEN 'downhill' ELSE 'nordic' END,
+        |      coalesce(CAST(round(mn, 2) AS VARCHAR), ''),
+        |      coalesce(CAST(round(mx, 2) AS VARCHAR), ''),
+        |      ($aconv), printf('%.6f', alon), printf('%.6f', alat)) AS line
+        |  FROM areas a LEFT JOIN el ON a.area_id = el.area_id),
+        |sp AS (
+        |  SELECT event_id, u.spot_type,
+        |    CASE WHEN u.spot_type = 'lift_station' THEN
+        |      CASE CAST(floor(value) AS BIGINT) % 4
+        |        WHEN 0 THEN 'top' WHEN 1 THEN 'mid' WHEN 2 THEN 'bottom' END
+        |    END AS position
+        |  FROM events, unnest(
+        |    CASE event_type
+        |      WHEN 'click' THEN ['crossing']
+        |      WHEN 'signup' THEN ['lift_station']
+        |      WHEN 'error' THEN ['avalanche_transceiver_training', 'halfpipe']
+        |      WHEN 'view' THEN ['avalanche_transceiver_checkpoint']
+        |      ELSE ['lift_station', 'crossing'] END) AS u(spot_type)),
+        |spot_rows AS (
+        |  SELECT 'spots' AS layer,
+        |    md5('spot|' || CAST(event_id AS VARCHAR) || '|' || spot_type)
+        |      AS fid,
+        |    concat_ws('|', spot_type,
+        |      CASE WHEN spot_type = 'crossing' THEN
+        |        CASE event_id % 3 WHEN 0 THEN 'yes' WHEN 1 THEN 'no'
+        |          ELSE 'sometimes' END ELSE '' END,
+        |      CASE WHEN spot_type = 'lift_station'
+        |        THEN 'Station ' || CAST(event_id AS VARCHAR) ELSE '' END,
+        |      CASE WHEN spot_type = 'lift_station'
+        |        THEN coalesce(position, '') ELSE '' END,
+        |      CASE WHEN spot_type = 'lift_station' THEN
+        |        CASE WHEN event_id % 2 = 0 THEN '1' ELSE '0' END
+        |        ELSE '' END,
+        |      CASE WHEN spot_type = 'lift_station' THEN
+        |        CASE WHEN event_id % 5 < 2 THEN '1' ELSE '0' END
+        |        ELSE '' END) AS line
+        |  FROM sp)
+        |SELECT layer, fid, line FROM (
+        |  SELECT * FROM run_rows UNION ALL SELECT * FROM lift_rows
+        |  UNION ALL SELECT * FROM area_rows UNION ALL SELECT * FROM spot_rows)
+        |ORDER BY layer, fid, line""".stripMargin
+    }) { (s, d) =>
+    layerRows(s, d).orderBy("layer", "fid", "line")
+  }
+
+  /** (layer, fid, line) rows for all four typed layers. */
+  private def layerRows(s: SparkSession, d: String): DataFrame = {
+    import OutputFormats.difficultyConvention
+    def pt(j: Int) = element_at(element_at(col("coords"), 1), j)
+    val runRows = SkiQueries.formatted(s, d).filter(col("kept"))
+      .select(lit("runs").as("layer"), col("id").as("fid"),
+        concat_ws("|", col("name"), col("status"),
+          concat_ws(",", col("uses")), coalesce(col("ref"), lit("")),
+          coalesce(col("difficulty"), lit("")),
+          difficultyConvention(pt(1), pt(2)),
+          b01(col("oneway")), b01(col("lit")), b01(col("gladed")),
+          b01(col("patrolled")), b01(col("snowmaking")),
+          b01(col("snowfarming")),
+          coalesce(col("grooming"), lit(""))).as("line"))
+    val liftRows = SkiQueries.formattedLifts(s, d)
+      .select(lit("lifts").as("layer"),
+        md5(concat_ws("|", lit("lift"), col("lift_id"), col("status"),
+          col("lift_type"), col("name"))).as("fid"),
+        concat_ws("|", col("name"), col("status"),
+          coalesce(col("lift_type"), lit("")),
+          coalesce(col("access"), lit("")), coalesce(col("ref"), lit("")),
+          b01(col("oneway")),
+          coalesce(col("occupancy").cast("string"), lit("")),
+          coalesce(col("capacity").cast("string"), lit("")),
+          coalesce(col("duration_s").cast("string"), lit("")),
+          b01(col("detachable")), b01(col("bubble")),
+          b01(col("heating"))).as("line"))
+    val af = Statistics.areaFrames(s, d)
+    val el = af.rroot.join(af.lroot, Seq("area_id"), "full_outer")
+      .select(col("area_id"),
+        when(col("run_min").isNull, col("lift_min"))
+          .when(col("lift_min").isNull, col("run_min"))
+          .otherwise(greatest(col("run_min"), col("lift_min"))).as("mn"),
+        when(col("run_max").isNull, col("lift_max"))
+          .when(col("lift_max").isNull, col("run_max"))
+          .otherwise(least(col("run_max"), col("lift_max"))).as("mx"))
+    val areaRows = af.areas.join(el, Seq("area_id"), "left")
+      .select(lit("ski_areas_point").as("layer"),
+        md5(concat_ws("|", lit("skiArea"), col("area_id"))).as("fid"),
+        concat_ws("|", concat(lit("Area #"), col("area_id")),
+          lit("operating"),
+          when(pmod(col("area_id"), lit(2)) === 0, "downhill")
+            .otherwise("nordic"),
+          coalesce(round(col("mn"), 2).cast("string"), lit("")),
+          coalesce(round(col("mx"), 2).cast("string"), lit("")),
+          difficultyConvention(col("alon"), col("alat")),
+          format_string("%.6f", col("alon")),
+          format_string("%.6f", col("alat"))).as("line"))
+    val pidx = pmod(floor(col("value")).cast("long"), lit(4))
+    val stationPos = when(pidx === 0, "top").when(pidx === 1, "mid")
+      .when(pidx === 2, "bottom")
+    val isStation = col("spot_type") === "lift_station"
+    val spotRows = graft.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), stationPos.as("pos"))
+      .select(col("event_id"), col("pos"),
+        explode(when(col("event_type") === "click", array(lit("crossing")))
+          .when(col("event_type") === "signup", array(lit("lift_station")))
+          .when(col("event_type") === "error",
+            array(lit("avalanche_transceiver_training"), lit("halfpipe")))
+          .when(col("event_type") === "view",
+            array(lit("avalanche_transceiver_checkpoint")))
+          .otherwise(array(lit("lift_station"), lit("crossing"))))
+          .as("spot_type"))
+      .select(lit("spots").as("layer"),
+        md5(concat_ws("|", lit("spot"), col("event_id"), col("spot_type")))
+          .as("fid"),
+        concat_ws("|", col("spot_type"),
+          when(col("spot_type") === "crossing",
+            when(pmod(col("event_id"), lit(3)) === 0, "yes")
+              .when(pmod(col("event_id"), lit(3)) === 1, "no")
+              .otherwise("sometimes")).otherwise(""),
+          when(isStation, concat(lit("Station "), col("event_id")))
+            .otherwise(""),
+          when(isStation, coalesce(col("pos"), lit(""))).otherwise(""),
+          when(isStation,
+            when(pmod(col("event_id"), lit(2)) === 0, "1").otherwise("0"))
+            .otherwise(""),
+          when(isStation,
+            when(pmod(col("event_id"), lit(5)) < 2, "1").otherwise("0"))
+            .otherwise("")).as("line"))
+    runRows.unionByName(liftRows).unionByName(areaRows).unionByName(spotRows)
+  }
+
+  // ---- S11: output merger -------------------------------------------------
+  // Two overlapping regional extracts per layer (even ids + every 7th
+  // vs odd ids + every 7th); the merge keeps every target row and
+  // inserts only source rows whose feature_id is absent — the
+  // reference's existing-id set + INSERT OR IGNORE, re-expressed as a
+  // LEFT ANTI join so the id set never has to fit in one process.
+  // The merged id checksum (order-independent sum of row hashes)
+  // verifies the surviving row SET, not just the counts.
+  private val qMerge = QuerySpec.of(
+    "q_merge_outputs", {
+      val h = HashFunctions.sqlHash64("fid")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |${SkiQueries.liftOracleCtes},
+        |run_rows AS (
+        |  SELECT 'runs' AS layer, way_id AS k,
+        |    md5(concat_ws('|', 'run', CAST(way_id AS VARCHAR), status,
+        |      array_to_string(uses, ';'), difficulty, name)) AS fid
+        |  FROM kept),
+        |lift_rows AS (
+        |  SELECT 'lifts' AS layer, lift_id AS k,
+        |    md5(concat_ws('|', 'lift', CAST(lift_id AS VARCHAR), status,
+        |      lift_type, name)) AS fid
+        |  FROM lfmt),
+        |rows_all AS (
+        |  SELECT * FROM run_rows UNION ALL SELECT * FROM lift_rows),
+        |target AS (SELECT * FROM rows_all WHERE k % 2 = 0 OR k % 7 = 0),
+        |source AS (SELECT * FROM rows_all WHERE k % 2 = 1 OR k % 7 = 0),
+        |inserted AS (
+        |  SELECT s.layer, s.fid FROM source s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM target t
+        |    WHERE t.layer = s.layer AND t.fid = s.fid)),
+        |merged AS (
+        |  SELECT layer, fid FROM target
+        |  UNION ALL SELECT layer, fid FROM inserted)
+        |SELECT m.layer,
+        |  (SELECT count(*) FROM target t WHERE t.layer = m.layer) AS n_target,
+        |  (SELECT count(*) FROM source s WHERE s.layer = m.layer) AS n_source,
+        |  (SELECT count(*) FROM inserted i WHERE i.layer = m.layer)
+        |    AS n_inserted,
+        |  count(*) AS n_merged,
+        |  CAST(sum($h % 1000000000000) AS BIGINT) AS id_checksum
+        |FROM merged m GROUP BY m.layer ORDER BY m.layer""".stripMargin
+    }) { (s, d) =>
+    val runRows = SkiQueries.formatted(s, d).filter(col("kept"))
+      .select(lit("runs").as("layer"), col("way_id").as("k"),
+        col("id").as("fid"))
+    val liftRows = SkiQueries.formattedLifts(s, d)
+      .select(lit("lifts").as("layer"), col("lift_id").as("k"),
+        md5(concat_ws("|", lit("lift"), col("lift_id"), col("status"),
+          col("lift_type"), col("name"))).as("fid"))
+    val all = runRows.unionByName(liftRows)
+    val isShared = pmod(col("k"), lit(7)) === 0
+    val target = all.filter(pmod(col("k"), lit(2)) === 0 || isShared)
+      .select("layer", "fid")
+    val source = all.filter(pmod(col("k"), lit(2)) =!= 0 || isShared)
+      .select("layer", "fid")
+    val inserted = source.join(target, Seq("layer", "fid"), "left_anti")
+    val merged = target.unionByName(inserted).localCheckpoint()
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("layer").agg(count(lit(1)).as(name))
+    merged.groupBy("layer")
+      .agg(count(lit(1)).as("n_merged"),
+        sum(pmod(HashFunctions.hash64(col("fid")), lit(1000000000000L)))
+          .as("id_checksum"))
+      .join(cnt(target, "n_target"), Seq("layer"), "left")
+      .join(cnt(source, "n_source"), Seq("layer"), "left")
+      .join(cnt(inserted, "n_inserted"), Seq("layer"), "left")
+      .select(col("layer"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"),
+        coalesce(col("n_source"), lit(0L)).as("n_source"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        col("n_merged"), col("id_checksum"))
+      .orderBy("layer")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qLayers, qMerge)
+}

@@ -122,4 +122,64 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(hs.head == 0.0 && hs.last == 1000.0)
     assert(hs(1) > 200 && hs(1) < 250) // ~224.9 at 25 km of ~111.19
   }
+
+  // ---- P12/J6 validity: one case per invalid class ----
+  private def ringCase(ring: Seq[Seq[Double]]): (Boolean, Boolean) = {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+      .select(force2D(typedLit(ring)).as("c2"))
+      .select(ringValid(col("c2")).as("raw"),
+        ringValid(closeRing(col("c2"))).as("rep"))
+    val r = df.collect().head
+    (r.getBoolean(0), r.getBoolean(1))
+  }
+
+  test("unclosed ring is invalid and close-ring repair fixes it") {
+    val (raw, rep) = ringCase(Seq(
+      Seq(0.0, 0.0, 5.0), Seq(1.0, 0.0, 6.0), Seq(1.0, 1.0, 7.0),
+      Seq(0.0, 1.0, 8.0)))
+    assert(!raw && rep)
+  }
+
+  test("closed 5-point ring is valid as-is (3D z ignored by force2D)") {
+    val (raw, rep) = ringCase(Seq(
+      Seq(0.0, 0.0, 5.0), Seq(1.0, 0.0, 6.0), Seq(1.0, 1.0, 7.0),
+      Seq(0.0, 1.0, 8.0), Seq(0.0, 0.0, 9.0)))
+    assert(raw && rep)
+  }
+
+  test("too-short ring stays invalid after repair (<4 points closed)") {
+    val (raw, rep) = ringCase(Seq(Seq(0.0, 0.0), Seq(1.0, 0.0)))
+    assert(!raw && !rep)
+  }
+
+  test("out-of-range longitude stays invalid after repair") {
+    val (raw, rep) = ringCase(Seq(
+      Seq(400.0, 0.0), Seq(401.0, 0.0), Seq(401.0, 1.0), Seq(400.0, 1.0),
+      Seq(400.0, 0.0)))
+    assert(!raw && !rep)
+  }
+
+  test("out-of-range latitude is invalid") {
+    val (raw, rep) = ringCase(Seq(
+      Seq(0.0, 91.0), Seq(1.0, 91.0), Seq(1.0, 92.0), Seq(0.0, 92.0),
+      Seq(0.0, 91.0)))
+    assert(!raw && !rep)
+  }
+
+  test("lineValid requires >=2 in-range positions; force2D drops z") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Seq(0.0, 0.0, 3.0), Seq(1.0, 1.0, 4.0)), true),
+      (Seq(Seq(0.0, 0.0, 3.0)), false),
+      (Seq(Seq(200.0, 0.0), Seq(201.0, 0.0)), false))
+      .toDF("coords", "expect")
+      .select(lineValid(force2D(col("coords"))).as("got"), col("expect"),
+        array_max(transform(force2D(col("coords")), p => size(p)))
+          .as("arity"))
+    df.collect().foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(1))
+      assert(r.getInt(2) == 2)
+    }
+  }
 }
