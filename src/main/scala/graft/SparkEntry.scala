@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Enrichment.specs ++
       operators.PipelineE2E.specs ++
       operators.GeoPackage.specs ++
-      operators.Validity.specs
+      operators.Validity.specs ++
+      operators.ViewportHint.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -293,4 +293,71 @@ object GeoFunctions {
   def closeRing(ring: Column): Column =
     when(ringClosed(ring), ring)
       .otherwise(array_append(ring, element_at(ring, 1)))
+
+  // ---- G7: viewportHint ----------------------------------------------------
+  /** Meters per degree of latitude in the viewportHint local frame —
+    * pinned by the reference's snapshot fixtures (a 1°-tall feature has
+    * rotatedHeightMeters 111320 and rotatedWidthMeters
+    * 111320·cos(center lat), `RunFormatter.unit.test.ts:67-73`).
+    */
+  val ViewportMPerDegLat = 111320.0
+
+  /** viewportHint (G7; `openskidata-format` computeViewportHint, called
+    * at `/root/reference/src/transforms/RunFormatter.ts:79`, recomputed
+    * after normalization geometry mutations
+    * (`normalization/MergeOverlappingRuns.ts:77-81`) and after 3D
+    * elevation enrichment (`Elevation.ts:136-144`)).
+    *
+    * Contract (from the reference's snapshot shape): center = bbox
+    * center [lon, lat]; bearing = compass direction of the dominant
+    * DOWNHILL z-gradient — the descent-weighted sum of segment
+    * direction vectors in local meters — and null when the geometry is
+    * 2D or flat ("graceful degradation ... the client falls back to a
+    * top-down view", `Elevation.ts:136-139`); rotated extents = bbox of
+    * the vertices in the frame rotated so the bearing points up
+    * (y' = x·sin b + y·cos b, x' = x·cos b − y·sin b), minCameraY =
+    * the smallest rotated y. With bearing null the frame is unrotated,
+    * reproducing the fixture's plain-bbox numbers exactly.
+    */
+  def viewportHint(coords: Column): Column = {
+    val lons = transform(coords, p => element_at(p, 1))
+    val lats = transform(coords, p => element_at(p, 2))
+    val minLon = array_min(lons); val maxLon = array_max(lons)
+    val minLat = array_min(lats); val maxLat = array_max(lats)
+    val clon = (minLon + maxLon) / 2
+    val clat = (minLat + maxLat) / 2
+    val mLon = lit(ViewportMPerDegLat) * cos(radians(clat))
+    val has3d = forall(coords, p => size(p) >= 3)
+    val grad = aggregate(
+      sequence(lit(1), size(coords) - 1),
+      struct(lit(0.0).as("vx"), lit(0.0).as("vy")),
+      (acc, i) => {
+        val p = element_at(coords, i)
+        val q = element_at(coords, i + 1)
+        // 0-based get: null (not an error) on 2D points, so the 3D
+        // guard below degrades the bearing instead of throwing
+        val w = get(p, lit(2)) - get(q, lit(2)) // descent weight
+        struct(
+          (acc.getField("vx")
+            + w * (element_at(q, 1) - element_at(p, 1)) * mLon).as("vx"),
+          (acc.getField("vy")
+            + w * (element_at(q, 2) - element_at(p, 2))
+              * ViewportMPerDegLat).as("vy"))
+      })
+    val vx = grad.getField("vx"); val vy = grad.getField("vy")
+    val bearing = when(has3d && (abs(vx) > 1e-9 || abs(vy) > 1e-9),
+      pmod(degrees(atan2(vx, vy)) + 360.0, lit(360.0)))
+    val b = radians(coalesce(bearing, lit(0.0)))
+    val xs = transform(coords, p => (element_at(p, 1) - clon) * mLon)
+    val ys = transform(coords,
+      p => (element_at(p, 2) - clat) * ViewportMPerDegLat)
+    val xr = zip_with(xs, ys, (x, y) => x * cos(b) - y * sin(b))
+    val yr = zip_with(xs, ys, (x, y) => x * sin(b) + y * cos(b))
+    struct(
+      bearing.as("bearing"),
+      clon.as("center_lon"), clat.as("center_lat"),
+      array_min(yr).as("min_camera_y"),
+      (array_max(yr) - array_min(yr)).as("rotated_height_m"),
+      (array_max(xr) - array_min(xr)).as("rotated_width_m"))
+  }
 }

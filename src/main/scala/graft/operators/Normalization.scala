@@ -65,6 +65,14 @@ object Normalization {
   trait PropsMerge {
     def mergeAgg: Column
     def hash(props: Column): Column = xxhash64(props)
+
+    /** Whether merged props mark the feature as oneway — the N3 chain
+      * stitcher must never REVERSE a oneway fragment (the reference's
+      * PointGraph only expands in reverse for direction-free features,
+      * `/root/reference/src/transforms/normalization/PointGraph.ts:70-76`).
+      * Default: no direction semantics.
+      */
+    def onewayFlag(props: Column): Column = lit(false)
   }
 
   /** Plain string props: sorted-unique '+'-join (test/simple path). */
@@ -131,6 +139,9 @@ object Normalization {
         max(p.getField("lit")).as("lit"),
         min(p.getField("wikidata_id")).as("wikidata_id"))
     }
+
+    override def onewayFlag(props: Column): Column =
+      coalesce(props.getField("oneway"), lit(false))
   }
 
   /** N1+N2: split runs into maximal arcs of constant run-membership.
@@ -208,17 +219,31 @@ object Normalization {
           transform(sort_array(collect_list(struct(col("idx"), col("p1")))),
             s => s.getField("p1")),
           max_by(col("p2"), col("idx"))).as("pts"))
-      .withColumn("seg_id",
-        col("seg_run") * 100000 + col("seg_no"))
+      .withColumn("seg_id", segId(col("seg_run"), col("seg_no")))
       .withColumn("phash", merge.hash(col("props")))
       .select("seg_run", "seg_id", "members", "props", "phash", "pts")
   }
 
+  /** Collision-free segment id: seg_run in the high bits, seg_no in
+    * the low 20 — a multiplicative pack (`run * 100000 + no`) would
+    * silently collide once a run exceeds 100 000 segments. A run with
+    * ≥2^20 segments fails LOUDLY instead (OSM ways carry ≤2 000 nodes,
+    * so the headroom is ~500×; synthetic inputs that blow past it get
+    * an error, not wrong answers).
+    */
+  private[graft] def segId(segRun: Column, segNo: Column): Column =
+    when(segNo >= (1L << 20),
+      raise_error(concat(lit("run "), segRun,
+        lit(" exceeds 2^20 segments; seg_id packing would collide"))))
+      .otherwise(shiftleft(segRun, 20).bitwiseOR(segNo))
+
   /** Public (not private) so the Catalyst-generated encoder projection
     * class can instantiate it. Props stay out of the object path — the
-    * stitcher only needs geometry; merged props re-join by label.
+    * stitcher only needs geometry plus the oneway flag; merged props
+    * re-join by label.
     */
-  case class LabeledSeg(label: Long, seg_id: Long, pts: Seq[Long])
+  case class LabeledSeg(label: Long, seg_id: Long, pts: Seq[Long],
+      oneway: Boolean)
 
   /** N3: merge chains of segments with identical props that meet at
     * endpoints where exactly two same-props segments touch.
@@ -232,7 +257,8 @@ object Normalization {
     * already-checkpointed iteration output — no extra join+count job
     * over unchecked lineage.
     */
-  def combineSegments(segmentsIn: DataFrame): DataFrame = {
+  def combineSegments(segmentsIn: DataFrame,
+      merge: PropsMerge = StringProps): DataFrame = {
     val spark = segmentsIn.sparkSession
     import spark.implicits._
     // materialize: everything downstream (endpoint agg + final join)
@@ -276,17 +302,25 @@ object Normalization {
     val multiSegs = labeledAll
       .join(broadcast(multiLabels), Seq("label"))
     val stitched = multiSegs
-      .select(col("label"), col("seg_id"), col("pts"))
+      .select(col("label"), col("seg_id"), col("pts"),
+        merge.onewayFlag(col("props")).as("oneway"))
       .as[LabeledSeg]
       .groupByKey(_.label)
       .flatMapGroups { (label, it) =>
-        val segs = it.toSeq
-        stitch(segs.map(_.pts)) match {
+        // sort by seg_id so the walk's starting fragment (and hence a
+        // direction-free chain's orientation) is deterministic across
+        // runs — group iterator order is shuffle-dependent
+        val segs = it.toSeq.sortBy(_.seg_id)
+        // props are phash-identical across a component, so the oneway
+        // flag is one value per component
+        stitch(segs.map(_.pts), segs.head.oneway) match {
           case Some(pts) => Iterator.single((label, label, pts))
-          // pathological component (walk can't order the fragments):
-          // leave every segment unmerged, mirroring the reference,
-          // whose PointGraph only ever follows matching endpoints
-          // (/root/reference/src/transforms/normalization/PointGraph.ts:86-127)
+          // pathological component (walk can't order the fragments, or
+          // merging would require reversing a oneway fragment): leave
+          // every segment unmerged, mirroring the reference, whose
+          // PointGraph only follows matching endpoints and never
+          // reverse-expands a feature with direction
+          // (/root/reference/src/transforms/normalization/PointGraph.ts:70-127)
           case None => segs.iterator.map(s => (s.seg_id, label, s.pts))
         }
       }
@@ -306,42 +340,70 @@ object Normalization {
     * merges cycles into one closed line, since `_expand` follows
     * inbound/outbound matches until it re-reaches a processed feature,
     * `/root/reference/src/transforms/normalization/PointGraph.ts:80-127`).
-    * Fragments are reversed as needed. Returns None when the walk
-    * cannot consume every fragment (a component the endpoint-following
-    * walk can't linearize) — the caller leaves those segments unmerged,
-    * exactly as the reference does by construction: PointGraph only
-    * ever concatenates at matching endpoints and would throw rather
-    * than emit a disconnected geometry (PointGraph.ts:55-57).
+    *
+    * Direction: fragments are reversed as needed ONLY when `oneway` is
+    * false. A oneway component must preserve every fragment's
+    * direction (the reference's `_expandInReverse` is gated on
+    * `!hasDirection`, PointGraph.ts:70-76), so the walk follows
+    * head-to-tail matches only and starts from the fragment whose head
+    * no other fragment feeds.
+    *
+    * Returns None when the walk cannot consume every fragment (a
+    * component the endpoint-following walk can't linearize, or a
+    * oneway chain that would need a reversal) — the caller leaves
+    * those segments unmerged, exactly as the reference does by
+    * construction: PointGraph only ever concatenates at matching
+    * endpoints and would throw rather than emit a disconnected
+    * geometry (PointGraph.ts:55-57).
     * Generic in the point type — only endpoint equality is used.
     */
-  private[graft] def stitch[P](frags: Seq[Seq[P]]): Option[Seq[P]] = {
+  private[graft] def stitch[P](frags: Seq[Seq[P]],
+      oneway: Boolean = false): Option[Seq[P]] = {
     if (frags.size == 1) return Some(frags.head)
     val remaining = scala.collection.mutable.ArrayBuffer(frags: _*)
-    // find a fragment with an endpoint not shared by any other fragment
-    def endpoints(f: Seq[P]) = (f.head, f.last)
-    val counts = scala.collection.mutable.Map[P, Int]()
-    frags.foreach { f =>
-      val (a, b) = endpoints(f)
-      counts(a) = counts.getOrElse(a, 0) + 1
-      counts(b) = counts.getOrElse(b, 0) + 1
-    }
-    val startIdx = remaining.indexWhere(f =>
-      counts(f.head) == 1 || counts(f.last) == 1)
-    val first = if (startIdx >= 0) remaining.remove(startIdx)
-      else remaining.remove(0)
     val out = scala.collection.mutable.ArrayBuffer[P]()
-    out ++= (if (startIdx >= 0 && counts(first.head) != 1) first.reverse
-      else first)
-    var extended = true
-    while (remaining.nonEmpty && extended) {
-      extended = false
-      val tail = out.last
-      val i = remaining.indexWhere(f => f.head == tail || f.last == tail)
-      if (i >= 0) {
-        val f = remaining.remove(i)
-        val oriented = if (f.head == tail) f else f.reverse
-        out ++= oriented.drop(1)
-        extended = true
+    if (oneway) {
+      // directed walk: start where no other fragment's tail feeds the
+      // head; never reverse
+      val tails = frags.map(_.last).toSet
+      val startIdx = remaining.indexWhere(f => !tails.contains(f.head))
+      val first = if (startIdx >= 0) remaining.remove(startIdx)
+        else remaining.remove(0) // pure directed cycle
+      out ++= first
+      var extended = true
+      while (remaining.nonEmpty && extended) {
+        extended = false
+        val tail = out.last
+        val i = remaining.indexWhere(f => f.head == tail)
+        if (i >= 0) {
+          out ++= remaining.remove(i).drop(1)
+          extended = true
+        }
+      }
+    } else {
+      // find a fragment with an endpoint not shared by any other fragment
+      val counts = scala.collection.mutable.Map[P, Int]()
+      frags.foreach { f =>
+        counts(f.head) = counts.getOrElse(f.head, 0) + 1
+        counts(f.last) = counts.getOrElse(f.last, 0) + 1
+      }
+      val startIdx = remaining.indexWhere(f =>
+        counts(f.head) == 1 || counts(f.last) == 1)
+      val first = if (startIdx >= 0) remaining.remove(startIdx)
+        else remaining.remove(0)
+      out ++= (if (startIdx >= 0 && counts(first.head) != 1) first.reverse
+        else first)
+      var extended = true
+      while (remaining.nonEmpty && extended) {
+        extended = false
+        val tail = out.last
+        val i = remaining.indexWhere(f => f.head == tail || f.last == tail)
+        if (i >= 0) {
+          val f = remaining.remove(i)
+          val oriented = if (f.head == tail) f else f.reverse
+          out ++= oriented.drop(1)
+          extended = true
+        }
       }
     }
     // anything unreachable → not a linearizable chain: leave unmerged
@@ -352,7 +414,7 @@ object Normalization {
   def normalizeRuns(runs: DataFrame,
       merge: PropsMerge = StringProps): DataFrame = {
     val segs = splitSharedArcs(runs, merge)
-    combineSegments(segs)
+    combineSegments(segs, merge)
       .select(col("run_id"), col("props"),
         transform(col("pts"), p => array(
           unpackX(p).cast("double") / Q,

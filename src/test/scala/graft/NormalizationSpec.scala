@@ -93,4 +93,43 @@ class NormalizationSpec extends SparkSpec {
       Seq(Seq(5L, 0L), Seq(6L, 0L))))
     assert(got.isEmpty)
   }
+
+  test("oneway stitch follows direction and never reverses") {
+    // forward chain A→B, B→C merges in order
+    val fwd = Normalization.stitch(Seq(
+      Seq(Seq(0L, 0L), Seq(1L, 0L)),
+      Seq(Seq(1L, 0L), Seq(2L, 0L))), oneway = true)
+    assert(fwd.contains(Seq(Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 0L))))
+    // A→B and C→B share endpoint B but merging needs a reversal:
+    // oneway leaves it unmerged (PointGraph's hasDirection guard);
+    // direction-free stitch merges it
+    val frags = Seq(
+      Seq(Seq(0L, 0L), Seq(1L, 0L)),
+      Seq(Seq(2L, 0L), Seq(1L, 0L)))
+    assert(Normalization.stitch(frags, oneway = true).isEmpty)
+    assert(Normalization.stitch(frags, oneway = false).isDefined)
+    // directed cycle A→B→A still merges (no reversal required)
+    val cyc = Normalization.stitch(Seq(
+      Seq(Seq(0L, 0L), Seq(1L, 0L)),
+      Seq(Seq(1L, 0L), Seq(0L, 0L))), oneway = true)
+    assert(cyc.contains(Seq(Seq(0L, 0L), Seq(1L, 0L), Seq(0L, 0L))))
+  }
+
+  test("segId packing is collision-free past 100k segments per run") {
+    import org.apache.spark.sql.functions._
+    // the old run*100000+no pack collided: (1, 100001) == (2, 1)
+    val df = Seq((1L, 100001L), (2L, 1L), (1L, 1048575L))
+      .toDF("seg_run", "seg_no")
+      .select(Normalization.segId(col("seg_run"), col("seg_no")).as("id"))
+    val ids = df.collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == 3)
+    assert(ids(0) == (1L << 20 | 100001L) && ids(1) == (2L << 20 | 1L))
+    // >= 2^20 segments fails loudly instead of silently colliding
+    val err = intercept[Exception] {
+      Seq((1L, 1048576L)).toDF("seg_run", "seg_no")
+        .select(Normalization.segId(col("seg_run"), col("seg_no")))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{GeoJson, OsmAssembly}
+import graft.sources.{GeoJson, Ingest, OsmAssembly}
 import org.apache.spark.sql.functions._
 
 class SourcesSpec extends SparkSpec {
@@ -51,5 +51,83 @@ class SourcesSpec extends SparkSpec {
       col("geomType"), col("coords"))).collect().head.getString(0)
     assert(s.contains(""""type":"Feature""""))
     assert(s.contains(""""coordinates":[[1.0,2.0],[3.0,4.0]]"""))
+  }
+
+  // ---- S1/S2 ingest utility ----
+  private def tmpDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-ingest")
+
+  test("downloadToFile retries with backoff and succeeds within budget") {
+    val dir = tmpDir()
+    val target = dir.resolve("out.json").toString
+    val fails = new java.util.concurrent.atomic.AtomicInteger(2)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val flaky: Ingest.Fetcher = _ =>
+      if (fails.getAndDecrement() > 0) throw new RuntimeException("503")
+      else "payload".getBytes("UTF-8")
+    val attempts = Ingest.downloadToFile("file:///ignored", target, flaky,
+      retries = 10, backoffMs = 60000L, sleeper = sleeps += _)
+    assert(attempts == 3)
+    assert(sleeps.toSeq == Seq(60000L, 60000L))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target)), "UTF-8") == "payload")
+  }
+
+  test("downloadToFile rethrows once retries are exhausted") {
+    val dir = tmpDir()
+    val always: Ingest.Fetcher = _ => throw new RuntimeException("down")
+    var slept = 0
+    val e = intercept[RuntimeException] {
+      Ingest.downloadToFile("file:///x", dir.resolve("y").toString, always,
+        retries = 2, backoffMs = 1L, sleeper = _ => slept += 1)
+    }
+    assert(e.getMessage == "down")
+    assert(slept == 2) // one backoff per retry, none after the final failure
+  }
+
+  test("downloadAll serializes same-endpoint downloads, runs all") {
+    val dir = tmpDir()
+    val order = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val recording: Ingest.Fetcher = url => {
+      order.add(url); Thread.sleep(5); s"data:$url".getBytes("UTF-8")
+    }
+    val specs = Seq(
+      Ingest.DownloadSpec("runs", "z", "file:///z/runs",
+        dir.resolve("runs").toString),
+      Ingest.DownloadSpec("lifts", "lz4", "file:///lz4/lifts",
+        dir.resolve("lifts").toString),
+      Ingest.DownloadSpec("areas", "lz4", "file:///lz4/areas",
+        dir.resolve("areas").toString),
+      Ingest.DownloadSpec("spots", "lz4", "file:///lz4/spots",
+        dir.resolve("spots").toString))
+    val attempts = Ingest.downloadAll(specs, recording, retries = 0,
+      backoffMs = 1L, sleeper = _ => ())
+    assert(attempts == Map("runs" -> 1, "lifts" -> 1, "areas" -> 1,
+      "spots" -> 1))
+    // same-endpoint downloads preserve spec order (strict serialization)
+    val lz4 = scala.jdk.CollectionConverters.ListHasAsScala(order).asScala
+      .filter(_.startsWith("file:///lz4/")).toSeq
+    assert(lz4 == Seq("file:///lz4/lifts", "file:///lz4/areas",
+      "file:///lz4/spots"))
+    specs.foreach(s =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s.target))))
+  }
+
+  test("fileFetcher reads file:// fixtures; bboxFilter keeps contained features") {
+    val dir = tmpDir()
+    val fixture = dir.resolve("skimap.jsonl")
+    java.nio.file.Files.write(fixture, Seq(
+      """{"type":"Feature","properties":{"name":"in"},"geometry":{"type":"Point","coordinates":[10.5,46.5]}}""",
+      """{"type":"Feature","properties":{"name":"out"},"geometry":{"type":"Point","coordinates":[20.0,46.5]}}""",
+      """{"type":"Feature","properties":{"name":"half"},"geometry":{"type":"LineString","coordinates":[[10.5,46.5],[20.5,46.5]]}}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val target = dir.resolve("fetched.jsonl").toString
+    Ingest.downloadToFile(fixture.toUri.toString, target, Ingest.fileFetcher)
+    val features = GeoJson.readFeatures(spark, target)
+    val kept = Ingest.bboxFilter(features, 10.0, 46.0, 11.0, 47.0)
+      .select("properties").collect()
+      .map(_.getMap[String, String](0)("name")).toSeq
+    assert(kept == Seq("in")) // fully-contained only, like booleanContains
   }
 }
