@@ -184,29 +184,41 @@ object PipelineE2E {
       .normalizeRuns(base.unionByName(overlap), Normalization.RunPropsLattice)
       .localCheckpoint()
 
+    // cache keys travel as ONE packed long (x<<32 | y) — long-key
+    // equi-joins stay on the vectorized UnsafeRow path; the oracle's
+    // "x_y" string form is reconstructed only inside the stub fetch
+    // (the cache VALUE contract hashes the string key).
+    def packKey(x: Column, y: Column): Column =
+      shiftleft(x, 32).bitwiseOR(y.bitwiseAND(lit(0xFFFFFFFFL)))
+    def keyStr(k: Column): Column = concat_ws("_",
+      shiftright(k, 32), shiftright(shiftleft(k, 32), 32))
     val withEnds = norm.select(col("run_id").as("okey"), col("props"),
         col("coords"),
         qix(element_at(element_at(col("coords"), 1), 1)).as("x0"),
         qix(element_at(element_at(col("coords"), 1), 2)).as("y0"),
         qix(element_at(element_at(col("coords"), -1), 1)).as("xn"),
         qix(element_at(element_at(col("coords"), -1), 2)).as("yn"))
-      .withColumn("k_start", concat_ws("_", col("x0"), col("y0")))
-      .withColumn("k_end", concat_ws("_", col("xn"), col("yn")))
+      .withColumn("k_start", packKey(col("x0"), col("y0")))
+      .withColumn("k_end", packKey(col("xn"), col("yn")))
 
     // ---- stage 3: elevation enrichment (E1 cache-aside, stub) ----
     val keys = withEnds.select(
       explode(array(col("k_start"), col("k_end"))).as("key"))
     val emptyCache = s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL("key string, value double"))
+      org.apache.spark.sql.types.StructType.fromDDL("key bigint, value double"))
     val (cache, _) = Enrichment.cacheAside(keys, emptyCache, lit(true),
       missing => missing.select(col("key"),
-        Enrichment.stubElevation(col("key")).as("value")))
+        Enrichment.stubElevation(keyStr(col("key"))).as("value")))
+    // checkpoint: enriched feeds the clustering object table AND the
+    // final statistics scan — one materialization instead of re-running
+    // the two cache joins per consumer.
     val enriched = withEnds
       .join(cache.select(col("key").as("k_start"), col("value").as("z_start")),
         Seq("k_start"))
       .join(cache.select(col("key").as("k_end"), col("value").as("z_end")),
         Seq("k_end"))
+      .localCheckpoint()
 
     // ---- stage 4: clustering (J10/J7) on the canonical anchor ----
     val startIsAnchor = col("x0") < col("xn") ||
@@ -228,23 +240,27 @@ object PipelineE2E {
     val asg = Clustering.transitiveAssign(areas, objs, RadiusM, CellDeg)
 
     // ---- stage 5: per-area statistics (A1 projection) ----
+    // ONE scan of the assigned table: partial sums per (area,
+    // difficulty), then a per-area rollup that also renders the sorted
+    // difficulty histogram — no second scan, no extra join.
     val assigned = enriched.join(asg, Seq("okey"))
       .withColumn("len_m", lineLengthM(col("coords")))
       .withColumn("difficulty",
         coalesce(col("props.difficulty"), lit("other")))
-    val dhs = assigned.groupBy("area_id", "difficulty")
-      .agg(count(lit(1)).as("n"))
+    assigned.groupBy("area_id", "difficulty")
+      .agg(count(lit(1)).as("n"), sum("len_m").as("len_m"),
+        min(least(col("z_start"), col("z_end"))).as("zmin"),
+        max(greatest(col("z_start"), col("z_end"))).as("zmax"),
+        sum(abs(col("z_end") - col("z_start"))).as("dz"))
       .groupBy("area_id")
-      .agg(array_join(array_sort(collect_list(
-        concat(col("difficulty"), lit(":"), col("n")))), ";")
-        .as("difficulties"))
-    assigned.groupBy("area_id")
-      .agg(count(lit(1)).as("n_segments"),
+      .agg(sum("n").as("n_segments"),
         round(sum("len_m") / 1000.0, 4).as("total_km"),
-        round(min(least(col("z_start"), col("z_end"))), 1).as("min_elev"),
-        round(max(greatest(col("z_start"), col("z_end"))), 1).as("max_elev"),
-        round(sum(abs(col("z_end") - col("z_start"))), 2).as("vertical_m"))
-      .join(dhs, Seq("area_id"))
+        array_join(array_sort(collect_list(
+          concat(col("difficulty"), lit(":"), col("n")))), ";")
+          .as("difficulties"),
+        round(min("zmin"), 1).as("min_elev"),
+        round(max("zmax"), 1).as("max_elev"),
+        round(sum("dz"), 2).as("vertical_m"))
       .select(col("area_id"), col("n_segments"), col("total_km"),
         col("difficulties"), col("min_elev"), col("max_elev"),
         col("vertical_m"))

@@ -114,6 +114,37 @@ class SourcesSpec extends SparkSpec {
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s.target))))
   }
 
+  // ---- §2.8 ProcessRunner ----
+  test("runCommand succeeds on zero exit, fails loudly otherwise") {
+    import graft.sources.ProcessRunner
+    ProcessRunner.runCommand("/bin/sh", Seq("-c", "exit 0")) // no throw
+    val e = intercept[RuntimeException] {
+      ProcessRunner.runCommand("/bin/sh", Seq("-c", "exit 3"))
+    }
+    assert(e.getMessage.contains("exit code 3"))
+    assert(e.getMessage.contains("/bin/sh -c exit 3"))
+    val missing = intercept[RuntimeException] {
+      ProcessRunner.runCommand("/nonexistent-binary-xyz", Seq())
+    }
+    assert(missing.getMessage.contains("Failed to start command"))
+  }
+
+  test("tilesPlan renders the per-layer tippecanoe + tile-join commands") {
+    import graft.sources.ProcessRunner
+    val plan = ProcessRunner.tilesPlan("l.geojson", "r.geojson",
+      "a.geojson", "s.geojson", "/tmp/w", "/tmp/out.mbtiles")
+    assert(plan.map(_.command) ==
+      Seq("tippecanoe", "tippecanoe", "tippecanoe", "tippecanoe",
+        "tile-join"))
+    assert(plan.head.args.contains("--named-layer=lifts:l.geojson"))
+    assert(plan(2).args.containsSlice(Seq("-Z", "0", "-B", "0")))
+    val join = plan.last.args
+    assert(join.containsSlice(Seq("-o", "/tmp/out.mbtiles")))
+    // ski areas join first, then runs, lifts, spots
+    assert(join.indexOf("/tmp/w/ski_areas.mbtiles")
+      < join.indexOf("/tmp/w/runs.mbtiles"))
+  }
+
   test("fileFetcher reads file:// fixtures; bboxFilter keeps contained features") {
     val dir = tmpDir()
     val fixture = dir.resolve("skimap.jsonl")
