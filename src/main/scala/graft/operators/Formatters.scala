@@ -128,6 +128,88 @@ object Formatters {
     * predicate. Input: (node_id, tags); output one row per emitted
     * spot (node_id, spot_type, position).
     */
+  /** P3: the three-source ski-area formatter as ONE distinct operator
+    * (`/root/reference/src/transforms/SkiAreaFormatter.ts:32-192`) —
+    * a union of three typed projections:
+    *
+    *  - OSM landuse (`:66-109`): kept only when `sport` is absent or
+    *    skiing/ski, geometry is Polygon/MultiPolygon AND valid
+    *    (turf booleanValid → the P12 ring predicates), and the
+    *    lifecycle cascade on the `landuse` key yields a status;
+    *  - OSM site relation (`:111-136`): lifecycle on the `site` key;
+    *    geometry is the reference's literal placeholder Point
+    *    [360, 360, id] (`PlaceholderSiteGeometry.ts:3-5`) and the run
+    *    convention the placeholder `north_america`, both overwritten
+    *    later by clustering;
+    *  - Skimap.org (`:138-145`, `:175-192`): name/activities/status
+    *    carried through from the upstream properties, website from
+    *    `official_website`, wikidata always null.
+    *
+    * Output: source, src_id, status, name, website, wikidata_id,
+    * run_convention, activities, lon, lat, id (content hash).
+    *
+    * Inputs: landuse (area_id, tags, geomType, coords); sites
+    * (site_id, tags); skimap (sm_id, name, activities, status,
+    * website, lon, lat).
+    */
+  def formatSkiAreas(landuse: DataFrame, sites: DataFrame,
+      skimap: DataFrame): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val tags = col("tags")
+    val noActs = array().cast("array<string>")
+    // Status.ts returns null status ONLY for the unsupported states
+    // (demolished/removed/razed) — our cascade reports those as
+    // "dropped"; an absent key is status "operating" with null value,
+    // and the reference KEEPS such features (`if (status === null)
+    // return null` is the only gate, SkiAreaFormatter.ts:95-97).
+    def keptStatus(df: DataFrame, key: String) = df
+      .withColumn("st", lifecycleStatus(tags, key))
+      .withColumn("status", col("st").getField("status"))
+      .filter(not(col("status") <=> "dropped"))
+    val lu = keptStatus(
+      landuse
+        .filter(element_at(tags, "sport").isNull ||
+          element_at(tags, "sport").isin("skiing", "ski"))
+        .filter(col("geomType").isin("Polygon", "MultiPolygon"))
+        .filter(ringValid(force2D(col("coords")))), "landuse")
+      .select(lit("openstreetmap").as("source"),
+        concat(lit("way/"), col("area_id")).as("src_id"),
+        col("status"),
+        osmName(tags, "name").as("name"),
+        element_at(tags, "website").as("website"),
+        tagFirstValue(tags, "wikidata").as("wikidata_id"),
+        OutputFormats.difficultyConvention(
+          element_at(element_at(col("coords"), 1), 1),
+          element_at(element_at(col("coords"), 1), 2)).as("run_convention"),
+        noActs.as("activities"),
+        element_at(element_at(col("coords"), 1), 1).as("lon"),
+        element_at(element_at(col("coords"), 1), 2).as("lat"))
+    val si = keptStatus(sites, "site")
+      .select(lit("openstreetmap").as("source"),
+        concat(lit("relation/"), col("site_id")).as("src_id"),
+        col("status"),
+        osmName(tags, "name").as("name"),
+        element_at(tags, "website").as("website"),
+        tagFirstValue(tags, "wikidata").as("wikidata_id"),
+        lit("north_america").as("run_convention"),
+        noActs.as("activities"),
+        lit(360.0).as("lon"), lit(360.0).as("lat"))
+    val sm = skimap
+      .select(lit("skimap_org").as("source"),
+        col("sm_id").cast("string").as("src_id"),
+        col("status"),
+        col("name"),
+        col("website"),
+        lit(null).cast("string").as("wikidata_id"),
+        OutputFormats.difficultyConvention(col("lon"), col("lat"))
+          .as("run_convention"),
+        col("activities"),
+        col("lon"), col("lat"))
+    lu.unionByName(si).unionByName(sm)
+      .withColumn("id", HashFunctions.contentId(lit("skiArea"),
+        col("source"), col("src_id"), col("status"), col("name")))
+  }
+
   def formatSpots(features: DataFrame): DataFrame = {
     val tags = col("tags")
     def cand(cond: Column, t: String, pos: Column) =

@@ -584,5 +584,156 @@ object SkiAreaOps {
       .orderBy("area_id")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qMerge, qCentral, qAreaPoint, qAugment)
+  // ---- P3: the three-source formatter union as a distinct operator -------
+  // Landuse areas synthesize from part (sport gate, geometry-type gate,
+  // ring-validity gate, `landuse` lifecycle), sites from supplier
+  // (`site` lifecycle, [360,360,id] placeholder geometry), Skimap areas
+  // from customer (status/activities/name carried through). The oracle
+  // replays every gate from the flat columns.
+  private val qFormatUnion = QuerySpec.of(
+    "q_ski_area_format_union", {
+      val conv = (lon: String, lat: String) =>
+        OutputFormats.sqlDifficultyConvention
+          .replace("lon0", lon).replace("lat0", lat).replaceAll("\n", " ")
+      s"""WITH lu AS (
+        |  SELECT 'openstreetmap' AS source,
+        |    'way/' || CAST(p_partkey AS VARCHAR) AS src_id,
+        |    CASE p_partkey % 5 WHEN 0 THEN 'operating'
+        |      WHEN 1 THEN 'abandoned' WHEN 3 THEN 'proposed'
+        |      WHEN 4 THEN 'operating' END AS status,
+        |    CASE WHEN p_partkey % 2 = 0 THEN p_name END AS name,
+        |    CASE WHEN p_partkey % 6 = 0
+        |      THEN 'https://example.com/a' || CAST(p_partkey AS VARCHAR)
+        |      END AS website,
+        |    CASE WHEN p_partkey % 8 = 0
+        |      THEN 'Q' || CAST(p_partkey AS VARCHAR) END AS wikidata_id,
+        |    '' AS activities,
+        |    CAST((p_partkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon,
+        |    CAST((p_partkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat
+        |  FROM part
+        |  WHERE p_partkey % 4 <> 3
+        |    AND p_partkey % 3 <> 2
+        |    AND p_partkey % 7 <> 0
+        |    AND p_partkey % 5 <> 2),
+        |lu2 AS (
+        |  SELECT source, src_id, status, name, website, wikidata_id,
+        |    (${conv("lon", "lat")}) AS run_convention, activities, lon, lat
+        |  FROM lu),
+        |si AS (
+        |  SELECT 'openstreetmap' AS source,
+        |    'relation/' || CAST(s_suppkey AS VARCHAR) AS src_id,
+        |    CASE s_suppkey % 4 WHEN 0 THEN 'operating'
+        |      WHEN 1 THEN 'disused' WHEN 2 THEN 'proposed' END AS status,
+        |    -- %4=3 carries removed=yes -> unsupported -> filtered
+        |    CASE WHEN s_suppkey % 3 = 0 THEN s_name END AS name,
+        |    CASE WHEN s_suppkey % 5 = 0
+        |      THEN 'https://example.com/s' || CAST(s_suppkey AS VARCHAR)
+        |      END AS website,
+        |    CASE WHEN s_suppkey % 7 = 0
+        |      THEN 'Q' || CAST(s_suppkey AS VARCHAR) END AS wikidata_id,
+        |    'north_america' AS run_convention, '' AS activities,
+        |    CAST(360.0 AS DOUBLE) AS lon, CAST(360.0 AS DOUBLE) AS lat
+        |  FROM supplier WHERE s_suppkey % 4 <> 3),
+        |sm AS (
+        |  SELECT 'skimap_org' AS source,
+        |    'sm' || CAST(c_custkey AS VARCHAR) AS src_id,
+        |    CASE c_custkey % 6 WHEN 0 THEN 'operating' WHEN 1 THEN 'disused'
+        |      WHEN 2 THEN 'abandoned' WHEN 3 THEN 'proposed'
+        |      WHEN 4 THEN 'planned' ELSE 'operating' END AS status,
+        |    CASE WHEN c_custkey % 5 <> 4 THEN c_name END AS name,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN 'https://skimap.org/' || CAST(c_custkey AS VARCHAR)
+        |      END AS website,
+        |    CAST(NULL AS VARCHAR) AS wikidata_id,
+        |    CASE c_custkey % 3 WHEN 0 THEN 'downhill' WHEN 1 THEN 'nordic'
+        |      ELSE 'downhill;nordic' END AS activities,
+        |    CAST((c_custkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon,
+        |    CAST((c_custkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat
+        |  FROM customer),
+        |sm2 AS (
+        |  SELECT source, src_id, status, name, website, wikidata_id,
+        |    (${conv("lon", "lat")}) AS run_convention, activities, lon, lat
+        |  FROM sm),
+        |u AS (
+        |  SELECT * FROM lu2 UNION ALL SELECT * FROM si
+        |  UNION ALL SELECT * FROM sm2)
+        |SELECT source, src_id,
+        |  md5(concat_ws('|', 'skiArea', source, src_id, status, name)) AS id,
+        |  status, name, website, wikidata_id, run_convention, activities,
+        |  round(lon, 6) AS lon, round(lat, 6) AS lat
+        |FROM u ORDER BY source, src_id""".stripMargin
+    }) { (s, d) =>
+    // landuse features: tags + square-ring geometry with deliberate
+    // gate-failure classes (sport=soccer, LineString, unclosed ring,
+    // removed=yes, no landuse tag)
+    val pk = col("p_partkey")
+    val luTags = map(
+      lit("sport"), when(pmod(pk, lit(4)) === 1, "skiing")
+        .when(pmod(pk, lit(4)) === 2, "ski")
+        .when(pmod(pk, lit(4)) === 3, "soccer"),
+      lit("landuse"), when(pmod(pk, lit(5)).isin(0, 2), "winter_sports"),
+      lit("abandoned:landuse"), when(pmod(pk, lit(5)) === 1, "winter_sports"),
+      lit("removed"), when(pmod(pk, lit(5)) === 2, "yes"),
+      lit("proposed:landuse"), when(pmod(pk, lit(5)) === 3, "winter_sports"),
+      lit("name"), when(pmod(pk, lit(2)) === 0, col("p_name")),
+      lit("website"), when(pmod(pk, lit(6)) === 0,
+        concat(lit("https://example.com/a"), pk)),
+      lit("wikidata"), when(pmod(pk, lit(8)) === 0,
+        concat(lit("Q"), pk, lit(";Q7"))))
+    val alon = pmod(pk * 7919, lit(360000)).cast("double") / 1000.0 - 180.0
+    val alat = pmod(pk * 104729, lit(120000)).cast("double") / 1000.0 - 60.0
+    val r = lit(0.002)
+    val openRing = array(
+      array(alon, alat), array(alon + r, alat),
+      array(alon + r, alat + r), array(alon, alat + r))
+    val ring = when(pmod(pk, lit(7)) === 0, openRing)
+      .otherwise(concat(openRing, array(array(alon, alat))))
+    val landuse = graft.Tables.fanout(graft.Tables.part(s, d))
+      .select(pk.as("area_id"), luTags.as("tags"),
+        when(pmod(pk, lit(3)) === 2, "LineString").otherwise("Polygon")
+          .as("geomType"),
+        ring.as("coords"))
+      .localCheckpoint()
+    val sk = col("s_suppkey")
+    val siTags = map(
+      lit("site"), when(pmod(sk, lit(4)).isin(0, 2, 3), "piste"),
+      lit("disused:site"), when(pmod(sk, lit(4)) === 1, "piste"),
+      lit("proposed"), when(pmod(sk, lit(4)) === 2, "yes"),
+      lit("removed"), when(pmod(sk, lit(4)) === 3, "yes"),
+      lit("name"), when(pmod(sk, lit(3)) === 0, col("s_name")),
+      lit("website"), when(pmod(sk, lit(5)) === 0,
+        concat(lit("https://example.com/s"), sk)),
+      lit("wikidata"), when(pmod(sk, lit(7)) === 0, concat(lit("Q"), sk)))
+    val sites = graft.Tables.supplier(s, d)
+      .select(sk.as("site_id"), siTags.as("tags"))
+    val ck = col("c_custkey")
+    val skimap = graft.Tables.customer(s, d)
+      .select(concat(lit("sm"), ck).as("sm_id"),
+        when(pmod(ck, lit(5)) =!= 4, col("c_name")).as("name"),
+        when(pmod(ck, lit(3)) === 0, array(lit("downhill")))
+          .when(pmod(ck, lit(3)) === 1, array(lit("nordic")))
+          .otherwise(array(lit("downhill"), lit("nordic"))).as("activities"),
+        when(pmod(ck, lit(6)) === 0, "operating")
+          .when(pmod(ck, lit(6)) === 1, "disused")
+          .when(pmod(ck, lit(6)) === 2, "abandoned")
+          .when(pmod(ck, lit(6)) === 3, "proposed")
+          .when(pmod(ck, lit(6)) === 4, "planned")
+          .otherwise("operating").as("status"),
+        when(pmod(ck, lit(2)) === 0,
+          concat(lit("https://skimap.org/"), ck)).as("website"),
+        (pmod(ck * 7919, lit(360000)).cast("double") / 1000.0 - 180.0)
+          .as("lon"),
+        (pmod(ck * 104729, lit(120000)).cast("double") / 1000.0 - 60.0)
+          .as("lat"))
+    Formatters.formatSkiAreas(landuse, sites, skimap)
+      .select(col("source"), col("src_id"), col("id"), col("status"),
+        col("name"), col("website"), col("wikidata_id"),
+        col("run_convention"),
+        concat_ws(";", col("activities")).as("activities"),
+        round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+      .orderBy("source", "src_id")
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qMerge, qCentral, qAreaPoint, qAugment, qFormatUnion)
 }

@@ -69,6 +69,13 @@ object GeoJson {
     * STREAMS partition-by-partition via toLocalIterator — the dataset
     * is never materialized on the driver (one partition in memory at a
     * time), so the sink survives outputs far larger than driver heap.
+    *
+    * NOT the primary sink at scale: the engine's canonical output is
+    * the sharded JSONL directory itself (parallel writers, splittable
+    * readers); this wrapper is an opt-in convenience for consumers that
+    * require the literal single-file `FeatureCollection` shape, and its
+    * throughput is bounded by the one driver-side writer regardless of
+    * cluster size.
     */
   def wrapFeatureCollection(spark: SparkSession, jsonlDir: String,
       outFile: String): Unit = {
