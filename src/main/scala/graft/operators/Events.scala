@@ -157,6 +157,30 @@ object Events {
     graft.streaming.EventsStreaming.hourlyViaStream(s, d)
   }
 
+  // ---- stateful streaming sessionization ---------------------------------
+  // flatMapGroupsWithState variant of qSessionize — same oracle; the
+  // per-user event buffer lives in GroupState (see EventsStreaming).
+  private val qStreamSessions = QuerySpec.of(
+    "q_stream_events_sessionize",
+    s"""WITH t AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (
+      |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+      |  FROM t),
+      |f AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > $SESSION_GAP_MS
+      |    THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ms) AS start_ms, max(ms) - min(ms) AS duration_ms
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.sessionizeViaStream(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qStreamHourly)
+    Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qStreamHourly,
+      qStreamSessions)
 }

@@ -183,5 +183,64 @@ object SnowCover {
       .orderBy("activity", "year", "day")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qHistory, qStats)
+  // ---- §2.8 snow fetcher: the VIIRS download PLAN -------------------------
+  // The reference's Python sidecar fetches NSIDC VNP10A1F granules per
+  // (tile, date): file prefix `VNP10A1F.A{year}{doy:03}.h{h:02}v{v:02}`
+  // resolved against the dated directory listing
+  // (`/root/reference/snow-cover/src/data_fetcher.py:39-108`). The
+  // actual HTTP fetch stays out-of-band (zero egress; Earthdata auth),
+  // but the PLAN is data-derived and belongs to the engine: the tile
+  // set comes from the E5 pixel assignment of the runs themselves, so
+  // only tiles the features actually touch are fetched — at 100 TB
+  // that's the difference between a few hundred granules and the whole
+  // global archive. Distinct-tile dedupe is distributed; the date
+  // dimension is a broadcast literal.
+  private val FetchDates = Seq((2024, 1), (2024, 8))
+
+  private val qFetchPlan = QuerySpec.of(
+    "q_ski_snow_fetch_plan", {
+      val hv = GeoFunctions.sqlViirsPixel("(p).lon", "(p).lat")
+      val dates = FetchDates
+        .map { case (y, d) => s"($y, $d)" }.mkString(", ")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |pts AS (
+        |  SELECT way_id, p FROM kept,
+        |    unnest([{'lon': lon0, 'lat': lat0},
+        |            {'lon': lon0 + dx, 'lat': lat0 + dy},
+        |            {'lon': lon0 + dx * 2, 'lat': lat0 + dy}]) AS u(p)),
+        |tiles AS (
+        |  SELECT DISTINCT ($hv).h AS h, ($hv).v AS v FROM pts),
+        |dates(year, doy) AS (VALUES $dates),
+        |plan AS (
+        |  SELECT h, v, year, doy,
+        |    'VNP10A1F.A' || CAST(year AS VARCHAR) || lpad(CAST(doy AS VARCHAR), 3, '0')
+        |      || '.h' || lpad(CAST(h AS VARCHAR), 2, '0')
+        |      || 'v' || lpad(CAST(v AS VARCHAR), 2, '0') AS file_prefix,
+        |    'https://n5eil01u.ecs.nsidc.org/VIIRS/VNP10A1F.002/'
+        |      || strftime(make_date(year, 1, 1) + (doy - 1), '%Y.%m.%d')
+        |      || '/' AS dir_url
+        |  FROM tiles CROSS JOIN dates)
+        |SELECT * FROM plan ORDER BY h, v, year, doy""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.GeoFunctions.viirsPixel
+    val tiles = SkiQueries.formatted(s, d).filter(col("kept"))
+      .select(explode(col("coords")).as("pt"))
+      .select(viirsPixel(element_at(col("pt"), 1), element_at(col("pt"), 2))
+        .as("p"))
+      .select(col("p.h"), col("p.v")).distinct()
+    val dates = s.createDataFrame(FetchDates).toDF("year", "doy")
+    tiles.crossJoin(broadcast(dates))
+      .select(col("h"), col("v"), col("year"), col("doy"),
+        concat(lit("VNP10A1F.A"), col("year"),
+          lpad(col("doy").cast("string"), 3, "0"),
+          lit(".h"), lpad(col("h").cast("string"), 2, "0"),
+          lit("v"), lpad(col("v").cast("string"), 2, "0")).as("file_prefix"),
+        concat(lit("https://n5eil01u.ecs.nsidc.org/VIIRS/VNP10A1F.002/"),
+          date_format(date_add(make_date(col("year"), lit(1), lit(1)),
+            col("doy") - 1), "yyyy.MM.dd"),
+          lit("/")).as("dir_url"))
+      .orderBy("h", "v", "year", "doy")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qHistory, qStats, qFetchPlan)
 }

@@ -18,6 +18,81 @@ object EventsStreaming {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Typed rows for the stateful sessionizer (public so Catalyst's
+    * generated encoders can instantiate them).
+    */
+  case class SessEvent(user_id: Long, event_id: Long, ms: Long)
+  case class SessState(events: Seq[(Long, Long)])
+  case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+      start_ms: Long, duration_ms: Long)
+
+  private val SessionGapMs = 30 * 60 * 1000L
+
+  /** Gap-based sessionization as a STATEFUL stream:
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` holds the per-user
+    * event buffer in `GroupState`, merging each micro-batch's arrivals
+    * before cutting sessions at >30 min gaps — the custom-state path
+    * SURVEY §0 prescribes for stream semantics Spark's windowed aggs
+    * can't express.
+    *
+    * Batch-equivalence contract (same as [[hourlyViaStream]]): driven
+    * with AvailableNow over a static file the source delivers one
+    * micro-batch, so every session is complete at the first invocation
+    * and is emitted immediately with state cleared. On an unbounded
+    * source the open tail session stays in GroupState keyed by user
+    * and an event-time timeout would flush it — only the
+    * trigger/timeout wiring changes, not the session math.
+    */
+  def sessionizeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"))
+      .as[SessEvent]
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state) =>
+          val merged = (state.getOption.map(_.events).getOrElse(Seq.empty)
+            ++ it.map(e => (e.ms, e.event_id))).sorted
+          state.remove() // single-batch contract; see doc comment
+          // cut at >gap breaks; session ids number breaks 1..n in
+          // (ms, event_id) order — identical to the batch window query
+          var sid = 0L
+          val out = scala.collection.mutable.ArrayBuffer[SessOut]()
+          var cur = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          def flush(): Unit = if (cur.nonEmpty) {
+            out += SessOut(user, sid, cur.size.toLong, cur.head._1,
+              cur.last._1 - cur.head._1)
+            cur = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          }
+          merged.foreach { case (ms, eid) =>
+            if (cur.isEmpty || ms - cur.last._1 > SessionGapMs) {
+              flush(); sid += 1
+            }
+            cur += ((ms, eid))
+          }
+          flush()
+          out.iterator
+      }
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy("user_id", "session_id")
+  }
+
   /** Batch-equivalent streaming run of the hourly aggregation.
     * `ts` arrives as epoch-nanos long (nanosAsLong read); it is floored
     * to ms and projected to an event-time timestamp for the watermark.
