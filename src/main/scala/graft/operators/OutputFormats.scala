@@ -765,7 +765,71 @@ object OutputFormats {
       .orderBy("node_id", "spot_type")
   }
 
+  // ---- P6: CSV place splitting --------------------------------------------
+  // extractPlaces (CSVFormatter.ts:338-355): per feature the places
+  // list splits into three columns — unique non-null countries,
+  // regions, localities, each sorted and ';'-joined, then
+  // CSV-escaped. Places come from the E3 reverse-geocode of the run's
+  // vertices (same sampled set and place stub as q_ski_geocode, where
+  // '~' encodes a null field).
+  private val qCsvRunPlaces = QuerySpec.of(
+    "q_csv_run_places", {
+      val (lonN, latN, iv, gh) =
+        graft.functions.GeoFunctions.sqlGeohash6("(p).lon", "(p).lat")
+      def field(i: Int) =
+        s"CASE WHEN string_split(place, '/')[$i] <> '~' " +
+          s"THEN string_split(place, '/')[$i] END"
+      def joined(i: Int) = {
+        val j = "coalesce(array_to_string(list_sort(list_distinct(" +
+          s"list(${field(i)}) FILTER (${field(i)} IS NOT NULL))), ';'), '')"
+        // escapeField AFTER the ';' join — multi-value fields always
+        // quote (the join separator is itself an escape trigger)
+        s"""CASE WHEN regexp_matches($j, '[,";\\n\\r]')
+           | THEN '"' || replace($j, '"', '""') || '"' ELSE $j END"""
+          .stripMargin.replaceAll("\n", " ")
+      }
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |pts AS (
+        |  SELECT way_id, p FROM kept,
+        |    unnest([{'lon': lon0, 'lat': lat0},
+        |            {'lon': lon0 + dx, 'lat': lat0 + dy},
+        |            {'lon': lon0 + dx * 2, 'lat': lat0 + dy}]) AS u(p)
+        |  WHERE way_id % 13 = 0),
+        |g1 AS (SELECT way_id, $lonN AS lonN, $latN AS latN FROM pts),
+        |g2 AS (SELECT way_id, $iv AS iv FROM g1),
+        |g3 AS (SELECT way_id, $gh AS key FROM g2),
+        |resolved AS (
+        |  SELECT way_id, ${Geocoding.sqlStubPlaceFor("key")} AS place
+        |  FROM g3)
+        |SELECT way_id,
+        |  ${joined(3)} AS countries,
+        |  ${joined(2)} AS regions,
+        |  ${joined(1)} AS localities
+        |FROM resolved GROUP BY way_id ORDER BY way_id""".stripMargin
+    }) { (s, d) =>
+    val pts = SkiQueries.formatted(s, d).filter(col("kept"))
+      .filter(pmod(col("way_id"), lit(13)) === 0)
+      .select(col("way_id"), explode(col("coords")).as("p"))
+      .select(col("way_id"),
+        graft.functions.GeoFunctions.geohash6(element_at(col("p"), 1),
+          element_at(col("p"), 2)).as("key"))
+      .withColumn("place", Geocoding.stubPlaceFor(col("key")))
+      .withColumn("parts", split(col("place"), "/"))
+    def fieldCol(i: Int) = {
+      val v = col("parts").getItem(i - 1)
+      when(v =!= "~", v)
+    }
+    // collect_list skips nulls, matching the reference's
+    // .filter((c) => c) before the unique/sort/join
+    def joinedCol(i: Int) = esc(coalesce(array_join(
+      array_sort(array_distinct(collect_list(fieldCol(i)))), ";"), lit("")))
+    pts.groupBy("way_id")
+      .agg(joinedCol(3).as("countries"), joinedCol(2).as("regions"),
+        joinedCol(1).as("localities"))
+      .orderBy("way_id")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qGlRuns, qGlLifts, qCsvRuns, qCsvLifts, qCsvSkiAreas, qCsvSpots,
-      qGlSkiAreas, qGlSpots)
+      qGlSkiAreas, qGlSpots, qCsvRunPlaces)
 }

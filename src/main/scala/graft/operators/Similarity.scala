@@ -234,5 +234,105 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh)
+  // ---- IVF (inverted-file) bucketed --------------------------------------
+  // The second scale path next to sign-LSH: a coarse quantizer
+  // partitions the corpus into K inverted lists; a query probes only
+  // its PROBE nearest lists and scores those candidates. Here the
+  // quantizer is the deterministic SAMPLE quantizer (centroids = the
+  // first K corpus vectors): at production scale the centroids come
+  // from an offline k-means and ship with the index (exactly the
+  // planeCache "index build parameter" framing) — iterative Lloyd
+  // averaging inside the query would make the oracle FP-order-
+  // sensitive, the one thing the determinism contract forbids.
+  // Scale shape: assignment is a broadcast argmax over K centroids
+  // (map-only), the candidate join shuffles on the list id, and probe
+  // breadth trades recall for cost without ever going quadratic.
+  private val IVF_K = 16
+  private val IVF_PROBE = 2
+
+  private val qIvf = QuerySpec.of(
+    "q_ann_ivf", {
+      val assignDot = duckDot("n.v", "c.v")
+      val probeDot = duckDot("q.v", "c.v")
+      val scoreDot = duckDot("q.v", "x.v")
+      s"""WITH $duckNorm,
+        |cent AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id < $IVF_K),
+        |asg0 AS (
+        |  SELECT n.vec_id, c.cid,
+        |    round(($assignDot) / (n.nrm * c.nrm), 9) AS cos
+        |  FROM n CROSS JOIN cent c),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rk FROM asg0) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v, nrm FROM n
+        |  WHERE vec_id < $NQUERIES),
+        |probe0 AS (
+        |  SELECT q.query_id, c.cid,
+        |    round(($probeDot) / (q.nrm * c.nrm), 9) AS cos
+        |  FROM q CROSS JOIN cent c),
+        |probe AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cid) AS rk FROM probe0)
+        |  WHERE rk <= $IVF_PROBE),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id
+        |  FROM probe p JOIN asg a ON p.cid = a.cid
+        |  WHERE a.vec_id <> p.query_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |    round(($scoreDot) / (q.nrm * x.nrm), 9) AS cos
+        |  FROM cand JOIN q ON cand.query_id = q.query_id
+        |  JOIN n x ON cand.cand_id = x.vec_id),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM sc)
+        |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk
+        |FROM r WHERE rk <= $TOPK
+        |ORDER BY query_id, rk""".stripMargin
+    }) { (s, d) =>
+    val n = normalized(Tables.embeddings(s, d)).localCheckpoint()
+    val cent = n.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // assignment: broadcast the K centroids, keep the argmax row —
+    // map-side only, no shuffle until the list-id candidate join
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val asg = n.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 9))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val q = n.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IVF_PROBE)
+      .select(col("query_id"), col("cid"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    asg.join(broadcast(probe), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .join(n.select(col("vec_id").as("cand_id"), col("v").as("xv"),
+        col("nrm").as("xn")), Seq("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 9))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh, qIvf)
 }
