@@ -44,19 +44,19 @@ object GeoFunctions {
       s"pow(sin(radians($lon2 - $lon1) / 2), 2)))"
 
   /** Geodesic length in meters of a coords array (sum of haversine
-    * segment lengths, left-to-right).
+    * segment lengths, left-to-right). Implemented as a native codegen
+    * Catalyst expression ([[LineLengthMExpr]]) — the declarative
+    * `aggregate`-over-`sequence` form is an interpreted higher-order
+    * function and this sits in the hottest scalar path of the run
+    * queries. Bit-identical results (see the kernel's contract).
     */
-  def lineLengthM(coords: Column): Column =
-    when(size(coords) < 2, 0.0).otherwise(
-      aggregate(
-        sequence(lit(0), size(coords) - 2),
-        lit(0.0),
-        (acc, i) => {
-          val p = element_at(coords, i + 1)
-          val q = element_at(coords, i + 2)
-          acc + haversineM(element_at(p, 1), element_at(p, 2),
-            element_at(q, 1), element_at(q, 2))
-        }))
+  def lineLengthM(coords: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    // drop any z ordinate cheaply only if elements are wider arrays —
+    // the kernel reads positions 0/1 directly, so no projection needed
+    GraftExpressionBridge.column(
+      LineLengthMExpr(GraftExpressionBridge.expression(coords)))
+  }
 
   /** Vertex-average centroid as struct(lon, lat) — turf `centroid`
     * semantics (average of all vertices, not area-weighted).
