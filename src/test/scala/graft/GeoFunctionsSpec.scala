@@ -167,6 +167,59 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(!raw && !rep)
   }
 
+  test("viewportHint matches the reference's 2D snapshot numbers") {
+    import spark.implicits._
+    // RunFormatter.unit.test.ts:67-73 — a (0,0)→(1,1) 2D line:
+    // bearing null, center [0.5, 0.5], minCameraY -55660,
+    // rotatedHeightMeters 111320, rotatedWidthMeters 111315.76127550355
+    val line = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val r = Seq(1).toDF("x")
+      .select(viewportHint(typedLit(line)).as("h")).select("h.*")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("bearing")))
+    assert(r.getDouble(r.fieldIndex("center_lon")) == 0.5)
+    assert(r.getDouble(r.fieldIndex("center_lat")) == 0.5)
+    assert(r.getDouble(r.fieldIndex("min_camera_y")) == -55660.0)
+    assert(r.getDouble(r.fieldIndex("rotated_height_m")) == 111320.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("rotated_width_m"))
+      - 111315.76127550355) < 1e-6)
+  }
+
+  test("viewportHint bearing follows the downhill z-gradient") {
+    import spark.implicits._
+    def bearingOf(line: Seq[Seq[Double]]): Option[Double] = {
+      val r = Seq(1).toDF("x")
+        .select(viewportHint(typedLit(line)).as("h"))
+        .select("h.bearing").collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // descending toward north → bearing 0; toward south → 180
+    assert(bearingOf(Seq(Seq(0.0, 0.0, 1000.0), Seq(0.0, 1.0, 0.0)))
+      .contains(0.0))
+    assert(bearingOf(Seq(Seq(0.0, 1.0, 1000.0), Seq(0.0, 0.0, 0.0)))
+      .contains(180.0))
+    // descending toward east → 90
+    assert(bearingOf(Seq(Seq(0.0, 0.0, 500.0), Seq(1.0, 0.0, 0.0)))
+      .contains(90.0))
+    // flat 3D → null (zero gradient)
+    assert(bearingOf(Seq(Seq(0.0, 0.0, 100.0), Seq(1.0, 0.0, 100.0)))
+      .isEmpty)
+  }
+
+  test("LineLengthMExpr interpreted eval matches the column result") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val coords = ArrayData.toArrayData(Array(
+      ArrayData.toArrayData(Array(0.0, 0.0)),
+      ArrayData.toArrayData(Array(0.0, 1.0)),
+      ArrayData.toArrayData(Array(0.0, 2.0))))
+    val got = graft.functions.GeoKernels.lineLengthM(coords)
+    assert(math.abs(got - 2 * math.Pi * EarthRadiusM / 180.0) < 1e-5)
+    // degenerate + singleton
+    assert(graft.functions.GeoKernels.lineLengthM(
+      ArrayData.toArrayData(Array(ArrayData.toArrayData(Array(5.0, 5.0)))))
+      == 0.0)
+  }
+
   test("lineValid requires >=2 in-range positions; force2D drops z") {
     import spark.implicits._
     val df = Seq(
