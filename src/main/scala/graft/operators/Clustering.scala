@@ -93,6 +93,11 @@ object Clustering {
     */
   def minLabelComponents(pairsIn: DataFrame): DataFrame = {
     val pairs = pairsIn.localCheckpoint()
+    // empty-graph fast path: no pairs → no labels, and none of the
+    // loop's jobs run (the common case for normalization inputs whose
+    // arcs never chain — one cheap isEmpty on the checkpointed table)
+    if (pairs.isEmpty)
+      return pairs.select(col("a").as("nid"), col("a").as("label"))
     val biPairs = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
     var labels = biPairs.select(col("a").as("nid")).distinct()

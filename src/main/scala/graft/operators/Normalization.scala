@@ -286,6 +286,12 @@ object Normalization {
     val labels = Clustering.minLabelComponents(pairs)
       .withColumnRenamed("nid", "seg_id")
 
+    // no chains at all → every segment is its own component; skip the
+    // join-back, the stitch path and the props re-join entirely
+    if (labels.isEmpty)
+      return segments.select(col("seg_id").as("run_id"), col("props"),
+        col("pts"))
+
     val labeledAll = segments
       .join(labels, Seq("seg_id"), "left")
       .withColumn("label", coalesce(col("label"), col("seg_id")))
