@@ -298,14 +298,12 @@ object Dedup {
     val e = Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("label"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("nrm").as("nb"), col("label"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = graft.functions.VectorFunctions.dot(col("va"), col("vb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", dot / (col("na") * col("nb")))

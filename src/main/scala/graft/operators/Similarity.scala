@@ -38,15 +38,16 @@ object Similarity {
     ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
   }
 
+  // codegen'd kernel (see VectorFunctions) — bit-identical to the old
+  // aggregate(zip_with(...)) fold, but inside whole-stage codegen
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot(a, b)
 
   /** vec_id, v (double), nrm. */
   private def normalized(e: DataFrame): DataFrame =
     graft.Tables.fanout(e).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
 
   private val duckNorm =
     """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
