@@ -149,5 +149,69 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qFeatures, qFrames)
+  /** "Resize" for image rows: aspect-preserving fit into
+    * `target`×`target` — the metadata math (scale = min(t/w, t/h),
+    * dimensions rounded half-up with a 1-pixel floor) is the real
+    * operator contract; the payload transform is the usual
+    * deterministic stub (bytes truncated/zero-padded to the exact
+    * pixel-ratio length, integer-ceil so the oracle replays it without
+    * float risk). Same batched-partition shape as the decoder.
+    */
+  def resizeImages(media: DataFrame, target: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("new_w", IntegerType),
+      StructField("new_h", IntegerType),
+      StructField("out_bytes", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.filter(col("kind") === "image")
+      .select("media_id", "bytes", "width", "height")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val w = r.getInt(2); val h = r.getInt(3)
+          val scale = math.min(target.toDouble / w, target.toDouble / h)
+          val nw = math.max(1, math.floor(w * scale + 0.5).toInt)
+          val nh = math.max(1, math.floor(h * scale + 0.5).toInt)
+          // integer-ceil of len · (nw·nh)/(w·h)
+          val outLen = ((bytes.length.toLong * nw * nh) + (w.toLong * h) - 1) /
+            (w.toLong * h)
+          val out = java.util.Arrays.copyOf(bytes, outLen.toInt)
+          Row(r.getLong(0), nw, nh, out)
+        }
+      }(enc)
+  }
+
+  // ---- query: resize metadata + payload-length contract ------------------
+  private val qResize = QuerySpec.of(
+    "q_multimodal_resize",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    octet_length(encode(text)) AS len,
+      |    (n_chars % 640) + 1 AS w, (n_chars % 480) + 1 AS h
+      |  FROM documents
+      |  WHERE (doc_id % 3) + 1 = 1 AND doc_id % 7 = 0),
+      |s AS (
+      |  SELECT media_id, len, w, h,
+      |    least(224.0 / w, 224.0 / h) AS scale
+      |  FROM m),
+      |r AS (
+      |  SELECT media_id, w, h,
+      |    greatest(1, CAST(floor(w * scale + 0.5) AS INT)) AS new_w,
+      |    greatest(1, CAST(floor(h * scale + 0.5) AS INT)) AS new_h,
+      |    len
+      |  FROM s)
+      |SELECT media_id, new_w, new_h,
+      |  CAST((len * new_w * new_h + (w * h) - 1) // (w * h) AS BIGINT)
+      |    AS out_len
+      |FROM r ORDER BY media_id""".stripMargin) { (s, d) =>
+    resizeImages(
+      mediaTable(s, d).filter(pmod(col("media_id"), lit(7)) === 0), 224)
+      .select(col("media_id"), col("new_w"), col("new_h"),
+        length(col("out_bytes")).cast("long").as("out_len"))
+      .orderBy("media_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qFeatures, qFrames, qResize)
 }
