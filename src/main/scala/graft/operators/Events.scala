@@ -180,7 +180,16 @@ object Events {
     graft.streaming.EventsStreaming.sessionizeViaStream(s, d)
   }
 
+  // ---- streaming duplicate collapse --------------------------------------
+  private val qStreamDedup = QuerySpec.of(
+    "q_stream_events_dedup",
+    """SELECT count(DISTINCT (user_id, event_type, epoch_ms(ts) // 60000))
+      |  AS n_after_dedup
+      |FROM events""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.dedupViaStream(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qStreamHourly,
-      qStreamSessions)
+      qStreamSessions, qStreamDedup)
 }

@@ -93,6 +93,38 @@ object EventsStreaming {
     spark.table(name).orderBy("user_id", "session_id")
   }
 
+  /** Streaming duplicate collapse: `dropDuplicatesWithinWatermark` on
+    * (user_id, event_type, minute) — the watermark bounds the dedupe
+    * state exactly like the reference's bounded KV caches bound theirs.
+    * The deduped stream lands in a memory sink; the per-run count
+    * compares against the batch `countDistinct` twin.
+    */
+  def dedupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ms DIV 60000 AS BIGINT)").as("minute"),
+        col("event_time"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_after_dedup"))
+  }
+
   /** Batch-equivalent streaming run of the hourly aggregation.
     * `ts` arrives as epoch-nanos long (nanosAsLong read); it is floored
     * to ms and projected to an event-time timestamp for the watermark.
