@@ -41,22 +41,41 @@ object Events {
     date_format(timestamp_millis(ms - ms % 3600000L), "yyyy-MM-dd HH:00")
 
   // ---- hourly windowed aggregation --------------------------------------
+  // `value` is always 2-decimal, so sums run over EXACT integer cents
+  // — double summation order differs between Spark's partial
+  // aggregation and DuckDB's serial fold, and at sf0.1 an avg landed
+  // exactly on a 4-dp rounding boundary and flipped the hash. The avg
+  // is then rounded to 4 dp with INTEGER half-up arithmetic on the
+  // exact rational cents/n — Spark's round() goes through
+  // BigDecimal-of-Double.toString while DuckDB rounds the raw binary
+  // double, so even identical input doubles can round apart on a
+  // boundary; integer math cannot.
   private[operators] val hourlyOracle =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value,
-      |  round(avg(value), 4) AS avg_value
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_value,
+      |  CAST((sum(CAST(round(value * 100) AS BIGINT)) * 200 + count(*))
+      |    // (count(*) * 2) AS DOUBLE) / 10000.0 AS avg_value
       |FROM events
       |GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
+
+  private[graft] def hourlyAggs: Seq[org.apache.spark.sql.Column] = {
+    val cents = "sum(CAST(round(value * 100) AS BIGINT))"
+    Seq(
+      count(lit(1)).as("n"),
+      expr(s"CAST($cents AS DOUBLE) / 100.0").as("total_value"),
+      // integral DIV, not `/` — Spark's long/long division is a double
+      expr(s"CAST(($cents * 200 + count(*)) DIV (count(*) * 2) AS DOUBLE)" +
+        " / 10000.0").as("avg_value"))
+  }
 
   private val qHourly = QuerySpec.of(
     "q_events_hourly", hourlyOracle, headline = true) { (s, d) =>
     eventsMs(s, d)
       .groupBy(hourLabel(col("ms")).as("hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        round(sum("value"), 2).as("total_value"),
-        round(avg("value"), 4).as("avg_value"))
+      .agg(hourlyAggs.head, hourlyAggs.tail: _*)
       .orderBy("hour", "event_type")
   }
 

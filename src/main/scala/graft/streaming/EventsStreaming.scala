@@ -143,10 +143,9 @@ object EventsStreaming {
         date_format(timestamp_millis(col("ms") - col("ms") % 3600000L),
           "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        round(sum("value"), 2).as("total_value"),
-        round(avg("value"), 4).as("avg_value"))
+      // shared exact-cents aggregates (see Events.hourlyOracle note)
+      .agg(graft.operators.Events.hourlyAggs.head,
+        graft.operators.Events.hourlyAggs.tail: _*)
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")
