@@ -77,13 +77,15 @@ object Enrichment {
         |    $lon0 AS lon0, $lat0 AS lat0, $dx AS dx, $dy AS dy
         |  FROM lineitem),
         |k AS (SELECT way_id, $e0 AS e0, $e1 AS e1, $e2 AS e2 FROM f),
-        |w AS (SELECT way_id, min(least(e0, e1, e2)) AS emin,
-        |      max(greatest(e0, e1, e2)) AS emax
+        |w AS (SELECT way_id,
+        |      CAST(round(min(least(e0, e1, e2)) * 10) AS BIGINT) AS dmin,
+        |      CAST(round(max(greatest(e0, e1, e2)) * 10) AS BIGINT) AS dmax
         |      FROM k GROUP BY way_id)
         |SELECT CAST(way_id % 16 AS BIGINT) AS bucket, count(*) AS n_runs,
-        |  round(avg(emax - emin), 4) AS avg_relief,
-        |  round(min(emin), 1) AS min_elev,
-        |  round(max(emax), 1) AS max_elev
+        |  CAST((sum(dmax - dmin) * 2000 + count(*)) // (count(*) * 2)
+        |    AS DOUBLE) / 10000.0 AS avg_relief,
+        |  CAST(min(dmin) AS DOUBLE) / 10.0 AS min_elev,
+        |  CAST(max(dmax) AS DOUBLE) / 10.0 AS max_elev
         |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin
     }) { (s, d) =>
     val pts = SkiFeatures.synthesize(s, d)
@@ -97,16 +99,21 @@ object Enrichment {
     val (newCache, _) = cacheAside(pts, emptyCache, lit(true),
       missing => missing.select(col("key"), stubElevation(col("key")).as("value")))
     val enriched = pts.join(newCache, Seq("key"))
+    // elevations are exact deci-meters (stub = k/10): aggregate in
+    // integer deci units with integer half-up rounding for the 4-dp
+    // average — see the QuerySpec determinism contract
     enriched.groupBy("way_id")
-      .agg(max("value").as("emax"), min("value").as("emin"))
+      .agg(round(max("value") * 10).cast("long").as("dmax"),
+        round(min("value") * 10).cast("long").as("dmin"))
       .select(pmod(col("way_id"), lit(16)).cast("long").as("bucket"),
-        (col("emax") - col("emin")).as("relief"),
-        col("emin"), col("emax"))
+        (col("dmax") - col("dmin")).as("drelief"),
+        col("dmin"), col("dmax"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_runs"),
-        round(avg("relief"), 4).as("avg_relief"),
-        round(min("emin"), 1).as("min_elev"),
-        round(max("emax"), 1).as("max_elev"))
+        expr("CAST((sum(drelief) * 2000 + count(*)) DIV (count(*) * 2)"
+          + " AS DOUBLE) / 10000.0").as("avg_relief"),
+        (min("dmin").cast("double") / 10.0).as("min_elev"),
+        (max("dmax").cast("double") / 10.0).as("max_elev"))
       .orderBy("bucket")
   }
 

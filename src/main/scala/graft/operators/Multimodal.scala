@@ -113,24 +113,32 @@ object Multimodal {
       |f AS (
       |  SELECT media_id, kind,
       |    octet_length(encode(text)) AS f0,
-      |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000) / 1000.0 AS f1,
-      |    ((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 1000) % 1000) / 1000.0 AS f2
+      |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000 AS m1,
+      |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 1000) % 1000 AS m2
       |  FROM m)
       |SELECT kind, count(*) AS n,
       |  CAST(sum(f0) AS BIGINT) AS total_bytes,
-      |  round(avg(f1), 6) AS avg_f1,
-      |  round(avg(f2), 6) AS avg_f2
+      |  CAST((sum(m1) * 2000 + count(*)) // (count(*) * 2) AS DOUBLE)
+      |    / 1000000.0 AS avg_f1,
+      |  CAST((sum(m2) * 2000 + count(*)) // (count(*) * 2) AS DOUBLE)
+      |    / 1000000.0 AS avg_f2
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
+    // f1/f2 are exact milli-units (h%1000 / 1000): average with exact
+    // integer sums + integer half-up rounding at 6 dp — see the
+    // QuerySpec determinism contract (FP sum order + cross-engine
+    // rounding on boundaries)
     extractFeatures(mediaTable(s, d))
       .select(col("kind"),
         element_at(col("features"), 1).as("f0"),
-        element_at(col("features"), 2).as("f1"),
-        element_at(col("features"), 3).as("f2"))
+        round(element_at(col("features"), 2) * 1000).cast("long").as("m1"),
+        round(element_at(col("features"), 3) * 1000).cast("long").as("m2"))
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
         sum("f0").cast("long").as("total_bytes"),
-        round(avg("f1"), 6).as("avg_f1"),
-        round(avg("f2"), 6).as("avg_f2"))
+        expr("CAST((sum(m1) * 2000 + count(*)) DIV (count(*) * 2) AS DOUBLE)"
+          + " / 1000000.0").as("avg_f1"),
+        expr("CAST((sum(m2) * 2000 + count(*)) DIV (count(*) * 2) AS DOUBLE)"
+          + " / 1000000.0").as("avg_f2"))
       .orderBy("kind")
   }
 
