@@ -29,6 +29,12 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-based aggregation after
+      // only 128 distinct keys per partition by default — every
+      // collect_set/collect_list groupBy (the normalization edge
+      // exchange, stats rollups) was paying an unnecessary sort
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
