@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 
 /** OSM JSON element assembly (SURVEY S3): build way geometries from
   * node references — the one nontrivial ingest operator. The reference
@@ -35,5 +37,82 @@ object OsmAssembly {
           sort_array(collect_list(struct(col("idx"),
             array(col("lon"), col("lat")).as("pt")))),
           s => s.getField("pt")).as("coords"))
+  }
+
+  /** Greedy closed-ring assembly from undirected way fragments —
+    * osmtogeojson's multipolygon member join (members of one ring are
+    * arbitrary way segments in arbitrary order and orientation). Walks
+    * from a fragment extending at the tail (reversing as needed, ways
+    * carry no direction here) until the ring closes; broken chains
+    * (unclosable) are dropped with the same silent-skip the reference
+    * converter applies to incomplete rings. Returns rings as point
+    * sequences whose first and last positions coincide.
+    */
+  private[graft] def assembleRings[P](
+      frags: Seq[Seq[P]]): Seq[Seq[P]] = {
+    val remaining = scala.collection.mutable.ArrayBuffer(
+      frags.filter(_.size >= 2): _*)
+    val rings = scala.collection.mutable.ArrayBuffer[Seq[P]]()
+    while (remaining.nonEmpty) {
+      val out = scala.collection.mutable.ArrayBuffer[P](
+        remaining.remove(0): _*)
+      var extended = true
+      while (out.head != out.last && extended) {
+        extended = false
+        val tail = out.last
+        val i = remaining.indexWhere(f => f.head == tail || f.last == tail)
+        if (i >= 0) {
+          val f = remaining.remove(i)
+          out ++= (if (f.head == tail) f else f.reverse).drop(1)
+          extended = true
+        }
+      }
+      if (out.head == out.last && out.size >= 4) rings += out.toSeq
+      // else: incomplete ring — dropped, fragments already consumed
+    }
+    rings.toSeq
+  }
+
+  /** Relations → multipolygon rings: one level above [[assembleWays]].
+    *
+    * relations: rel_id (long), members (array<struct<ref: long,
+    * role: string>>, roles "outer"/"inner"); ways: way_id, coords.
+    * Returns (rel_id, role, ring_no, ring) — one row per CLOSED ring,
+    * ring_no numbering rings per (rel, role) deterministically by
+    * first-point order.
+    *
+    * Scale shape: member explode + equi-join on way_id (bucketable),
+    * then per-(relation, role) groups — relation-sized, tiny — walk
+    * the ring assembly in a mapGroups.
+    */
+  def assembleRelations(relations: DataFrame, ways: DataFrame): DataFrame = {
+    val spark = relations.sparkSession
+    val members = relations
+      .select(col("rel_id"), posexplode(col("members")).as(Seq("idx", "m")))
+      .select(col("rel_id"), col("idx"), col("m.ref").as("way_id"),
+        col("m.role").as("role"))
+      .join(ways, "way_id")
+      .select(col("rel_id"), col("role"), col("idx"), col("coords"))
+    val outSchema = StructType(Seq(
+      StructField("rel_id", LongType),
+      StructField("role", StringType),
+      StructField("ring_no", IntegerType),
+      StructField("ring", ArrayType(ArrayType(DoubleType)))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    import spark.implicits._
+    members
+      .as[(Long, String, Int, Seq[Seq[Double]])]
+      .groupByKey { case (rel, role, _, _) => (rel, role) }
+      .flatMapGroups(
+        (key: (Long, String),
+            it: Iterator[(Long, String, Int, Seq[Seq[Double]])]) => {
+          val frags = it.toSeq.sortBy(_._3).map(_._4)
+          val rings = assembleRings(frags)
+            .sortBy(r => (r.head(0), r.head(1)))
+          rings.zipWithIndex.map { case (ring, i) =>
+            Row(key._1, key._2, i, ring)
+          }.iterator
+        })(enc)
   }
 }

@@ -114,6 +114,37 @@ class SourcesSpec extends SparkSpec {
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s.target))))
   }
 
+  // ---- S3: relation → multipolygon ring assembly ----
+  test("assembleRelations stitches member ways into closed rings") {
+    // outer square split into 3 ways (one reversed), inner triangle in
+    // 2 ways; a second relation with an unclosable chain drops it
+    val ways = Seq(
+      (1L, Seq(Seq(0.0, 0.0), Seq(2.0, 0.0))),
+      (2L, Seq(Seq(2.0, 2.0), Seq(2.0, 0.0))), // reversed orientation
+      (3L, Seq(Seq(2.0, 2.0), Seq(0.0, 2.0), Seq(0.0, 0.0))),
+      (4L, Seq(Seq(0.5, 0.5), Seq(1.0, 0.5), Seq(1.0, 1.0))),
+      (5L, Seq(Seq(1.0, 1.0), Seq(0.5, 0.5))),
+      (6L, Seq(Seq(9.0, 9.0), Seq(8.0, 8.0)))) // dangling fragment
+      .toDF("way_id", "coords")
+    val relations = Seq(
+      (100L, Seq((1L, "outer"), (2L, "outer"), (3L, "outer"),
+        (4L, "inner"), (5L, "inner"))),
+      (200L, Seq((6L, "outer"))))
+      .toDF("rel_id", "members")
+      .withColumn("members", transform(col("members"),
+        m => struct(m.getField("_1").as("ref"), m.getField("_2").as("role"))))
+    val got = OsmAssembly.assembleRelations(relations, ways).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getSeq[scala.collection.Seq[Double]](3).map(_.toSeq)))
+    assert(got.length == 2) // outer + inner of rel 100; rel 200 dropped
+    val outer = got.find(g => g._1 == 100L && g._2 == "outer").get._4
+    assert(outer.head == outer.last && outer.length == 5)
+    assert(outer.toSet == Set(Seq(0.0, 0.0), Seq(2.0, 0.0), Seq(2.0, 2.0),
+      Seq(0.0, 2.0)))
+    val inner = got.find(g => g._1 == 100L && g._2 == "inner").get._4
+    assert(inner.head == inner.last && inner.length == 4)
+  }
+
   // ---- §2.8 ProcessRunner ----
   test("runCommand succeeds on zero exit, fails loudly otherwise") {
     import graft.sources.ProcessRunner
