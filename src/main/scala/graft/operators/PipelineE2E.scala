@@ -192,10 +192,9 @@ object PipelineE2E {
     // minhash signature index and the ANN plane cache; the checkpoint
     // also keeps the clustering loop from re-running the chain per
     // iteration.
-    val norm = normCache.computeIfAbsent(
-      graft.Tables.fingerprint(s, d, "lineitem"), _ =>
-        Normalization.normalizeRuns(base.unionByName(overlap),
-          Normalization.RunPropsLattice).localCheckpoint())
+    val norm = normCache.computeIfAbsent(SkiFeatures.memoKey(s, d), _ =>
+      Normalization.normalizeRuns(base.unionByName(overlap),
+        Normalization.RunPropsLattice).localCheckpoint())
 
     // cache keys travel as ONE packed long (x<<32 | y) — long-key
     // equi-joins stay on the vectorized UnsafeRow path; the oracle's

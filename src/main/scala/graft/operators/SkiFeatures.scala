@@ -55,11 +55,19 @@ object SkiFeatures {
   private val memo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
+  /** Memo key covering both input tables, fingerprinted so data
+    * regenerated at the same path invalidates the entry (the same
+    * invalidation contract as Similarity.planeCache).
+    */
+  private[operators] def memoKey(s: SparkSession, d: String): String =
+    graft.Tables.fingerprint(s, d, "lineitem") + "|" +
+      graft.Tables.fingerprint(s, d, "part")
+
   /** way_id, tags (map), coords — memoized + checkpointed (see the
     * trailing comment in [[build]]).
     */
   def synthesize(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d), build(s, d))
+    memo.getOrElseUpdate((s, memoKey(s, d)), build(s, d))
 
   private def build(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)

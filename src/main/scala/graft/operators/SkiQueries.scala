@@ -80,10 +80,11 @@ object SkiQueries {
 
   // formatted runs are shared scaffolding for every ski query —
   // memoized + checkpointed so the interpreted formatter expressions
-  // evaluate once per (session, sf) instead of being re-inlined into
-  // each query plan (see SkiFeatures.build).
+  // evaluate once per (session, dataset fingerprint) instead of being
+  // re-inlined into each query plan (see SkiFeatures.build; fingerprint
+  // keying per the planeCache invalidation contract).
   private[operators] def formatted(s: org.apache.spark.sql.SparkSession, d: String) =
-    fmtMemo.getOrElseUpdate((s, d),
+    fmtMemo.getOrElseUpdate((s, SkiFeatures.memoKey(s, d)),
       Formatters.formatRuns(SkiFeatures.synthesize(s, d)).localCheckpoint())
 
   // ---- P1/P7-P12: full run formatting ------------------------------------
@@ -867,10 +868,13 @@ object SkiQueries {
   private val liftMemo = scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
 
-  /** Formatted lift features (memoized + checkpointed scaffolding). */
+  /** Formatted lift features (memoized + checkpointed scaffolding;
+    * fingerprint-keyed like [[formatted]]).
+    */
   private[operators] def formattedLifts(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    liftMemo.getOrElseUpdate((s, d),
+    liftMemo.getOrElseUpdate(
+      (s, graft.Tables.fingerprint(s, d, "orders")),
       Formatters.formatLifts(liftFeatures(s, d)).localCheckpoint())
 
   /** Synthesized raw lift features (lift_id, tags). */
