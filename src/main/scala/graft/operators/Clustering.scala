@@ -58,26 +58,35 @@ object Clustering {
 
     var frontier = areas.select(col("area_id"), col("act"),
       col("lon"), col("lat"))
-    var reached = expand(frontier).limit(0)
-      .select(col("area_id"), col("act"), col("okey"), col("lon"), col("lat"))
-      .localCheckpoint()
+    // reached = lazy union over per-iteration CHECKPOINTED frontier
+    // pieces: the anti-join reads materialized blocks either way, and
+    // skipping the re-materialization of the growing union saves one
+    // full write per iteration
+    val reachedParts =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    def reached: org.apache.spark.sql.DataFrame =
+      reachedParts.reduce(_ unionByName _)
     var iter = 0
     var done = false
     while (!done && iter < 30) {
       val cand = expand(frontier)
-      val newPairs = cand
-        .join(reached.select("area_id", "okey"), Seq("area_id", "okey"),
-          "left_anti")
+      val newPairs = (if (reachedParts.isEmpty) cand
+        else cand.join(reached.select("area_id", "okey"),
+          Seq("area_id", "okey"), "left_anti"))
         .localCheckpoint()
       if (newPairs.isEmpty) done = true
       else {
-        reached = reached.unionByName(newPairs).localCheckpoint()
+        reachedParts += newPairs
         frontier = newPairs
       }
       iter += 1
     }
     objCells.unpersist()
-    reached.groupBy("okey").agg(min("area_id").as("area_id"))
+    if (reachedParts.isEmpty)
+      expand(areas.limit(0)).groupBy("okey")
+        .agg(min("area_id").as("area_id"))
+    else
+      reached.groupBy("okey").agg(min("area_id").as("area_id"))
   }
 
   /** Connected components over an undirected edge list `(a, b)` by
