@@ -328,8 +328,14 @@ object GeoFunctions {
     val clat = (minLat + maxLat) / 2
     val mLon = lit(ViewportMPerDegLat) * cos(radians(clat))
     val has3d = forall(coords, p => size(p) >= 3)
+    // size-1 guard: `sequence(1, size-1)` on a single-point geometry
+    // is sequence(1, 0) = [1, 0] (Spark sequences run DOWN when start
+    // > stop), and element_at(coords, 0) then throws. A single point
+    // has no gradient — empty index list, zero vector, null bearing.
+    val segIdx = when(size(coords) >= 2, sequence(lit(1), size(coords) - 1))
+      .otherwise(array().cast("array<int>"))
     val grad = aggregate(
-      sequence(lit(1), size(coords) - 1),
+      segIdx,
       struct(lit(0.0).as("vx"), lit(0.0).as("vy")),
       (acc, i) => {
         val p = element_at(coords, i)

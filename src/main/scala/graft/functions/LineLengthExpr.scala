@@ -62,21 +62,30 @@ object GeoKernels {
     TwoR * math.asin(math.sqrt(a))
   }
 
-  /** Sum of haversine segment lengths, left to right; <2 points → 0. */
+  /** Sum of haversine segment lengths, left to right; <2 points → 0.
+    * Null or degenerate (<2 ordinates) points are SKIPPED — the chain
+    * connects the surrounding valid points — instead of NPE-ing on a
+    * legal `array<array<double>>` value with null elements (a
+    * GenericArrayData element unboxes null). Our canonical geometry
+    * never produces them, but a library caller legitimately can.
+    */
   def lineLengthM(coords: ArrayData): Double = {
     val n = coords.numElements()
-    if (n < 2) return 0.0
     var acc = 0.0
-    var p = coords.getArray(0)
-    var lon1 = p.getDouble(0)
-    var lat1 = p.getDouble(1)
-    var i = 1
+    var have = false
+    var lon1 = 0.0
+    var lat1 = 0.0
+    var i = 0
     while (i < n) {
-      p = coords.getArray(i)
-      val lon2 = p.getDouble(0)
-      val lat2 = p.getDouble(1)
-      acc = acc + haversineM(lon1, lat1, lon2, lat2)
-      lon1 = lon2; lat1 = lat2
+      if (!coords.isNullAt(i)) {
+        val p = coords.getArray(i)
+        if (p.numElements() >= 2 && !p.isNullAt(0) && !p.isNullAt(1)) {
+          val lon2 = p.getDouble(0)
+          val lat2 = p.getDouble(1)
+          if (have) acc = acc + haversineM(lon1, lat1, lon2, lat2)
+          lon1 = lon2; lat1 = lat2; have = true
+        }
+      }
       i += 1
     }
     acc

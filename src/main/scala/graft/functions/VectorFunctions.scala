@@ -59,14 +59,17 @@ object VectorKernels {
   /** Left-to-right `acc + a(i)·b(i)` over min(len) elements — the
     * zip_with+aggregate fold's exact semantics (zip_with pads with
     * null on length mismatch; the embeddings are fixed-width so the
-    * min-length contract never differs in practice).
+    * min-length contract never differs in practice). Null elements
+    * contribute 0 instead of NPE-ing on a legal `array<double>` with
+    * null entries (a GenericArrayData element unboxes null).
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc = acc + a.getDouble(i) * b.getDouble(i)
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc = acc + a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc

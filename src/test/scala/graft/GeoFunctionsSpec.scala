@@ -220,6 +220,55 @@ class GeoFunctionsSpec extends SparkSpec {
       == 0.0)
   }
 
+  test("viewportHint degrades on a single-point geometry (no throw)") {
+    import spark.implicits._
+    // regression: sequence(1, size-1) on one point is sequence(1, 0)
+    // = [1, 0] and element_at(coords, 0) threw
+    val r = Seq(1).toDF("x")
+      .select(viewportHint(typedLit(Seq(Seq(7.0, 46.0, 1200.0)))).as("h"))
+      .select("h.*").collect().head
+    assert(r.isNullAt(r.fieldIndex("bearing")))
+    assert(r.getDouble(r.fieldIndex("center_lon")) == 7.0)
+    assert(r.getDouble(r.fieldIndex("center_lat")) == 46.0)
+    assert(r.getDouble(r.fieldIndex("rotated_height_m")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("rotated_width_m")) == 0.0)
+  }
+
+  test("lineLengthM skips null / degenerate points instead of NPE") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val clean = graft.functions.GeoKernels.lineLengthM(
+      ArrayData.toArrayData(Array(
+        ArrayData.toArrayData(Array(0.0, 0.0)),
+        ArrayData.toArrayData(Array(0.0, 1.0)))))
+    val withNull = graft.functions.GeoKernels.lineLengthM(
+      ArrayData.toArrayData(Array(
+        ArrayData.toArrayData(Array(0.0, 0.0)),
+        null,
+        ArrayData.toArrayData(Array(0.5)), // degenerate: 1 ordinate
+        ArrayData.toArrayData(Array(0.0, 1.0)))))
+    assert(withNull == clean)
+    // the column path over a nullable element survives too
+    import spark.implicits._
+    val got = Seq(Seq(Some(Seq(0.0, 0.0)), None, Some(Seq(0.0, 1.0))))
+      .toDF("coords")
+      .select(lineLengthM(col("coords"))).collect().head.getDouble(0)
+    assert(got == clean)
+  }
+
+  test("vector dot treats null elements as 0 instead of NPE") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = ArrayData.toArrayData(Array[Any](1.0, null, 3.0))
+    val b = ArrayData.toArrayData(Array[Any](2.0, 5.0, null))
+    assert(graft.functions.VectorKernels.dot(a, b) == 2.0)
+    import spark.implicits._
+    val got = Seq((Seq(Some(1.0), None, Some(3.0)),
+        Seq(Some(2.0), Some(5.0), None)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dot(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(got == 2.0)
+  }
+
   test("lineValid requires >=2 in-range positions; force2D drops z") {
     import spark.implicits._
     val df = Seq(
