@@ -553,12 +553,12 @@ object SkiQueries {
         |  FROM orders WHERE o_orderkey % 37 = 0),
         |verts AS (
         |  SELECT area_id, alon, alat, k,
-        |    alon + (CAST(0.004 AS DOUBLE) * (CAST(1 AS DOUBLE)
+        |    alon + (CAST(0.012 AS DOUBLE) * (CAST(1 AS DOUBLE)
         |      + CAST((area_id + k) % 3 AS DOUBLE) * CAST(0.3 AS DOUBLE)))
         |      * (CASE k WHEN 0 THEN CAST(1 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE)
         |         WHEN 2 THEN CAST(-0.5 AS DOUBLE) WHEN 3 THEN CAST(-1 AS DOUBLE)
         |         WHEN 4 THEN CAST(-0.5 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) AS vx,
-        |    alat + (CAST(0.004 AS DOUBLE) * (CAST(1 AS DOUBLE)
+        |    alat + (CAST(0.012 AS DOUBLE) * (CAST(1 AS DOUBLE)
         |      + CAST((area_id + k) % 3 AS DOUBLE) * CAST(0.3 AS DOUBLE)))
         |      * (CASE k WHEN 0 THEN CAST(0 AS DOUBLE) WHEN 1 THEN sqrt(CAST(3 AS DOUBLE)) / 2
         |         WHEN 2 THEN sqrt(CAST(3 AS DOUBLE)) / 2 WHEN 3 THEN CAST(0 AS DOUBLE)
@@ -573,10 +573,11 @@ object SkiQueries {
         |  SELECT area_id, alon, alat,
         |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
         |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
-        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |  FROM areas, unnest([-2, -1, 0, 1, 2]) AS ui(i),
+        |    unnest([-2, -1, 0, 1, 2]) AS uj(j)),
         |runs AS (
-        |  SELECT way_id, (way_id % 8 = 3) AS in_site, ($lenSqlLocal) AS len_m,
-        |    lon0, lat0, dx, dy,
+        |  SELECT DISTINCT way_id, (way_id % 8 = 3) AS in_site,
+        |    ($lenSqlLocal) AS len_m, lon0, lat0, dx, dy,
         |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
         |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
         |  FROM kept),
@@ -622,18 +623,26 @@ object SkiQueries {
         (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
           - 60.0).as("alat"))
       .withColumn("ring", array((0 until 6).map { k =>
-        val r = lit(0.004) * (lit(1.0)
+        val r = lit(0.012) * (lit(1.0)
           + pmod(col("area_id") + k, lit(3)).cast("double") * lit(0.3))
         array(col("alon") + r * cosK(k), col("alat") + r * sinK(k))
       }: _*))
+    // ±2-cell prefilter: the hexagon radius (≤0.0192°) exceeds one
+    // 0.01° cell, so a covered run's first vertex can sit two cells
+    // from the anchor; ±2 cells (0.02°) strictly covers it.
     val acells = areas
       .select(col("area_id"), col("ring"),
-        explode(transform(sequence(lit(-1), lit(1)),
+        explode(transform(sequence(lit(-2), lit(2)),
           i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
         floor(col("alat") / CellDeg).cast("long").as("cyb"))
       .select(col("area_id"), col("ring"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)),
+        explode(transform(sequence(lit(-2), lit(2)),
           j => col("cyb") + j)).as("cy"))
+    // one row per way_id: the synthetic lineitem carries duplicate
+    // (orderkey, linenumber) pairs, and a feature participates in
+    // containment once (the 2D geometry, length and site flag are all
+    // way_id-determined; only z varies across duplicates and the
+    // ray-cast/length ignore it)
     val runs = formatted(s, d).filter(col("kept"))
       .select(col("way_id"),
         (pmod(col("way_id"), lit(8)) === 3).as("in_site"),
@@ -642,6 +651,7 @@ object SkiQueries {
         / CellDeg).cast("long"))
       .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
         / CellDeg).cast("long"))
+      .dropDuplicates("way_id")
     val covered = acells.join(runs, Seq("cx", "cy"))
       .filter(forall(col("coords"), p => pointInPolygon(
         element_at(p, 1), element_at(p, 2), col("ring"))))

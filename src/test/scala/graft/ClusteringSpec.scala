@@ -91,4 +91,15 @@ class ClusteringSpec extends SparkSpec {
     // isolated nodes never appear — callers treat them as singletons
     assert(!labels.contains(99L))
   }
+
+  test("q_ski_polygon_assign exercises containment on a NON-EMPTY set") {
+    // regression: the former hexagon fixture (~0.006° max radius) never
+    // fully covered a 3-vertex run, so the ray-cast refine and both
+    // removal rules passed vacuously on 0 rows
+    val rows = SparkEntry.queries("q_ski_polygon_assign")(spark, sf).collect()
+    assert(rows.length > 10, s"expected >10 assigned areas, got ${rows.length}")
+    // the >50%-in-site removal rule must have survivors with site members
+    assert(rows.exists(_.getAs[Long]("n_site") > 0),
+      "no surviving area has site members — removal rule untested")
+  }
 }
