@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Similarity.specs ++
       operators.Events.specs ++
       operators.SkiQueries.specs ++
+      operators.MultiPart.specs ++
       operators.OutputFormats.specs ++
       operators.SnowCover.specs ++
       operators.LiftStations.specs ++

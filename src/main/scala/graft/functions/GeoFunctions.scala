@@ -253,6 +253,20 @@ object GeoFunctions {
         when(crosses, !acc).otherwise(acc)
       })
 
+  /** Even-odd containment across a full ring set — all outer rings and
+    * all interior (hole) rings of a (Multi)Polygon, as
+    * `array<array<array<double>>>`. A point is inside iff its total
+    * edge-crossing parity across ALL rings is odd: crossing into a
+    * hole flips the point out, a second disjoint part flips it back
+    * in — exactly the even-odd rule turf's booleanPointInPolygon
+    * applies to polygons with holes (the reference's containment
+    * refine, `/root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:680-711`,
+    * honors interior rings the same way).
+    */
+  def pointInRings(px: Column, py: Column, rings: Column): Column =
+    aggregate(rings, lit(false), (acc, ring) =>
+      when(pointInPolygon(px, py, ring), !acc).otherwise(acc))
+
   // ---- P12/J6: geometry validity + repair ---------------------------------
   // The reference validates features with turf booleanValid and drops
   // invalid ones (`/root/reference/src/transforms/GeoTransforms.ts:113-130`),

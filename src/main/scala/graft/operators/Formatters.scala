@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Formatters {
 
+  /** P1 multi-part explode (`/root/reference/src/transforms/RunFormatter.ts:83-99`):
+    * the reference emits one feature per part of a MultiLineString /
+    * MultiPolygon run, recomputing the content-hash id per part. Input
+    * rows carry the full canonical geometry (geomType, parts) from
+    * `GeoJson.decodeFeaturesFull`; output has one row per part with
+    * `part_no`, the singular `geomType`, and that part's rings. All
+    * other columns pass through. Pure generator — `posexplode`, no
+    * shuffle.
+    */
+  def explodeParts(df: DataFrame): DataFrame = {
+    val passThrough = df.columns.filterNot(Seq("geomType", "parts").contains)
+      .map(col).toSeq
+    df.select(passThrough ++ Seq(col("geomType"),
+        posexplode(col("parts")).as(Seq("part_no", "part"))): _*)
+      .withColumn("geomType",
+        when(col("geomType") === "MultiPolygon", "Polygon")
+          .when(col("geomType") === "MultiLineString", "LineString")
+          .otherwise(col("geomType")))
+  }
+
   /** openskidata-format LiftType enum values. */
   val ValidLiftTypes: Seq[String] = Seq("cable_car", "gondola", "chair_lift",
     "mixed_lift", "drag_lift", "t-bar", "j-bar", "platter", "rope_tow",

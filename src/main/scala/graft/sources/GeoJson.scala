@@ -48,6 +48,65 @@ object GeoJson {
         .as("coords"))
   }
 
+  /** Full multi-part decode: (properties, geomType, parts) where
+    * `parts: array<array<array<array<double>>>>` is part → ring →
+    * position. Every GeoJSON geometry embeds losslessly:
+    *  - Point            → one part, one ring, one position
+    *  - LineString       → one part, one ring (the line)
+    *  - Polygon          → one part, ALL rings (outer first, then
+    *                       interior rings — holes are preserved, unlike
+    *                       the 2-level [[decodeFeatures]] canonical form)
+    *  - MultiLineString  → one part per line, one ring each
+    *  - MultiPolygon     → verbatim (part → rings → positions)
+    * The reference explodes Multi* runs per part
+    * (`/root/reference/src/transforms/RunFormatter.ts:83-99`) and honors
+    * interior rings in containment; this form is what those operators
+    * consume.
+    */
+  def decodeFeaturesFull(df: DataFrame, json: Column): DataFrame = {
+    val ring = ArrayType(ArrayType(DoubleType))
+    val rings = ArrayType(ring)
+    val multi = ArrayType(rings)
+    val geomType = get_json_object(json, "$.geometry.type")
+    val raw = get_json_object(json, "$.geometry.coordinates")
+    df.select(
+      from_json(get_json_object(json, "$.properties"),
+        MapType(StringType, StringType)).as("properties"),
+      geomType.as("geomType"),
+      when(geomType === "Point",
+        array(array(array(from_json(raw, ArrayType(DoubleType))))))
+        .when(geomType === "LineString",
+          array(array(from_json(raw, ring))))
+        .when(geomType === "Polygon", array(from_json(raw, rings)))
+        .when(geomType === "MultiLineString",
+          transform(from_json(raw, rings), l => array(l)))
+        .when(geomType === "MultiPolygon", from_json(raw, multi))
+        .as("parts"))
+  }
+
+  def readFeaturesFull(spark: SparkSession, path: String): DataFrame =
+    decodeFeaturesFull(spark.read.text(path), col("value"))
+
+  /** Render the full (properties, geomType, parts) form back to a
+    * GeoJSON Feature JSON string — inverse of [[decodeFeaturesFull]].
+    */
+  def featureJsonFull(properties: Column, geomType: Column,
+      parts: Column): Column =
+    concat(
+      lit("""{"type":"Feature","properties":"""),
+      coalesce(to_json(properties), lit("null")),
+      lit(""","geometry":{"type":""""), geomType,
+      lit("""","coordinates":"""),
+      when(geomType === "Point",
+        to_json(element_at(element_at(element_at(parts, 1), 1), 1)))
+        .when(geomType === "LineString",
+          to_json(element_at(element_at(parts, 1), 1)))
+        .when(geomType === "Polygon", to_json(element_at(parts, 1)))
+        .when(geomType === "MultiLineString",
+          to_json(transform(parts, p => element_at(p, 1))))
+        .when(geomType === "MultiPolygon", to_json(parts)),
+      lit("}}"))
+
   /** Render (properties, geomType, coords) as a GeoJSON Feature JSON
     * string (one per row — JSONL when written with text()). Polygon
     * coords are re-wrapped as a single outer ring.

@@ -85,6 +85,49 @@ object OsmAssembly {
     * then per-(relation, role) groups — relation-sized, tiny — walk
     * the ring assembly in a mapGroups.
     */
+  /** Relations → full MultiPolygon parts: [[assembleRelations]]'s
+    * labeled rings routed into the canonical multi-part form
+    * (rel_id, parts: array<array<ring>>) — part = outer ring followed
+    * by its interior rings. Each inner ring attaches to the outer ring
+    * containing its first vertex (OSM multipolygon rings don't cross,
+    * so one vertex decides; ties broken by lowest outer ring_no);
+    * inner rings inside no outer are dropped, as osmtogeojson drops
+    * unplaceable members. This is the missing downstream route for the
+    * inner/outer labels — the result feeds `GeoJson.featureJsonFull`,
+    * `Formatters.explodeParts` and hole-aware containment
+    * (`GeoFunctions.pointInRings`) directly.
+    */
+  def assembleMultipolygons(relations: DataFrame, ways: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rings = assembleRelations(relations, ways)
+    val outers = rings.filter(col("role") === "outer")
+      .select(col("rel_id"), col("ring_no").as("outer_no"),
+        col("ring").as("outer_ring"))
+    val inners = rings.filter(col("role") === "inner")
+      .select(col("rel_id"), col("ring_no").as("inner_no"),
+        col("ring").as("inner_ring"))
+    val px = element_at(element_at(col("inner_ring"), 1), 1)
+    val py = element_at(element_at(col("inner_ring"), 1), 2)
+    val w = Window.partitionBy("rel_id", "inner_no").orderBy("outer_no")
+    val holes = inners.join(outers, Seq("rel_id"))
+      .filter(graft.functions.GeoFunctions.pointInPolygon(
+        px, py, col("outer_ring")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("rel_id", "outer_no")
+      .agg(transform(
+        sort_array(collect_list(struct(col("inner_no"), col("inner_ring")))),
+        h => h.getField("inner_ring")).as("holes"))
+    outers.join(holes, Seq("rel_id", "outer_no"), "left")
+      .select(col("rel_id"), col("outer_no"),
+        concat(array(col("outer_ring")),
+          coalesce(col("holes"),
+            array().cast("array<array<array<double>>>"))).as("rings"))
+      .groupBy("rel_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("outer_no"), col("rings")))),
+        s => s.getField("rings")).as("parts"))
+  }
+
   def assembleRelations(relations: DataFrame, ways: DataFrame): DataFrame = {
     val spark = relations.sparkSession
     val members = relations

@@ -220,6 +220,26 @@ class GeoFunctionsSpec extends SparkSpec {
       == 0.0)
   }
 
+  test("pointInRings: holes exclude, disjoint second part includes") {
+    import spark.implicits._
+    // part 0: square (0,0)-(4,4) with hole (1,1)-(2,2); part 1: (10,0)-(14,4)
+    val rings = Seq(
+      Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(4.0, 4.0), Seq(0.0, 4.0)),
+      Seq(Seq(1.0, 1.0), Seq(2.0, 1.0), Seq(2.0, 2.0), Seq(1.0, 2.0)),
+      Seq(Seq(10.0, 0.0), Seq(14.0, 0.0), Seq(14.0, 4.0), Seq(10.0, 4.0)))
+    val cases = Seq(
+      (3.0, 3.0, true),   // part 0, outside hole
+      (1.5, 1.5, false),  // inside the hole → excluded
+      (7.0, 2.0, false),  // gap between parts
+      (12.0, 2.0, true),  // second part
+      (20.0, 2.0, false)) // outside everything
+    val got = cases.toDF("px", "py", "want")
+      .select(pointInRings(col("px"), col("py"),
+        typedLit(rings)).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
   test("viewportHint degrades on a single-point geometry (no throw)") {
     import spark.implicits._
     // regression: sequence(1, size-1) on one point is sequence(1, 0)

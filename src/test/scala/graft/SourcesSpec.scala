@@ -145,6 +145,77 @@ class SourcesSpec extends SparkSpec {
     assert(inner.head == inner.last && inner.length == 4)
   }
 
+  test("assembleMultipolygons routes inner rings to their outer part") {
+    // two disjoint outer squares; one hole inside the FIRST square, one
+    // hole inside the SECOND; an orphan inner (inside neither) drops
+    def sq(x0: Double, y0: Double, s: Double) = Seq(
+      Seq(x0, y0), Seq(x0 + s, y0), Seq(x0 + s, y0 + s), Seq(x0, y0 + s),
+      Seq(x0, y0))
+    val ways = Seq(
+      (1L, sq(0.0, 0.0, 4.0)), (2L, sq(10.0, 0.0, 4.0)),
+      (3L, sq(1.0, 1.0, 1.0)), (4L, sq(11.0, 1.0, 1.0)),
+      (5L, sq(50.0, 50.0, 1.0)))
+      .toDF("way_id", "coords")
+    val relations = Seq(
+      (100L, Seq((1L, "outer"), (2L, "outer"), (3L, "inner"),
+        (4L, "inner"), (5L, "inner"))))
+      .toDF("rel_id", "members")
+      .withColumn("members", transform(col("members"),
+        m => struct(m.getField("_1").as("ref"), m.getField("_2").as("role"))))
+    val got = OsmAssembly.assembleMultipolygons(relations, ways).collect()
+    assert(got.length == 1)
+    val parts = got.head.getSeq[scala.collection.Seq[
+      scala.collection.Seq[scala.collection.Seq[Double]]]](1)
+    assert(parts.length == 2)
+    // each part: outer ring + exactly the hole that sits inside it
+    parts.foreach { part =>
+      assert(part.length == 2)
+      val outerX = part(0).head.head
+      val holeX = part(1).head.head
+      assert(math.abs(holeX - outerX - 1.0) < 1e-12,
+        s"hole $holeX routed to wrong outer $outerX")
+    }
+  }
+
+  test("full decode/encode round-trips MultiPolygon holes + MultiLineString") {
+    val mp = """{"type":"Feature","properties":{"name":"a"},"geometry":""" +
+      """{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[4,4],[0,4],[0,0]],""" +
+      """[[1,1],[2,1],[2,2],[1,2],[1,1]]],[[[10,0],[14,0],[14,4],[10,4],[10,0]]]]}}"""
+    val mls = """{"type":"Feature","properties":{"name":"b"},"geometry":""" +
+      """{"type":"MultiLineString","coordinates":[[[0,0],[1,1]],[[5,5],[6,6]]]}}"""
+    val df = GeoJson.decodeFeaturesFull(
+      Seq(mp, mls).toDF("value"), col("value"))
+    val rows = df.orderBy("geomType").collect()
+    // MultiLineString: 2 parts, 1 ring each
+    val lsParts = rows(0).getSeq[scala.collection.Seq[
+      scala.collection.Seq[scala.collection.Seq[Double]]]](2)
+    assert(rows(0).getString(1) == "MultiLineString" && lsParts.length == 2)
+    assert(lsParts.forall(_.length == 1))
+    // MultiPolygon: part 0 carries outer + interior ring, part 1 one ring
+    val mpParts = rows(1).getSeq[scala.collection.Seq[
+      scala.collection.Seq[scala.collection.Seq[Double]]]](2)
+    assert(rows(1).getString(1) == "MultiPolygon" && mpParts.length == 2)
+    assert(mpParts(0).length == 2 && mpParts(1).length == 1)
+    // encode → decode again is identity
+    val re = GeoJson.decodeFeaturesFull(
+      df.select(GeoJson.featureJsonFull(col("properties"), col("geomType"),
+        col("parts")).as("value")), col("value"))
+    assert(re.orderBy("geomType").collect().toSeq == rows.toSeq)
+  }
+
+  test("explodeParts emits one singular-typed feature per part") {
+    val mp = """{"type":"Feature","properties":{"name":"a"},"geometry":""" +
+      """{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[4,4],[0,4],[0,0]],""" +
+      """[[1,1],[2,1],[2,2],[1,2],[1,1]]],[[[10,0],[14,0],[14,4],[10,4],[10,0]]]]}}"""
+    val ls = """{"type":"Feature","properties":{"name":"c"},"geometry":""" +
+      """{"type":"LineString","coordinates":[[0,0],[1,1]]}}"""
+    val df = GeoJson.decodeFeaturesFull(Seq(mp, ls).toDF("value"), col("value"))
+    val got = graft.operators.Formatters.explodeParts(df)
+      .select("geomType", "part_no").orderBy("geomType", "part_no")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq == Seq(("LineString", 0), ("Polygon", 0), ("Polygon", 1)))
+  }
+
   // ---- §2.8 ProcessRunner ----
   test("runCommand succeeds on zero exit, fails loudly otherwise") {
     import graft.sources.ProcessRunner
