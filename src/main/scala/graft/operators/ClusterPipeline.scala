@@ -205,14 +205,10 @@ object ClusterPipeline {
       .localCheckpoint()
 
     // pass 1: polygon containment with both removal rules
-    val covered = acells.join(rc, Seq("cx", "cy"))
-      .filter(forall(col("coords"), p => GeoFunctions.pointInPolygon(
-        element_at(p, 1), element_at(p, 2), col("ring"))))
-    val survive = covered.groupBy(col("area_id"))
-      .agg(sum(col("len_m")).as("total_m"),
-        sum(when(col("in_site"), col("len_m")).otherwise(lit(0.0))).as("site_m"))
-      .filter(!(col("total_m") > 0 && col("site_m") / col("total_m") > 0.5))
-      .select("area_id")
+    val covered = Clustering.coveredBy(
+      areas.select("area_id", "ring", "alon", "alat"),
+      rc.drop("cx", "cy"), CellDeg, 1)
+    val survive = Clustering.siteOverlapSurvivors(covered)
     val pass1 = covered.join(survive, "area_id")
       .groupBy("way_id").agg(min("area_id").as("area_id"))
       .localCheckpoint()
@@ -245,41 +241,10 @@ object ClusterPipeline {
         (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
           - 60.0).as("lat"))
       .withColumn("is_lift", lit(true))
-    val nodes = runNodes.unionByName(liftNodes)
-      .withColumn("nid",
-        col("oid") * 2 + when(col("act") === "nordic", 1L).otherwise(0L))
-      .withColumn("cx", floor(col("lon") / CellDeg).cast("long"))
-      .withColumn("cy", floor(col("lat") / CellDeg).cast("long"))
-      .localCheckpoint()
-    val lcells = nodes
-      .select(col("act"), col("nid").as("a"),
-        col("lon").as("alon2"), col("lat").as("alat2"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          i => col("cx") + i)).as("cx"),
-        col("cy").as("cyb"))
-      .select(col("act"), col("a"), col("alon2"), col("alat2"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          j => col("cyb") + j)).as("cy"))
-    val gpairs = lcells
-      .join(nodes.select(col("act"), col("nid").as("b"),
-        col("lon"), col("lat"), col("cx"), col("cy")), Seq("act", "cx", "cy"))
-      .filter(col("a") < col("b") &&
-        haversineM(col("alon2"), col("alat2"), col("lon"), col("lat"))
-          <= RadiusM)
-      .select("a", "b")
-    val labels = Clustering.minLabelComponents(gpairs)
-    val labeled = nodes.join(labels, Seq("nid"), "left")
-      .withColumn("label", coalesce(col("label"), col("nid")))
-    val gkeep = labeled.groupBy("act", "label")
-      .agg(count(when(!col("is_lift"), 1)).as("n_runs"),
-        count(when(col("is_lift"), 1)).as("n_lifts"))
-      .filter(col("n_runs") > 0 &&
-        !(col("act") === "downhill" && col("n_lifts") === 0))
-      .select("act", "label")
-    val pass3 = labeled.join(gkeep, Seq("act", "label"))
+    val pass3 = Clustering.generateSkiAreas(
+      runNodes.unionByName(liftNodes), RadiusM, CellDeg)
       .filter(!col("is_lift"))
-      .select(col("oid").as("way_id"),
-        shiftright(col("label"), 1).as("area_id"))
+      .select(col("oid").as("way_id"), col("area_id"))
       .distinct()
 
     pass1.withColumn("pass", lit(1))

@@ -89,6 +89,108 @@ object Clustering {
       reached.groupBy("okey").agg(min("area_id").as("area_id"))
   }
 
+  /** Step-6 ski-area generation (`/root/reference/src/clustering/
+    * SkiAreaClusteringService.ts:903-1032`): per-activity connected
+    * components over the proximity graph, kept only when the component
+    * contains ≥1 run, and — the ≥1-lift rule (`:962-976`, scenario
+    * "does not generate ski area for lone downhill run without lift",
+    * `ClusterSkiAreas.integration.test.ts:186`) — a DOWNHILL component
+    * with no lift member is dropped (its runs may still surface
+    * through their other activity's component; nordic needs no lift).
+    *
+    * nodes: (oid long, act in {downhill, nordic}, lon, lat,
+    * is_lift boolean) — one row per (object, activity); callers
+    * pre-filter to supported activities (the reference skips
+    * unsupported-activity runs at basis selection, `:248-270`).
+    * Returns (oid, act, is_lift, area_id) for members of KEPT
+    * generated areas; area_id = min member oid of the component.
+    */
+  def generateSkiAreas(nodes0: DataFrame, radiusM: Double,
+      cellDeg: Double): DataFrame = {
+    val nodes = nodes0
+      .withColumn("nid",
+        col("oid") * 2 + when(col("act") === "nordic", 1L).otherwise(0L))
+      .withColumn("cx", floor(col("lon") / cellDeg).cast("long"))
+      .withColumn("cy", floor(col("lat") / cellDeg).cast("long"))
+      .localCheckpoint()
+    val lcells = nodes
+      .select(col("act"), col("nid").as("a"),
+        col("lon").as("alon2"), col("lat").as("alat2"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          i => col("cx") + i)).as("cx"),
+        col("cy").as("cyb"))
+      .select(col("act"), col("a"), col("alon2"), col("alat2"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)),
+          j => col("cyb") + j)).as("cy"))
+    val gpairs = lcells
+      .join(nodes.select(col("act"), col("nid").as("b"),
+        col("lon"), col("lat"), col("cx"), col("cy")), Seq("act", "cx", "cy"))
+      .filter(col("a") < col("b") &&
+        GeoFunctions.haversineM(col("alon2"), col("alat2"),
+          col("lon"), col("lat")) <= radiusM)
+      .select("a", "b")
+    val labels = minLabelComponents(gpairs)
+    val labeled = nodes.join(labels, Seq("nid"), "left")
+      .withColumn("label", coalesce(col("label"), col("nid")))
+    val gkeep = labeled.groupBy("act", "label")
+      .agg(count(when(!col("is_lift"), 1)).as("n_runs"),
+        count(when(col("is_lift"), 1)).as("n_lifts"))
+      .filter(col("n_runs") > 0 &&
+        !(col("act") === "downhill" && col("n_lifts") === 0))
+      .select("act", "label")
+    labeled.join(gkeep, Seq("act", "label"))
+      .select(col("oid"), col("act"), col("is_lift"),
+        shiftright(col("label"), 1).as("area_id"))
+  }
+
+  /** Step-2 polygon containment (J2, `SkiAreaClusteringService.ts:
+    * 337-361` + the ST_CoveredBy refine): runs whose EVERY vertex lies
+    * inside the area ring, candidates prefiltered by grid cell
+    * (area anchor cell ±reach vs run first-vertex cell).
+    * areas: (area_id, ring, alon, alat) plus passthrough columns;
+    * runs: (way_id, coords) plus passthrough columns.
+    * Returns the joined candidate rows that pass containment.
+    */
+  def coveredBy(areas: DataFrame, runs: DataFrame, cellDeg: Double,
+      reach: Int): DataFrame = {
+    val acells = areas
+      .withColumn("cx",
+        explode(transform(sequence(lit(-reach), lit(reach)),
+          i => floor(col("alon") / cellDeg).cast("long") + i)))
+      .withColumn("cyb", floor(col("alat") / cellDeg).cast("long"))
+      .withColumn("cy",
+        explode(transform(sequence(lit(-reach), lit(reach)),
+          j => col("cyb") + j)))
+      .drop("cyb")
+    val rcells = runs
+      .withColumn("cx", floor(element_at(element_at(col("coords"), 1), 1)
+        / cellDeg).cast("long"))
+      .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
+        / cellDeg).cast("long"))
+    acells.join(rcells, Seq("cx", "cy"))
+      .filter(forall(col("coords"), p => GeoFunctions.pointInPolygon(
+        element_at(p, 1), element_at(p, 2), col("ring"))))
+      .drop("cx", "cy")
+  }
+
+  /** Both step-2 area-removal rules over [[coveredBy]] output
+    * (`SkiAreaClusteringService.ts:654-700`): an area with NO covered
+    * objects is removed (it never appears in `covered`), and an area
+    * whose covered-member length is >50 % inside a site=piste relation
+    * is removed (scenario "removes landuse based ski area when there
+    * is a site with sufficient overlap",
+    * `ClusterSkiAreas.integration.test.ts:2456`; the insufficient-
+    * overlap twin keeps it, `:2557`). covered must carry (area_id,
+    * in_site boolean, len_m). Returns surviving area_ids.
+    */
+  def siteOverlapSurvivors(covered: DataFrame): DataFrame =
+    covered.groupBy(col("area_id"))
+      .agg(sum(col("len_m")).as("total_m"),
+        sum(when(col("in_site"), col("len_m")).otherwise(lit(0.0)))
+          .as("site_m"))
+      .filter(!(col("total_m") > 0 && col("site_m") / col("total_m") > 0.5))
+      .select("area_id")
+
   /** Connected components over an undirected edge list `(a, b)` by
     * min-label propagation with pointer doubling (label := label(label)
     * each round → O(log diameter) tiny-table iterations). Only nodes

@@ -32,6 +32,71 @@ object LiftStations {
   private val ThresholdM = 30.0
   private val CellDeg = 0.01
 
+  /** Reusable station→lift association (step 8; the unit the scenario
+    * suite `ClusterSkiAreas.integration.test.ts:3019-3532` exercises).
+    *
+    * stations: (sid, slon, slat, sz, explicit_pos) — sz is the
+    * station's ORIGINAL elevation, explicit_pos a pre-set position or
+    * null. lifts: (lift_id, coords 3D [lon,lat,z]); an optional
+    * part_no column carries MultiLineString parts as separate rows —
+    * the nearest part wins, matching the reference's per-part scan
+    * (`LiftStationAssociator.ts:155-184`).
+    *
+    * Rules: candidates within thresholdM of the nearest point on the
+    * lift line (grid-cell prefilter: station cell vs lift vertex 3×3
+    * cells); best lift = min distance, lift id then part tie-break;
+    * orphans (no lift within threshold) drop out; position =
+    * explicit_pos else bottom/top/mid from sz against the lift's
+    * [min z, max z] range at 25 %/75 % (`:186-214`).
+    * Returns (sid, lift_id, position, dist_m, snap_lon, snap_lat).
+    */
+  def associate(stations: DataFrame, lifts: DataFrame,
+      thresholdM: Double, cellDeg: Double): DataFrame = {
+    val lf = if (lifts.columns.contains("part_no")) lifts
+      else lifts.withColumn("part_no", lit(0))
+    val lvert = lf
+      .select(col("lift_id"), col("part_no"), col("coords"),
+        explode(col("coords")).as("v"))
+      .select(col("lift_id"), col("part_no"), col("coords"),
+        explode(transform(sequence(lit(-1), lit(1)), i =>
+          floor(element_at(col("v"), 1) / cellDeg).cast("long") + i)).as("cx"),
+        floor(element_at(col("v"), 2) / cellDeg).cast("long").as("cyb"))
+      .select(col("lift_id"), col("part_no"), col("coords"), col("cx"),
+        explode(transform(sequence(lit(-1), lit(1)), j =>
+          col("cyb") + j)).as("cy"))
+      .dropDuplicates("lift_id", "part_no", "cx", "cy")
+    val st = stations
+      .withColumn("cx", floor(col("slon") / cellDeg).cast("long"))
+      .withColumn("cy", floor(col("slat") / cellDeg).cast("long"))
+    val cand = st.join(lvert, Seq("cx", "cy"))
+      .dropDuplicates("sid", "lift_id", "part_no")
+    val np = GeoFunctions.nearestPointOnLine(
+      col("slon"), col("slat"), col("coords"))
+    val zs = transform(col("coords"), p => element_at(p, 3))
+    val byStation = Window.partitionBy("sid")
+      .orderBy(col("dist_m"), col("lift_id"), col("part_no"))
+    cand
+      .withColumn("np", np)
+      .withColumn("dist_m", col("np.dist_m"))
+      .withColumn("snap_lon", col("np.lon"))
+      .withColumn("snap_lat", col("np.lat"))
+      .filter(col("dist_m") <= thresholdM)
+      .withColumn("rn", row_number().over(byStation))
+      .filter(col("rn") === 1)
+      .withColumn("zmin", array_min(zs))
+      .withColumn("zmax", array_max(zs))
+      .select(col("sid"), col("lift_id"),
+        coalesce(col("explicit_pos"),
+          when(col("sz") <= col("zmin")
+            + (col("zmax") - col("zmin")) * 0.25, "bottom")
+            .when(col("sz") >= col("zmax")
+              - (col("zmax") - col("zmin")) * 0.25, "top")
+            .otherwise("mid")).as("position"),
+        round(col("dist_m"), 2).as("dist_m"),
+        round(col("snap_lon"), 6).as("snap_lon"),
+        round(col("snap_lat"), 6).as("snap_lat"))
+  }
+
   private val qStations = QuerySpec.of(
     "q_ski_lift_stations", {
       val hav = GeoFunctions.sqlHaversineM("slon", "slat", "snap_lon", "snap_lat")
@@ -168,49 +233,13 @@ object LiftStations {
           + (col("offm").cast("double") - 1.5) * 0.00022)
       .withColumn("sz", col("z0") + lit(2.0) * col("rise") * col("frac"))
       .select("sid", "explicit_pos", "slon", "slat", "sz")
-      .withColumn("cx", floor(col("slon") / CellDeg).cast("long"))
-      .withColumn("cy", floor(col("slat") / CellDeg).cast("long"))
       .localCheckpoint()
-    val lvert = lifts
-      .select(col("lift_id"), col("coords"),
-        explode(col("coords")).as("v"))
-      .select(col("lift_id"), col("coords"),
-        explode(transform(sequence(lit(-1), lit(1)), i =>
-          floor(element_at(col("v"), 1) / CellDeg).cast("long") + i)).as("cx"),
-        floor(element_at(col("v"), 2) / CellDeg).cast("long").as("cyb"))
-      .select(col("lift_id"), col("coords"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)), j =>
-          col("cyb") + j)).as("cy"))
-      .dropDuplicates("lift_id", "cx", "cy")
-    val cand = stations.join(lvert, Seq("cx", "cy"))
-      .dropDuplicates("sid", "lift_id")
-    val np = GeoFunctions.nearestPointOnLine(
-      col("slon"), col("slat"), col("coords"))
-    val lz = lifts.select(col("lift_id"), col("z0").as("lz0"),
-      col("rise").as("lrise"))
-    val byStation = Window.partitionBy("sid")
-      .orderBy(col("dist_m"), col("lift_id"))
-    cand
-      .withColumn("np", np)
-      .withColumn("dist_m", col("np.dist_m"))
-      .withColumn("snap_lon", col("np.lon"))
-      .withColumn("snap_lat", col("np.lat"))
-      .filter(col("dist_m") <= ThresholdM)
-      .withColumn("rn", row_number().over(byStation))
-      .filter(col("rn") === 1)
-      .join(lz, Seq("lift_id"))
-      .select(col("sid"), col("lift_id"),
-        coalesce(col("explicit_pos"),
-          when(col("sz") <= col("lz0")
-            + (col("lz0") + lit(2.0) * col("lrise") - col("lz0")) * 0.25,
-            "bottom")
-            .when(col("sz") >= col("lz0") + lit(2.0) * col("lrise")
-              - (col("lz0") + lit(2.0) * col("lrise") - col("lz0")) * 0.25,
-              "top")
-            .otherwise("mid")).as("position"),
-        round(col("dist_m"), 2).as("dist_m"),
-        round(col("snap_lon"), 6).as("snap_lon"),
-        round(col("snap_lat"), 6).as("snap_lat"))
+    // the lift z-range the position inference reads is min/max over
+    // the 3D line ([z0, z0+rise, z0+2·rise] here), so the reusable
+    // associate() reproduces the oracle's z0 / z0+2·rise bounds bit
+    // for bit
+    associate(stations, lifts.select(col("lift_id"), col("coords")),
+      ThresholdM, CellDeg)
       .orderBy("sid")
   }
 

@@ -627,17 +627,6 @@ object SkiQueries {
           + pmod(col("area_id") + k, lit(3)).cast("double") * lit(0.3))
         array(col("alon") + r * cosK(k), col("alat") + r * sinK(k))
       }: _*))
-    // ±2-cell prefilter: the hexagon radius (≤0.0192°) exceeds one
-    // 0.01° cell, so a covered run's first vertex can sit two cells
-    // from the anchor; ±2 cells (0.02°) strictly covers it.
-    val acells = areas
-      .select(col("area_id"), col("ring"),
-        explode(transform(sequence(lit(-2), lit(2)),
-          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
-        floor(col("alat") / CellDeg).cast("long").as("cyb"))
-      .select(col("area_id"), col("ring"), col("cx"),
-        explode(transform(sequence(lit(-2), lit(2)),
-          j => col("cyb") + j)).as("cy"))
     // one row per way_id: the synthetic lineitem carries duplicate
     // (orderkey, linenumber) pairs, and a feature participates in
     // containment once (the 2D geometry, length and site flag are all
@@ -647,14 +636,11 @@ object SkiQueries {
       .select(col("way_id"),
         (pmod(col("way_id"), lit(8)) === 3).as("in_site"),
         lineLengthM(col("coords")).as("len_m"), col("coords"))
-      .withColumn("cx", floor(element_at(element_at(col("coords"), 1), 1)
-        / CellDeg).cast("long"))
-      .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
-        / CellDeg).cast("long"))
       .dropDuplicates("way_id")
-    val covered = acells.join(runs, Seq("cx", "cy"))
-      .filter(forall(col("coords"), p => pointInPolygon(
-        element_at(p, 1), element_at(p, 2), col("ring"))))
+    // ±2-cell prefilter: the hexagon radius (≤0.0192°) exceeds one
+    // 0.01° cell, so a covered run's first vertex can sit two cells
+    // from the anchor; ±2 cells (0.02°) strictly covers it.
+    val covered = Clustering.coveredBy(areas, runs, CellDeg, reach = 2)
     covered.groupBy("area_id")
       .agg(count(lit(1)).as("n_runs"),
         sum(when(col("in_site"), 1L).otherwise(0L)).as("n_site"),

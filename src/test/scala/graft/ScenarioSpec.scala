@@ -1,0 +1,203 @@
+package graft
+
+import graft.operators.{Clustering, LiftStations}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Named clustering scenario tests mirroring the reference's behavior
+  * spec (`/root/reference/src/clustering/ClusterSkiAreas.integration.test.ts`,
+  * 46 scenarios) on tiny DataFrames — each test name carries the
+  * reference scenario it re-expresses. Coordinates sit at the equator
+  * (0.001° ≈ 111 m); the clustering radius is the reference's 500 m,
+  * the lift-station threshold its 30 m.
+  */
+class ScenarioSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val R = 500.0
+  private val Cell = 0.01
+
+  private def nodes(rows: (Long, String, Double, Double, Boolean)*) =
+    rows.toDF("oid", "act", "lon", "lat", "is_lift")
+
+  private def gen(df: DataFrame): Seq[(Long, String, Boolean, Long)] =
+    Clustering.generateSkiAreas(df, R, Cell).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      .toSeq.sorted
+
+  // ---- ski-area generation (step 6) ----
+
+  test("generates ski area for a lone nordic run (ref :88)") {
+    val got = gen(nodes((1L, "nordic", 0.0, 0.0, false)))
+    assert(got == Seq((1L, "nordic", false, 1L)))
+  }
+
+  test("does NOT generate ski area for lone downhill run without lift (ref :186)") {
+    assert(gen(nodes((1L, "downhill", 0.0, 0.0, false))).isEmpty)
+  }
+
+  test("generates downhill ski area when a lift is nearby (ref :88)") {
+    val got = gen(nodes(
+      (1L, "downhill", 0.0, 0.0, false),
+      (2L, "downhill", 0.001, 0.0, true)))
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got.forall(_._4 == 1L)) // area labeled by min member oid
+  }
+
+  test("generates ski areas by activity: mixed-use run joins one per activity (ref :257)") {
+    val got = gen(nodes(
+      (1L, "downhill", 0.0, 0.0, false),
+      (1L, "nordic", 0.0, 0.0, false),
+      (2L, "downhill", 0.001, 0.0, true)))
+    // downhill component (run+lift) kept; nordic lone-run kept
+    assert(got.count(_._2 == "downhill") == 2)
+    assert(got.count(_._2 == "nordic") == 1)
+  }
+
+  test("clusters ski area activities independently (ref :458)") {
+    val got = gen(nodes(
+      (1L, "downhill", 0.0, 0.0, false),
+      (2L, "nordic", 0.001, 0.0, false),
+      (3L, "downhill", 0.002, 0.0, false),
+      (4L, "downhill", 0.001, 0.0005, true)))
+    val downhill = got.filter(_._2 == "downhill").map(_._1)
+    val nordic = got.filter(_._2 == "nordic").map(_._1)
+    assert(downhill == Seq(1L, 3L, 4L)) // chained through each other
+    assert(nordic == Seq(2L))           // separate component, no lift needed
+  }
+
+  test("lifts alone do not create ski areas (ref :2973)") {
+    assert(gen(nodes((9L, "downhill", 0.0, 0.0, true))).isEmpty)
+  }
+
+  test("distant runs form separate generated areas (ref :354 clusters ski areas)") {
+    val got = gen(nodes(
+      (1L, "nordic", 0.0, 0.0, false),
+      (2L, "nordic", 0.5, 0.5, false))) // ~78 km apart
+    assert(got.map(x => (x._1, x._4)) == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  // ---- polygon containment + area removal (step 2) ----
+
+  private def square(cx: Double, cy: Double, half: Double) = Seq(
+    Seq(cx - half, cy - half), Seq(cx + half, cy - half),
+    Seq(cx + half, cy + half), Seq(cx - half, cy + half))
+
+  test("removes OSM polygon area without covered runs (ref :2041/:2155)") {
+    val areas = Seq(
+      (10L, square(0.0, 0.0, 0.005), 0.0, 0.0),
+      (20L, square(1.0, 1.0, 0.005), 1.0, 1.0)) // nothing inside
+      .toDF("area_id", "ring", "alon", "alat")
+    val runs = Seq(
+      (1L, Seq(Seq(0.001, 0.001), Seq(0.002, 0.001)), false, 100.0))
+      .toDF("way_id", "coords", "in_site", "len_m")
+    val covered = Clustering.coveredBy(areas, runs, Cell, 1)
+    val survivors = Clustering.siteOverlapSurvivors(covered)
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(10L)) // 20 removed: no objects found
+  }
+
+  test("removes landuse area with >50% site overlap by length (ref :2456)") {
+    val ring = square(0.0, 0.0, 0.005)
+    val areas = Seq((10L, ring, 0.0, 0.0)).toDF("area_id", "ring", "alon", "alat")
+    val runs = Seq(
+      (1L, Seq(Seq(0.001, 0.0), Seq(0.002, 0.0)), true, 60.0),
+      (2L, Seq(Seq(-0.001, 0.0), Seq(-0.002, 0.0)), false, 40.0))
+      .toDF("way_id", "coords", "in_site", "len_m")
+    val covered = Clustering.coveredBy(areas, runs, Cell, 1)
+    assert(covered.count() == 2) // both runs inside the ring
+    assert(Clustering.siteOverlapSurvivors(covered).isEmpty) // 60% in site
+  }
+
+  test("keeps landuse area with insufficient site overlap (ref :2557)") {
+    val ring = square(0.0, 0.0, 0.005)
+    val areas = Seq((10L, ring, 0.0, 0.0)).toDF("area_id", "ring", "alon", "alat")
+    val runs = Seq(
+      (1L, Seq(Seq(0.001, 0.0), Seq(0.002, 0.0)), true, 40.0),
+      (2L, Seq(Seq(-0.001, 0.0), Seq(-0.002, 0.0)), false, 60.0))
+      .toDF("way_id", "coords", "in_site", "len_m")
+    val survivors = Clustering.siteOverlapSurvivors(
+      Clustering.coveredBy(areas, runs, Cell, 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(10L)) // only 40% in site → kept
+  }
+
+  test("containment requires EVERY vertex inside (partially-inside run excluded)") {
+    val areas = Seq((10L, square(0.0, 0.0, 0.005), 0.0, 0.0))
+      .toDF("area_id", "ring", "alon", "alat")
+    val runs = Seq(
+      (1L, Seq(Seq(0.001, 0.0), Seq(0.02, 0.0)), false, 100.0)) // exits ring
+      .toDF("way_id", "coords", "in_site", "len_m")
+    assert(Clustering.coveredBy(areas, runs, Cell, 1).isEmpty)
+  }
+
+  // ---- lift stations (step 8) ----
+
+  private def stationsDf(rows: (Long, Double, Double, Double, Option[String])*) =
+    rows.toDF("sid", "slon", "slat", "sz", "explicit_pos")
+
+  private val liftA = (100L,
+    Seq(Seq(0.0, 0.0, 1000.0), Seq(0.001, 0.0, 1500.0),
+      Seq(0.002, 0.0, 2000.0)))
+
+  private def associate(st: DataFrame, lifts: DataFrame) =
+    LiftStations.associate(st, lifts, 30.0, Cell)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+
+  test("associates lift stations with nearby lifts and snaps to the line (ref :3019)") {
+    val lifts = Seq(liftA).toDF("lift_id", "coords")
+    val got = LiftStations.associate(
+      stationsDf((1L, 0.0005, 0.00001, 1050.0, None)), lifts, 30.0, Cell)
+      .collect().head
+    assert(got.getLong(1) == 100L)
+    assert(got.getDouble(3) < 2.0) // ~1.1 m off the line
+    assert(math.abs(got.getDouble(5)) < 1e-9) // snapped onto lat 0
+  }
+
+  test("infers station position from elevation: bottom/mid/top at 25%/75% (ref :3083)") {
+    val lifts = Seq(liftA).toDF("lift_id", "coords")
+    val got = associate(stationsDf(
+      (1L, 0.0005, 0.00001, 1050.0, None),   // z 1050 ≤ 1250 → bottom
+      (2L, 0.001, -0.00002, 1700.0, None),   // between → mid
+      (3L, 0.002, 0.00001, 1900.0, None)),   // z 1900 ≥ 1750 → top
+      lifts)
+    assert(got == Seq((1L, 100L, "bottom"), (2L, 100L, "mid"),
+      (3L, 100L, "top")))
+  }
+
+  test("explicit station position wins over elevation inference (ref :3083)") {
+    val lifts = Seq(liftA).toDF("lift_id", "coords")
+    val got = associate(stationsDf(
+      (1L, 0.0005, 0.00001, 1050.0, Some("top"))), lifts)
+    assert(got == Seq((1L, 100L, "top")))
+  }
+
+  test("removes orphaned lift stations without nearby lifts (ref :3176)") {
+    val lifts = Seq(liftA).toDF("lift_id", "coords")
+    val got = associate(stationsDf(
+      (1L, 0.0005, 0.01, 1050.0, None)), lifts) // ~1.1 km away
+    assert(got.isEmpty)
+  }
+
+  test("associates station with the CLOSEST lift when multiple are nearby (ref :3249)") {
+    val liftB = (200L,
+      Seq(Seq(0.0005, 0.0001, 0.0), Seq(0.0005, 0.001, 100.0)))
+    val lifts = Seq(liftA, liftB).toDF("lift_id", "coords")
+    // 8.9 m from lift A's line, 2.2 m from lift B's endpoint
+    val got = associate(stationsDf(
+      (1L, 0.0005, 0.00008, 50.0, None)), lifts)
+    assert(got.map(x => (x._1, x._2)) == Seq((1L, 200L)))
+  }
+
+  test("associates stations with MultiLineString lifts via part rows (ref :3316)") {
+    val lifts = Seq(
+      (300L, 0, Seq(Seq(0.01, 0.0, 0.0), Seq(0.011, 0.0, 100.0))),
+      (300L, 1, Seq(Seq(0.012, 0.0, 900.0), Seq(0.013, 0.0, 1000.0))))
+      .toDF("lift_id", "part_no", "coords")
+    val got = associate(stationsDf(
+      (1L, 0.0125, 0.00001, 950.0, None)), lifts) // near part 1 only
+    assert(got == Seq((1L, 300L, "mid"))) // part z-range 900..1000
+  }
+}
