@@ -54,6 +54,8 @@ object PipelineE2E {
       val hav = GeoFunctions.sqlHaversineM _
       val zStart = Enrichment.sqlStubElevation(
         "(CAST(x0 AS VARCHAR) || '_' || CAST(y0 AS VARCHAR))")
+      val zMid = Enrichment.sqlStubElevation(
+        "(CAST(x1 AS VARCHAR) || '_' || CAST(y1 AS VARCHAR))")
       val zEnd = Enrichment.sqlStubElevation(
         "(CAST(xn AS VARCHAR) || '_' || CAST(yn AS VARCHAR))")
       val len3 = hav(D("e.x0"), D("e.y0"), D("e.x1"), D("e.y1")) + " + " +
@@ -95,6 +97,7 @@ object PipelineE2E {
         |  FROM grp WHERE has_dup),
         |elev AS (
         |  SELECT *, $zStart AS z_start, $zEnd AS z_end,
+        |    CASE WHEN npts = 3 THEN $zMid END AS z_mid,
         |    CASE WHEN x0 < xn OR (x0 = xn AND y0 <= yn)
         |      THEN ${D("x0")} ELSE ${D("xn")} END AS lon,
         |    CASE WHEN x0 < xn OR (x0 = xn AND y0 <= yn)
@@ -149,8 +152,10 @@ object PipelineE2E {
         |sc AS (
         |  SELECT area_id, count(*) AS n_segments,
         |    round(sum(len_m) / 1000.0, 4) AS total_km,
-        |    round(min(least(z_start, z_end)), 1) AS min_elev,
-        |    round(max(greatest(z_start, z_end)), 1) AS max_elev,
+        |    round(min(least(z_start, z_end, coalesce(z_mid, z_start))), 1)
+        |      AS min_elev,
+        |    round(max(greatest(z_start, z_end, coalesce(z_mid, z_start))), 1)
+        |      AS max_elev,
         |    round(sum(abs(z_end - z_start)), 2) AS vertical_m
         |  FROM j GROUP BY 1)
         |SELECT area_id, n_segments, total_km, difficulties,
@@ -214,26 +219,42 @@ object PipelineE2E {
         qix(element_at(element_at(col("coords"), 1), 2)).as("y0"),
         qix(element_at(element_at(col("coords"), -1), 1)).as("xn"),
         qix(element_at(element_at(col("coords"), -1), 2)).as("yn"))
-      .withColumn("k_start", packKey(col("x0"), col("y0")))
-      .withColumn("k_end", packKey(col("xn"), col("yn")))
 
     // ---- stage 3: elevation enrichment (E1 cache-aside, stub) ----
-    val keys = withEnds.select(
-      explode(array(col("k_start"), col("k_end"))).as("key"))
+    // EVERY coordinate gets a z — the reference appends z to every
+    // position of every geometry (`/root/reference/src/transforms/Elevation.ts:411-508`),
+    // not just segment endpoints: explode positions → packed quantized
+    // key → one cache-aside pass over the distinct keys → rebuild the
+    // 3D geometry in position order. Segment stats then read the full
+    // profile (min/max over ALL points), matching E1's standalone
+    // behavior.
+    val pts = norm.select(col("run_id").as("okey"),
+        posexplode(col("coords")).as(Seq("pidx", "pt")))
+      .withColumn("key", packKey(qix(element_at(col("pt"), 1)),
+        qix(element_at(col("pt"), 2))))
     val emptyCache = s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("key bigint, value double"))
-    val (cache, _) = Enrichment.cacheAside(keys, emptyCache, lit(true),
+    val (cache, _) = Enrichment.cacheAside(pts.select("key"), emptyCache,
+      lit(true),
       missing => missing.select(col("key"),
         Enrichment.stubElevation(keyStr(col("key"))).as("value")))
+    val segZ = pts.join(cache, Seq("key"))
+      .groupBy("okey")
+      .agg(transform(
+        sort_array(collect_list(struct(col("pidx"), col("pt"), col("value")))),
+        p => array(element_at(p.getField("pt"), 1),
+          element_at(p.getField("pt"), 2), p.getField("value")))
+        .as("coords3d"))
     // checkpoint: enriched feeds the clustering object table AND the
     // final statistics scan — one materialization instead of re-running
-    // the two cache joins per consumer.
-    val enriched = withEnds
-      .join(cache.select(col("key").as("k_start"), col("value").as("z_start")),
-        Seq("k_start"))
-      .join(cache.select(col("key").as("k_end"), col("value").as("z_end")),
-        Seq("k_end"))
+    // the cache join per consumer.
+    val zs = transform(col("coords3d"), p => element_at(p, 3))
+    val enriched = withEnds.join(segZ, Seq("okey"))
+      .withColumn("z_start", element_at(element_at(col("coords3d"), 1), 3))
+      .withColumn("z_end", element_at(element_at(col("coords3d"), -1), 3))
+      .withColumn("z_min", array_min(zs))
+      .withColumn("z_max", array_max(zs))
       .localCheckpoint()
 
     // ---- stage 4: clustering (J10/J7) on the canonical anchor ----
@@ -260,13 +281,13 @@ object PipelineE2E {
     // difficulty), then a per-area rollup that also renders the sorted
     // difficulty histogram — no second scan, no extra join.
     val assigned = enriched.join(asg, Seq("okey"))
-      .withColumn("len_m", lineLengthM(col("coords")))
+      .withColumn("len_m", lineLengthM(col("coords3d")))
       .withColumn("difficulty",
         coalesce(col("props.difficulty"), lit("other")))
     assigned.groupBy("area_id", "difficulty")
       .agg(count(lit(1)).as("n"), sum("len_m").as("len_m"),
-        min(least(col("z_start"), col("z_end"))).as("zmin"),
-        max(greatest(col("z_start"), col("z_end"))).as("zmax"),
+        min(col("z_min")).as("zmin"),
+        max(col("z_max")).as("zmax"),
         sum(abs(col("z_end") - col("z_start"))).as("dz"))
       .groupBy("area_id")
       .agg(sum("n").as("n_segments"),
