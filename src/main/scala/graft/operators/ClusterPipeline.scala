@@ -185,29 +185,17 @@ object ClusterPipeline {
         array(col("alon") + r * cosK(k), col("alat") + r * sinK(k))
       }: _*))
       .localCheckpoint()
-    val acells = areas
-      .select(col("area_id"), col("act"), col("ring"), col("alon"), col("alat"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
-        floor(col("alat") / CellDeg).cast("long").as("cyb"))
-      .select(col("area_id"), col("act"), col("ring"), col("alon"),
-        col("alat"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          j => col("cyb") + j)).as("cy"))
     val rc = SkiQueries.formatted(s, d).filter(col("kept"))
       .select(col("way_id"), col("uses"),
         (pmod(col("way_id"), lit(8)) === 3).as("in_site"),
         lineLengthM(col("coords")).as("len_m"), col("coords"),
         element_at(element_at(col("coords"), 1), 1).as("lon"),
         element_at(element_at(col("coords"), 1), 2).as("lat"))
-      .withColumn("cx", floor(col("lon") / CellDeg).cast("long"))
-      .withColumn("cy", floor(col("lat") / CellDeg).cast("long"))
       .localCheckpoint()
 
     // pass 1: polygon containment with both removal rules
     val covered = Clustering.coveredBy(
-      areas.select("area_id", "ring", "alon", "alat"),
-      rc.drop("cx", "cy"), CellDeg, 1)
+      areas.select("area_id", "ring", "alon", "alat"), rc, CellDeg, 1)
     val survive = Clustering.siteOverlapSurvivors(covered)
     val pass1 = covered.join(survive, "area_id")
       .groupBy("way_id").agg(min("area_id").as("area_id"))

@@ -26,6 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** J1 grid-cell distance join — the shared spatial-join kernel
+    * (SURVEY §4.2) every proximity operator composes: candidates from
+    * a ±1-cell neighborhood equi-join (cellDeg must be ≥ the radius in
+    * degrees at the highest latitude of interest), exact haversine
+    * refine. `left` and `right` are point tables with (lon, lat);
+    * left's are renamed (l_lon, l_lat) in the output, all other
+    * columns pass through. `keys` prepends extra equi-join keys (e.g.
+    * activity). When `right` already carries cx/cy — precomputed once
+    * and persisted, as the iterative closure does — they are reused
+    * instead of recomputed per call.
+    */
+  def distanceJoin(left: DataFrame, right: DataFrame, radiusM: Double,
+      cellDeg: Double, keys: Seq[String] = Nil): DataFrame = {
+    val l = left
+      .withColumnRenamed("lon", "l_lon")
+      .withColumnRenamed("lat", "l_lat")
+      .withColumn("cx", explode(transform(sequence(lit(-1), lit(1)),
+        i => floor(col("l_lon") / cellDeg).cast("long") + i)))
+      .withColumn("cyb", floor(col("l_lat") / cellDeg).cast("long"))
+      .withColumn("cy", explode(transform(sequence(lit(-1), lit(1)),
+        j => col("cyb") + j)))
+      .drop("cyb")
+    val r = if (right.columns.contains("cx")) right
+      else right
+        .withColumn("cx", floor(col("lon") / cellDeg).cast("long"))
+        .withColumn("cy", floor(col("lat") / cellDeg).cast("long"))
+    l.join(r, keys ++ Seq("cx", "cy"))
+      .filter(GeoFunctions.haversineM(col("l_lon"), col("l_lat"),
+        col("lon"), col("lat")) <= radiusM)
+      .drop("cx", "cy")
+  }
+
   /** areas: area_id (long), act (string), lon, lat
     * objs:  okey (long), uses (array<string>), lon, lat
     * Returns: okey, area_id (min reaching area).
@@ -37,24 +69,14 @@ object Clustering {
       .withColumn("cy", floor(col("lat") / cellDeg).cast("long"))
       .persist()
 
-    def expand(frontier: DataFrame): DataFrame = {
-      val cells = frontier
-        .select(col("area_id"), col("act"),
-          col("lon").as("flon"), col("lat").as("flat"),
-          explode(transform(sequence(lit(-1), lit(1)),
-            i => floor(col("lon") / cellDeg).cast("long") + i)).as("cx"),
-          floor(col("lat") / cellDeg).cast("long").as("cyb"))
-        .select(col("area_id"), col("act"), col("flon"), col("flat"), col("cx"),
-          explode(transform(sequence(lit(-1), lit(1)),
-            j => col("cyb") + j)).as("cy"))
-      cells.join(objCells, Seq("cx", "cy"))
-        .filter(GeoFunctions.haversineM(col("flon"), col("flat"),
-          col("lon"), col("lat")) <= radiusM
-          && array_contains(col("uses"), col("act")))
+    def expand(frontier: DataFrame): DataFrame =
+      distanceJoin(
+        frontier.select(col("area_id"), col("act"), col("lon"), col("lat")),
+        objCells, radiusM, cellDeg)
+        .filter(array_contains(col("uses"), col("act")))
         .select(col("area_id"), col("act"), col("okey"),
           col("lon"), col("lat"))
         .distinct()
-    }
 
     var frontier = areas.select(col("area_id"), col("act"),
       col("lon"), col("lat"))
@@ -113,21 +135,12 @@ object Clustering {
       .withColumn("cx", floor(col("lon") / cellDeg).cast("long"))
       .withColumn("cy", floor(col("lat") / cellDeg).cast("long"))
       .localCheckpoint()
-    val lcells = nodes
-      .select(col("act"), col("nid").as("a"),
-        col("lon").as("alon2"), col("lat").as("alat2"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          i => col("cx") + i)).as("cx"),
-        col("cy").as("cyb"))
-      .select(col("act"), col("a"), col("alon2"), col("alat2"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          j => col("cyb") + j)).as("cy"))
-    val gpairs = lcells
-      .join(nodes.select(col("act"), col("nid").as("b"),
-        col("lon"), col("lat"), col("cx"), col("cy")), Seq("act", "cx", "cy"))
-      .filter(col("a") < col("b") &&
-        GeoFunctions.haversineM(col("alon2"), col("alat2"),
-          col("lon"), col("lat")) <= radiusM)
+    val gpairs = distanceJoin(
+      nodes.select(col("act"), col("nid").as("a"), col("lon"), col("lat")),
+      nodes.select(col("act"), col("nid").as("b"), col("lon"), col("lat"),
+        col("cx"), col("cy")),
+      radiusM, cellDeg, keys = Seq("act"))
+      .filter(col("a") < col("b"))
       .select("a", "b")
     val labels = minLabelComponents(gpairs)
     val labeled = nodes.join(labels, Seq("nid"), "left")
@@ -152,6 +165,16 @@ object Clustering {
     * Returns the joined candidate rows that pass containment.
     */
   def coveredBy(areas: DataFrame, runs: DataFrame, cellDeg: Double,
+      reach: Int): DataFrame =
+    cellCandidates(areas, runs, cellDeg, reach)
+      .filter(forall(col("coords"), p => GeoFunctions.pointInPolygon(
+        element_at(p, 1), element_at(p, 2), col("ring"))))
+
+  /** Containment-join candidate generation shared by [[coveredBy]] and
+    * the multipolygon variants: area anchor cell ±reach × run
+    * first-vertex cell. areas: (alon, alat, …); runs: (coords, …).
+    */
+  def cellCandidates(areas: DataFrame, runs: DataFrame, cellDeg: Double,
       reach: Int): DataFrame = {
     val acells = areas
       .withColumn("cx",
@@ -167,10 +190,7 @@ object Clustering {
         / cellDeg).cast("long"))
       .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
         / cellDeg).cast("long"))
-    acells.join(rcells, Seq("cx", "cy"))
-      .filter(forall(col("coords"), p => GeoFunctions.pointInPolygon(
-        element_at(p, 1), element_at(p, 2), col("ring"))))
-      .drop("cx", "cy")
+    acells.join(rcells, Seq("cx", "cy")).drop("cx", "cy")
   }
 
   /** Both step-2 area-removal rules over [[coveredBy]] output

@@ -113,26 +113,16 @@ object MultiPart {
         (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
           - 60.0).as("alat"))
       .withColumn("rings", rings)
-    val acells = areas
-      .select(col("area_id"), col("rings"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
-        floor(col("alat") / CellDeg).cast("long").as("cyb"))
-      .select(col("area_id"), col("rings"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          j => col("cyb") + j)).as("cy"))
     val runs = SkiQueries.formatted(s, d).filter(col("kept"))
       .select(col("way_id"), lineLengthM(col("coords")).as("len_m"),
         col("coords"))
-      .withColumn("cx", floor(element_at(element_at(col("coords"), 1), 1)
-        / CellDeg).cast("long"))
-      .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
-        / CellDeg).cast("long"))
       .dropDuplicates("way_id")
     def inRings(p: Column): Column =
       GeoFunctions.pointInRings(element_at(p, 1), element_at(p, 2),
         col("rings"))
-    acells.join(runs, Seq("cx", "cy"))
+    Clustering.cellCandidates(
+      areas.select(col("area_id"), col("rings"), col("alon"), col("alat")),
+      runs, CellDeg, reach = 1)
       .withColumn("n_inside",
         aggregate(col("coords"), lit(0),
           (acc, p) => when(inRings(p), acc + 1).otherwise(acc)))

@@ -156,21 +156,12 @@ object SkiAreaOps {
           concat(lit("Q"), col("o_orderkey") * 2)).as("wikidata"),
         anchorLon.as("lon"), anchorLat.as("lat"))
       .localCheckpoint()
-    val ocell = osm.select(col("area_id"), col("lon"), col("lat"), col("acts"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          i => floor(col("lon") / CellDeg).cast("long") + i)).as("cx"),
-        floor(col("lat") / CellDeg).cast("long").as("cyb"))
-      .select(col("area_id"), col("lon").as("olon"), col("lat").as("olat"),
-        col("acts").as("oacts"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          j => col("cyb") + j)).as("cy"))
-    val kcell = sk.select(col("sk_id"), col("lon"), col("lat"), col("acts"),
-      floor(col("lon") / CellDeg).cast("long").as("cx"),
-      floor(col("lat") / CellDeg).cast("long").as("cy"))
-    val matched = ocell.join(kcell, Seq("cx", "cy"))
-      .filter(haversineM(col("olon"), col("olat"), col("lon"), col("lat"))
-        <= RadiusM
-        && size(array_intersect(col("oacts"), col("acts"))) > 0)
+    val matched = Clustering.distanceJoin(
+      osm.select(col("area_id"), col("lon"), col("lat"),
+        col("acts").as("oacts")),
+      sk.select(col("sk_id"), col("lon"), col("lat"), col("acts")),
+      RadiusM, CellDeg)
+      .filter(size(array_intersect(col("oacts"), col("acts"))) > 0)
       .select("area_id", "sk_id")
       .localCheckpoint()
     val mj = matched.join(sk, "sk_id")

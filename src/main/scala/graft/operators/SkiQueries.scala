@@ -198,23 +198,14 @@ object SkiQueries {
           - 180.0).as("alon"),
         (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
           - 60.0).as("alat"))
-    val acells = areas.select(col("area_id"), col("alon"), col("alat"),
-        explode(transform(
-          sequence(lit(-1), lit(1)),
-          i => floor(col("alon") / CellDeg).cast("long") + i)).as("cx"),
-        floor(col("alat") / CellDeg).cast("long").as("cybase"))
-      .select(col("area_id"), col("alon"), col("alat"), col("cx"),
-        explode(transform(sequence(lit(-1), lit(1)),
-          j => col("cybase") + j)).as("cy"))
-    val rcells = formatted(s, d).filter(col("kept"))
+    val runs = formatted(s, d).filter(col("kept"))
       .select(col("way_id"),
-        element_at(element_at(col("coords"), 1), 1).as("lon0"),
-        element_at(element_at(col("coords"), 1), 2).as("lat0"))
-      .withColumn("cx", floor(col("lon0") / CellDeg).cast("long"))
-      .withColumn("cy", floor(col("lat0") / CellDeg).cast("long"))
-    acells.join(rcells, Seq("cx", "cy"))
-      .filter(haversineM(col("alon"), col("alat"),
-        col("lon0"), col("lat0")) <= RadiusM)
+        element_at(element_at(col("coords"), 1), 1).as("lon"),
+        element_at(element_at(col("coords"), 1), 2).as("lat"))
+    Clustering.distanceJoin(
+      areas.select(col("area_id"), col("alon").as("lon"),
+        col("alat").as("lat")),
+      runs, RadiusM, CellDeg)
       .groupBy("area_id")
       .agg(count(lit(1)).as("n_runs"))
       .orderBy("area_id")
