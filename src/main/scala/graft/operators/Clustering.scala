@@ -92,11 +92,15 @@ object Clustering {
     var done = false
     while (!done && iter < 30) {
       val cand = expand(frontier)
+      // LAZY checkpoint + count: ONE driver action per iteration both
+      // materializes the round's blocks (doCheckpoint completes every
+      // partition at job end) and answers the convergence question —
+      // the former eager-checkpoint-then-isEmpty shape paid two.
       val newPairs = (if (reachedParts.isEmpty) cand
         else cand.join(reached.select("area_id", "okey"),
           Seq("area_id", "okey"), "left_anti"))
-        .localCheckpoint()
-      if (newPairs.isEmpty) done = true
+        .localCheckpoint(false)
+      if (newPairs.count() == 0) done = true
       else {
         reachedParts += newPairs
         frontier = newPairs
@@ -223,17 +227,21 @@ object Clustering {
     * inside the already-materialized iteration output.
     */
   def minLabelComponents(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.localCheckpoint()
+    // lazy checkpoints throughout: each is materialized by the FIRST
+    // job that reads it (doCheckpoint completes all partitions), so no
+    // standalone materialization actions are spent
+    val pairs = pairsIn.localCheckpoint(false)
     // empty-graph fast path: no pairs → no labels, and none of the
     // loop's jobs run (the common case for normalization inputs whose
-    // arcs never chain — one cheap isEmpty on the checkpointed table)
+    // arcs never chain)
     if (pairs.isEmpty)
       return pairs.select(col("a").as("nid"), col("a").as("label"))
     val biPairs = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+      pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
     var labels = biPairs.select(col("a").as("nid")).distinct()
       .select(col("nid"), col("nid").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = true
     var iter = 0
     while (changed && iter < 25) {
@@ -253,8 +261,10 @@ object Clustering {
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
           (col("chg") || coalesce(col("ll"), col("label")) < col("label"))
             .as("chg"))
-        .localCheckpoint()
-      changed = updated.filter(col("chg")).limit(1).count() > 0
+        .localCheckpoint(false)
+      // ONE action: the bool_or scan materializes the lazy checkpoint
+      // and returns the convergence flag (was checkpoint + probe = 2)
+      changed = updated.agg(max(col("chg"))).head.getBoolean(0)
       labels = updated.drop("chg")
       iter += 1
     }
