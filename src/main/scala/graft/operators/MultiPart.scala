@@ -257,5 +257,59 @@ object MultiPart {
       .orderBy("area_id", "part_no")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qMultiAssign, qCentralMulti)
+  // ---- P1 per-part explode over synthesized MultiLineStrings -------------
+  // One MultiLineString per order whose parts are that order's
+  // (distinct) lineitem lines; Formatters.explodeParts emits one
+  // singular-typed feature per part with a stable part_no — the
+  // reference's per-part run explode
+  // (`/root/reference/src/transforms/RunFormatter.ts:83-99`) driven
+  // through the full canonical geometry form and oracle-checked.
+  private val qExplode = QuerySpec.of(
+    "q_ski_explode_parts", {
+      import SkiFeatures.sql.{lon0, lat0}
+      s"""WITH d AS (
+        |  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
+        |r AS (
+        |  SELECT l_orderkey AS order_id,
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber) - 1 AS INT) AS part_no,
+        |    $lon0 AS lon0, $lat0 AS lat0
+        |  FROM d)
+        |SELECT order_id, part_no, 'LineString' AS geom_type,
+        |  round(lon0, 6) AS x0, round(lat0, 6) AS y0, 3 AS npts
+        |FROM r ORDER BY order_id, part_no""".stripMargin
+    }) { (s, d) =>
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct()
+    val lon0 = (pmod(col("l_orderkey") * 7919, lit(360000)).cast("double")
+      / 1000.0 - 180.0) + col("l_linenumber") * 0.001
+    val lat0 = pmod(col("l_orderkey") * 104729, lit(120000)).cast("double") /
+      1000.0 - 60.0
+    val wayId = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+    val dx = (pmod(wayId, lit(5)) + 1).cast("double") * 0.001
+    val dy = (pmod(wayId, lit(3)) + 1).cast("double") * 0.0005
+    val line = array(
+      array(lon0, lat0),
+      array(lon0 + dx, lat0 + dy),
+      array(lon0 + dx * 2, lat0 + dy))
+    val multi = li
+      .select(col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("ln"), line.as("line"))
+      .groupBy("order_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ln"), col("line")))),
+        p => array(p.getField("line"))).as("parts"))
+      .withColumn("geomType", lit("MultiLineString"))
+    Formatters.explodeParts(multi)
+      .select(col("order_id"), col("part_no"),
+        col("geomType").as("geom_type"),
+        round(element_at(element_at(element_at(col("part"), 1), 1), 1), 6)
+          .as("x0"),
+        round(element_at(element_at(element_at(col("part"), 1), 1), 2), 6)
+          .as("y0"),
+        size(element_at(col("part"), 1)).as("npts"))
+      .orderBy("order_id", "part_no")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qMultiAssign, qCentralMulti, qExplode)
 }
