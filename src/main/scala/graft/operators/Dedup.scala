@@ -75,9 +75,12 @@ object Dedup {
     */
   private val MAX_BUCKET = 200
 
-  private val qMinhash = QuerySpec.of(
-    "q_dedup_minhash_lsh",
-    s"""WITH t AS (
+  /** Shared oracle-SQL prelude producing near-dup `cand` pairs
+    * (doc_a, doc_b, n_match ≥ K/2) — the LSH candidate + signature
+    * refine stage both minhash queries build on.
+    */
+  private val duckMinhashPairs: String =
+    s"""t AS (
       |  SELECT doc_id, $duckToks AS toks FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -107,12 +110,16 @@ object Dedup {
       |    len(list_filter(range(0, $MINHASH_K),
       |      i -> sa.sig[i + 1] = sb.sig[i + 1])) AS n_match
       |  FROM pairs JOIN sig sa ON doc_a = sa.doc_id
-      |    JOIN sig sb ON doc_b = sb.doc_id)
-      |SELECT doc_a, doc_b,
-      |  round(CAST(n_match AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
-      |FROM est WHERE n_match >= ${MINHASH_K / 2}
-      |ORDER BY doc_a, doc_b""".stripMargin,
-    headline = true) { (s, d) =>
+      |    JOIN sig sb ON doc_b = sb.doc_id),
+      |cand AS (
+      |  SELECT doc_a, doc_b, n_match FROM est
+      |  WHERE n_match >= ${MINHASH_K / 2})""".stripMargin
+
+  /** Near-dup pairs (doc_a < doc_b, n_match ≥ K/2) from the persisted
+    * signature index: banded bucket join (skew-capped), narrow pair
+    * shuffle, signatures re-attached after pair dedupe.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
     // bands carry only (doc_id, b, bh): the pair join shuffles narrow
     // rows; signatures re-attach after pair dedupe.
@@ -142,9 +149,58 @@ object Dedup {
         Seq("doc_b"))
       .withColumn("n_match", matches)
       .filter(col("n_match") >= MINHASH_K / 2)
+      .select("doc_a", "doc_b", "n_match")
+  }
+
+  private val qMinhash = QuerySpec.of(
+    "q_dedup_minhash_lsh",
+    s"""WITH $duckMinhashPairs
+      |SELECT doc_a, doc_b,
+      |  round(CAST(n_match AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
+      |FROM cand
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    headline = true) { (s, d) =>
+    minhashPairs(s, d)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_match").cast("double") / MINHASH_K, 6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- near-dup CLUSTERS: pairs → connected components → keeper ----------
+  // The full fuzzy-dedup shape a training-data pipeline runs: LSH
+  // pairs are only candidates; the dedup decision is per connected
+  // component of the near-dup graph — keep the lowest doc_id as the
+  // canonical representative, drop the rest. Components come from the
+  // same pointer-doubling label propagation the clustering engine uses
+  // (Clustering.minLabelComponents — O(log diameter) tiny-table
+  // iterations; chains of near-dups are short in practice but the
+  // closure is exact regardless).
+  private val qMinhashClusters = QuerySpec.of(
+    "q_dedup_minhash_clusters",
+    s"""WITH RECURSIVE $duckMinhashPairs,
+      |bi AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand),
+      |reach AS (
+      |  SELECT a AS nid, a AS label FROM bi
+      |  UNION
+      |  SELECT bi.b AS nid, r.label FROM reach r
+      |  JOIN bi ON bi.a = r.nid WHERE r.label < bi.b),
+      |lab AS (SELECT nid, min(label) AS label FROM reach GROUP BY nid)
+      |SELECT label AS keeper_id, count(*) AS n_members,
+      |  count(*) - 1 AS n_dropped,
+      |  array_to_string(list_sort(list(nid)), ';') AS members
+      |FROM lab GROUP BY label
+      |ORDER BY keeper_id""".stripMargin) { (s, d) =>
+    val pairs = minhashPairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = Clustering.minLabelComponents(pairs)
+    labels.groupBy(col("label").as("keeper_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(col("nid"))),
+          _.cast("string")), ";").as("members"))
+      .orderBy("keeper_id")
   }
 
   // ---- SimHash near-dup pairs --------------------------------------------
@@ -312,5 +368,5 @@ object Dedup {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(qExact, qMinhash, qSimhash, qNgramJaccard, qEmbed)
+    Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard, qEmbed)
 }

@@ -134,5 +134,36 @@ object TextAnalysis {
       .orderBy("fp")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId, qFingerprint)
+  // Deterministic train/validation/test split by content-independent
+  // id hash — the standard reproducible-split operator of a training
+  // corpus pipeline: split membership is a pure function of doc_id
+  // (stable across reruns, machines and partitionings; no sampling
+  // state), 80/10/10 by hash bucket. Single scan, map-side only until
+  // the 3-row aggregate.
+  private val qSplit = QuerySpec.of(
+    "q_split_hash", {
+      val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
+      s"""WITH b AS (
+        |  SELECT doc_id, n_chars, ($bk) % 100 AS bk FROM documents)
+        |SELECT CASE WHEN bk < 80 THEN 'train'
+        |  WHEN bk < 90 THEN 'validation' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+    }) { (s, d) =>
+    val bk = pmod(graft.functions.HashFunctions.hash32(col("doc_id")),
+      lit(100))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        when(bk < 80, "train").when(bk < 90, "validation")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qTokenStats, qQuality, qLangId, qFingerprint, qSplit)
 }
