@@ -168,6 +168,47 @@ object Events {
       .orderBy("event_type")
   }
 
+  // ---- weekly cohort retention ------------------------------------------
+  // Classic temporal cohort analysis: users grouped by first-seen week,
+  // activity tracked by whole-week offsets from each user's first day,
+  // retention reported as exact integer basis points (n·10000 DIV
+  // cohort size — no FP division to disagree across engines). Two
+  // shuffles (per-user min, cohort rollup); at warehouse scale both
+  // key on user_id/cohort — no skew (cohorts are time-bounded).
+  private val qRetention = QuerySpec.of(
+    "q_events_retention",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, f.d0 // 7 AS cohort_wk,
+      |    (e.day - f.d0) // 7 AS wk
+      |  FROM e JOIN f USING (user_id)),
+      |r AS (
+      |  SELECT cohort_wk, wk, count(*) AS n_users
+      |  FROM a GROUP BY cohort_wk, wk),
+      |c AS (SELECT cohort_wk, n_users AS cohort_n FROM r WHERE wk = 0)
+      |SELECT r.cohort_wk, r.wk, r.n_users, c.cohort_n,
+      |  r.n_users * 10000 // c.cohort_n AS retention_bp
+      |FROM r JOIN c ON r.cohort_wk = c.cohort_wk
+      |ORDER BY r.cohort_wk, wk""".stripMargin) { (s, d) =>
+    val e = eventsMs(s, d)
+      .select(col("user_id"), expr("CAST(ms DIV 86400000 AS BIGINT)").as("day"))
+    val f = e.groupBy("user_id").agg(min("day").as("d0"))
+    val a = e.join(f, Seq("user_id"))
+      .select(col("user_id"), expr("CAST(d0 DIV 7 AS BIGINT)").as("cohort_wk"),
+        expr("CAST((day - d0) DIV 7 AS BIGINT)").as("wk"))
+      .distinct()
+    val r = a.groupBy("cohort_wk", "wk").agg(count(lit(1)).as("n_users"))
+    val c = r.filter(col("wk") === 0)
+      .select(col("cohort_wk"), col("n_users").as("cohort_n"))
+    r.join(broadcast(c), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("wk"), col("n_users"), col("cohort_n"),
+        expr("CAST(n_users * 10000 DIV cohort_n AS BIGINT)")
+          .as("retention_bp"))
+      .orderBy("cohort_wk", "wk")
+  }
+
   // ---- Structured Streaming variant of the hourly aggregation -----------
   // Same semantics, same oracle: the parquet file drives a streaming
   // query (AvailableNow) into a memory sink in complete mode.
@@ -209,6 +250,6 @@ object Events {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qStreamHourly,
-      qStreamSessions, qStreamDedup)
+    Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
+      qStreamHourly, qStreamSessions, qStreamDedup)
 }

@@ -164,6 +164,30 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  // Corpus vocabulary: top-20 bigrams by frequency, ties broken by
+  // gram text. The workhorse shape of vocabulary/BPE-merge building:
+  // explode grams → hash-aggregate with map-side partials → one
+  // narrow (gram, count) exchange → global top-k. At 100 TB the
+  // partial aggregation absorbs the explosion before the shuffle; the
+  // final top-k is a TakeOrdered over the aggregated table, never a
+  // full sort of the gram space.
+  private val qTopNgrams = QuerySpec.of(
+    "q_text_top_ngrams", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      val grams = graft.functions.TextFunctions.sql.shingles("toks", 2)
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+        |g AS (SELECT unnest($grams) AS gram FROM t)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    Tables.fanout(Tables.documents(s, d))
+      .select(explode(shingles(tokens(col("text")), 2)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qTokenStats, qQuality, qLangId, qFingerprint, qSplit)
+    Seq(qTokenStats, qQuality, qLangId, qFingerprint, qSplit, qTopNgrams)
 }
