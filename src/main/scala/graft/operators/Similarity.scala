@@ -337,5 +337,30 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh, qIvf)
+  // ---- recall@k of the bucketed path vs the exact baseline ---------------
+  // The measurement every ANN deployment ships with: how much of the
+  // exact top-k does the indexed search recover. Both result sets are
+  // the queries above (the exact scan and the sign-LSH index probe);
+  // recall is reported as exact integer basis points so no FP division
+  // can disagree with the oracle. One extra narrow join over two
+  // top-k tables — negligible next to the searches themselves.
+  private val qRecall = QuerySpec.of(
+    "q_ann_recall",
+    s"""WITH bf AS (${qBrute.oracle.get}),
+      |l AS (${qLsh.oracle.get})
+      |SELECT count(*) AS n_hits,
+      |  CAST(${NQUERIES * TOPK} AS BIGINT) AS n_total,
+      |  count(*) * 10000 // ${NQUERIES * TOPK} AS recall_bp
+      |FROM bf JOIN l USING (query_id, cand_id)""".stripMargin) { (s, d) =>
+    val bf = qBrute.fn(s, d).select("query_id", "cand_id")
+    val ls = qLsh.fn(s, d).select("query_id", "cand_id")
+    bf.join(ls, Seq("query_id", "cand_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        lit(NQUERIES.toLong * TOPK).as("n_total"),
+        expr(s"CAST(n_hits * 10000 DIV ${NQUERIES * TOPK} AS BIGINT)")
+          .as("recall_bp"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh, qIvf, qRecall)
 }
