@@ -156,11 +156,39 @@ object SkiAreaOps {
           concat(lit("Q"), col("o_orderkey") * 2)).as("wikidata"),
         anchorLon.as("lon"), anchorLat.as("lat"))
       .localCheckpoint()
+    mergeSkiAreas(osm, sk, RadiusM, CellDeg).orderBy("source", "area_id")
+  }
+
+  /** Skimap.org ↔ OSM ski-area merge (clustering steps 4-5,
+    * `/root/reference/src/clustering/SkiAreaClusteringService.ts:781-899`
+    * + `MergeSkiAreaObjects.ts:8-100`; scenario suite
+    * `ClusterSkiAreas.integration.test.ts:1358-1728`). Rules:
+    *  - a Skimap area merges into every OSM area within radiusM whose
+    *    activities overlap (or that has no conflicting activities via
+    *    the candidate filter);
+    *  - merged activities/websites are set unions, but OSM-sourced
+    *    websites are PREFERRED when present (`:1623`);
+    *  - OSM name wins; a nameless OSM area takes the first matched
+    *    Skimap name (lowest sk_id — deterministic stand-in for the
+    *    reference's encounter order);
+    *  - wikidata: OSM's, else the first matched Skimap value;
+    *  - placeholder (site=piste synthetic) OSM geometry is replaced by
+    *    the first matched Skimap position (`PlaceholderSiteGeometry`);
+    *  - matched Skimap originals are deleted; unmatched ones pass
+    *    through as standalone areas (`:1662`).
+    *
+    * osm: (area_id, name, acts, websites, wikidata, placeholder,
+    * glon, glat, lon, lat); sk: (sk_id, name, acts, websites,
+    * wikidata, lon, lat). Returns (area_id, source, name, activities,
+    * websites, wikidata, lon, lat), unordered.
+    */
+  def mergeSkiAreas(osm: DataFrame, sk: DataFrame, radiusM: Double,
+      cellDeg: Double): DataFrame = {
     val matched = Clustering.distanceJoin(
       osm.select(col("area_id"), col("lon"), col("lat"),
         col("acts").as("oacts")),
       sk.select(col("sk_id"), col("lon"), col("lat"), col("acts")),
-      RadiusM, CellDeg)
+      radiusM, cellDeg)
       .filter(size(array_intersect(col("oacts"), col("acts"))) > 0)
       .select("area_id", "sk_id")
       .localCheckpoint()
@@ -209,7 +237,7 @@ object SkiAreaOps {
         concat_ws(";", sort_array(col("websites"))).as("websites"),
         col("wikidata"),
         round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
-    merged.unionByName(standalone).orderBy("source", "area_id")
+    merged.unionByName(standalone)
   }
 
   // ---- G6: guaranteed-inside central point -------------------------------

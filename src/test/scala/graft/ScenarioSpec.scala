@@ -191,6 +191,84 @@ class ScenarioSpec extends SparkSpec {
     assert(got.map(x => (x._1, x._2)) == Seq((1L, 200L)))
   }
 
+  // ---- Skimap.org ↔ OSM merge (steps 4-5) ----
+
+  private def osmDf(rows: (Long, Option[String], Seq[String], Seq[String],
+      Option[String], Boolean, Double, Double)*) =
+    rows.map { case (id, nm, acts, webs, wk, ph, lon, lat) =>
+      (id, nm, acts, webs, wk, ph,
+        if (ph) 360.0 else lon, if (ph) 360.0 else lat, lon, lat)
+    }.toDF("area_id", "name", "acts", "websites", "wikidata",
+      "placeholder", "glon", "glat", "lon", "lat")
+
+  private def skDf(rows: (Long, String, Seq[String], Seq[String],
+      Option[String], Double, Double)*) =
+    rows.toDF("sk_id", "name", "acts", "websites", "wikidata", "lon", "lat")
+
+  private def merge(osm: org.apache.spark.sql.DataFrame,
+      sk: org.apache.spark.sql.DataFrame) =
+    operators.SkiAreaOps.mergeSkiAreas(osm, sk, 250.0, Cell)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq.sortBy(x => (x._2, x._1))
+
+  test("merges Skimap.org ski area with OpenStreetMap ski area (ref :1358)") {
+    // ~110 m apart, overlapping activity → merged; skimap original gone
+    val got = merge(
+      osmDf((1L, Some("Alpental"), Seq("downhill"), Seq(), None, false,
+        0.0, 0.0)),
+      skDf((50L, "Alpental Resort", Seq("downhill", "nordic"),
+        Seq("https://sk.example/50"), Some("Q50"), 0.001, 0.0)))
+    assert(got == Seq((1L, "openstreetmap", "Alpental",
+      "downhill;nordic", "https://sk.example/50")))
+  }
+
+  test("prefers OSM websites when merging (ref :1623)") {
+    val got = merge(
+      osmDf((1L, Some("A"), Seq("downhill"), Seq("https://osm.example/1"),
+        None, false, 0.0, 0.0)),
+      skDf((50L, "A!", Seq("downhill"), Seq("https://sk.example/50"),
+        None, 0.001, 0.0)))
+    assert(got.head._5 == "https://osm.example/1") // skimap site NOT added
+  }
+
+  test("keeps distant Skimap.org areas standalone (ref :1662)") {
+    val got = merge(
+      osmDf((1L, Some("A"), Seq("downhill"), Seq(), None, false, 0.0, 0.0)),
+      skDf((50L, "Far", Seq("downhill"), Seq(), None, 0.5, 0.5)))
+    assert(got.map(x => (x._1, x._2)) ==
+      Seq((1L, "openstreetmap"), (50L, "skimap")))
+  }
+
+  test("activity-incompatible Skimap.org area stays standalone") {
+    val got = merge(
+      osmDf((1L, Some("A"), Seq("downhill"), Seq(), None, false, 0.0, 0.0)),
+      skDf((50L, "Nordic only", Seq("nordic"), Seq(), None, 0.001, 0.0)))
+    assert(got.map(x => (x._1, x._2)) ==
+      Seq((1L, "openstreetmap"), (50L, "skimap")))
+  }
+
+  test("merges one Skimap.org area into multiple adjacent OSM areas (ref :1438)") {
+    val got = merge(
+      osmDf(
+        (1L, Some("West"), Seq("downhill"), Seq(), None, false, 0.0, 0.0),
+        (2L, Some("East"), Seq("downhill"), Seq(), None, false, 0.003, 0.0)),
+      skDf((50L, "Both", Seq("downhill", "nordic"),
+        Seq("https://sk.example/50"), None, 0.0015, 0.0)))
+    // both OSM areas absorb the activities; the skimap original is gone
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got.forall(_._4 == "downhill;nordic"))
+  }
+
+  test("placeholder site geometry is replaced by the matched Skimap position (ref :2230)") {
+    val row = operators.SkiAreaOps.mergeSkiAreas(
+      osmDf((1L, None, Seq("downhill"), Seq(), None, true, 0.001, 0.0005)),
+      skDf((50L, "Named", Seq("downhill"), Seq(), None, 0.001, 0.0005)),
+      250.0, Cell).collect().head
+    // name falls back to the skimap name; geometry to its position
+    assert(row.getString(2) == "Named")
+    assert(row.getDouble(6) == 0.001 && row.getDouble(7) == 0.0005)
+  }
+
   test("associates stations with MultiLineString lifts via part rows (ref :3316)") {
     val lifts = Seq(
       (300L, 0, Seq(Seq(0.01, 0.0, 0.0), Seq(0.011, 0.0, 100.0))),
