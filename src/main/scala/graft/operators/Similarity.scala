@@ -362,5 +362,56 @@ object Similarity {
           .as("recall_bp"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh, qIvf, qRecall)
+  // ---- int8 symmetric quantization of the embedding store ----------------
+  // The storage-scale operator: embeddings ship as int8 with a
+  // per-vector scale (max|v|/127). Quantize → dequantize → per-vector
+  // mean |error|, rolled up per label with ORDER-SAFE aggregates only
+  // (count/max — no cross-row FP sums, so the oracle can't drift).
+  // Per-element math is a fixed-order fold over the vector, identical
+  // in both engines; rounding to int8 avoids both engines' round()
+  // (Spark BigDecimal-of-string vs DuckDB binary) with explicit
+  // truncate-after-±0.5, which casts identically.
+  private val qQuantize = QuerySpec.of(
+    "q_embed_quantize",
+    s"""WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, label, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM e),
+      |err AS (
+      |  SELECT vec_id, label, scale,
+      |    CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |      list_sum(list_transform(v, x ->
+      |        abs(x - CAST(trunc(x / scale
+      |          + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)
+      |          * scale))) / $DIM
+      |    END AS mean_abs_err
+      |  FROM sc)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(max(scale), 9) AS max_scale,
+      |  round(max(mean_abs_err), 9) AS max_mean_err
+      |FROM err GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+    val quantErr = (x: Column) => {
+      val q = (x / col("scale")
+        + when(x >= 0, 0.5).otherwise(-0.5)).cast("long")
+      abs(x - q * col("scale"))
+    }
+    e.withColumn("mean_abs_err",
+        when(col("scale") === 0, lit(0.0)).otherwise(
+          aggregate(col("v"), lit(0.0), (acc, x) => acc + quantErr(x))
+            / DIM))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(max("scale"), 9).as("max_scale"),
+        round(max("mean_abs_err"), 9).as("max_mean_err"))
+      .orderBy("label")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh, qIvf, qRecall, qQuantize)
 }

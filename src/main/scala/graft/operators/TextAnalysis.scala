@@ -188,6 +188,33 @@ object TextAnalysis {
       .limit(20)
   }
 
-  val specs: Seq[QuerySpec] =
-    Seq(qTokenStats, qQuality, qLangId, qFingerprint, qSplit, qTopNgrams)
+  // Contamination / canary scan: which documents contain any of a
+  // probe set of strings (benchmark canaries, PII markers, eval-set
+  // fragments) — the corpus-hygiene scan every training pipeline runs
+  // before a data release. Substring containment per (doc, probe),
+  // grouped by probe and source. Single scan of the corpus; the probe
+  // set is a literal array (broadcast-sized by construction).
+  private val ContaminationProbes = Seq(
+    "slow fast table", "batch window spark", "vector table fast")
+
+  private val qContamination = QuerySpec.of(
+    "q_text_contamination", {
+      val probeList = ContaminationProbes.map(p => s"'$p'").mkString(", ")
+      s"""SELECT probe, source, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents, unnest([$probeList]) AS u(probe)
+        |WHERE contains(text, probe)
+        |GROUP BY probe, source
+        |ORDER BY probe, source""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(array(ContaminationProbes.map(lit): _*)).as("probe"))
+      .filter(col("text").contains(col("probe")))
+      .groupBy("probe", "source")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("probe", "source")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
+    qFingerprint, qSplit, qTopNgrams, qContamination)
 }
