@@ -14,6 +14,7 @@ object SparkEntry {
     operators.RelationalQueries.specs ++
       operators.TextAnalysis.specs ++
       operators.Dedup.specs ++
+      operators.Corpus.specs ++
       operators.Similarity.specs ++
       operators.Events.specs ++
       operators.SkiQueries.specs ++

@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.HashFunctions
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus composition operators: sequence packing, mixture
+  * sampling, stratified sampling, repetition-based quality filtering,
+  * embedding validation — the steps between "cleaned documents" and
+  * "training batches" in a large-scale data pipeline.
+  *
+  * Scale notes are per-operator; the common theme is that every
+  * decision (sample membership, pack assignment, split) is a pure
+  * function of stable ids — never of partitioning, sampling state or
+  * row order — so reruns, retries and different cluster layouts
+  * reproduce byte-identical corpora.
+  */
+object Corpus {
+
+  /** Token budget of one packed training sequence. */
+  val PackBudget = 512L
+
+  /** Docs per greedy-packing bucket (the parallelism unit of the
+    * greedy packer — greediness is exact within a bucket, bins never
+    * span buckets).
+    */
+  val GreedyBucketDocs = 64L
+
+  // ---- sequence packing (offset-chunked, fully declarative) ------------
+  // Documents in stable doc_id order are laid into one global token
+  // stream; sequence id = the 512-token chunk a document STARTS in.
+  // This is the declarative cousin of greedy packing: one distributed
+  // sort (range-partitioned TeraSort shape at scale — no single-node
+  // bottleneck), one window cumsum, one hash-agg. Straddle is allowed
+  // (a doc may overflow its chunk) which is exactly how most LLM
+  // pretraining pipelines pack: concatenate-then-split at the token
+  // level, documents crossing sequence boundaries.
+  private val qPackSequences = QuerySpec.of(
+    "q_pack_sequences",
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ntok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ntok,
+      |    sum(ntok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS off
+      |  FROM t)
+      |SELECT CAST(off // $PackBudget AS BIGINT) AS seq_id,
+      |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, d) =>
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), wsTokenCount(col("text")).as("ntok"))
+      .withColumn("off", sum("ntok").over(w) - col("ntok"))
+      .groupBy((col("off") / PackBudget).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  /** Greedy document-boundary packing: docs in doc_id order, a bin
+    * closes when the next doc would exceed [[PackBudget]] (no doc is
+    * split; an oversized doc gets its own bin). Greedy scans are
+    * inherently sequential, so exactness is scoped to a bucket of
+    * [[GreedyBucketDocs]] consecutive docs and buckets run in
+    * parallel — the one place `mapPartitions` is the right tool
+    * (per-partition imperative scan; everything around it stays
+    * declarative). Bin ids are (bucket, bin-within-bucket), so the
+    * output is a pure function of (doc_id, ntok) regardless of
+    * cluster layout.
+    */
+  def greedyPack(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("ntok").cast("long"),
+        (col("doc_id") / GreedyBucketDocs).cast("long").as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (docId, ntok, bucket) =>
+          if (bucket != curBucket) { curBucket = bucket; bin = 0L; fill = 0L }
+          else if (fill > 0 && fill + ntok > PackBudget) { bin += 1; fill = 0L }
+          fill += ntok
+          (bucket, bin, docId, ntok)
+        }
+      }
+      .toDF("bucket", "bin", "doc_id", "ntok")
+  }
+
+  // Greedy packing is a sequential recurrence (bin of doc i depends on
+  // the running fill), not SQL-expressible — driver records the
+  // rows-only check; PackingSpec holds the real oracle (an independent
+  // fold reimplementation + invariants + partitioning-invariance).
+  private val qPackGreedy = QuerySpec.noOracle("q_pack_greedy") { (s, d) =>
+    greedyPack(Tables.documents(s, d)
+        .select(col("doc_id"), wsTokenCount(col("text")).as("ntok")))
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bucket", "bin")
+  }
+
+  // ---- mixture sampling -------------------------------------------------
+  // Down-sample each source to a target rate (basis points) — the
+  // "data mixture" step that rebalances web/wiki/code/... before
+  // training. Membership = portable hash of (doc_id, salt) vs the
+  // source's rate, so the sample is reproducible and independent of
+  // partitioning; the rate table is a literal broadcast dim (a real
+  // mixture spec is a config file of the same shape). Single corpus
+  // scan, map-side partial agg, 20-row output.
+  val MixtureRates: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", 1000 + (i % 4) * 2500))
+
+  private val qSampleMixture = QuerySpec.of(
+    "q_sample_mixture", {
+      val values = MixtureRates
+        .map { case (src, bp) => s"('$src', $bp)" }.mkString(", ")
+      val h = HashFunctions.sqlHash32("CAST(doc_id AS VARCHAR) || ':mix'")
+      s"""WITH rates(source, bp) AS (VALUES $values),
+        |b AS (
+        |  SELECT d.source, rates.bp, d.n_chars, ($h) % 10000 AS h
+        |  FROM documents d JOIN rates USING (source))
+        |SELECT source, bp AS rate_bp, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN h < bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN h < bp THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  round(CAST(sum(CASE WHEN h < bp THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS kept_rate
+        |FROM b GROUP BY source, bp ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val rates = broadcast(MixtureRates.toDF("source", "bp"))
+    val h = pmod(
+      HashFunctions.hash32(concat(col("doc_id").cast("string"), lit(":mix"))),
+      lit(10000))
+    Tables.documents(s, d)
+      .join(rates, Seq("source"))
+      .select(col("source"), col("bp"), col("n_chars"),
+        (h < col("bp")).cast("long").as("kept"))
+      .groupBy(col("source"), col("bp").as("rate_bp"))
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_chars")).otherwise(0L))
+          .as("kept_chars"),
+        round(sum("kept").cast("double") / count(lit(1)), 6).as("kept_rate"))
+      .orderBy("source")
+  }
+
+  // ---- stratified sampling ---------------------------------------------
+  // Exactly k docs per language, chosen by portable hash order — the
+  // "balanced eval set" builder. Window top-k shuffles once on the
+  // stratum key; with few large strata the rank truncates early per
+  // partition (WindowGroupLimit pushes the rn <= k filter down as a
+  // per-partition running limit, so the sort never materializes a
+  // whole stratum at scale).
+  val StratumK = 10
+
+  private val qSampleStratified = QuerySpec.of(
+    "q_sample_stratified", {
+      val h = HashFunctions.sqlHash32("CAST(doc_id AS VARCHAR) || ':strat'")
+      s"""WITH h AS (
+        |  SELECT lang, doc_id, n_chars, ($h) AS hk FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, rn, doc_id, n_chars FROM r
+        |WHERE rn <= $StratumK ORDER BY lang, rn""".stripMargin
+    }) { (s, d) =>
+    val hk = HashFunctions.hash32(
+      concat(col("doc_id").cast("string"), lit(":strat")))
+    val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"), hk.as("hk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= StratumK)
+      .select("lang", "rn", "doc_id", "n_chars")
+      .orderBy("lang", "rn")
+  }
+
+  // ---- repetition-based quality filtering ------------------------------
+  // Gopher-style repetition signals per doc — top-token fraction,
+  // unique-token ratio, top-bigram fraction — aggregated per source
+  // with a flagged count (docs breaching any threshold). Word-level
+  // (the corpus has no line structure). All per-row column work in
+  // one codegen span, one partial-agg exchange.
+  val TopTokenMax = 0.12
+  val UniqueRatioMin = 0.40
+  val TopBigramMax = 0.055
+
+  private val qRepetition = QuerySpec.of(
+    "q_text_repetition", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      val bg = graft.functions.TextFunctions.sql.shingles("toks", 2)
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+        |g AS (SELECT source, toks, $bg AS bg FROM t),
+        |m AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(list_max(list_transform(list_distinct(toks),
+        |        d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+        |        / len(toks) END AS top_tok_frac,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      END AS uniq_ratio,
+        |    CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+        |      CAST(list_max(list_transform(list_distinct(bg),
+        |        d -> len(list_filter(bg, t -> t = d)))) AS DOUBLE)
+        |        / len(bg) END AS top_bigram_frac
+        |  FROM g)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN top_tok_frac > $TopTokenMax
+        |    OR uniq_ratio < $UniqueRatioMin
+        |    OR top_bigram_frac > $TopBigramMax THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  round(avg(top_tok_frac), 6) AS avg_top_tok,
+        |  round(avg(uniq_ratio), 6) AS avg_uniq,
+        |  round(avg(top_bigram_frac), 6) AS avg_top_bigram
+        |FROM m GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    def topFrac(arr: org.apache.spark.sql.Column) =
+      when(size(arr) === 0, 0.0).otherwise(
+        array_max(transform(array_distinct(arr),
+          d => size(filter(arr, t => t === d)))).cast("double") / size(arr))
+    val m = Tables.fanout(Tables.documents(s, d))
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), col("toks"), shingles(col("toks"), 2).as("bg"))
+      .select(col("source"),
+        topFrac(col("toks")).as("top_tok_frac"),
+        when(size(col("toks")) === 0, 0.0)
+          .otherwise(size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks"))).as("uniq_ratio"),
+        topFrac(col("bg")).as("top_bigram_frac"))
+    m.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("top_tok_frac") > TopTokenMax
+          || col("uniq_ratio") < UniqueRatioMin
+          || col("top_bigram_frac") > TopBigramMax).cast("long"))
+          .as("n_flagged"),
+        round(avg("top_tok_frac"), 6).as("avg_top_tok"),
+        round(avg("uniq_ratio"), 6).as("avg_uniq"),
+        round(avg("top_bigram_frac"), 6).as("avg_top_bigram"))
+      .orderBy("source")
+  }
+
+  // ---- embedding validation --------------------------------------------
+  // Pre-flight checks before an ANN build or a similarity join:
+  // per-label vector count, dimension uniformity (ragged arrays are
+  // the classic upstream bug), unit-norm conformance, norm extrema.
+  // Single scan; the norm goes through the codegen dot-product kernel.
+  private val qEmbedValidate = QuerySpec.of(
+    "q_embed_validate",
+    """WITH e AS (
+      |  SELECT label, len(embedding) AS dim,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x * x))) AS nrm
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs,
+      |  min(dim) AS dim_min, max(dim) AS dim_max,
+      |  CAST(sum(CASE WHEN abs(nrm - 1.0) > 1e-6 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_nonunit,
+      |  round(min(nrm), 6) AS norm_min, round(max(nrm), 6) AS norm_max
+      |FROM e GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d)
+      .select(col("label"), size(col("embedding")).as("dim"),
+        graft.functions.VectorFunctions.norm(v).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dim").as("dim_min"), max("dim").as("dim_max"),
+        sum((abs(col("nrm") - 1.0) > 1e-6).cast("long")).as("n_nonunit"),
+        round(min("nrm"), 6).as("norm_min"),
+        round(max("nrm"), 6).as("norm_max"))
+      .orderBy("label")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
+    qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate)
+}
