@@ -127,12 +127,24 @@ object Clustering {
     * nodes: (oid long, act in {downhill, nordic}, lon, lat,
     * is_lift boolean) — one row per (object, activity); callers
     * pre-filter to supported activities (the reference skips
-    * unsupported-activity runs at basis selection, `:248-270`).
+    * unsupported-activity runs at basis selection, `:248-270`,
+    * see [[prepareRunActivities]]).
+    *
+    * Seed rule: an optional `is_basis` boolean column marks members
+    * that may SEED a new area (`MapObject.isBasisForNewSkiArea` —
+    * downhill/nordic-use runs not already in a site). A component with
+    * runs but no basis member is dropped: a snow park can join a ski
+    * area yet never creates one by itself (scenarios :844/:882).
+    * Absent the column, every run is a seed (lifts never are).
+    *
     * Returns (oid, act, is_lift, area_id) for members of KEPT
     * generated areas; area_id = min member oid of the component.
     */
-  def generateSkiAreas(nodes0: DataFrame, radiusM: Double,
+  def generateSkiAreas(nodes1: DataFrame, radiusM: Double,
       cellDeg: Double): DataFrame = {
+    val nodes0 =
+      if (nodes1.columns.contains("is_basis")) nodes1
+      else nodes1.withColumn("is_basis", !col("is_lift"))
     val nodes = nodes0
       .withColumn("nid",
         col("oid") * 2 + when(col("act") === "nordic", 1L).otherwise(0L))
@@ -151,13 +163,47 @@ object Clustering {
       .withColumn("label", coalesce(col("label"), col("nid")))
     val gkeep = labeled.groupBy("act", "label")
       .agg(count(when(!col("is_lift"), 1)).as("n_runs"),
-        count(when(col("is_lift"), 1)).as("n_lifts"))
-      .filter(col("n_runs") > 0 &&
+        count(when(col("is_lift"), 1)).as("n_lifts"),
+        count(when(col("is_basis"), 1)).as("n_basis"))
+      .filter(col("n_runs") > 0 && col("n_basis") > 0 &&
         !(col("act") === "downhill" && col("n_lifts") === 0))
       .select("act", "label")
     labeled.join(gkeep, Seq("act", "label"))
       .select(col("oid"), col("act"), col("is_lift"),
         shiftright(col("label"), 1).as("area_id"))
+  }
+
+  /** Run activity-eligibility mapping feeding [[generateSkiAreas]]
+    * (`SkiAreaClusteringService.ts:240-290` prepareRun): an
+    * unpatrolled backcountry-groomed run outside any site has NO
+    * activities (it neither joins nor seeds, scenario :1021; patrolled
+    * makes it eligible again, :961); run uses map
+    * downhill/snow_park → downhill activity, nordic → nordic, and
+    * anything else (skitour, sledding, …) is unsupported (:50); a run
+    * may seed a NEW area only if its uses include downhill or nordic
+    * proper — a snow park joins but never seeds (:844/:882) — and it
+    * is not already in a site ski area.
+    *
+    * runs: (run_id, uses array<string>, grooming string?, patrolled
+    * boolean?, in_site boolean). Returns (oid, act, is_basis), one
+    * row per supported (run, activity), pure column expressions.
+    */
+  def prepareRunActivities(runs: DataFrame): DataFrame = {
+    val excluded = !col("in_site") &&
+      coalesce(col("grooming"), lit("")) === "backcountry" &&
+      !coalesce(col("patrolled"), lit(false))
+    val acts = array_distinct(flatten(transform(col("uses"), u =>
+      when(u === "downhill" || u === "snow_park",
+        array(lit("downhill")))
+        .when(u === "nordic", array(lit("nordic")))
+        .otherwise(array().cast("array<string>")))))
+    runs
+      .filter(!excluded)
+      .select(col("run_id").as("oid"),
+        explode(acts).as("act"),
+        (!col("in_site") &&
+          arrays_overlap(col("uses"),
+            array(lit("downhill"), lit("nordic")))).as("is_basis"))
   }
 
   /** Step-2 polygon containment (J2, `SkiAreaClusteringService.ts:

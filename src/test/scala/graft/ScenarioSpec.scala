@@ -131,6 +131,88 @@ class ScenarioSpec extends SparkSpec {
     assert(Clustering.coveredBy(areas, runs, Cell, 1).isEmpty)
   }
 
+  // ---- run activity eligibility + seed rights (prepareRun) ----
+
+  private def rawRuns(
+      rows: (Long, Seq[String], Option[String], Option[Boolean], Boolean)*) =
+    rows.toDF("run_id", "uses", "grooming", "patrolled", "in_site")
+
+  private def prep(df: DataFrame): Seq[(Long, String, Boolean)] =
+    Clustering.prepareRunActivities(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSeq.sorted
+
+  test("skips runs with unsupported activity (ref :50)") {
+    assert(prep(rawRuns((1L, Seq("skitour"), None, None, false))).isEmpty)
+    assert(prep(rawRuns((2L, Seq("sledding"), None, None, false))).isEmpty)
+  }
+
+  test("ungroomed backcountry run has no activities (ref :1021)") {
+    assert(prep(rawRuns(
+      (1L, Seq("downhill"), Some("backcountry"), None, false))).isEmpty)
+  }
+
+  test("patrolled backcountry run is eligible and seeds (ref :961)") {
+    assert(prep(rawRuns(
+      (1L, Seq("downhill"), Some("backcountry"), Some(true), false)))
+      == Seq((1L, "downhill", true)))
+  }
+
+  test("backcountry run inside a site stays eligible (ref prepareRun isInSkiAreaSite)") {
+    // In-site: activities survive, but in-site runs never seed.
+    assert(prep(rawRuns(
+      (1L, Seq("downhill"), Some("backcountry"), None, true)))
+      == Seq((1L, "downhill", false)))
+  }
+
+  test("snow park maps to downhill but cannot seed (ref :844)") {
+    assert(prep(rawRuns((1L, Seq("snow_park"), None, None, false)))
+      == Seq((1L, "downhill", false)))
+  }
+
+  test("mixed-use run seeds only its supported activities (ref :543)") {
+    assert(prep(rawRuns((3L, Seq("downhill", "skitour"), None, None, false)))
+      == Seq((3L, "downhill", true)))
+  }
+
+  test("lone snow park generates no ski area even beside a lift (ref :844)") {
+    // Snow park + lift: downhill component with a run and a lift, but
+    // no seed-eligible member -> dropped.
+    val n = Seq(
+      (1L, "downhill", 0.0, 0.0, false, false), // snow park: not a basis
+      (2L, "downhill", 0.001, 0.0, true, false))
+      .toDF("oid", "act", "lon", "lat", "is_lift", "is_basis")
+    assert(Clustering.generateSkiAreas(n, R, Cell).isEmpty)
+  }
+
+  test("generated ski area includes the adjacent snow park (ref :882)") {
+    val n = Seq(
+      (1L, "downhill", 0.0, 0.0, false, true),   // proper downhill run
+      (2L, "downhill", 0.001, 0.0, false, false), // snow park
+      (3L, "downhill", 0.002, 0.0, true, false))  // lift
+      .toDF("oid", "act", "lon", "lat", "is_lift", "is_basis")
+    val got = Clustering.generateSkiAreas(n, R, Cell).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("backcountry route near a downhill area stays unassigned (ref :543)") {
+    // The skitour-only run never enters the node set (no supported
+    // activity), so the generated area contains only run 3 + lift 1.
+    val eligible = Clustering.prepareRunActivities(rawRuns(
+      (3L, Seq("downhill", "skitour"), None, None, false),
+      (4L, Seq("skitour"), None, None, false)))
+    val coords = Seq((3L, 0.0, 0.0), (4L, 0.001, 0.0))
+      .toDF("oid", "lon", "lat")
+    val n = eligible.join(coords, "oid")
+      .withColumn("is_lift", lit(false))
+      .unionByName(Seq((1L, "downhill", 0.0005, 0.0, true, false))
+        .toDF("oid", "act", "lon", "lat", "is_lift", "is_basis"))
+    val got = Clustering.generateSkiAreas(n, R, Cell).collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 3L))
+  }
+
   // ---- lift stations (step 8) ----
 
   private def stationsDf(rows: (Long, Double, Double, Double, Option[String])*) =
