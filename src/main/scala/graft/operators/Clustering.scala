@@ -206,6 +206,27 @@ object Clustering {
             array(lit("downhill"), lit("nordic")))).as("is_basis"))
   }
 
+  /** Post-assignment activity/geometry augmentation
+    * (`SkiAreaClusteringService.ts:476-511,1302-1318`): a ski area
+    * with NO declared activities and ≥1 assigned member takes the
+    * distinct union of its members' supported activities; declared
+    * activities always win, and a member-less area keeps its empty
+    * list (it is removed elsewhere). areas: (area_id,
+    * activities array<string>); members: (area_id, act). Returns
+    * (area_id, activities) with inferred lists sorted for
+    * determinism. One hash-agg on area_id + a broadcast-sized join
+    * back to the area table at any scale where areas ≪ members.
+    */
+  def inferAreaActivities(areas: DataFrame, members: DataFrame): DataFrame = {
+    val inferred = members.groupBy("area_id")
+      .agg(sort_array(collect_set(col("act"))).as("member_acts"))
+    areas.join(inferred, Seq("area_id"), "left")
+      .select(col("area_id"),
+        when(size(col("activities")) > 0, col("activities"))
+          .otherwise(coalesce(col("member_acts"),
+            array().cast("array<string>"))).as("activities"))
+  }
+
   /** Step-2 polygon containment (J2, `SkiAreaClusteringService.ts:
     * 337-361` + the ST_CoveredBy refine): runs whose EVERY vertex lies
     * inside the area ring, candidates prefiltered by grid cell

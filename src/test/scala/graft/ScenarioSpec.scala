@@ -213,6 +213,83 @@ class ScenarioSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  // ---- site-based adoption via transitive closure (step 4) ----
+
+  test("site area adopts nearby unassociated same-activity runs transitively (ref :2301)") {
+    // Site member at (0,0); unassigned nordic run 3 reachable only
+    // through run 2's far end — the closure chains through it.
+    val areas = Seq((1L, "nordic", 0.0, 0.0))
+      .toDF("area_id", "act", "lon", "lat")
+    val objs = Seq(
+      (2L, Seq("nordic"), 0.003, 0.0),
+      (3L, Seq("nordic"), 0.006, 0.0)) // ~670 m from site, ~330 m from 2
+      .toDF("okey", "uses", "lon", "lat")
+    val got = Clustering.transitiveAssign(areas, objs, R, Cell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((2L, 1L), (3L, 1L)))
+  }
+
+  test("site area does not adopt different-activity runs (ref :2369)") {
+    val areas = Seq((1L, "downhill", 0.0, 0.0))
+      .toDF("area_id", "act", "lon", "lat")
+    val objs = Seq(
+      (2L, Seq("downhill"), 0.001, 0.0),
+      (3L, Seq("nordic"), 0.002, 0.0))
+      .toDF("okey", "uses", "lon", "lat")
+    val got = Clustering.transitiveAssign(areas, objs, R, Cell)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(2L)) // nordic run 3 left for generation pass
+  }
+
+  test("site area with no reachable objects ends memberless (ref :2437)") {
+    val areas = Seq((1L, "downhill", 0.0, 0.0))
+      .toDF("area_id", "act", "lon", "lat")
+    val objs = Seq((2L, Seq("downhill"), 1.0, 1.0)) // ~157 km away
+      .toDF("okey", "uses", "lon", "lat")
+    assert(Clustering.transitiveAssign(areas, objs, R, Cell).isEmpty)
+  }
+
+  // ---- area activity inference (augmentation) ----
+
+  private def areasDf(rows: (Long, Seq[String])*) =
+    rows.toDF("area_id", "activities")
+  private def membersDf(rows: (Long, String)*) =
+    rows.toDF("area_id", "act")
+  private def infer(a: DataFrame, m: DataFrame) =
+    Clustering.inferAreaActivities(a, m).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq.sortBy(_._1)
+
+  test("area without activities takes the union of member activities (ref :1982)") {
+    val got = infer(areasDf((1L, Seq.empty)),
+      membersDf((1L, "downhill"), (1L, "downhill"), (1L, "nordic")))
+    assert(got == Seq((1L, Seq("downhill", "nordic"))))
+  }
+
+  test("declared area activities win over member inference (ref :2077 'when they are not known')") {
+    val got = infer(areasDf((1L, Seq("nordic"))),
+      membersDf((1L, "downhill")))
+    assert(got == Seq((1L, Seq("nordic"))))
+  }
+
+  test("memberless area keeps an empty activity list (ref :476-496 guard)") {
+    assert(infer(areasDf((1L, Seq.empty)), membersDf())
+      == Seq((1L, Seq.empty)))
+  }
+
+  test("contained runs determine unknown polygon-area activities (ref :2077)") {
+    // coveredBy -> members -> inference, composed like the pipeline.
+    val areas = Seq((10L, square(0.0, 0.0, 0.005), 0.0, 0.0))
+      .toDF("area_id", "ring", "alon", "alat")
+    val runs = Seq(
+      (1L, Seq(Seq(0.001, 0.0), Seq(0.002, 0.0)), "nordic"),
+      (2L, Seq(Seq(0.02, 0.0), Seq(0.03, 0.0)), "downhill")) // outside
+      .toDF("way_id", "coords", "act")
+    val members = Clustering.coveredBy(areas, runs, Cell, 1)
+      .select("area_id", "act")
+    val got = infer(areasDf((10L, Seq.empty)), members)
+    assert(got == Seq((10L, Seq("nordic"))))
+  }
+
   // ---- lift stations (step 8) ----
 
   private def stationsDf(rows: (Long, Double, Double, Double, Option[String])*) =
