@@ -77,7 +77,8 @@ object SkiAreaOps {
         |  SELECT o.area_id, k.sk_id
         |  FROM ocell o JOIN kcell k ON o.cx = k.cx AND o.cy = k.cy
         |  WHERE ($hav) <= $RadiusM
-        |    AND len(list_intersect(o.acts, k.acts)) > 0),
+        |    AND (len(list_intersect(o.acts, k.acts)) > 0
+        |      OR len(k.acts) = 0)),
         |msk AS (
         |  SELECT m.area_id,
         |    list_sort(list_distinct(flatten(list(k.acts)))) AS sk_acts,
@@ -189,7 +190,10 @@ object SkiAreaOps {
         col("acts").as("oacts")),
       sk.select(col("sk_id"), col("lon"), col("lat"), col("acts")),
       radiusM, cellDeg)
-      .filter(size(array_intersect(col("oacts"), col("acts"))) > 0)
+      // A Skimap area with UNKNOWN activities matches as if it had all
+      // of them (`SkiAreaClusteringService.ts:796-799`, scenario :1559).
+      .filter(size(array_intersect(col("oacts"), col("acts"))) > 0 ||
+        size(col("acts")) === 0)
       .select("area_id", "sk_id")
       .localCheckpoint()
     val mj = matched.join(sk, "sk_id")

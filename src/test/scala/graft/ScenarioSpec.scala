@@ -381,6 +381,15 @@ class ScenarioSpec extends SparkSpec {
       "downhill;nordic", "https://sk.example/50")))
   }
 
+  test("merges Skimap.org area without activities (treated as all-activity) (ref :1559)") {
+    val got = merge(
+      osmDf((1L, Some("A"), Seq("downhill"), Seq(), None, false, 0.0, 0.0)),
+      skDf((50L, "A!", Seq(), Seq(), Some("Q50"), 0.001, 0.0)))
+    // merged (no standalone skimap row), wikidata taken from skimap
+    assert(got.map(x => (x._1, x._2)) == Seq((1L, "openstreetmap")))
+    assert(got.head._4 == "downhill") // empty skimap acts add nothing
+  }
+
   test("prefers OSM websites when merging (ref :1623)") {
     val got = merge(
       osmDf((1L, Some("A"), Seq("downhill"), Seq("https://osm.example/1"),
