@@ -97,6 +97,23 @@ object LiftStations {
         round(col("snap_lat"), 6).as("snap_lat"))
   }
 
+  /** Lift-side view of [[associate]]'s output: each lift's stations
+    * array (`lift.properties.stations`, scenario "populates
+    * lift.stations array with associated stations",
+    * `ClusterSkiAreas.integration.test.ts:3380`), ordered
+    * bottom → mid → top then by station id for determinism.
+    */
+  def stationsPerLift(assoc: DataFrame): DataFrame = {
+    val ord = when(col("position") === "bottom", 0)
+      .when(col("position") === "mid", 1).otherwise(2)
+    assoc
+      .select(col("lift_id"),
+        struct(ord.as("ord"), col("sid"), col("position")).as("s"))
+      .groupBy("lift_id")
+      .agg(transform(sort_array(collect_list(col("s"))),
+        s => struct(s("sid"), s("position"))).as("stations"))
+  }
+
   private val qStations = QuerySpec.of(
     "q_ski_lift_stations", {
       val hav = GeoFunctions.sqlHaversineM("slon", "slat", "snap_lon", "snap_lat")

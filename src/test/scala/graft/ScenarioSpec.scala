@@ -446,4 +446,36 @@ class ScenarioSpec extends SparkSpec {
       (1L, 0.0125, 0.00001, 950.0, None)), lifts) // near part 1 only
     assert(got == Seq((1L, 300L, "mid"))) // part z-range 900..1000
   }
+
+  test("populates lift.stations array with associated stations (ref :3380)") {
+    val lifts = Seq(liftA).toDF("lift_id", "coords")
+    val assoc = LiftStations.associate(stationsDf(
+      (1L, 0.0, 0.00001, 1050.0, None),     // bottom
+      (2L, 0.002, 0.00001, 1950.0, None)),  // top
+      lifts, 30.0, Cell)
+    val got = LiftStations.stationsPerLift(assoc).collect()
+      .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getLong(0), s.getString(1))))).toSeq
+    assert(got == Seq((100L, Seq((1L, "bottom"), (2L, "top")))))
+  }
+
+  test("preserves non-lift-station spots; orphan removal hits stations only (ref :3465)") {
+    // Spot pipeline shape: only lift_station spots run through
+    // associate (orphans drop); other spot types bypass untouched.
+    val lifts = Seq(liftA).toDF("lift_id", "coords")
+    val spots = Seq(
+      (1L, "lift_station", 0.0005, 0.00001, 1050.0), // associates
+      (2L, "lift_station", 0.5, 0.5, 0.0),           // orphan: removed
+      (3L, "crossing", 0.5, 0.5, 0.0))               // preserved as-is
+      .toDF("sid", "spot_type", "slon", "slat", "sz")
+    val stations = spots.filter(col("spot_type") === "lift_station")
+      .withColumn("explicit_pos", lit(null).cast("string"))
+      .select("sid", "slon", "slat", "sz", "explicit_pos")
+    val kept = LiftStations.associate(stations, lifts, 30.0, Cell)
+      .select("sid")
+      .unionByName(spots.filter(col("spot_type") =!= "lift_station")
+        .select("sid"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(1L, 3L))
+  }
 }
