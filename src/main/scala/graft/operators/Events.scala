@@ -249,7 +249,22 @@ object Events {
     graft.streaming.EventsStreaming.dedupViaStream(s, d)
   }
 
+  // ---- stream-static enrichment join -------------------------------------
+  // Events stream × broadcast customer dim; stateless per-micro-batch
+  // hash join, then a per-segment aggregate (see EventsStreaming).
+  private val qStreamEnrich = QuerySpec.of(
+    "q_stream_events_enrich",
+    """SELECT c.c_mktsegment AS segment, e.event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY segment, e.event_type
+      |ORDER BY segment, e.event_type""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.enrichViaStream(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
-      qStreamHourly, qStreamSessions, qStreamDedup)
+      qStreamHourly, qStreamSessions, qStreamDedup, qStreamEnrich)
 }

@@ -125,6 +125,42 @@ object EventsStreaming {
       .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_after_dedup"))
   }
 
+  /** Stream-static enrichment: the events stream joins a STATIC
+    * broadcast dimension (customer → market segment) before a
+    * per-segment aggregation. The stream-static join is stateless —
+    * each micro-batch hash-joins against the broadcast table with no
+    * streaming state — which is the scale-correct shape for enriching
+    * an unbounded event stream with slowly-changing reference data
+    * (the dim reloads per restart; a true SCD would swap in a
+    * Delta/parquet-backed table, same plan).
+    */
+  def enrichViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
+    val dim = broadcast(spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")))
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .join(dim, Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        // exact integer-cents sum (see Events.hourlyAggs note)
+        expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)" +
+          " / 100.0").as("total_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name).orderBy("segment", "event_type")
+  }
+
   /** Batch-equivalent streaming run of the hourly aggregation.
     * `ts` arrives as epoch-nanos long (nanosAsLong read); it is floored
     * to ms and projected to an event-time timestamp for the watermark.
