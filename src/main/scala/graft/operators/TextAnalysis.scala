@@ -215,6 +215,57 @@ object TextAnalysis {
       .orderBy("probe", "source")
   }
 
+  // Per-source dedup-rate profile: how much of each source survives
+  // exact-fingerprint dedup — the first number a corpus report quotes.
+  // One scan + one (source, fp) hash-agg; the distinct runs inside the
+  // aggregate with map-side partials, never a separate shuffle.
+  private val qDedupRate = QuerySpec.of(
+    "q_dedup_rate_by_source",
+    s"""SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT ${sql.fingerprint}) AS n_distinct,
+      |  round(1.0 - CAST(count(DISTINCT ${sql.fingerprint}) AS DOUBLE)
+      |    / count(*), 6) AS dup_rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+    (s, d) =>
+    Tables.fanout(Tables.documents(s, d))
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        round(lit(1.0) - countDistinct(col("fp")).cast("double")
+          / count(lit(1)), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  // Inverted-index build: per-term posting-list statistics (document
+  // frequency, total term frequency, first/last posting). The explode
+  // fans out to |corpus tokens| rows, absorbed by map-side partial
+  // aggregation before the single narrow (term) exchange — the same
+  // shape an actual posting-list materialization would use, with
+  // collect_list(doc_id) in place of the stats columns.
+  private val qPostings = QuerySpec.of(
+    "q_index_postings", {
+      val toks = sql.toks
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  GROUP BY doc_id, term)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY term ORDER BY term""".stripMargin
+    }) { (s, d) =>
+    Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("term")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
-    qFingerprint, qSplit, qTopNgrams, qContamination)
+    qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
+    qPostings)
 }
