@@ -249,6 +249,49 @@ object Events {
     graft.streaming.EventsStreaming.dedupViaStream(s, d)
   }
 
+  // ---- as-of join: last-touch attribution --------------------------------
+  // For each purchase, the user's most recent PRIOR click — the as-of
+  // join (point-in-time lookup) every attribution/feature-store
+  // pipeline needs. Spark has no native as-of join; the Spark-first
+  // expression is a carry-forward window (`last(..., ignoreNulls)` over
+  // rows preceding), which needs ONE shuffle on user_id and one sort —
+  // strictly cheaper than the union-merge-scan a generic range join
+  // would plan, and the same shape at any scale (per-user history
+  // partitions cleanly; no broadcast, no skew beyond the busiest user).
+  private val qAttribution = QuerySpec.of(
+    "q_events_attribution",
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ms END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
+      |  FROM t)
+      |SELECT event_id AS purchase_id, user_id, click_id,
+      |  ms - click_ms AS gap_ms
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsMs(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_ms",
+        last(when(col("event_type") === "click", col("ms")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), (col("ms") - col("click_ms")).as("gap_ms"))
+      .orderBy("purchase_id")
+  }
+
   // ---- stream-static enrichment join -------------------------------------
   // Events stream × broadcast customer dim; stateless per-micro-batch
   // hash join, then a per-segment aggregate (see EventsStreaming).
@@ -266,5 +309,6 @@ object Events {
 
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
-      qStreamHourly, qStreamSessions, qStreamDedup, qStreamEnrich)
+      qAttribution, qStreamHourly, qStreamSessions, qStreamDedup,
+      qStreamEnrich)
 }
