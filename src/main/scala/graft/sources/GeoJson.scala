@@ -56,6 +56,9 @@ object GeoJson {
     *  - Polygon          → one part, ALL rings (outer first, then
     *                       interior rings — holes are preserved, unlike
     *                       the 2-level [[decodeFeatures]] canonical form)
+    *  - MultiPoint       → one part per point (the reference's
+    *                       per-part central points are MultiPoint,
+    *                       `GeoTransforms.ts:16-82`)
     *  - MultiLineString  → one part per line, one ring each
     *  - MultiPolygon     → verbatim (part → rings → positions)
     * The reference explodes Multi* runs per part
@@ -78,6 +81,8 @@ object GeoJson {
         .when(geomType === "LineString",
           array(array(from_json(raw, ring))))
         .when(geomType === "Polygon", array(from_json(raw, rings)))
+        .when(geomType === "MultiPoint",
+          transform(from_json(raw, ring), p => array(array(p))))
         .when(geomType === "MultiLineString",
           transform(from_json(raw, rings), l => array(l)))
         .when(geomType === "MultiPolygon", from_json(raw, multi))
@@ -102,6 +107,9 @@ object GeoJson {
         .when(geomType === "LineString",
           to_json(element_at(element_at(parts, 1), 1)))
         .when(geomType === "Polygon", to_json(element_at(parts, 1)))
+        .when(geomType === "MultiPoint",
+          to_json(transform(parts,
+            p => element_at(element_at(p, 1), 1))))
         .when(geomType === "MultiLineString",
           to_json(transform(parts, p => element_at(p, 1))))
         .when(geomType === "MultiPolygon", to_json(parts)),

@@ -203,6 +203,23 @@ class SourcesSpec extends SparkSpec {
     assert(re.orderBy("geomType").collect().toSeq == rows.toSeq)
   }
 
+  test("full decode/encode round-trips MultiPoint") {
+    val mpt = """{"type":"Feature","properties":{"name":"c"},"geometry":""" +
+      """{"type":"MultiPoint","coordinates":[[0.5,1.5],[2.5,3.5,800.0]]}}"""
+    val df = GeoJson.decodeFeaturesFull(Seq(mpt).toDF("value"), col("value"))
+    val row = df.collect().head
+    val parts = row.getSeq[scala.collection.Seq[
+      scala.collection.Seq[scala.collection.Seq[Double]]]](2)
+    assert(row.getString(1) == "MultiPoint")
+    assert(parts.length == 2) // one part per point
+    assert(parts.forall(p => p.length == 1 && p.head.length == 1))
+    assert(parts(1).head.head == Seq(2.5, 3.5, 800.0)) // z preserved
+    val re = GeoJson.decodeFeaturesFull(
+      df.select(GeoJson.featureJsonFull(col("properties"), col("geomType"),
+        col("parts")).as("value")), col("value"))
+    assert(re.collect().toSeq == df.collect().toSeq)
+  }
+
   test("explodeParts emits one singular-typed feature per part") {
     val mp = """{"type":"Feature","properties":{"name":"a"},"geometry":""" +
       """{"type":"MultiPolygon","coordinates":[[[[0,0],[4,0],[4,4],[0,4],[0,0]],""" +
