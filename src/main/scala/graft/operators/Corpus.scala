@@ -29,15 +29,27 @@ object Corpus {
     */
   val GreedyBucketDocs = 64L
 
+  /** Docs per prefix-sum bucket in [[q_pack_sequences]]'s two-level
+    * distributed cumsum (the bucket-totals table is data_size /
+    * PrefixBucketDocs rows — the only single-partition window input).
+    */
+  val PrefixBucketDocs = 128L
+
   // ---- sequence packing (offset-chunked, fully declarative) ------------
   // Documents in stable doc_id order are laid into one global token
   // stream; sequence id = the 512-token chunk a document STARTS in.
-  // This is the declarative cousin of greedy packing: one distributed
-  // sort (range-partitioned TeraSort shape at scale — no single-node
-  // bottleneck), one window cumsum, one hash-agg. Straddle is allowed
-  // (a doc may overflow its chunk) which is exactly how most LLM
-  // pretraining pipelines pack: concatenate-then-split at the token
-  // level, documents crossing sequence boundaries.
+  // Straddle is allowed (a doc may overflow its chunk) which is
+  // exactly how most LLM pretraining pipelines pack:
+  // concatenate-then-split at the token level, documents crossing
+  // sequence boundaries.
+  //
+  // The global running sum is a TWO-LEVEL distributed prefix sum — a
+  // naive `Window.orderBy(doc_id)` with no partition key collapses
+  // the whole corpus into ONE task. Instead: per-range-bucket token
+  // totals (tiny table, 1 row per PrefixBucketDocs docs), a window
+  // over just that table for bucket offsets, then per-bucket windows
+  // (parallel) plus the broadcast offset. Only the bucket-totals
+  // window is single-partition, at 1/PrefixBucketDocs of the data.
   private val qPackSequences = QuerySpec.of(
     "q_pack_sequences",
     s"""WITH t AS (
@@ -53,11 +65,20 @@ object Corpus {
       |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, d) =>
-    val w = Window.orderBy("doc_id")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), wsTokenCount(col("text")).as("ntok"),
+        (col("doc_id") / PrefixBucketDocs).cast("long").as("bucket"))
+    val bucketOffsets = docs.groupBy("bucket")
+      .agg(sum("ntok").as("btok"))
+      .withColumn("boff",
+        coalesce(sum("btok").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boff")
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), wsTokenCount(col("text")).as("ntok"))
-      .withColumn("off", sum("ntok").over(w) - col("ntok"))
+    docs.join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("off",
+        col("boff") + sum("ntok").over(w) - col("ntok"))
       .groupBy((col("off") / PackBudget).cast("long").as("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
