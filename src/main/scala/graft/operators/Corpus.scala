@@ -304,6 +304,49 @@ object Corpus {
       .orderBy("label")
   }
 
+  // ---- exact per-group quantiles ---------------------------------------
+  // Distribution report of document length per language — EXACT
+  // discrete quantiles (value at rank ceil(q·n) of the sorted
+  // multiset), not a sketch, so the DuckDB oracle matches bit-for-bit.
+  // One window pass per stratum + one hash-agg. Exact quantiles need
+  // a per-group sort by construction; with few huge strata at 100 TB
+  // you'd flip this to approx_percentile (t-digest sketch, one scan,
+  // no sort) and accept the error bound — that tradeoff is the point
+  // of keeping the exact variant as the oracle-checked baseline.
+  private val qLenQuantiles = QuerySpec.of(
+    "q_text_length_quantiles",
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+      |    THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+      |    THEN n_chars END) AS p90,
+      |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+      |    THEN n_chars END) AS p99,
+      |  min(n_chars) AS len_min, max(n_chars) AS len_max
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val byLang = Window.partitionBy("lang")
+    val r = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn",
+        row_number().over(byLang.orderBy("n_chars", "doc_id")))
+      .withColumn("n", count(lit(1)).over(byLang))
+    def atQ(q: Double) = max(when(
+      col("rn") === greatest(lit(1L), ceil(col("n") * q).cast("long")),
+      col("n_chars")))
+    r.groupBy("lang")
+      .agg(max("n").as("n_docs"), atQ(0.50).as("p50"),
+        atQ(0.90).as("p90"), atQ(0.99).as("p99"),
+        min("n_chars").as("len_min"), max("n_chars").as("len_max"))
+      .orderBy("lang")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
-    qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate)
+    qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate,
+    qLenQuantiles)
 }
