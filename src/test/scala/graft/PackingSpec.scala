@@ -77,6 +77,26 @@ class PackingSpec extends SparkSpec {
     assert(run(in.repartition(1)) == run(in.repartition(7)))
   }
 
+  test("greedyPack matches the fold on randomized inputs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { _ =>
+      val n = 50 + rnd.nextInt(400)
+      // sparse non-contiguous ids, token counts spanning tiny to
+      // over-budget (oversized docs must bin alone)
+      val rows = (0 until n).map { _ =>
+        (math.abs(rnd.nextLong()) % 10000L,
+          1L + rnd.nextInt(2 * Corpus.PackBudget.toInt).toLong)
+      }.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "ntok")
+      val got = Corpus.greedyPack(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      val want = referencePack(rows).sortBy(t => (t._1, t._2, t._3))
+      assert(got == want)
+    }
+  }
+
   test("pack_sequences and greedy pack agree on totals") {
     val q = SparkEntry.queries
     val chunked = q("q_pack_sequences")(spark, sf).collect()
