@@ -220,8 +220,7 @@ object Events {
   // ---- stateful streaming sessionization ---------------------------------
   // flatMapGroupsWithState variant of qSessionize — same oracle; the
   // per-user event buffer lives in GroupState (see EventsStreaming).
-  private val qStreamSessions = QuerySpec.of(
-    "q_stream_events_sessionize",
+  private val sessionizeOracle =
     s"""WITH t AS (
       |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
       |l AS (
@@ -236,8 +235,19 @@ object Events {
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ms) AS start_ms, max(ms) - min(ms) AS duration_ms
       |FROM s GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val qStreamSessions = QuerySpec.of(
+    "q_stream_events_sessionize", sessionizeOracle) { (s, d) =>
     graft.streaming.EventsStreaming.sessionizeViaStream(s, d)
+  }
+
+  // Declarative twin: native session_window streaming aggregation
+  // (gap-merged state-store windows) — same oracle as the stateful
+  // sessionizer, proving the two session definitions coincide.
+  private val qStreamSessionWindow = QuerySpec.of(
+    "q_stream_events_session_window", sessionizeOracle) { (s, d) =>
+    graft.streaming.EventsStreaming.sessionWindowViaStream(s, d)
   }
 
   // ---- streaming duplicate collapse --------------------------------------
@@ -309,6 +319,6 @@ object Events {
 
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
-      qAttribution, qStreamHourly, qStreamSessions, qStreamDedup,
-      qStreamEnrich)
+      qAttribution, qStreamHourly, qStreamSessions, qStreamSessionWindow,
+      qStreamDedup, qStreamEnrich)
 }

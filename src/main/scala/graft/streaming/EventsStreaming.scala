@@ -125,6 +125,50 @@ object EventsStreaming {
       .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_after_dedup"))
   }
 
+  /** Declarative sessionization via Spark's native `session_window` —
+    * the built-in-first alternative to the stateful
+    * flatMapGroupsWithState sessionizer ([[sessionizeViaStream]]):
+    * gap-merged windows per user computed entirely by the streaming
+    * aggregation operator (state store managed by Spark, mergeable
+    * across micro-batches), then session numbering by window start.
+    * The batch twin breaks a session when the gap is STRICTLY greater
+    * than 30 min; `session_window` merges while `next < prev + gap`,
+    * so the gap passed is 30 min + 1 ms to make the boundary
+    * inclusive-equal like the batch rule.
+    */
+  def sessionWindowViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_sesswin_${counter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes 1 milliseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ms").as("start_ms"),
+        (max("ms") - min("ms")).as("duration_ms"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val byUser = Window.partitionBy("user_id").orderBy("start_ms")
+    spark.table(name)
+      .select(col("user_id"), col("n_events"), col("start_ms"),
+        col("duration_ms"))
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select("user_id", "session_id", "n_events", "start_ms",
+        "duration_ms")
+      .orderBy("user_id", "session_id")
+  }
+
   /** Stream-static enrichment: the events stream joins a STATIC
     * broadcast dimension (customer → market segment) before a
     * per-segment aggregation. The stream-static join is stateless —
