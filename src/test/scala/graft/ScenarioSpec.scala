@@ -447,6 +447,33 @@ class ScenarioSpec extends SparkSpec {
     assert(got == Seq((1L, 300L, "mid"))) // part z-range 900..1000
   }
 
+  test("allows point & MultiLineString lifts to be processed (ref :781)") {
+    // formatLifts is geometry-agnostic: a Point station-house lift and
+    // a MultiLineString lift both survive formatting, and the Multi*
+    // one explodes into per-part LineString rows.
+    val pt = """{"type":"Feature","properties":{"id":"1",""" +
+      """"aerialway":"chair_lift"},""" +
+      """"geometry":{"type":"Point","coordinates":[1.0,2.0]}}"""
+    val mls = """{"type":"Feature","properties":{"id":"2",""" +
+      """"aerialway":"gondola"},""" +
+      """"geometry":{"type":"MultiLineString",""" +
+      """"coordinates":[[[0,0],[1,1]],[[2,2],[3,3]]]}}"""
+    val decoded = graft.sources.GeoJson.decodeFeaturesFull(
+      Seq(pt, mls).toDF("value"), col("value"))
+      .withColumn("tags", col("properties"))
+      .withColumn("lift_id",
+        element_at(col("properties"), "id").cast("long"))
+      .select("lift_id", "tags", "geomType", "parts")
+    val formatted = graft.operators.Formatters.formatLifts(decoded)
+    assert(formatted.count() == 2) // neither geometry type is dropped
+    val exploded = graft.operators.Formatters.explodeParts(formatted)
+      .select("lift_id", "geomType", "part_no")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSeq.sorted
+    assert(exploded == Seq((1L, "Point", 0),
+      (2L, "LineString", 0), (2L, "LineString", 1)))
+  }
+
   test("populates lift.stations array with associated stations (ref :3380)") {
     val lifts = Seq(liftA).toDF("lift_id", "coords")
     val assoc = LiftStations.associate(stationsDf(
