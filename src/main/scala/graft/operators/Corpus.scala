@@ -346,7 +346,68 @@ object Corpus {
       .orderBy("lang")
   }
 
+  // ---- retrieval ranking (BM25-shaped, log-free) -----------------------
+  // Top-k documents for a fixed query by tf-saturation scoring with a
+  // ratio idf — deliberately LOG-FREE: every operation is IEEE
+  // +,·,/ in a fixed order, so Spark and DuckDB produce bit-identical
+  // doubles (ln() is not bit-specified across libms; BM25's log idf
+  // is the one part that can't be oracle-hashed, so the idf here is
+  // the raw Robertson ratio (N-df+0.5)/(df+0.5) un-logged).
+  // Shape: one corpus scan; (N, avgdl, df_t) reduce to a single
+  // broadcast stats row; scoring is map-side; TakeOrdered top-k —
+  // never a full sort.
+  val QueryTerms: Seq[String] = Seq("table", "fast", "spark")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private val qSearchRank = QuerySpec.of(
+    "q_search_rank", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      val dfs = QueryTerms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(", ")
+      val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+        s"((n - df$i + 0.5) / (df$i + 0.5))" +
+          s" * (len(list_filter(toks, t -> t = '$t')) * ${K1 + 1})" +
+          s" / (len(list_filter(toks, t -> t = '$t'))" +
+          s" + $K1 * (${1 - B} + $B * dl / avgdl))"
+      }.mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, toks, len(toks) AS dl
+        |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfs
+        |  FROM d),
+        |s AS (SELECT doc_id, $score AS score FROM d, stats)
+        |SELECT doc_id, round(score, 6) AS score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val statCols =
+      count(lit(1)).as("n") +:
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          sum(array_contains(col("toks"), t).cast("long")).as(s"df$i")
+        }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      ((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+        (tf * lit(K1 + 1)) /
+        (tf + lit(K1) * (lit(1 - B) +
+          lit(B) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
     qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate,
-    qLenQuantiles)
+    qLenQuantiles, qSearchRank)
 }
