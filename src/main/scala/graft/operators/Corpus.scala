@@ -119,11 +119,36 @@ object Corpus {
       .toDF("bucket", "bin", "doc_id", "ntok")
   }
 
-  // Greedy packing is a sequential recurrence (bin of doc i depends on
-  // the running fill), not SQL-expressible — driver records the
-  // rows-only check; PackingSpec holds the real oracle (an independent
-  // fold reimplementation + invariants + partitioning-invariance).
-  private val qPackGreedy = QuerySpec.noOracle("q_pack_greedy") { (s, d) =>
+  // Greedy packing is a sequential recurrence (bin of doc i depends
+  // on the running fill) — no window expresses it, but a RECURSIVE
+  // CTE does: the oracle advances every bucket one doc per iteration,
+  // replaying the exact fold the mapPartitions scan runs. PackingSpec
+  // additionally checks invariants + partitioning-invariance.
+  private val qPackGreedy = QuerySpec.of(
+    "q_pack_greedy",
+    s"""WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+      |      AS ntok,
+      |    doc_id // $GreedyBucketDocs AS bucket,
+      |    row_number() OVER (PARTITION BY doc_id // $GreedyBucketDocs
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT bucket, rn, doc_id, ntok, 0::BIGINT AS bin, ntok AS fill
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.bucket, d.rn, d.doc_id, d.ntok,
+      |    CASE WHEN g.fill > 0 AND g.fill + d.ntok > $PackBudget
+      |      THEN g.bin + 1 ELSE g.bin END,
+      |    CASE WHEN g.fill > 0 AND g.fill + d.ntok > $PackBudget
+      |      THEN d.ntok ELSE g.fill + d.ntok END
+      |  FROM g JOIN d ON d.bucket = g.bucket AND d.rn = g.rn + 1)
+      |SELECT bucket, bin, count(*) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM g GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin) {
+    (s, d) =>
     greedyPack(Tables.documents(s, d)
         .select(col("doc_id"), wsTokenCount(col("text")).as("ntok")))
       .groupBy("bucket", "bin")
