@@ -208,14 +208,24 @@ object GeoPackage {
     runRows.unionByName(liftRows).unionByName(areaRows).unionByName(spotRows)
   }
 
-  // ---- S11: output merger -------------------------------------------------
+  /** S11 output merger (`/root/reference/src/io/GeoPackageWriter.ts`
+    * merge path): keep every `target` row, insert only `source` rows
+    * whose feature id is absent in that layer — the reference's
+    * existing-id set + INSERT OR IGNORE, re-expressed as a LEFT ANTI
+    * join so the id set never has to fit in one process. Inputs carry
+    * (layer, fid) plus passthrough columns; first-wins on fid within
+    * a layer.
+    */
+  def mergeOutputs(target: DataFrame, source: DataFrame): DataFrame =
+    target.unionByName(
+      source.join(target.select("layer", "fid"),
+        Seq("layer", "fid"), "left_anti"))
+
+  // ---- S11: output merger query ------------------------------------------
   // Two overlapping regional extracts per layer (even ids + every 7th
-  // vs odd ids + every 7th); the merge keeps every target row and
-  // inserts only source rows whose feature_id is absent — the
-  // reference's existing-id set + INSERT OR IGNORE, re-expressed as a
-  // LEFT ANTI join so the id set never has to fit in one process.
-  // The merged id checksum (order-independent sum of row hashes)
-  // verifies the surviving row SET, not just the counts.
+  // vs odd ids + every 7th) run through [[mergeOutputs]]. The merged
+  // id checksum (order-independent sum of row hashes) verifies the
+  // surviving row SET, not just the counts.
   private val qMerge = QuerySpec.of(
     "q_merge_outputs", {
       val h = HashFunctions.sqlHash64("fid")
@@ -266,7 +276,7 @@ object GeoPackage {
     val source = all.filter(pmod(col("k"), lit(2)) =!= 0 || isShared)
       .select("layer", "fid")
     val inserted = source.join(target, Seq("layer", "fid"), "left_anti")
-    val merged = target.unionByName(inserted).localCheckpoint()
+    val merged = mergeOutputs(target, source).localCheckpoint()
     def cnt(df: DataFrame, name: String) =
       df.groupBy("layer").agg(count(lit(1)).as(name))
     merged.groupBy("layer")
