@@ -299,15 +299,23 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))
     // assignment: broadcast the K centroids, keep the argmax row —
-    // map-side only, no shuffle until the list-id candidate join
+    // map-side only, no shuffle until the list-id candidate join.
+    // The inverted lists ARE the index: persisted once per dataset
+    // fingerprint as a parquet scaffold (same architecture as the
+    // minhash-sig and ann-lsh-index artifacts) — queries re-read the
+    // lists instead of re-deriving them, and the artifact survives
+    // session and executor loss.
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("cid"))
-    val asg = n.crossJoin(broadcast(cent))
-      .withColumn("cos",
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 9))
-      .withColumn("rk", row_number().over(wAsg))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid"))
+    val asg = graft.Scaffold.table(s, "ann-ivf-lists",
+        Tables.fingerprint(s, d, "embeddings")) {
+      n.crossJoin(broadcast(cent))
+        .withColumn("cos",
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 9))
+        .withColumn("rk", row_number().over(wAsg))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
     val q = n.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
