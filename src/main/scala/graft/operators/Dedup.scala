@@ -367,6 +367,89 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- winnowing (rolling-hash substring fingerprints) -------------------
+  // The MOSS-style sketch: hash every K-char gram, keep the MINIMUM
+  // hash of each W-gram window (the winnowing guarantee: any shared
+  // substring of length ≥ K+W-1 contributes at least one common
+  // fingerprint), pair documents sharing ≥ T sketch values. This is
+  // the substring-level dedup the token-set fingerprint cannot see —
+  // partial overlap, boilerplate, quotations.
+  //
+  // Scale shape: sketching is one map-side pass (the O(n·W) window
+  // min here would be an O(n) monotonic-deque rolling min in a custom
+  // Expression at 100 TB — semantics identical); fingerprints that
+  // occur in more than WINNOW_MAXDF documents are dropped as
+  // stop-grams BEFORE the pair join — the df cap is what keeps a
+  // boilerplate gram shared by half the corpus from going quadratic,
+  // same guard as the LSH bucket cap.
+  private val WINNOW_K = 16
+  private val WINNOW_W = 16
+  private val WINNOW_T = 4
+  private val WINNOW_MAXDF = 64
+
+  private val qWinnow = QuerySpec.of(
+    "q_dedup_winnow", {
+      val h = "CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), " +
+        s"$WINNOW_K)), 1, 8)) AS BIGINT)"
+      s"""WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - $WINNOW_K + 2),
+        |      i -> $h) AS hs
+        |  FROM documents
+        |  WHERE length(text) >= ${WINNOW_K + WINNOW_W - 1}),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, len(hs) - $WINNOW_W + 2),
+        |      j -> list_min(list_slice(hs, j, j + $WINNOW_W - 1))))
+        |      AS sketch
+        |  FROM g),
+        |f0 AS (SELECT doc_id, unnest(sketch) AS fp FROM s),
+        |keep AS (
+        |  SELECT fp FROM f0 GROUP BY fp
+        |  HAVING count(*) <= $WINNOW_MAXDF),
+        |f AS (SELECT f0.* FROM f0 JOIN keep USING (fp)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS shared
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b HAVING count(*) >= $WINNOW_T)
+        |SELECT doc_a, doc_b, shared FROM p
+        |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    val minLen = WINNOW_K + WINNOW_W - 1
+    val grams = Tables.fanout(Tables.documents(s, d))
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text")) - WINNOW_K + 1),
+          i => graft.functions.HashFunctions.hash32(
+            col("text").substr(i, lit(WINNOW_K)))).as("hs"))
+      // materialization barrier: the window-min pass reads `hs` once
+      // per window position; without it Project-collapse inlines the
+      // per-gram md5 array into EVERY reference (O(n·W) rehashing)
+      .localCheckpoint()
+    val sketch = grams.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - WINNOW_W + 1),
+        j => array_min(slice(col("hs"), j, lit(WINNOW_W))))).as("sketch"))
+    val f0 = sketch
+      .select(col("doc_id"), explode(col("sketch")).as("fp"))
+      .localCheckpoint()
+    val keep = f0.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WINNOW_MAXDF)
+      .select("fp")
+    val f = f0.join(keep, Seq("fp"))
+    f.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(f.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WINNOW_T)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard, qEmbed)
+    Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
+      qEmbed, qWinnow)
 }
