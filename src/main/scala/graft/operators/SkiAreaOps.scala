@@ -196,6 +196,48 @@ object SkiAreaOps {
         size(col("acts")) === 0)
       .select("area_id", "sk_id")
       .localCheckpoint()
+    combineMerge(osm, sk, matched)
+  }
+
+  /** The reference's actual merge-candidate search is OBJECT-mediated:
+    * a Skimap area merges into the OSM areas that OWN an object (run /
+    * lift) within the 250 m buffer of the Skimap geometry — not into
+    * areas whose own anchor happens to be nearby
+    * (`SkiAreaClusteringService.ts:823-857` `getSkiAreasToMergeInto`:
+    * findNearbyObjects → flatMap(_.skiAreas)). This is what lets a
+    * Skimap area merge into an OSM super-polygon whose anchor is far
+    * away but whose member objects surround it (scenario `:1728`), and
+    * into both a sub-area and a super-area at once (`:1814`) — while an
+    * object-less super-area never matches (`:1662`).
+    *
+    * `objects` = member-object positions `(area_id, lon, lat)`, one row
+    * per (owning area, object). Matching shuffles only the narrow
+    * object/sk position rows through the shared grid kernel; the
+    * activity-compat filter joins on the (small) per-area activity dim.
+    */
+  def mergeSkiAreasViaObjects(osm: DataFrame, sk: DataFrame,
+      objects: DataFrame, radiusM: Double, cellDeg: Double): DataFrame = {
+    val matched = Clustering.distanceJoin(
+      objects.select(col("area_id"), col("lon"), col("lat")),
+      sk.select(col("sk_id"), col("lon"), col("lat"), col("acts")),
+      radiusM, cellDeg)
+      .select("area_id", "sk_id", "acts")
+      .distinct()
+      .join(osm.select(col("area_id"), col("acts").as("oacts")), "area_id")
+      .filter(size(array_intersect(col("oacts"), col("acts"))) > 0 ||
+        size(col("acts")) === 0)
+      .select("area_id", "sk_id")
+      .localCheckpoint()
+    combineMerge(osm, sk, matched)
+  }
+
+  /** Applies the merge-combine rules to `matched` (area_id, sk_id)
+    * pairs: union activities/websites, prefer-OSM websites, first-match
+    * name/wikidata/placeholder-geometry fallbacks, standalone
+    * pass-through of unmatched Skimap areas.
+    */
+  private def combineMerge(osm: DataFrame, sk: DataFrame,
+      matched: DataFrame): DataFrame = {
     val mj = matched.join(sk, "sk_id")
     val bySk = Window.partitionBy("area_id").orderBy("sk_id")
     val firsts = mj

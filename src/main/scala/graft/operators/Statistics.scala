@@ -195,6 +195,87 @@ object Statistics {
   }
 
   // ---- A1 full shape -----------------------------------------------------
+
+  /** The reusable A1 statistics kernel
+    * (`/root/reference/src/statistics/SkiAreaStatistics.ts:37-235`;
+    * scenarios `ClusterSkiAreas.integration.test.ts:615,706`).
+    *
+    * `runs` = per-(run, activity) rows `(area_id, activity, difficulty,
+    * km, dz, minz, maxz, snowmaking, snowfarming)`; `lifts` = assigned
+    * lift rows `(area_id, lift_type, km, dz, minz, maxz)`. Produces one
+    * row per area with the canonically-sorted nested byActivity/
+    * byDifficulty and byType blocks plus the LIFT-SERVICED top-level
+    * elevations: max = min(runMax, liftMax), min = max(runMin, liftMin)
+    * (`SkiAreaStatistics.ts:71-91`). Elevation 0 counts as missing (JS
+    * truthiness mirrored). Two partial-agg passes per side; the final
+    * per-area joins are on the (small) area key space.
+    */
+  def fullStatistics(runs: DataFrame, lifts: DataFrame): DataFrame = {
+    def nzMin(c: Column) = min(when(c =!= 0.0, c))
+    def nzMax(c: Column) = max(when(c =!= 0.0, c))
+    val rd = runs.groupBy("area_id", "activity", "difficulty")
+      .agg(count(lit(1)).as("n"), sum("km").as("km"),
+        sum(when(col("snowmaking"), col("km")).otherwise(0.0)).as("smk"),
+        sum(when(col("snowfarming"), col("km")).otherwise(0.0)).as("sfk"),
+        sum(abs(col("dz"))).as("cdz"),
+        nzMin(col("minz")).as("mn"), nzMax(col("maxz")).as("mx"))
+    val diffEntry = concat(col("difficulty"), lit(":{n="), col("n"),
+      lit(",km="), format_string("%.4f", col("km")),
+      lit(",smk="), format_string("%.4f", col("smk")),
+      lit(",sfk="), format_string("%.4f", col("sfk")),
+      lit(",dz="), format_string("%.4f", col("cdz")),
+      lit(",min="), when(col("mn").isNull, lit("-"))
+        .otherwise(format_string("%.1f", col("mn"))),
+      lit(",max="), when(col("mx").isNull, lit("-"))
+        .otherwise(format_string("%.1f", col("mx"))),
+      lit("}"))
+    val ra = rd.withColumn("entry", diffEntry)
+      .groupBy("area_id", "activity")
+      .agg(array_join(array_sort(collect_list(col("entry"))), ";").as("diffs"))
+    val rstr = ra
+      .withColumn("ablock", concat(col("activity"), lit(":{"),
+        col("diffs"), lit("}")))
+      .groupBy("area_id")
+      .agg(array_join(array_sort(collect_list(col("ablock"))), "|")
+        .as("runs_stats"))
+    val rroot = runs.groupBy("area_id")
+      .agg(nzMin(col("minz")).as("run_min"), nzMax(col("maxz")).as("run_max"))
+
+    val lt = lifts.groupBy("area_id", "lift_type")
+      .agg(count(lit(1)).as("n"), sum("km").as("km"),
+        sum(abs(col("dz"))).as("cdz"),
+        nzMin(col("minz")).as("mn"), nzMax(col("maxz")).as("mx"))
+    val typeEntry = concat(col("lift_type"), lit(":{n="), col("n"),
+      lit(",km="), format_string("%.4f", col("km")),
+      lit(",dz="), format_string("%.4f", col("cdz")),
+      lit(",min="), when(col("mn").isNull, lit("-"))
+        .otherwise(format_string("%.1f", col("mn"))),
+      lit(",max="), when(col("mx").isNull, lit("-"))
+        .otherwise(format_string("%.1f", col("mx"))),
+      lit("}"))
+    val lstr = lt.withColumn("entry", typeEntry)
+      .groupBy("area_id")
+      .agg(array_join(array_sort(collect_list(col("entry"))), "|")
+        .as("lifts_stats"))
+    val lroot = lifts.groupBy("area_id")
+      .agg(nzMin(col("minz")).as("lift_min"), nzMax(col("maxz")).as("lift_max"))
+
+    rroot.join(lroot, Seq("area_id"), "full_outer")
+      .join(rstr, Seq("area_id"), "left")
+      .join(lstr, Seq("area_id"), "left")
+      .select(col("area_id"),
+        coalesce(col("runs_stats"), lit("")).as("runs_stats"),
+        coalesce(col("lifts_stats"), lit("")).as("lifts_stats"),
+        round(when(col("run_min").isNull, col("lift_min"))
+          .when(col("lift_min").isNull, col("run_min"))
+          .otherwise(greatest(col("run_min"), col("lift_min"))), 1)
+          .as("min_elevation"),
+        round(when(col("run_max").isNull, col("lift_max"))
+          .when(col("lift_max").isNull, col("run_max"))
+          .otherwise(least(col("run_max"), col("lift_max"))), 1)
+          .as("max_elevation"))
+  }
+
   private val qFull = QuerySpec.of(
     "q_ski_statistics_full", {
       s"""WITH ${SkiQueries.oraclePrelude},
@@ -250,69 +331,7 @@ object Statistics {
         |ORDER BY area_id""".stripMargin
     }) { (s, d) =>
     val af = areaFrames(s, d)
-    val runs = af.runs
-
-    def nzMin(c: Column) = min(when(c =!= 0.0, c))
-    def nzMax(c: Column) = max(when(c =!= 0.0, c))
-    val rd = runs.groupBy("area_id", "activity", "difficulty")
-      .agg(count(lit(1)).as("n"), sum("km").as("km"),
-        sum(when(col("snowmaking"), col("km")).otherwise(0.0)).as("smk"),
-        sum(when(col("snowfarming"), col("km")).otherwise(0.0)).as("sfk"),
-        sum(abs(col("dz"))).as("cdz"),
-        nzMin(col("minz")).as("mn"), nzMax(col("maxz")).as("mx"))
-    val diffEntry = concat(col("difficulty"), lit(":{n="), col("n"),
-      lit(",km="), format_string("%.4f", col("km")),
-      lit(",smk="), format_string("%.4f", col("smk")),
-      lit(",sfk="), format_string("%.4f", col("sfk")),
-      lit(",dz="), format_string("%.4f", col("cdz")),
-      lit(",min="), when(col("mn").isNull, lit("-"))
-        .otherwise(format_string("%.1f", col("mn"))),
-      lit(",max="), when(col("mx").isNull, lit("-"))
-        .otherwise(format_string("%.1f", col("mx"))),
-      lit("}"))
-    val ra = rd.withColumn("entry", diffEntry)
-      .groupBy("area_id", "activity")
-      .agg(array_join(array_sort(collect_list(col("entry"))), ";").as("diffs"))
-    val rstr = ra
-      .withColumn("ablock", concat(col("activity"), lit(":{"),
-        col("diffs"), lit("}")))
-      .groupBy("area_id")
-      .agg(array_join(array_sort(collect_list(col("ablock"))), "|")
-        .as("runs_stats"))
-    val rroot = af.rroot
-    val lt = af.lj.groupBy("area_id", "lift_type")
-      .agg(count(lit(1)).as("n"), sum("km").as("km"),
-        sum(abs(col("dz"))).as("cdz"),
-        nzMin(col("minz")).as("mn"), nzMax(col("maxz")).as("mx"))
-    val typeEntry = concat(col("lift_type"), lit(":{n="), col("n"),
-      lit(",km="), format_string("%.4f", col("km")),
-      lit(",dz="), format_string("%.4f", col("cdz")),
-      lit(",min="), when(col("mn").isNull, lit("-"))
-        .otherwise(format_string("%.1f", col("mn"))),
-      lit(",max="), when(col("mx").isNull, lit("-"))
-        .otherwise(format_string("%.1f", col("mx"))),
-      lit("}"))
-    val lstr = lt.withColumn("entry", typeEntry)
-      .groupBy("area_id")
-      .agg(array_join(array_sort(collect_list(col("entry"))), "|")
-        .as("lifts_stats"))
-    val lroot = af.lroot
-
-    rroot.join(lroot, Seq("area_id"), "full_outer")
-      .join(rstr, Seq("area_id"), "left")
-      .join(lstr, Seq("area_id"), "left")
-      .select(col("area_id"),
-        coalesce(col("runs_stats"), lit("")).as("runs_stats"),
-        coalesce(col("lifts_stats"), lit("")).as("lifts_stats"),
-        round(when(col("run_min").isNull, col("lift_min"))
-          .when(col("lift_min").isNull, col("run_min"))
-          .otherwise(greatest(col("run_min"), col("lift_min"))), 1)
-          .as("min_elevation"),
-        round(when(col("run_max").isNull, col("lift_max"))
-          .when(col("lift_max").isNull, col("run_max"))
-          .otherwise(least(col("run_max"), col("lift_max"))), 1)
-          .as("max_elevation"))
-      .orderBy("area_id")
+    fullStatistics(af.runs, af.lj).orderBy("area_id")
   }
 
   // ---- E2: elevation profile heights -------------------------------------

@@ -213,6 +213,62 @@ class ScenarioSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  // ---- polygon association + adjacency fallback (steps 2+6) ----
+
+  test("associates lifts and runs with polygon OSM ski area (ref :1059)") {
+    val areas = Seq((1L, square(0.0, 0.0, 0.005), 0.0, 0.0))
+      .toDF("area_id", "ring", "alon", "alat")
+    val objs = Seq( // a lift line and a run loop, both inside the ring
+      (2L, Seq(Seq(0.001, 0.001), Seq(0.002, 0.002)), false, 150.0),
+      (3L, Seq(Seq(-0.001, 0.0), Seq(-0.002, -0.001), Seq(-0.001, -0.002)),
+        false, 300.0))
+      .toDF("way_id", "coords", "in_site", "len_m")
+    val got = Clustering.coveredBy(areas, objs, Cell, 1)
+      .select("way_id", "area_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((2L, 1L), (3L, 1L)))
+  }
+
+  test("associates adjacent objects when no polygon contains them (ref :1153)") {
+    // The run sits just OUTSIDE the polygon: the containment pass
+    // misses it, the adjacency pass (transitive expansion from the
+    // area anchor, 500 m) picks it up.
+    val areas = Seq((1L, square(0.0, 0.0, 0.002), 0.0, 0.0))
+      .toDF("area_id", "ring", "alon", "alat")
+    val run = Seq( // ~280 m out: outside the ring, inside the 500 m reach
+      (2L, Seq(Seq(0.0025, 0.0), Seq(0.0035, 0.0)), false, 110.0))
+      .toDF("way_id", "coords", "in_site", "len_m")
+    assert(Clustering.coveredBy(areas, run, Cell, 1).isEmpty)
+    val adj = Clustering.transitiveAssign(
+      Seq((1L, "downhill", 0.0, 0.0)).toDF("area_id", "act", "lon", "lat"),
+      Seq((2L, Seq("downhill"), 0.0025, 0.0)).toDF("okey", "uses", "lon", "lat"),
+      R, Cell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(adj == Seq((2L, 1L)))
+  }
+
+  test("contained lift goes to its containing polygon, not the nearer adjacent area (ref :1263)") {
+    // Lift inside area 20's polygon; area 10's anchor is CLOSER to the
+    // lift than area 20's. Containment wins: the lift is assigned to
+    // 20 by the polygon pass, and the adjacency pass only ever sees
+    // unassigned objects, so 10 cannot steal it.
+    val areas = Seq(
+      (10L, square(0.0, 0.0, 0.002), 0.0, 0.0),
+      (20L, square(0.008, 0.0, 0.005), 0.008, 0.0))
+      .toDF("area_id", "ring", "alon", "alat")
+    val lift = Seq( // at x=0.004: inside 20's ring, nearer 10's anchor
+      (2L, Seq(Seq(0.004, 0.0), Seq(0.005, 0.0)), false, 110.0))
+      .toDF("way_id", "coords", "in_site", "len_m")
+    val contained = Clustering.coveredBy(areas, lift, Cell, 1)
+      .select("way_id", "area_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(contained == Seq((2L, 20L)))
+    val unassigned = lift.join(
+      Clustering.coveredBy(areas, lift, Cell, 1).select("way_id"),
+      Seq("way_id"), "left_anti")
+    assert(unassigned.isEmpty) // nothing left for the adjacency pass
+  }
+
   // ---- site-based adoption via transitive closure (step 4) ----
 
   test("site area adopts nearby unassociated same-activity runs transitively (ref :2301)") {
@@ -427,6 +483,58 @@ class ScenarioSpec extends SparkSpec {
     assert(got.forall(_._4 == "downhill;nordic"))
   }
 
+  private def mergeVia(osm: org.apache.spark.sql.DataFrame,
+      sk: org.apache.spark.sql.DataFrame,
+      objs: (Long, Double, Double)*) =
+    operators.SkiAreaOps.mergeSkiAreasViaObjects(osm, sk,
+      objs.toDF("area_id", "lon", "lat"), 250.0, Cell)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq.sortBy(x => (x._2, x._1))
+
+  test("merges OSM super-area containing multiple Skimap areas when it has objects inside (ref :1728)") {
+    // The OSM polygon's own anchor is ~55 km away, but it owns two
+    // member objects, each beside a different Skimap area. The
+    // object-mediated search merges BOTH Skimap areas into it.
+    val got = mergeVia(
+      osmDf((1L, Some("Super"), Seq("downhill"), Seq(), None, false,
+        0.5, 0.0)),
+      skDf(
+        (50L, "North", Seq("downhill"), Seq("https://sk.example/50"),
+          None, 0.0, 0.01),
+        (51L, "South", Seq("downhill", "nordic"), Seq(), Some("Q51"),
+          0.0, -0.01)),
+      (1L, 0.0005, 0.01), (1L, 0.0005, -0.01))
+    assert(got == Seq((1L, "openstreetmap", "Super", "downhill;nordic",
+      "https://sk.example/50")))
+  }
+
+  test("merges Skimap area into both sub-area and super-area OSM polygons (ref :1814)") {
+    // One object is owned by both the sub-area and the super-area (the
+    // sub-polygon nests inside the super-polygon); the Skimap area
+    // beside it merges into BOTH, and its original disappears.
+    val got = mergeVia(
+      osmDf(
+        (1L, Some("Sub"), Seq("downhill"), Seq(), None, false, 0.3, 0.0),
+        (2L, Some("Super"), Seq("downhill"), Seq(), None, false, 0.6, 0.0)),
+      skDf((50L, "Resort", Seq("downhill", "nordic"), Seq(), None,
+        0.0, 0.0)),
+      (1L, 0.001, 0.0), (2L, 0.001, 0.0))
+    assert(got.map(x => (x._1, x._4)) ==
+      Seq((1L, "downhill;nordic"), (2L, "downhill;nordic")))
+  }
+
+  test("object-less OSM super-area never absorbs Skimap areas (ref :1662 via objects)") {
+    // Same geometry as :1728 but the super-area owns NO objects — the
+    // Skimap areas stay standalone even though the polygon could span
+    // them (the search is object-mediated, not geometry-mediated).
+    val got = mergeVia(
+      osmDf((1L, Some("Empty"), Seq("downhill"), Seq(), None, false,
+        0.5, 0.0)),
+      skDf((50L, "North", Seq("downhill"), Seq(), None, 0.0, 0.01)))
+    assert(got.map(x => (x._1, x._2)) ==
+      Seq((1L, "openstreetmap"), (50L, "skimap")))
+  }
+
   test("placeholder site geometry is replaced by the matched Skimap position (ref :2230)") {
     val row = operators.SkiAreaOps.mergeSkiAreas(
       osmDf((1L, None, Seq("downhill"), Seq(), None, true, 0.001, 0.0005)),
@@ -504,5 +612,134 @@ class ScenarioSpec extends SparkSpec {
         .select("sid"))
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(kept == Seq(1L, 3L))
+  }
+
+  // ---- site=piste keep rules (ref :2684, :2727, :2769) ----
+
+  test("keeps site=piste area with only backcountry runs; activities inferred (ref :2684)") {
+    // The backcountry member is eligible BECAUSE of its site
+    // membership; the activity-less site then takes [downhill] from it.
+    val prepared = prep(rawRuns((2L, Seq("downhill"), Some("backcountry"),
+      None, true)))
+    assert(prepared == Seq((2L, "downhill", false))) // eligible, not a basis
+    val inferred = Clustering.inferAreaActivities(
+      Seq((1L, Seq.empty[String])).toDF("area_id", "activities"),
+      Seq((1L, "downhill")).toDF("area_id", "act"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(inferred == Seq((1L, Seq("downhill"))))
+  }
+
+  test("keeps site=piste area with only non-skiing activities (ref :2727)") {
+    // A sled-use member yields no supported activities — the site area
+    // still survives (declared membership, not activity-derived) with
+    // an EMPTY activity list.
+    val prepared = prep(rawRuns((2L, Seq("sled"), None, None, true)))
+    assert(prepared.isEmpty) // no supported activity rows
+    val kept = Clustering.inferAreaActivities(
+      Seq((1L, Seq.empty[String])).toDF("area_id", "activities"),
+      spark.emptyDataset[(Long, String)].toDF("area_id", "act"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(kept == Seq((1L, Seq()))) // area row survives, activities []
+  }
+
+  test("extends site=piste area with nearby runs; activities follow (ref :2769)") {
+    // Site with a declared downhill member; a second unassociated run
+    // within 500 m is adopted by the expansion pass, and the inferred
+    // activity set covers both members' uses.
+    val adopted = Clustering.transitiveAssign(
+      Seq((1L, "downhill", 0.0, 0.0), (1L, "nordic", 0.0, 0.0))
+        .toDF("area_id", "act", "lon", "lat"),
+      Seq((2L, Seq("downhill"), 0.001, 0.0),
+        (3L, Seq("nordic"), 0.003, 0.0))
+        .toDF("okey", "uses", "lon", "lat"),
+      R, Cell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(adopted == Seq((2L, 1L), (3L, 1L)))
+    val inferred = Clustering.inferAreaActivities(
+      Seq((1L, Seq.empty[String])).toDF("area_id", "activities"),
+      Seq((1L, "downhill"), (1L, "nordic")).toDF("area_id", "act"))
+      .collect().map(_.getSeq[String](1)).head
+    assert(inferred == Seq("downhill", "nordic"))
+  }
+
+  test("spots associate to areas but never create one (ref :2877)") {
+    // A crossing spot near a generated area attaches via the distance
+    // join; a lone spot with no area nearby creates nothing (spots
+    // never enter the generation node set).
+    val nodesDf = nodes(
+      (1L, "downhill", 0.0, 0.0, false),
+      (2L, "downhill", 0.001, 0.0, true))
+    val areas = Clustering.generateSkiAreas(nodesDf, R, Cell)
+      .join(nodesDf.select("oid", "lon", "lat"), "oid")
+      .groupBy("area_id").agg(min("lon").as("lon"), min("lat").as("lat"))
+      .select("area_id", "lon", "lat")
+    val spots = Seq(
+      (7L, 0.002, 0.0),  // ~220 m from the area's anchor
+      (8L, 0.5, 0.5))    // nothing anywhere near
+      .toDF("spot_id", "lon", "lat")
+    val attached = Clustering.distanceJoin(
+      areas, spots.select(col("spot_id"), col("lon"), col("lat")), R, Cell)
+      .select("spot_id", "area_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(attached == Seq((7L, 1L)))
+    // and a spots-only node set generates no areas at all
+    assert(gen(nodes((9L, "downhill", 0.0, 0.0, true))).isEmpty)
+  }
+
+  // ---- ski-area statistics (A1; ref :615, :706) ----
+
+  private def statRuns(rows: (Long, String, String, Double, Double, Double,
+      Double, Boolean, Boolean)*) =
+    rows.toDF("area_id", "activity", "difficulty", "km", "dz", "minz",
+      "maxz", "snowmaking", "snowfarming")
+
+  private def statLifts(rows: (Long, String, Double, Double, Double, Double)*) =
+    rows.toDF("area_id", "lift_type", "km", "dz", "minz", "maxz")
+
+  private def stats(runs: DataFrame, lifts: DataFrame) =
+    operators.Statistics.fullStatistics(runs, lifts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._1)
+
+  test("lift-served skiable vertical caps top-level elevations (ref :615)") {
+    // Run 150..250, t-bar lift 100..200 → skiable window is the
+    // intersection: min = max(150, 100) = 150, max = min(250, 200) = 200.
+    val got = stats(
+      statRuns((1L, "downhill", "other", 0.4626, 100.0, 150.0, 250.0,
+        false, false)),
+      statLifts((1L, "t-bar", 0.4553, 100.0, 100.0, 200.0)))
+    assert(got.size == 1)
+    val (_, runsStats, liftsStats, mn, mx) = got.head
+    assert(mn.contains(150.0) && mx.contains(200.0))
+    assert(runsStats ==
+      "downhill:{other:{n=1,km=0.4626,smk=0.0000,sfk=0.0000," +
+        "dz=100.0000,min=150.0,max=250.0}}")
+    assert(liftsStats ==
+      "t-bar:{n=1,km=0.4553,dz=100.0000,min=100.0,max=200.0}")
+  }
+
+  test("statistics for backcountry run via site membership; no lifts (ref :706)") {
+    // A backcountry-groomed run is only in the stats because its site
+    // membership kept it eligible; with no lifts the run extremes pass
+    // through uncapped and the lifts block is empty.
+    val got = stats(
+      statRuns((1L, "downhill", "other", 0.4626, 100.0, 150.0, 250.0,
+        false, false)),
+      statLifts())
+    val (_, runsStats, liftsStats, mn, mx) = got.head
+    assert(mn.contains(150.0) && mx.contains(250.0))
+    assert(liftsStats == "")
+    assert(runsStats.startsWith("downhill:{other:{n=1"))
+  }
+
+  test("elevation of exactly 0 counts as missing in statistics (JS truthiness)") {
+    val got = stats(
+      statRuns((1L, "downhill", "other", 1.0, 0.0, 0.0, 0.0, false, false)),
+      statLifts((1L, "gondola", 1.0, 50.0, 0.0, 50.0)))
+    val (_, _, liftsStats, mn, mx) = got.head
+    // run contributes no elevations; lift minz=0 missing too
+    assert(mn.isEmpty && mx.contains(50.0))
+    assert(liftsStats.contains("min=-,max=50.0"))
   }
 }
