@@ -421,5 +421,125 @@ object Similarity {
       .orderBy("label")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qBrute, qLsh, qIvf, qRecall, qQuantize)
+  // ---- deterministic k-means (Lloyd) over quantized embeddings -----------
+  // Embedding-space clustering for corpus curation (topic balancing,
+  // per-cluster sampling). Lloyd's algorithm is float-sum-order
+  // sensitive, so the oracle-checkable variant runs on integer-
+  // quantized vectors: q_d = trunc(x_d * 64 ± 0.5) (same cast-identical
+  // rounding as q_embed_quantize), centroid updates are EXACT bigint
+  // per-dim sums divided by exact counts, and distances are fixed-order
+  // folds over the 64 dims — every float op is bit-reproducible in both
+  // engines, so 3 full Lloyd rounds hash-match a DuckDB replay.
+  //
+  // Scale shape: centroids are driver state (k×64 doubles — the same
+  // contract as MLlib's KMeans), assignment is a map-only broadcast-
+  // argmin via a literal least(struct(dist, cid)...) over the corpus
+  // scan, and the update shuffles only (cid, dim) partial sums — 512
+  // groups regardless of corpus size, with map-side combine.
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** One map-only assignment pass: argmin over literal centroids,
+    * ties to the lower cid. Returns (vec_id, cid, q).
+    */
+  private def kmAssign(qv: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val candidates = cents.map { case (cid, cv) =>
+      val dist = aggregate(
+        zip_with(col("q"), typedLit(cv.toSeq),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(dist.as("dist"), lit(cid).as("cid"))
+    }
+    qv.withColumn("m", least(candidates: _*))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("q"))
+  }
+
+  /** Exact centroid update: per-(cid, dim) bigint sums → mean as an
+    * exact-ratio double. Collects k×DIM rows to the driver.
+    */
+  private def kmUpdate(assigned: DataFrame): Array[(Int, Array[Double])] =
+    assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "qd")))
+      .groupBy("cid", "dim")
+      .agg(sum("qd").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        val cv = new Array[Double](DIM)
+        rows.foreach(r =>
+          cv(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble)
+        (cid, cv)
+      }
+      .toArray.sortBy(_._1)
+
+  /** DuckDB replay of one Lloyd round: assignment `a$t` from centroids
+    * `c${t-1}`, update `c$t` from `a$t`.
+    */
+  private def kmOracleRound(t: Int): String =
+    s"""a$t AS (
+      |  SELECT vec_id, q, cid FROM (
+      |    SELECT v.vec_id, v.q, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, ${DIM + 1}), i ->
+      |          (CAST(v.q[i] AS DOUBLE) - c.cv[i])
+      |            * (CAST(v.q[i] AS DOUBLE) - c.cv[i]))), c.cid) AS rn
+      |    FROM qv v CROSS JOIN c${t - 1} c)
+      |  WHERE rn = 1),
+      |c$t AS (
+      |  SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+      |    SELECT cid, u.dim AS dim,
+      |      CAST(sum(q[u.dim]) AS DOUBLE) / count(*) AS mu
+      |    FROM a$t, unnest(range(1, ${DIM + 1})) AS u(dim)
+      |    GROUP BY cid, dim)
+      |  GROUP BY cid)""".stripMargin
+
+  private val qKmeans = QuerySpec.of(
+    "q_embed_kmeans", {
+      val rounds = (1 to KmIters).map(kmOracleRound).mkString(",\n")
+      s"""WITH qv AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |    CAST(trunc(x * $DIM
+        |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |    list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $KmK)),
+        |$rounds
+        |SELECT a.cid, count(*) AS n_members,
+        |  any_value(sig) AS centroid_sig
+        |FROM a$KmIters a JOIN (
+        |  SELECT cid, array_to_string(
+        |    list_transform(cv, x -> printf('%.6f', x)), ';') AS sig
+        |  FROM c$KmIters) c ON a.cid = c.cid
+        |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val qv = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => (x * DIM + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
+          .as("q"))
+      .localCheckpoint() // 3 passes + final count read these blocks
+    var cents: Array[(Int, Array[Double])] =
+      qv.orderBy("vec_id").limit(KmK).collect().zipWithIndex.map {
+        case (r, i) => (i, r.getSeq[Long](1).map(_.toDouble).toArray)
+      }
+    var assigned: DataFrame = null
+    for (_ <- 1 to KmIters) {
+      assigned = kmAssign(qv, cents)
+      cents = kmUpdate(assigned)
+    }
+    val sigs = cents.map { case (cid, cv) =>
+      (cid, cv.map(x => f"$x%.6f").mkString(";"))
+    }.toSeq.toDF("cid", "centroid_sig")
+    assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(broadcast(sigs), "cid")
+      .select(col("cid"), col("n_members"), col("centroid_sig"))
+      .orderBy("cid")
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans)
 }
