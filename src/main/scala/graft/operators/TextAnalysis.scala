@@ -265,7 +265,84 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  // ---- Bloom-filter contamination pre-screen -----------------------------
+  // The scale path for cross-corpus membership: build an m-bit Bloom
+  // filter over a held-out set's canonical fingerprints (here the
+  // doc_id%17 pseudo benchmark split), probe every remaining document,
+  // then confirm flagged candidates exactly — reporting true hits and
+  // Bloom false positives separately. The bit set is ≤ m distinct
+  // positions (m = 8192 → a few KB), so the probe is a broadcast join:
+  // one corpus scan, no shuffle of document rows at any corpus size.
+  // Hashing is Kirsch-Mitzenmacher-style seeded md5 (i:fingerprint),
+  // identical in both engines, so the whole screen — including which
+  // false positives fire — replays exactly in DuckDB. m is sized so the
+  // FP path actually fires at the larger gate scales rather than
+  // rounding to zero.
+  private val BloomBits = 8192
+  private val BloomHashes = 4
+
+  private val qBloomScreen = QuerySpec.of(
+    "q_bloom_screen", {
+      val fp = sql.fingerprint
+      def posSql(fpExpr: String) =
+        s"CAST(('0x' || substr(md5(h.i || ':' || $fpExpr), 1, 8)) AS BIGINT) % $BloomBits"
+      s"""WITH bench AS (
+        |  SELECT DISTINCT $fp AS fp FROM documents WHERE doc_id % 17 = 0),
+        |bits AS (
+        |  SELECT DISTINCT ${posSql("fp")} AS pos
+        |  FROM bench CROSS JOIN unnest([0, 1, 2, 3]) AS h(i)),
+        |probe AS (
+        |  SELECT doc_id, source, $fp AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |flagged AS (
+        |  SELECT p.doc_id, p.source, p.fp
+        |  FROM (SELECT pr.*, ${posSql("pr.fp")} AS pos
+        |        FROM probe pr CROSS JOIN unnest([0, 1, 2, 3]) AS h(i)) p
+        |  JOIN bits b ON p.pos = b.pos
+        |  GROUP BY 1, 2, 3 HAVING count(*) = $BloomHashes),
+        |conf AS (
+        |  SELECT f.source, (b.fp IS NOT NULL) AS confirmed
+        |  FROM flagged f LEFT JOIN bench b ON f.fp = b.fp)
+        |SELECT source, count(*) AS n_flagged,
+        |  CAST(sum(CASE WHEN confirmed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_confirmed,
+        |  CAST(sum(CASE WHEN confirmed THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_false_pos
+        |FROM conf GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions.hash32
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        fingerprint(col("text")).as("fp"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select("fp").distinct()
+    def pos(fpc: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) =
+      pmod(hash32(concat(i.cast("string"), lit(":"), fpc)), lit(BloomBits))
+    val bits = bench
+      .select(explode(sequence(lit(0), lit(BloomHashes - 1))).as("i"),
+        col("fp"))
+      .select(pos(col("fp"), col("i")).as("pos")).distinct()
+    val flagged = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("i", explode(sequence(lit(0), lit(BloomHashes - 1))))
+      .withColumn("pos", pos(col("fp"), col("i")))
+      .join(broadcast(bits), "pos")
+      .groupBy("doc_id", "source", "fp")
+      .agg(count(lit(1)).as("nh"))
+      .filter(col("nh") === BloomHashes)
+    flagged
+      .join(broadcast(bench.withColumn("confirmed", lit(true))),
+        Seq("fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_flagged"),
+        sum(when(col("confirmed"), 1).otherwise(0)).cast("long")
+          .as("n_confirmed"),
+        sum(when(col("confirmed"), 0).otherwise(1)).cast("long")
+          .as("n_false_pos"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
-    qPostings)
+    qPostings, qBloomScreen)
 }
