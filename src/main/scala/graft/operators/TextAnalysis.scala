@@ -342,7 +342,48 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- BPE merge-pass pair statistics -------------------------------------
+  // The first iteration of byte-pair-encoding vocabulary induction:
+  // corpus-weighted adjacent symbol-pair frequencies. The scale trick
+  // is the standard one — aggregate the corpus to its DISTINCT word
+  // frequency table first (a few 100k rows no matter how many TB of
+  // text), then explode each distinct word's character pairs exactly
+  // once, weighted by its corpus frequency. Two hash-aggs with map-side
+  // partials; the expensive per-character explode runs over the tiny
+  // vocabulary, never the corpus.
+  private val BpeTopK = 25
+
+  private val qBpePairs = QuerySpec.of(
+    "q_bpe_pairs", {
+      val toks = sql.toks
+      s"""WITH words AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM documents, unnest($toks) AS u(w)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(word, p.i, 2) AS pair,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM words CROSS JOIN
+        |    unnest(range(1, CAST(strlen(word) AS BIGINT))) AS p(i)
+        |  WHERE strlen(word) >= 2
+        |  GROUP BY 1)
+        |SELECT pair, cnt FROM pairs
+        |ORDER BY cnt DESC, pair LIMIT $BpeTopK""".stripMargin
+    }) { (s, d) =>
+    val words = Tables.fanout(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
-    qPostings, qBloomScreen)
+    qPostings, qBloomScreen, qBpePairs)
 }
