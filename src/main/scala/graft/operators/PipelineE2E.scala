@@ -228,10 +228,16 @@ object PipelineE2E {
     // 3D geometry in position order. Segment stats then read the full
     // profile (min/max over ALL points), matching E1's standalone
     // behavior.
+    // Position rows shuffle NARROW: only (okey, pidx, key) goes through
+    // the cache join and only (okey, pidx, z) through the reassembly —
+    // the 2-D coordinates never leave `withEnds`; the 3-D geometry is
+    // rebuilt with a zip against the per-run z array. At corpus scale
+    // this halves the bytes of the two position-row exchanges.
     val pts = norm.select(col("run_id").as("okey"),
         posexplode(col("coords")).as(Seq("pidx", "pt")))
-      .withColumn("key", packKey(qix(element_at(col("pt"), 1)),
-        qix(element_at(col("pt"), 2))))
+      .select(col("okey"), col("pidx"),
+        packKey(qix(element_at(col("pt"), 1)),
+          qix(element_at(col("pt"), 2))).as("key"))
     val emptyCache = s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL("key bigint, value double"))
@@ -242,19 +248,19 @@ object PipelineE2E {
     val segZ = pts.join(cache, Seq("key"))
       .groupBy("okey")
       .agg(transform(
-        sort_array(collect_list(struct(col("pidx"), col("pt"), col("value")))),
-        p => array(element_at(p.getField("pt"), 1),
-          element_at(p.getField("pt"), 2), p.getField("value")))
-        .as("coords3d"))
+        sort_array(collect_list(struct(col("pidx"), col("value")))),
+        p => p.getField("value")).as("zarr"))
     // checkpoint: enriched feeds the clustering object table AND the
     // final statistics scan — one materialization instead of re-running
     // the cache join per consumer.
-    val zs = transform(col("coords3d"), p => element_at(p, 3))
     val enriched = withEnds.join(segZ, Seq("okey"))
-      .withColumn("z_start", element_at(element_at(col("coords3d"), 1), 3))
-      .withColumn("z_end", element_at(element_at(col("coords3d"), -1), 3))
-      .withColumn("z_min", array_min(zs))
-      .withColumn("z_max", array_max(zs))
+      .withColumn("coords3d", zip_with(col("coords"), col("zarr"),
+        (p, z) => array(element_at(p, 1), element_at(p, 2), z)))
+      .withColumn("z_start", element_at(col("zarr"), 1))
+      .withColumn("z_end", element_at(col("zarr"), -1))
+      .withColumn("z_min", array_min(col("zarr")))
+      .withColumn("z_max", array_max(col("zarr")))
+      .drop("zarr")
       .localCheckpoint()
 
     // ---- stage 4: clustering (J10/J7) on the canonical anchor ----
