@@ -15,6 +15,7 @@ object SparkEntry {
       operators.TextAnalysis.specs ++
       operators.Dedup.specs ++
       operators.Corpus.specs ++
+      operators.CorpusProfile.specs ++
       operators.Similarity.specs ++
       operators.Events.specs ++
       operators.SkiQueries.specs ++

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.CorpusProfile
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the corpus-profiling operators over the
+  * sf0.001 tables (oracle hash-equality is the driver gate; these pin
+  * the structural properties a hash can't express).
+  */
+class CorpusProfileSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("vocab coverage: rates bounded, OOV nonzero with a top-16 vocab") {
+    val rows = run("q_vocab_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nOov = r.getAs[Long]("n_oov")
+      val rate = r.getAs[Double]("oov_rate")
+      assert(nOov <= nTok)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // 31 token types vs a 16-entry vocab: some source must see OOV
+    assert(rows.map(_.getAs[Long]("n_oov")).sum > 0)
+  }
+
+  test("source overlap: ordered pairs, shared bounded by set sizes") {
+    val rows = run("q_source_overlap").collect()
+    assert(rows.nonEmpty, "overlap matrix must not be trivially empty")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      val shared = r.getAs[Long]("n_shared")
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(shared >= 1 && shared <= math.min(na, nb))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("dup spans: coverage bounded; exact-dup documents imply full span coverage") {
+    val rows = run("q_dup_spans").collect()
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum > 0,
+      "corpus has exact-dup docs, so dup spans must fire")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // Any doc with an exact same-text twin and >= SpanGram tokens is
+    // fully covered by duplicated grams; its source must report
+    // dup_tokens >= that doc's token count.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"),
+        functions.TextFunctions.wsTokenCount(col("text")).as("ntok"))
+    val twin = docs.groupBy("text").count().filter(col("count") > 1)
+      .join(docs, Seq("text"))
+      .filter(col("ntok") >= CorpusProfile.SpanGram)
+      .groupBy("source").agg(max("ntok").as("need"))
+      .as[(String, Int)].collect().toMap
+    val got = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("dup_tokens")).toMap
+    twin.foreach { case (src, need) =>
+      assert(got.getOrElse(src, 0L) >= need,
+        s"source $src: twin doc with $need tokens must be span-covered")
+    }
+  }
+}
