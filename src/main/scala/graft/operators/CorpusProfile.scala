@@ -196,5 +196,115 @@ object CorpusProfile {
       .orderBy("source")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qVocabCoverage, qSourceOverlap, qDupSpans)
+  /** Token budget for the epochs-at-budget column of the mixture
+    * weight report.
+    */
+  val MixBudgetTokens = 1000000L
+
+  // ---- temperature-resampling mixture weights --------------------------
+  // The "how much of each source do I actually train on" sheet:
+  // natural token share per source, the alpha=0.5 temperature weight
+  // (w_i ∝ n_i^alpha — upweights small sources, the standard
+  // multilingual/multi-source rebalancing), and the implied epochs
+  // over each source at a fixed token budget. alpha is fixed at 0.5
+  // because sqrt is an IEEE-exact operation — the whole report stays
+  // engine-hashable where a pow()-based temperature would not be.
+  // Shape: one partial-agg scan to 20 source rows; the normalizer is
+  // a 1-row broadcast.
+  private val qMixtureWeights = QuerySpec.of(
+    "q_mixture_weights",
+    s"""WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+      |    sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z
+      |  FROM c)
+      |SELECT source, n_docs, n_tokens,
+      |  round(n_tokens / tot, 6) AS nat_share,
+      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS w_alpha,
+      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z * $MixBudgetTokens
+      |    / n_tokens, 6) AS epochs_at_budget
+      |FROM c, t ORDER BY source""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col("text"))).as("n_tokens"))
+    val t = c.agg(sum("n_tokens").cast("double").as("tot"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("z"))
+    val w = sqrt(col("n_tokens").cast("double")) / col("z")
+    c.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("nat_share"),
+        round(w, 6).as("w_alpha"),
+        round(w * MixBudgetTokens / col("n_tokens"), 6)
+          .as("epochs_at_budget"))
+      .orderBy("source")
+  }
+
+  // ---- quality-score vs duplication calibration ------------------------
+  // Does the heuristic quality score actually separate duplicated
+  // content? Bucket documents by quality decile (floor(score*10) on
+  // the shared score formula) and report the exact-duplicate rate per
+  // bucket — the calibration curve a curator reads before trusting
+  // score thresholds as a filter. The dup flag is corpus-wide
+  // fingerprint multiplicity; the decile join is a broadcast of the
+  // tiny dup-fingerprint set's doc ids via an equality join on fp.
+  private val qQualityVsDup = QuerySpec.of(
+    "q_quality_vs_dup", {
+      val toks = sql.toks
+      val fp = sql.fingerprint
+      s"""WITH t AS (
+        |  SELECT doc_id, $fp AS fp, $toks AS toks,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+        |        AS DOUBLE) / length(text) END AS punct_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |        AS DOUBLE) / length(text) END AS digit_ratio
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, fp,
+        |    round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+        |      + least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |          CAST(len(list_filter(toks, t -> t IN
+        |            ('the','a','an','and','of','to','in','is','it','that')))
+        |            AS DOUBLE) / len(toks) END) * 4.0) * 0.4
+        |      + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 5.0)) * 0.2,
+        |      6) AS score
+        |  FROM t),
+        |dupfp AS (SELECT fp FROM s GROUP BY fp HAVING count(*) > 1),
+        |b AS (
+        |  SELECT least(9, CAST(floor(s.score * 10) AS BIGINT)) AS bucket,
+        |    s.score, (dupfp.fp IS NOT NULL) AS is_dup
+        |  FROM s LEFT JOIN dupfp ON s.fp = dupfp.fp)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_rate,
+        |  round(min(score), 6) AS score_min, round(max(score), 6) AS score_max
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+    val scored = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        qualityScore(col("text")).as("score"))
+    val dupfp = scored.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("fp"), lit(true).as("is_dup"))
+    scored.join(dupfp, Seq("fp"), "left")
+      .groupBy(least(lit(9), floor(col("score") * 10).cast("long"))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        round(sum(when(col("is_dup"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("dup_rate"),
+        round(min("score"), 6).as("score_min"),
+        round(max("score"), 6).as("score_max"))
+      .orderBy("bucket")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qVocabCoverage, qSourceOverlap, qDupSpans,
+    qMixtureWeights, qQualityVsDup)
 }

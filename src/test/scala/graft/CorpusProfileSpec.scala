@@ -40,6 +40,34 @@ class CorpusProfileSpec extends SparkSpec {
     }
   }
 
+  test("mixture weights: shares and temperature weights each sum to 1") {
+    val rows = run("q_mixture_weights").collect()
+    assert(rows.length > 1)
+    def sumOf(c: String) = rows.map(_.getAs[Double](c)).sum
+    assert(math.abs(sumOf("nat_share") - 1.0) < 1e-4)
+    assert(math.abs(sumOf("w_alpha") - 1.0) < 1e-4)
+    // alpha=0.5 flattens: the largest source's weight must not exceed
+    // its natural share, the smallest source's must not fall below it
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTok.last.getAs[Double]("w_alpha")
+      <= byTok.last.getAs[Double]("nat_share") + 1e-9)
+    assert(byTok.head.getAs[Double]("w_alpha")
+      >= byTok.head.getAs[Double]("nat_share") - 1e-9)
+  }
+
+  test("quality-vs-dup: bucket ranges nest in deciles, rates bounded") {
+    val rows = run("q_quality_vs_dup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9)
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("score_min") <= r.getAs[Double]("score_max"))
+      if (b < 9) assert(r.getAs[Double]("score_max") < (b + 1) / 10.0 + 1e-9)
+    }
+  }
+
   test("dup spans: coverage bounded; exact-dup documents imply full span coverage") {
     val rows = run("q_dup_spans").collect()
     assert(rows.map(_.getAs[Long]("n_dup_docs")).sum > 0,
