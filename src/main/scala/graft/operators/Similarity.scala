@@ -540,6 +540,166 @@ object Similarity {
       .orderBy("cid")
   }
 
+  // ---- product quantization codebooks (the IVF-PQ missing piece) ---------
+  // Split the 64-dim space into M=4 16-dim subspaces and train an
+  // independent K=8 Lloyd codebook per subspace on the same integer-
+  // quantized vectors as q_embed_kmeans — the compression layer a
+  // 100 TB ANN index actually stores (4 bytes/vector here; IVF lists
+  // from q_ann_ivf + these codes = IVF-PQ). Output: per-(subspace,
+  // centroid) member counts + exact centroid signatures, plus the
+  // corpus-wide count of distinct 4-part codes (how much of the
+  // 8^4 code space the corpus occupies).
+  //
+  // Scale shape: training is M sequential Lloyd loops, each a
+  // map-only broadcast-argmin over the corpus and a (cid, dim)
+  // partial-sum shuffle of K×16 groups; the code join is 4 narrow
+  // (vec_id, cid) streams zipped by vec_id. Determinism: identical to
+  // q_embed_kmeans — integer subvectors, exact bigint centroid sums,
+  // fixed-order distance folds, ties to the lower cid.
+  private val PqM = 4
+  private val PqSubDim = DIM / PqM
+  private val PqK = 8
+  private val PqIters = 2
+
+  private def pqUpdate(assigned: DataFrame): Array[(Int, Array[Double])] =
+    assigned
+      .select(col("cid"), posexplode(col("qs")).as(Seq("dim", "qd")))
+      .groupBy("cid", "dim")
+      .agg(sum("qd").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        val cv = new Array[Double](PqSubDim)
+        rows.foreach(r =>
+          cv(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble)
+        (cid, cv)
+      }
+      .toArray.sortBy(_._1)
+
+  private def pqOracleSub(s: Int): String = {
+    val (lo, hi) = (s * PqSubDim + 1, (s + 1) * PqSubDim)
+    def round(t: Int): String =
+      s"""a${t}_$s AS (
+        |  SELECT vec_id, qs, cid FROM (
+        |    SELECT v.vec_id, v.qs, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, ${PqSubDim + 1}), i ->
+        |          (CAST(v.qs[i] AS DOUBLE) - c.cv[i])
+        |            * (CAST(v.qs[i] AS DOUBLE) - c.cv[i]))), c.cid) AS rn
+        |    FROM qv_$s v CROSS JOIN c${t - 1}_$s c)
+        |  WHERE rn = 1),
+        |c${t}_$s AS (
+        |  SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+        |    SELECT cid, u.dim AS dim,
+        |      CAST(sum(qs[u.dim]) AS DOUBLE) / count(*) AS mu
+        |    FROM a${t}_$s, unnest(range(1, ${PqSubDim + 1})) AS u(dim)
+        |    GROUP BY cid, dim)
+        |  GROUP BY cid)""".stripMargin
+    s"""qv_$s AS (
+      |  SELECT vec_id, list_slice(q, $lo, $hi) AS qs FROM qv),
+      |c0_$s AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+      |    list_transform(qs, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM (SELECT vec_id, qs FROM qv_$s ORDER BY vec_id LIMIT $PqK)),
+      |${(1 to PqIters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val qPq = QuerySpec.of(
+    "q_embed_pq", {
+      val subs = (0 until PqM).map(pqOracleSub).mkString(",\n")
+      val codeJoin = (1 until PqM)
+        .map(s => s"JOIN a${PqIters}_$s x$s USING (vec_id)").mkString(" ")
+      val codeCols = (0 until PqM)
+        .map(s => if (s == 0) "x0.cid AS k0" else s"x$s.cid AS k$s")
+        .mkString(", ")
+      // Exact signature: per-dim BIGINT sums over the final members
+      // (with n_members alongside, this determines the centroid
+      // exactly). A fixed-decimal rendering of the double mean is NOT
+      // engine-stable — Java's %.6f rounds half-up, DuckDB's printf
+      // half-even, and exactly-representable halves (sum/2^k) land on
+      // the boundary.
+      val perSub = (0 until PqM).map { s =>
+        s"""SELECT $s AS subspace, a.cid, count(*) AS n_members,
+          |  any_value(sig) AS centroid_sig
+          |FROM a${PqIters}_$s a JOIN (
+          |  SELECT cid, array_to_string(list(CAST(sm AS VARCHAR)
+          |      ORDER BY dim), ';') AS sig
+          |  FROM (
+          |    SELECT cid, u.dim AS dim, CAST(sum(qs[u.dim]) AS BIGINT) AS sm
+          |    FROM a${PqIters}_$s, unnest(range(1, ${PqSubDim + 1})) AS u(dim)
+          |    GROUP BY cid, dim)
+          |  GROUP BY cid) c ON a.cid = c.cid
+          |GROUP BY a.cid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH qv AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |    CAST(trunc(x * $DIM
+        |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |$subs,
+        |codes AS (
+        |  SELECT x0.vec_id, $codeCols FROM a${PqIters}_0 x0 $codeJoin),
+        |nc AS (
+        |  SELECT count(DISTINCT (${(0 until PqM).map("k" + _).mkString(", ")}))
+        |    AS n FROM codes)
+        |SELECT subspace, cid, n_members, centroid_sig,
+        |  (SELECT n FROM nc) AS n_distinct_codes
+        |FROM ($perSub)
+        |ORDER BY subspace, cid""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val qv = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => (x * DIM + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
+          .as("q"))
+      .localCheckpoint() // M training loops + the code join re-read these
+    val perSub = (0 until PqM).map { sub =>
+      val sv = qv.select(col("vec_id"),
+        slice(col("q"), sub * PqSubDim + 1, PqSubDim).as("qs"))
+      var cents: Array[(Int, Array[Double])] =
+        sv.orderBy("vec_id").limit(PqK).collect().zipWithIndex.map {
+          case (r, i) => (i, r.getSeq[Long](1).map(_.toDouble).toArray)
+        }
+      var assigned: DataFrame = null
+      for (_ <- 1 to PqIters) {
+        val candidates = cents.map { case (cid, cv) =>
+          val dist = aggregate(
+            zip_with(col("qs"), typedLit(cv.toSeq),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (acc, x) => acc + x)
+          struct(dist.as("dist"), lit(cid).as("cid"))
+        }
+        assigned = sv.withColumn("m", least(candidates: _*))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("qs"))
+        cents = pqUpdate(assigned)
+      }
+      (sub, assigned, cents)
+    }
+    val codes = perSub.map { case (sub, a, _) =>
+      a.select(col("vec_id"), col("cid").as(s"k$sub"))
+    }.reduce(_.join(_, "vec_id"))
+    val nCodes = codes.agg(countDistinct(
+      struct((0 until PqM).map(sName => col(s"k$sName")): _*)).as("n"))
+    val rows = perSub.map { case (sub, a, _) =>
+      val sigs = a
+        .select(col("cid"), posexplode(col("qs")).as(Seq("dim", "qd")))
+        .groupBy("cid", "dim").agg(sum("qd").as("sm"))
+        .groupBy("cid")
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("dim"), col("sm")))),
+            p => p.getField("sm").cast("string")), ";").as("centroid_sig"))
+      a.groupBy("cid").agg(count(lit(1)).as("n_members"))
+        .join(sigs, "cid")
+        .select(lit(sub).as("subspace"), col("cid"), col("n_members"),
+          col("centroid_sig"))
+    }.reduce(_.unionByName(_))
+    rows.crossJoin(broadcast(nCodes.select(col("n").as("n_distinct_codes"))))
+      .orderBy("subspace", "cid")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans)
+    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans, qPq)
 }
+
+
