@@ -305,6 +305,74 @@ object CorpusProfile {
       .orderBy("bucket")
   }
 
+  // ---- cross-split n-gram decontamination ------------------------------
+  // The eval-integrity check run before any training job: using the
+  // same hash split as q_split_hash (train <80, test >=90 of
+  // hash32(doc_id)%100), which TEST documents share a word 8-gram
+  // with ANY train document — gram-level leakage that survives
+  // document-level dedup. Shape: both gram sets dedupe with map-side
+  // partials BEFORE the equality join on gram (the only wide op);
+  // contaminated doc ids collapse to a distinct set; per-source
+  // summary re-attaches with a broadcast-sized left join. No
+  // all-pairs anything — only grams present on both sides meet.
+  private val qSplitContamination = QuerySpec.of(
+    "q_split_contamination", {
+      val toks = sql.toks
+      val g = SpanGram
+      val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
+      s"""WITH b AS (
+        |  SELECT doc_id, source, ($bk) % 100 AS bk,
+        |    CASE WHEN len($toks) < $g THEN [] ELSE
+        |      list_transform(range(0, len($toks) - ${g - 1}),
+        |        i -> array_to_string(list_slice($toks, i + 1, i + $g), ' '))
+        |      END AS grams
+        |  FROM documents),
+        |gr AS (SELECT doc_id, source, bk, unnest(grams) AS gram FROM b),
+        |tr AS (SELECT DISTINCT gram FROM gr WHERE bk < 80),
+        |te AS (SELECT DISTINCT doc_id, source, gram FROM gr WHERE bk >= 90),
+        |hit AS (SELECT DISTINCT te.doc_id FROM te JOIN tr USING (gram)),
+        |shared AS (
+        |  SELECT source, count(DISTINCT gram) AS n_shared_grams
+        |  FROM te JOIN tr USING (gram) GROUP BY source),
+        |td AS (SELECT doc_id, source FROM b WHERE bk >= 90)
+        |SELECT td.source, count(*) AS n_test_docs,
+        |  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  round(CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS contam_rate,
+        |  coalesce(any_value(shared.n_shared_grams), 0) AS n_shared_grams
+        |FROM td
+        |LEFT JOIN hit ON td.doc_id = hit.doc_id
+        |LEFT JOIN shared ON td.source = shared.source
+        |GROUP BY td.source ORDER BY td.source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions
+    val b = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        pmod(HashFunctions.hash32(col("doc_id")), lit(100)).as("bk"),
+        shingles(tokens(col("text")), SpanGram).as("grams"))
+    val gr = b.select(col("doc_id"), col("source"), col("bk"),
+      explode(col("grams")).as("gram"))
+    val tr = gr.filter(col("bk") < 80).select("gram").distinct()
+    val te = gr.filter(col("bk") >= 90)
+      .select("doc_id", "source", "gram").distinct()
+    val teHits = te.join(tr, "gram")
+    val hit = teHits.select("doc_id").distinct()
+      .withColumn("is_hit", lit(true))
+    val shared = teHits.groupBy("source")
+      .agg(countDistinct("gram").as("n_shared_grams"))
+    b.filter(col("bk") >= 90).select("doc_id", "source")
+      .join(hit, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum(when(col("is_hit"), 1L).otherwise(0L)).as("n_contaminated"),
+        round(sum(when(col("is_hit"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("contam_rate"))
+      .join(broadcast(shared), Seq("source"), "left")
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qVocabCoverage, qSourceOverlap, qDupSpans,
-    qMixtureWeights, qQualityVsDup)
+    qMixtureWeights, qQualityVsDup, qSplitContamination)
 }

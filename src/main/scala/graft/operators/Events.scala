@@ -317,8 +317,56 @@ object Events {
     graft.streaming.EventsStreaming.enrichViaStream(s, d)
   }
 
+  // ---- volume anomaly detection ----------------------------------------
+  // Daily event-count outliers per event type: days whose count
+  // exceeds mean + 2*stddev of that type's daily series — the basic
+  // data-quality monitor over an ingest stream. Determinism: the
+  // per-type moments come from EXACT bigint sums (sum, sum of
+  // squares) and every double op after that is the same expression
+  // tree in both engines (sqrt/divide/multiply — no pow(), no
+  // cross-row float accumulation), so the flagged set and z-scores
+  // hash-match. Shape: two partial-agg exchanges (day-counts, then
+  // per-type moments — ~|types| rows, broadcast back).
+  private val qAnomaly = QuerySpec.of(
+    "q_events_anomaly",
+    """WITH d AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+      |    AS day, count(*) AS n
+      |  FROM events GROUP BY event_type, day),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+      |    sqrt(greatest(CAST(sum(n * n) AS DOUBLE) / count(*)
+      |      - (CAST(sum(n) AS DOUBLE) / count(*))
+      |        * (CAST(sum(n) AS DOUBLE) / count(*)), 0.0)) AS sd
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, d.day, d.n,
+      |  round((CAST(d.n AS DOUBLE) - mu) / sd, 6) AS z
+      |FROM d JOIN s USING (event_type)
+      |WHERE sd > 0 AND CAST(d.n AS DOUBLE) > mu + 2 * sd
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val days = eventsMs(s, d)
+      .groupBy(col("event_type"),
+        date_format(timestamp_millis(col("ms") - col("ms") % 86400000L),
+          "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mu = col("sn").cast("double") / col("n_days")
+    val stats = days.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+      .select(col("event_type"), mu.as("mu"),
+        sqrt(greatest(col("snn").cast("double") / col("n_days") - mu * mu,
+          lit(0.0))).as("sd"))
+    days.join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0
+        && col("n").cast("double") > col("mu") + lit(2) * col("sd"))
+      .select(col("event_type"), col("day"), col("n"),
+        round((col("n").cast("double") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy("event_type", "day")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
-      qAttribution, qStreamHourly, qStreamSessions, qStreamSessionWindow,
-      qStreamDedup, qStreamEnrich)
+      qAttribution, qAnomaly, qStreamHourly, qStreamSessions,
+      qStreamSessionWindow, qStreamDedup, qStreamEnrich)
 }

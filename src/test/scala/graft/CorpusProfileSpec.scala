@@ -40,6 +40,21 @@ class CorpusProfileSpec extends SparkSpec {
     }
   }
 
+  test("split contamination: counts bounded; known leakage detected") {
+    val rows = run("q_split_contamination").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_test_docs"))
+      val rate = r.getAs[Double]("contam_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (r.getAs[Long]("n_contaminated") == 0)
+        assert(r.getAs[Long]("n_shared_grams") == 0L)
+    }
+    // the sf0.001 corpus has exact-dup twins straddling the hash
+    // split, so leakage must actually fire somewhere
+    assert(rows.map(_.getAs[Long]("n_contaminated")).sum > 0)
+  }
+
   test("mixture weights: shares and temperature weights each sum to 1") {
     val rows = run("q_mixture_weights").collect()
     assert(rows.length > 1)
