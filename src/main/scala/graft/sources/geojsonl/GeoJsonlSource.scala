@@ -1,0 +1,203 @@
+package graft.sources.geojsonl
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for GeoJSONL feature files (SURVEY S4 as a
+  * first-class `spark.read.format(...)` source):
+  *
+  * {{{
+  *   spark.read.format("geojsonl").load("/data/runs")   // registered name
+  *   spark.read.format("graft.sources.geojsonl.GeoJsonlSource").load(...)
+  * }}}
+  *
+  * Rows come out in the library's full canonical form — `properties:
+  * map<string,string>`, `geomType: string`, `parts: array<array<array<
+  * array<double>>>>` (part → ring → position) — exactly
+  * [[graft.sources.GeoJson.decodeFeaturesFull]]'s output, so every
+  * downstream operator (per-part explode, hole-aware containment,
+  * central points) consumes it unchanged. A unit spec pins row-level
+  * equality between this reader and the column-expression decoder.
+  *
+  * Scale shape: one input partition per file — the upstream sink
+  * writes sharded JSONL, so file-granular splits parallelize exactly
+  * like the text source they replace; a byte-range line splitter is
+  * the extension point if someone feeds one giant file. Column
+  * pruning pushes down ([[SupportsPushDownRequiredColumns]]): a query
+  * touching only `geomType` never parses properties or builds
+  * coordinate arrays — visible as ReadSchema in `.explain`.
+  */
+class GeoJsonlSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geojsonl"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoJsonlSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GeoJsonlTable(properties.get("path"))
+}
+
+object GeoJsonlSource {
+  private val Ring = ArrayType(ArrayType(DoubleType))
+  val Schema: StructType = StructType(Seq(
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("geomType", StringType),
+    StructField("parts", ArrayType(ArrayType(Ring)))))
+}
+
+private[geojsonl] class GeoJsonlTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"geojsonl($path)"
+  override def schema(): StructType = GeoJsonlSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoJsonlScanBuilder(
+      Option(path).getOrElse(options.get("path")))
+}
+
+private[geojsonl] class GeoJsonlScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GeoJsonlSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GeoJsonlScan(path, required)
+}
+
+private[geojsonl] case class GeoJsonlInputPartition(file: String)
+    extends InputPartition
+
+private[geojsonl] class GeoJsonlScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // driver-side listing through the session's Hadoop conf (so the
+  // source honors the same filesystems as every other reader); hidden
+  // and _SUCCESS files are skipped like Spark's file sources do
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_")
+            || f.getName.startsWith("."))
+          .sortBy(_.toString)
+      else Array(p)
+    files.map(f => GeoJsonlInputPartition(f.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonlReaderFactory(required.fieldNames)
+}
+
+private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new GeoJsonlPartitionReader(
+      partition.asInstanceOf[GeoJsonlInputPartition].file, fields)
+}
+
+/** Per-file line reader: Jackson-parse each Feature, emit only the
+  * pruned fields. Runs on executors; uses a fresh Hadoop conf (at
+  * cluster scale the driver conf would ride a broadcast, same as
+  * Spark's own SerializableConfiguration pattern).
+  */
+private[geojsonl] class GeoJsonlPartitionReader(file: String,
+    fields: Array[String]) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper
+  private val in = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private var line: String = _
+
+  override def next(): Boolean = {
+    line = in.readLine()
+    while (line != null && line.trim.isEmpty) line = in.readLine()
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val node = mapper.readTree(line)
+    InternalRow.fromSeq(fields.toSeq.map {
+      case "properties" => props(node.path("properties"))
+      case "geomType" => geomType(node) match {
+        case null => null
+        case t => UTF8String.fromString(t)
+      }
+      case "parts" => parts(node)
+      case other => throw new IllegalArgumentException(
+        s"unknown geojsonl field $other")
+    })
+  }
+
+  private def geomType(node: JsonNode): String = {
+    val t = node.path("geometry").path("type")
+    if (t.isTextual) t.asText() else null
+  }
+
+  private def props(p: JsonNode): ArrayBasedMapData =
+    if (!p.isObject) null
+    else {
+      val entries = p.properties().asScala.toSeq
+      new ArrayBasedMapData(
+        new GenericArrayData(
+          entries.map(e => UTF8String.fromString(e.getKey)).toArray[Any]),
+        new GenericArrayData(entries.map { e =>
+          val v = e.getValue
+          if (v.isNull) null
+          else UTF8String.fromString(
+            if (v.isTextual) v.asText() else v.toString)
+        }.toArray[Any]))
+    }
+
+  // part → ring → position nesting, mirroring decodeFeaturesFull
+  private def parts(node: JsonNode): GenericArrayData = {
+    val c = node.path("geometry").path("coordinates")
+    geomType(node) match {
+      case "Point" => arr(arr(arr(pos(c))))
+      case "LineString" => arr(arr(ring(c)))
+      case "Polygon" => arr(rings(c))
+      case "MultiPoint" =>
+        new GenericArrayData(
+          c.asScala.map(p => arr(arr(pos(p))): Any).toArray)
+      case "MultiLineString" =>
+        new GenericArrayData(c.asScala.map(l => arr(ring(l)): Any).toArray)
+      case "MultiPolygon" =>
+        new GenericArrayData(c.asScala.map(rings(_): Any).toArray)
+      case _ => null
+    }
+  }
+
+  private def arr(e: Any): GenericArrayData = new GenericArrayData(Array(e))
+  private def pos(p: JsonNode): GenericArrayData =
+    new GenericArrayData(p.asScala.map(_.asDouble(): Any).toArray)
+  private def ring(l: JsonNode): GenericArrayData =
+    new GenericArrayData(l.asScala.map(pos(_): Any).toArray)
+  private def rings(rs: JsonNode): GenericArrayData =
+    new GenericArrayData(rs.asScala.map(ring(_): Any).toArray)
+
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.GeoJson
+import org.apache.spark.sql.functions._
+
+/** The DSv2 geojsonl reader must agree row-for-row with the
+  * column-expression decoder on every supported geometry type, resolve
+  * by its registered short name, and prune columns.
+  */
+class GeoJsonlSourceSpec extends SparkSpec {
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("geojsonl-src")
+    val lines = Seq(
+      """{"type":"Feature","properties":{"name":"pt","lift":"yes"},"geometry":{"type":"Point","coordinates":[7.5,46.5]}}""",
+      """{"type":"Feature","properties":{"name":"ls"},"geometry":{"type":"LineString","coordinates":[[7.0,46.0],[7.1,46.1]]}}""",
+      """{"type":"Feature","properties":{"name":"pg"},"geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]],[[1.0,1.0],[2.0,1.0],[2.0,2.0],[1.0,1.0]]]}}""",
+      """{"type":"Feature","properties":{"name":"mp"},"geometry":{"type":"MultiPoint","coordinates":[[1.0,2.0],[3.0,4.0]]}}""",
+      """{"type":"Feature","properties":{"name":"mls"},"geometry":{"type":"MultiLineString","coordinates":[[[0.0,0.0],[1.0,1.0]],[[2.0,2.0],[3.0,3.0]]]}}""",
+      """{"type":"Feature","properties":{"name":"mpg"},"geometry":{"type":"MultiPolygon","coordinates":[[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]],[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]]}}""",
+      """{"type":"Feature","properties":null,"geometry":{"type":"Point","coordinates":[0.5,0.5]}}""")
+    import scala.jdk.CollectionConverters._
+    Files.write(dir.resolve("part-0.jsonl"),
+      lines.map(l => l: CharSequence).asJava)
+    dir.toString
+  }
+
+  test("reader matches decodeFeaturesFull row-for-row") {
+    val viaSource = spark.read
+      .format("graft.sources.geojsonl.GeoJsonlSource").load(fixture)
+    val viaExpr = GeoJson.readFeaturesFull(spark, fixture)
+    assert(viaSource.schema == viaExpr.schema)
+    val key = col("properties").getItem("name")
+    val a = viaSource.orderBy(key).collect().map(_.toString)
+    val b = viaExpr.orderBy(key).collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 7)
+  }
+
+  test("short name 'geojsonl' resolves via DataSourceRegister") {
+    val df = spark.read.format("geojsonl").load(fixture)
+    assert(df.count() == 7)
+  }
+
+  test("column pruning pushes into the scan") {
+    val df = spark.read.format("geojsonl").load(fixture)
+      .select("geomType")
+    val types = df.collect().map(_.getString(0)).sorted
+    assert(types.count(_ == "Point") == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("geomType") && !plan.contains("parts"),
+      s"pruned scan should not read parts:\n$plan")
+  }
+}
