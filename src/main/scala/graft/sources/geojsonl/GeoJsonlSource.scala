@@ -60,15 +60,22 @@ object GeoJsonlSource {
 }
 
 private[geojsonl] class GeoJsonlTable(path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"geojsonl($path)"
   override def schema(): StructType = GeoJsonlSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoJsonlScanBuilder(
       Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GeoJsonlWriteBuilder(
+      Option(path).getOrElse(info.options.get("path")), info.schema())
 }
 
 private[geojsonl] class GeoJsonlScanBuilder(path: String)

@@ -44,6 +44,19 @@ class GeoJsonlSourceSpec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("write path round-trips: read(write(df)) is the identity") {
+    val out = Files.createTempDirectory("geojsonl-out").toString
+    val original = spark.read.format("geojsonl").load(fixture)
+    original.write.format("geojsonl").mode("overwrite").save(out)
+    val back = spark.read.format("geojsonl").load(out)
+    val key = col("properties").getItem("name")
+    assert(back.orderBy(key).collect().map(_.toString).toSeq ==
+      original.orderBy(key).collect().map(_.toString).toSeq)
+    // overwrite truncates: writing again must not duplicate rows
+    original.write.format("geojsonl").mode("overwrite").save(out)
+    assert(spark.read.format("geojsonl").load(out).count() == 7)
+  }
+
   test("column pruning pushes into the scan") {
     val df = spark.read.format("geojsonl").load(fixture)
       .select("geomType")
