@@ -373,6 +373,63 @@ object CorpusProfile {
       .orderBy("source")
   }
 
+  // ---- incremental snapshot diff ---------------------------------------
+  // The ingest-pipeline diff report: comparing the current corpus to
+  // the previous snapshot (simulated deterministically as "every doc
+  // whose hash32(doc_id) % 20 != 0 existed before, and docs with
+  // hash32(doc_id, 'mut') % 10 == 0 had different text"), classify
+  // each doc_id as added / changed / unchanged, count removals, and
+  // roll up per source. This is the report an incremental pipeline
+  // prints before deciding what to re-process downstream. Shape: a
+  // doc_id-keyed full outer join of two fingerprint projections of
+  // the SAME scan (self-derived snapshot — at a real deployment the
+  // previous snapshot is its own table, same plan); everything
+  // reduces with map-side partials.
+  private val qCorpusDiff = QuerySpec.of(
+    "q_corpus_diff", {
+      val fp = sql.fingerprint
+      val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
+      val mut = graft.functions.HashFunctions
+        .sqlHash32("CAST(doc_id AS VARCHAR) || ':mut'")
+      s"""WITH cur AS (SELECT doc_id, source, $fp AS fp FROM documents),
+        |prev AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN ($mut) % 10 = 0 THEN 'stale:' || fp ELSE fp END AS fp
+        |  FROM cur WHERE ($bk) % 20 != 0)
+        |SELECT cur.source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN prev.doc_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN prev.doc_id IS NOT NULL
+        |    AND prev.fp <> cur.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN prev.doc_id IS NOT NULL
+        |    AND prev.fp = cur.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
+        |GROUP BY cur.source ORDER BY cur.source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions
+    val cur = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+    val prev = cur
+      .filter(pmod(HashFunctions.hash32(col("doc_id")), lit(20)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(HashFunctions.hash32(
+          concat(col("doc_id").cast("string"), lit(":mut"))), lit(10)) === 0,
+          concat(lit("stale:"), col("fp"))).otherwise(col("fp"))
+          .as("prev_fp"))
+    cur.join(prev, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("prev_fp").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("prev_fp").isNotNull
+          && col("prev_fp") =!= col("fp"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("prev_fp").isNotNull
+          && col("prev_fp") === col("fp"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qVocabCoverage, qSourceOverlap, qDupSpans,
-    qMixtureWeights, qQualityVsDup, qSplitContamination)
+    qMixtureWeights, qQualityVsDup, qSplitContamination, qCorpusDiff)
 }

@@ -70,7 +70,9 @@ private[geojsonl] class GeoJsonlTable(path: String)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoJsonlScanBuilder(
-      Option(path).getOrElse(options.get("path")))
+      Option(path).getOrElse(options.get("path")),
+      "permissive".equalsIgnoreCase(
+        options.getOrDefault("mode", "failfast")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -78,18 +80,20 @@ private[geojsonl] class GeoJsonlTable(path: String)
       Option(path).getOrElse(info.options.get("path")), info.schema())
 }
 
-private[geojsonl] class GeoJsonlScanBuilder(path: String)
+private[geojsonl] class GeoJsonlScanBuilder(path: String,
+    permissive: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GeoJsonlSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GeoJsonlScan(path, required)
+  override def build(): Scan = new GeoJsonlScan(path, required, permissive)
 }
 
 private[geojsonl] case class GeoJsonlInputPartition(file: String)
     extends InputPartition
 
-private[geojsonl] class GeoJsonlScan(path: String, required: StructType)
+private[geojsonl] class GeoJsonlScan(path: String, required: StructType,
+    permissive: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -112,15 +116,16 @@ private[geojsonl] class GeoJsonlScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonlReaderFactory(required.fieldNames)
+    new GeoJsonlReaderFactory(required.fieldNames, permissive)
 }
 
-private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String])
-    extends PartitionReaderFactory {
+private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String],
+    permissive: Boolean) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonlPartitionReader(
-      partition.asInstanceOf[GeoJsonlInputPartition].file, fields)
+      partition.asInstanceOf[GeoJsonlInputPartition].file, fields,
+      permissive)
 }
 
 /** Per-file line reader: Jackson-parse each Feature, emit only the
@@ -129,7 +134,8 @@ private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String])
   * Spark's own SerializableConfiguration pattern).
   */
 private[geojsonl] class GeoJsonlPartitionReader(file: String,
-    fields: Array[String]) extends PartitionReader[InternalRow] {
+    fields: Array[String], permissive: Boolean = false)
+    extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper
   private val in = {
     val p = new Path(file)
@@ -139,15 +145,28 @@ private[geojsonl] class GeoJsonlPartitionReader(file: String,
         java.nio.charset.StandardCharsets.UTF_8))
   }
   private var line: String = _
+  private var node: JsonNode = _
 
+  // parse inside next() so `mode=permissive` can SKIP malformed lines
+  // (the default, failfast, surfaces the file and offending line)
   override def next(): Boolean = {
-    line = in.readLine()
-    while (line != null && line.trim.isEmpty) line = in.readLine()
-    line != null
+    node = null
+    while (node == null) {
+      line = in.readLine()
+      while (line != null && line.trim.isEmpty) line = in.readLine()
+      if (line == null) return false
+      try node = mapper.readTree(line)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          if (!permissive) throw new IllegalArgumentException(
+            s"malformed GeoJSON line in $file: " +
+              line.take(120), e)
+      }
+    }
+    true
   }
 
   override def get(): InternalRow = {
-    val node = mapper.readTree(line)
     InternalRow.fromSeq(fields.toSeq.map {
       case "properties" => props(node.path("properties"))
       case "geomType" => geomType(node) match {

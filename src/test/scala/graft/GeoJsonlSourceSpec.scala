@@ -57,6 +57,28 @@ class GeoJsonlSourceSpec extends SparkSpec {
     assert(spark.read.format("geojsonl").load(out).count() == 7)
   }
 
+  test("malformed lines: failfast throws with context, permissive skips") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("geojsonl-bad")
+    val lines = Seq(
+      """{"type":"Feature","properties":{"name":"ok"},"geometry":{"type":"Point","coordinates":[1.0,2.0]}}""",
+      """{"this is not json""",
+      """{"type":"Feature","properties":{"name":"ok2"},"geometry":{"type":"Point","coordinates":[3.0,4.0]}}""")
+    Files.write(dir.resolve("part-0.jsonl"), lines.map(l => l: CharSequence).asJava)
+    val e = intercept[Exception] {
+      spark.read.format("geojsonl").load(dir.toString).count()
+    }
+    assert(exceptionChain(e).exists(_.getMessage != null)
+      && exceptionChain(e).exists(m =>
+        Option(m.getMessage).exists(_.contains("malformed GeoJSON line"))))
+    val ok = spark.read.format("geojsonl").option("mode", "permissive")
+      .load(dir.toString)
+    assert(ok.count() == 2)
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    e :: Option(e.getCause).map(exceptionChain).getOrElse(Nil)
+
   test("column pruning pushes into the scan") {
     val df = spark.read.format("geojsonl").load(fixture)
       .select("geomType")
