@@ -65,8 +65,8 @@ private[geojsonl] class GeoJsonlTable(path: String)
   override def name(): String = s"geojsonl($path)"
   override def schema(): StructType = GeoJsonlSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoJsonlScanBuilder(
@@ -117,6 +117,11 @@ private[geojsonl] class GeoJsonlScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoJsonlReaderFactory(required.fieldNames, permissive)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new GeoJsonlMicroBatchStream(path, required.fieldNames, permissive)
 }
 
 private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String],

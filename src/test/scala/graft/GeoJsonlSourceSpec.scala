@@ -79,6 +79,30 @@ class GeoJsonlSourceSpec extends SparkSpec {
   private def exceptionChain(e: Throwable): List[Throwable] =
     e :: Option(e.getCause).map(exceptionChain).getOrElse(Nil)
 
+  test("streaming read tails the directory across appended shards") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("geojsonl-stream")
+    def feature(name: String, x: Double) =
+      s"""{"type":"Feature","properties":{"name":"$name"},"geometry":{"type":"Point","coordinates":[$x,0.0]}}"""
+    Files.write(dir.resolve("a.jsonl"),
+      Seq(feature("a1", 1.0), feature("a2", 2.0))
+        .map(l => l: CharSequence).asJava)
+    val q = spark.readStream.format("geojsonl").load(dir.toString)
+      .writeStream.format("memory").queryName("gj_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gj_stream").count() == 2)
+      Files.write(dir.resolve("b.jsonl"),
+        Seq(feature("b1", 3.0)).map(l => l: CharSequence).asJava)
+      q.processAllAvailable()
+      assert(spark.table("gj_stream").count() == 3)
+      val names = spark.table("gj_stream")
+        .select(col("properties").getItem("name")).collect()
+        .map(_.getString(0)).sorted
+      assert(names.toSeq == Seq("a1", "a2", "b1"))
+    } finally q.stop()
+  }
+
   test("column pruning pushes into the scan") {
     val df = spark.read.format("geojsonl").load(fixture)
       .select("geomType")
