@@ -141,10 +141,7 @@ object CorpusProfile {
       s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents),
         |b AS (
         |  SELECT doc_id, source, len(toks) AS ntok,
-        |    CASE WHEN len(toks) < $g THEN [] ELSE
-        |      list_transform(range(0, len(toks) - ${g - 1}),
-        |        i -> array_to_string(list_slice(toks, i + 1, i + $g), ' '))
-        |      END AS grams
+        |    ${sql.shingles("toks", g)} AS grams
         |  FROM t),
         |o AS (
         |  SELECT doc_id,
@@ -322,10 +319,7 @@ object CorpusProfile {
       val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
       s"""WITH b AS (
         |  SELECT doc_id, source, ($bk) % 100 AS bk,
-        |    CASE WHEN len($toks) < $g THEN [] ELSE
-        |      list_transform(range(0, len($toks) - ${g - 1}),
-        |        i -> array_to_string(list_slice($toks, i + 1, i + $g), ' '))
-        |      END AS grams
+        |    ${sql.shingles(toks, g)} AS grams
         |  FROM documents),
         |gr AS (SELECT doc_id, source, bk, unnest(grams) AS gram FROM b),
         |tr AS (SELECT DISTINCT gram FROM gr WHERE bk < 80),
@@ -375,58 +369,81 @@ object CorpusProfile {
 
   // ---- incremental snapshot diff ---------------------------------------
   // The ingest-pipeline diff report: comparing the current corpus to
-  // the previous snapshot (simulated deterministically as "every doc
-  // whose hash32(doc_id) % 20 != 0 existed before, and docs with
-  // hash32(doc_id, 'mut') % 10 == 0 had different text"), classify
-  // each doc_id as added / changed / unchanged, count removals, and
-  // roll up per source. This is the report an incremental pipeline
-  // prints before deciding what to re-process downstream. Shape: a
-  // doc_id-keyed full outer join of two fingerprint projections of
-  // the SAME scan (self-derived snapshot — at a real deployment the
-  // previous snapshot is its own table, same plan); everything
-  // reduces with map-side partials.
+  // the previous snapshot, classify each doc_id as added / changed /
+  // unchanged / removed and roll the counts up per source — the
+  // decision input for incremental re-processing. The previous
+  // snapshot is simulated deterministically from the same scan:
+  // every doc whose hash32(doc_id) % 20 != 0 existed before; docs
+  // with hash32(doc_id, 'mut') % 10 == 0 had different text; and for
+  // every doc with hash32(doc_id, 'del') % 20 == 0 the snapshot held
+  // an extra doc (id + 10^9) that no longer exists — so the removed
+  // path genuinely fires. Shape: a doc_id-keyed FULL OUTER join of
+  // two fingerprint projections (at a real deployment the previous
+  // snapshot is its own table, same plan); everything reduces with
+  // map-side partials.
   private val qCorpusDiff = QuerySpec.of(
     "q_corpus_diff", {
       val fp = sql.fingerprint
       val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
       val mut = graft.functions.HashFunctions
         .sqlHash32("CAST(doc_id AS VARCHAR) || ':mut'")
+      val del = graft.functions.HashFunctions
+        .sqlHash32("CAST(doc_id AS VARCHAR) || ':del'")
       s"""WITH cur AS (SELECT doc_id, source, $fp AS fp FROM documents),
         |prev AS (
         |  SELECT doc_id, source,
         |    CASE WHEN ($mut) % 10 = 0 THEN 'stale:' || fp ELSE fp END AS fp
-        |  FROM cur WHERE ($bk) % 20 != 0)
-        |SELECT cur.source,
-        |  count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN prev.doc_id IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_added,
-        |  CAST(sum(CASE WHEN prev.doc_id IS NOT NULL
+        |  FROM cur WHERE ($bk) % 20 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'gone:' || fp
+        |  FROM cur WHERE ($del) % 20 = 0)
+        |SELECT coalesce(cur.source, prev.source) AS source,
+        |  CAST(sum(CASE WHEN cur.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cur.doc_id IS NOT NULL
+        |    AND prev.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN cur.doc_id IS NOT NULL
+        |    AND prev.doc_id IS NOT NULL
         |    AND prev.fp <> cur.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-        |  CAST(sum(CASE WHEN prev.doc_id IS NOT NULL
-        |    AND prev.fp = cur.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
-        |FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
-        |GROUP BY cur.source ORDER BY cur.source""".stripMargin
+        |  CAST(sum(CASE WHEN cur.doc_id IS NOT NULL
+        |    AND prev.doc_id IS NOT NULL
+        |    AND prev.fp = cur.fp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  CAST(sum(CASE WHEN cur.doc_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed
+        |FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+        |GROUP BY coalesce(cur.source, prev.source)
+        |ORDER BY source""".stripMargin
     }) { (s, d) =>
     import graft.functions.HashFunctions
+    def salted(salt: String) = pmod(HashFunctions.hash32(
+      concat(col("doc_id").cast("string"), lit(salt))), lit(10))
     val cur = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
     val prev = cur
       .filter(pmod(HashFunctions.hash32(col("doc_id")), lit(20)) =!= 0)
-      .select(col("doc_id"),
-        when(pmod(HashFunctions.hash32(
-          concat(col("doc_id").cast("string"), lit(":mut"))), lit(10)) === 0,
-          concat(lit("stale:"), col("fp"))).otherwise(col("fp"))
-          .as("prev_fp"))
-    cur.join(prev, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("prev_fp").isNull, 1L).otherwise(0L)).as("n_added"),
-        sum(when(col("prev_fp").isNotNull
+      .select(col("doc_id"), col("source").as("prev_source"),
+        when(salted(":mut") === 0, concat(lit("stale:"), col("fp")))
+          .otherwise(col("fp")).as("prev_fp"))
+      .unionByName(cur
+        .filter(pmod(HashFunctions.hash32(
+          concat(col("doc_id").cast("string"), lit(":del"))), lit(20)) === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          col("source").as("prev_source"),
+          concat(lit("gone:"), col("fp")).as("prev_fp")))
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .groupBy(coalesce(col("source"), col("prev_source")).as("source"))
+      .agg(
+        sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("fp").isNotNull && col("prev_fp").isNull, 1L)
+          .otherwise(0L)).as("n_added"),
+        sum(when(col("fp").isNotNull && col("prev_fp").isNotNull
           && col("prev_fp") =!= col("fp"), 1L).otherwise(0L))
           .as("n_changed"),
-        sum(when(col("prev_fp").isNotNull
+        sum(when(col("fp").isNotNull && col("prev_fp").isNotNull
           && col("prev_fp") === col("fp"), 1L).otherwise(0L))
-          .as("n_unchanged"))
+          .as("n_unchanged"),
+        sum(when(col("fp").isNull, 1L).otherwise(0L)).as("n_removed"))
       .orderBy("source")
   }
 

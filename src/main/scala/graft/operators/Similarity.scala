@@ -674,7 +674,10 @@ object Similarity {
           .select(col("vec_id"), col("m.cid").as("cid"), col("qs"))
         cents = pqUpdate(assigned)
       }
-      (sub, assigned, cents)
+      // three consumers read the final assignment (code join, member
+      // counts, centroid signatures) — materialize once instead of
+      // re-running the broadcast-argmin scan per consumer
+      (sub, assigned.localCheckpoint(), cents)
     }
     val codes = perSub.map { case (sub, a, _) =>
       a.select(col("vec_id"), col("cid").as(s"k$sub"))

@@ -5,7 +5,6 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -17,6 +16,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 reader for GeoJSONL feature files (SURVEY S4 as a
   * first-class `spark.read.format(...)` source):
@@ -52,6 +52,15 @@ class GeoJsonlSource extends TableProvider with DataSourceRegister {
 }
 
 object GeoJsonlSource {
+  /** The session's Hadoop conf, serialized for executor-side file
+    * access — so `spark.hadoop.*` settings (credentials, custom
+    * filesystems) apply on the read and write paths, not just during
+    * driver-side listing.
+    */
+  private[geojsonl] def sessionConf(): SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+
   private val Ring = ArrayType(ArrayType(DoubleType))
   val Schema: StructType = StructType(Seq(
     StructField("properties", MapType(StringType, StringType)),
@@ -77,7 +86,8 @@ private[geojsonl] class GeoJsonlTable(path: String)
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GeoJsonlWriteBuilder(
-      Option(path).getOrElse(info.options.get("path")), info.schema())
+      Option(path).getOrElse(info.options.get("path")), info.schema(),
+      GeoJsonlSource.sessionConf())
 }
 
 private[geojsonl] class GeoJsonlScanBuilder(path: String,
@@ -116,35 +126,38 @@ private[geojsonl] class GeoJsonlScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonlReaderFactory(required.fieldNames, permissive)
+    new GeoJsonlReaderFactory(required.fieldNames, permissive,
+      GeoJsonlSource.sessionConf())
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream =
-    new GeoJsonlMicroBatchStream(path, required.fieldNames, permissive)
+    new GeoJsonlMicroBatchStream(path, required.fieldNames, permissive,
+      checkpointLocation, GeoJsonlSource.sessionConf())
 }
 
 private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String],
-    permissive: Boolean) extends PartitionReaderFactory {
+    permissive: Boolean, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonlPartitionReader(
       partition.asInstanceOf[GeoJsonlInputPartition].file, fields,
-      permissive)
+      permissive, conf)
 }
 
 /** Per-file line reader: Jackson-parse each Feature, emit only the
-  * pruned fields. Runs on executors; uses a fresh Hadoop conf (at
-  * cluster scale the driver conf would ride a broadcast, same as
-  * Spark's own SerializableConfiguration pattern).
+  * pruned fields. Runs on executors with the serialized session
+  * Hadoop conf.
   */
 private[geojsonl] class GeoJsonlPartitionReader(file: String,
-    fields: Array[String], permissive: Boolean = false)
+    fields: Array[String], permissive: Boolean,
+    conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper
   private val in = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p),
         java.nio.charset.StandardCharsets.UTF_8))

@@ -1,33 +1,69 @@
 package graft.sources.geojsonl
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.util.SerializableConfiguration
 
 /** Micro-batch streaming over a growing directory of GeoJSONL shards —
   * `spark.readStream.format("geojsonl").load(dir)` tails the directory
   * the way the batch sink (or any external producer) appends to it.
   *
-  * Offsets are positions in the stream's append-ordered file list:
-  * each `latestOffset` lists the directory and appends files not seen
-  * before (sorted listing for a deterministic order within one batch),
-  * and batch (start, end) reads exactly `known[start, end)`. The
-  * model assumes an append-only directory — the same contract as
-  * Spark's own file stream source. On restart the list rebuilds from
-  * a fresh sorted listing, so offsets stay monotone as long as files
-  * are only ever added.
+  * Offsets are positions in a write-ahead file list persisted under
+  * the query's checkpoint location (`<checkpoint>/graft-file-list`):
+  * each `latestOffset` lists the directory, appends files not seen
+  * before (sorted listing for a deterministic order within one
+  * batch), and atomically rewrites the log (temp + rename). Batch
+  * (start, end) reads exactly `known[start, end)`. On restart the
+  * list is rebuilt FROM THE LOG, so committed offsets keep meaning
+  * the same files even when later-arriving files sort before earlier
+  * ones — a plain re-listing would silently remap offsets. The
+  * directory is assumed append-only, the same contract as Spark's
+  * own file stream source.
   */
 private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
-    fields: Array[String], permissive: Boolean) extends MicroBatchStream {
+    fields: Array[String], permissive: Boolean, checkpointLocation: String,
+    conf: SerializableConfiguration) extends MicroBatchStream {
 
+  private val logPath = new Path(checkpointLocation, "graft-file-list")
   private val known = scala.collection.mutable.ArrayBuffer[String]()
   private val seen = scala.collection.mutable.HashSet[String]()
 
+  // restart: rebuild the append-ordered list from the log
+  locally {
+    val fs = logPath.getFileSystem(conf.value)
+    if (fs.exists(logPath)) {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(logPath), StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty && seen.add(line)) known += line
+          line = in.readLine()
+        }
+      } finally in.close()
+    }
+  }
+
+  private def persistLog(): Unit = {
+    val fs = logPath.getFileSystem(conf.value)
+    fs.mkdirs(logPath.getParent)
+    val tmp = new Path(logPath.getParent,
+      s".${logPath.getName}.tmp-${java.util.UUID.randomUUID}")
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), StandardCharsets.UTF_8))
+    try known.foreach { f => out.write(f); out.write("\n") }
+    finally out.close()
+    if (fs.exists(logPath)) fs.delete(logPath, false)
+    if (!fs.rename(tmp, logPath))
+      throw new java.io.IOException(s"rename $tmp -> $logPath failed")
+  }
+
   private def refresh(): Unit = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(conf.value)
     if (fs.exists(p)) {
       val files =
         if (fs.getFileStatus(p).isDirectory)
@@ -36,9 +72,11 @@ private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
               || new Path(f).getName.startsWith("."))
             .sorted
         else Array(p.toString)
+      var added = false
       files.foreach { f =>
-        if (seen.add(f)) known += f
+        if (seen.add(f)) { known += f; added = true }
       }
+      if (added) persistLog()
     }
   }
 
@@ -56,15 +94,15 @@ private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
       end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[GeoJsonlOffset].n,
       end.asInstanceOf[GeoJsonlOffset].n)
-    // a restart can ask for a range beyond what this instance has
-    // listed yet — refresh before slicing
-    if (e > known.size) refresh()
+    require(e <= known.size,
+      s"offset $e beyond the persisted file list (${known.size}) — " +
+        "file-list log missing or truncated under " + checkpointLocation)
     known.slice(s, e)
       .map(f => GeoJsonlInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonlReaderFactory(fields, permissive)
+    new GeoJsonlReaderFactory(fields, permissive, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

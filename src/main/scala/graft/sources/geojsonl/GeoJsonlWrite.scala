@@ -2,12 +2,12 @@ package graft.sources.geojsonl
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
+import org.apache.spark.sql.types.{DoubleType, StructType}
+import org.apache.spark.util.SerializableConfiguration
 
 /** DSv2 write path for the geojsonl format: each task renders its
   * rows (canonical full form: properties / geomType / parts) back to
@@ -16,66 +16,98 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructType}
   * identity (pinned by spec). JSON rendering goes through Jackson
   * (proper escaping), not string concat.
   *
-  * Commit protocol: tasks write `part-<partition>-<uuid>.jsonl`
-  * directly (names are collision-free, so no temp/rename dance is
-  * needed for correctness); job commit drops a `_SUCCESS` marker,
-  * task abort deletes the file. `mode("overwrite")` truncates the
-  * target directory via [[SupportsTruncate]].
+  * Commit protocol (crash-safe in both modes):
+  *  - tasks write to HIDDEN temp names (`.part-<id>-<uuid>.jsonl.tmp`
+  *    — invisible to the reader, which skips dot-files), and task
+  *    commit renames to the visible name; a task killed without
+  *    abort() leaves only an invisible temp file;
+  *  - job commit deletes stray temp files, and — for
+  *    `mode("overwrite")` — deletes the files that pre-existed the
+  *    job ONLY NOW, so the previous data survives any failed write;
+  *  - job abort deletes committed-task files and temp files, leaving
+  *    the directory as it was.
+  * All filesystem access goes through the session's Hadoop conf
+  * (serialized to executors), so `spark.hadoop.*` settings apply.
   */
 private[geojsonl] class GeoJsonlWriteBuilder(path: String,
-    schema: StructType) extends WriteBuilder with SupportsTruncate {
+    schema: StructType, conf: SerializableConfiguration)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GeoJsonlBatchWrite(
-      path, schema, doTruncate)
+      path, schema, doTruncate, conf)
   }
 }
 
 private[geojsonl] class GeoJsonlBatchWrite(path: String,
-    schema: StructType, truncate: Boolean) extends BatchWrite {
+    schema: StructType, truncate: Boolean, conf: SerializableConfiguration)
+    extends BatchWrite {
   require(schema.fieldNames.toSeq == Seq("properties", "geomType", "parts"),
     s"geojsonl write expects (properties, geomType, parts), got " +
       schema.fieldNames.mkString(", "))
 
+  private val dir = new Path(path)
+  // visible files present before the job — deleted only at successful
+  // commit when overwriting
+  private var preExisting: Array[Path] = Array.empty
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (truncate && fs.exists(p)) fs.listStatus(p)
-      .foreach(st => fs.delete(st.getPath, true))
-    fs.mkdirs(p)
-    new GeoJsonlWriterFactory(path)
+    val fs = dir.getFileSystem(conf.value)
+    fs.mkdirs(dir)
+    preExisting =
+      if (truncate) fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+        .filterNot(p => p.getName.startsWith(".")
+          || p.getName.startsWith("_"))
+      else Array.empty
+    new GeoJsonlWriterFactory(path, conf)
+  }
+
+  private def cleanTemps(): Unit = {
+    val fs = dir.getFileSystem(conf.value)
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.startsWith(".")
+        && p.getName.endsWith(".jsonl.tmp"))
+      .foreach(fs.delete(_, false))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val p = new Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(new Configuration())
-    fs.create(p, true).close()
+    val fs = dir.getFileSystem(conf.value)
+    preExisting.foreach(fs.delete(_, false))
+    cleanTemps()
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = dir.getFileSystem(conf.value)
+    messages.collect { case GeoJsonlCommit(f) =>
+      fs.delete(new Path(f), false)
+    }
+    cleanTemps()
+  }
 }
 
-private[geojsonl] class GeoJsonlWriterFactory(path: String)
-    extends DataWriterFactory {
+private[geojsonl] class GeoJsonlWriterFactory(path: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GeoJsonlDataWriter(path, partitionId)
+    new GeoJsonlDataWriter(path, partitionId, conf)
 }
 
 private[geojsonl] case class GeoJsonlCommit(file: String)
     extends WriterCommitMessage
 
-private[geojsonl] class GeoJsonlDataWriter(dir: String, partitionId: Int)
-    extends DataWriter[InternalRow] {
+private[geojsonl] class GeoJsonlDataWriter(dir: String, partitionId: Int,
+    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper
-  private val file = new Path(dir,
-    f"part-$partitionId%05d-${java.util.UUID.randomUUID}.jsonl")
-  private val fs = file.getFileSystem(new Configuration())
+  private val finalName =
+    f"part-$partitionId%05d-${java.util.UUID.randomUUID}.jsonl"
+  private val tmpFile = new Path(dir, s".$finalName.tmp")
+  private val fs = tmpFile.getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
-    new java.io.OutputStreamWriter(fs.create(file, true),
+    new java.io.OutputStreamWriter(fs.create(tmpFile, true),
       java.nio.charset.StandardCharsets.UTF_8))
 
   override def write(row: InternalRow): Unit = {
@@ -144,12 +176,15 @@ private[geojsonl] class GeoJsonlDataWriter(dir: String, partitionId: Int)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GeoJsonlCommit(file.toString)
+    val dest = new Path(dir, finalName)
+    if (!fs.rename(tmpFile, dest))
+      throw new java.io.IOException(s"rename $tmpFile -> $dest failed")
+    GeoJsonlCommit(dest.toString)
   }
 
   override def abort(): Unit = {
     out.close()
-    fs.delete(file, false)
+    fs.delete(tmpFile, false)
   }
 
   override def close(): Unit = ()

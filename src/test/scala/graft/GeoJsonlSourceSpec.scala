@@ -103,6 +103,37 @@ class GeoJsonlSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream restart keeps offsets stable when new files sort before old ones") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("geojsonl-restart")
+    val ckpt = Files.createTempDirectory("geojsonl-ckpt").toString
+    def feature(name: String) =
+      s"""{"type":"Feature","properties":{"name":"$name"},"geometry":{"type":"Point","coordinates":[1.0,0.0]}}"""
+    // first file deliberately sorts LAST alphabetically
+    Files.write(dir.resolve("z.jsonl"),
+      Seq(feature("z1")).map(l => l: CharSequence).asJava)
+    val outDir = Files.createTempDirectory("geojsonl-restart-out").toString
+    // memory sink can't recover from a checkpoint — use the file sink
+    def start() = spark.readStream.format("geojsonl")
+      .load(dir.toString)
+      .select(col("properties").getItem("name").as("name"))
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    def names() = spark.read.schema("name string").json(outDir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names() == Seq("z1"))
+    // new file sorts BEFORE the already-committed one; a plain
+    // re-listing would remap offset 1 onto z.jsonl and lose a.jsonl
+    Files.write(dir.resolve("a.jsonl"),
+      Seq(feature("a1")).map(l => l: CharSequence).asJava)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(names() == Seq("a1", "z1"),
+      "restarted query must read exactly the new file, not re-read z")
+  }
+
   test("column pruning pushes into the scan") {
     val df = spark.read.format("geojsonl").load(fixture)
       .select("geomType")
