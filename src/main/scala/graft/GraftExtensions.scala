@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 import graft.functions.{DotProductExpr, LineLengthMExpr}
 
 /** SQL surface for the library's native Catalyst expressions.
@@ -44,6 +45,25 @@ object GraftExtensions {
       s"$name expects 2 arguments, got ${args.size}")
   }
 
+  // The portable md5-based hashes and the Morton interleave are
+  // compositions of Spark's own codegen expressions (Md5 / Conv /
+  // Substring / shift-mask bitwise chain) — registering the SAME
+  // composition the DataFrame helpers build keeps SQL and DSL callers
+  // bit-identical with zero new kernel code.
+  private def hashN(hexChars: Int, e: Expression): Expression =
+    Cast(Conv(Substring(Md5(Cast(Cast(e, StringType), BinaryType)),
+      Literal(1), Literal(hexChars)), Literal(16), Literal(10)), LongType)
+
+  private def spread16(e: Expression): Expression = {
+    def step(x: Expression, sh: Int, mask: Long): Expression =
+      BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(sh))), Literal(mask))
+    step(step(step(step(Cast(e, LongType),
+      8, 0x00FF00FFL), 4, 0x0F0F0F0FL), 2, 0x33333333L), 1, 0x55555555L)
+  }
+
+  private def mortonZ(x: Expression, y: Expression): Expression =
+    BitwiseOr(spread16(x), ShiftLeft(spread16(y), Literal(1)))
+
   /** (identifier, info, builder) triples in the shape
     * `SparkSessionExtensions.injectFunction` and
     * `FunctionRegistry.registerFunction` both accept.
@@ -56,7 +76,16 @@ object GraftExtensions {
       oneArg("graft_line_length_m", LineLengthMExpr)),
     (FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_vec_dot"),
-      twoArg("graft_vec_dot", DotProductExpr(_, _))))
+      twoArg("graft_vec_dot", DotProductExpr(_, _))),
+    (FunctionIdentifier("graft_hash32"),
+      new ExpressionInfo(classOf[Md5].getName, "graft_hash32"),
+      oneArg("graft_hash32", hashN(8, _))),
+    (FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[Md5].getName, "graft_hash64"),
+      oneArg("graft_hash64", hashN(15, _))),
+    (FunctionIdentifier("graft_morton_z"),
+      new ExpressionInfo(classOf[BitwiseOr].getName, "graft_morton_z"),
+      twoArg("graft_morton_z", mortonZ)))
 
   /** Register the functions on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Multimodal.specs ++
       operators.Enrichment.specs ++
       operators.PipelineE2E.specs ++
+      operators.SpatialLayout.specs ++
       operators.GeoPackage.specs ++
       operators.Validity.specs ++
       operators.ViewportHint.specs

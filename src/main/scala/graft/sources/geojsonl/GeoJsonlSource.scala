@@ -92,21 +92,41 @@ private[geojsonl] class GeoJsonlTable(path: String)
 
 private[geojsonl] class GeoJsonlScanBuilder(path: String,
     permissive: Boolean)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = GeoJsonlSource.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GeoJsonlScan(path, required, permissive)
+  // geomType predicates are evaluated exactly in the reader (before
+  // the expensive properties/coordinates decode), so they are
+  // accepted as fully pushed; everything else stays residual
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (accepted, residual) = filters.partition(GeoJsonlFilters.supported)
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+  override def build(): Scan =
+    new GeoJsonlScan(path, required, permissive, pushed)
 }
 
 private[geojsonl] case class GeoJsonlInputPartition(file: String)
     extends InputPartition
 
 private[geojsonl] class GeoJsonlScan(path: String, required: StructType,
-    permissive: Boolean)
+    permissive: Boolean,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"geojsonl $path, PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
 
   // driver-side listing through the session's Hadoop conf (so the
   // source honors the same filesystems as every other reader); hidden
@@ -127,23 +147,24 @@ private[geojsonl] class GeoJsonlScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoJsonlReaderFactory(required.fieldNames, permissive,
-      GeoJsonlSource.sessionConf())
+      GeoJsonlSource.sessionConf(), filters)
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream =
     new GeoJsonlMicroBatchStream(path, required.fieldNames, permissive,
-      checkpointLocation, GeoJsonlSource.sessionConf())
+      checkpointLocation, GeoJsonlSource.sessionConf(), filters)
 }
 
 private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String],
-    permissive: Boolean, conf: SerializableConfiguration)
+    permissive: Boolean, conf: SerializableConfiguration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonlPartitionReader(
       partition.asInstanceOf[GeoJsonlInputPartition].file, fields,
-      permissive, conf)
+      permissive, conf, filters)
 }
 
 /** Per-file line reader: Jackson-parse each Feature, emit only the
@@ -152,7 +173,8 @@ private[geojsonl] class GeoJsonlReaderFactory(fields: Array[String],
   */
 private[geojsonl] class GeoJsonlPartitionReader(file: String,
     fields: Array[String], permissive: Boolean,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper
   private val in = {
@@ -166,14 +188,21 @@ private[geojsonl] class GeoJsonlPartitionReader(file: String,
   private var node: JsonNode = _
 
   // parse inside next() so `mode=permissive` can SKIP malformed lines
-  // (the default, failfast, surfaces the file and offending line)
+  // (the default, failfast, surfaces the file and offending line);
+  // pushed geomType filters reject non-matching features HERE, before
+  // the expensive properties/coordinates decode in get()
   override def next(): Boolean = {
     node = null
     while (node == null) {
       line = in.readLine()
       while (line != null && line.trim.isEmpty) line = in.readLine()
       if (line == null) return false
-      try node = mapper.readTree(line)
+      try {
+        val parsed = mapper.readTree(line)
+        if (filters.isEmpty
+            || GeoJsonlFilters.evalAll(filters, geomType(parsed)))
+          node = parsed
+      }
       catch {
         case e: com.fasterxml.jackson.core.JacksonException =>
           if (!permissive) throw new IllegalArgumentException(

@@ -25,7 +25,9 @@ import org.apache.spark.util.SerializableConfiguration
   */
 private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
     fields: Array[String], permissive: Boolean, checkpointLocation: String,
-    conf: SerializableConfiguration) extends MicroBatchStream {
+    conf: SerializableConfiguration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends MicroBatchStream {
 
   private val logPath = new Path(checkpointLocation, "graft-file-list")
   private val known = scala.collection.mutable.ArrayBuffer[String]()
@@ -102,7 +104,7 @@ private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonlReaderFactory(fields, permissive, conf)
+    new GeoJsonlReaderFactory(fields, permissive, conf, filters)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -143,4 +143,35 @@ class GeoJsonlSourceSpec extends SparkSpec {
     assert(plan.contains("geomType") && !plan.contains("parts"),
       s"pruned scan should not read parts:\n$plan")
   }
+
+  test("geomType filters push into the scan and return exact results") {
+    val base = spark.read.format("geojsonl").load(fixture)
+    val eq = base.filter(col("geomType") === "Point")
+    assert(eq.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(geomType), EqualTo(geomType,Point)"),
+      s"EqualTo should be pushed:\n${eq.queryExecution.executedPlan}")
+    assert(eq.count() == 2)
+    assert(base.filter(col("geomType").isin("Point", "Polygon")).count() == 3)
+    assert(base.filter(col("geomType") =!= "Point").count() == 5)
+    // negation over null geomType must NOT match (three-valued logic)
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("geojsonl-nullgeom")
+    Files.write(dir.resolve("part-0.jsonl"), Seq(
+      """{"type":"Feature","properties":{"name":"nogeom"},"geometry":null}""",
+      """{"type":"Feature","properties":{"name":"pt"},"geometry":{"type":"Point","coordinates":[1.0,2.0]}}""")
+      .map(l => l: CharSequence).asJava)
+    val withNull = spark.read.format("geojsonl").load(dir.toString)
+    assert(withNull.filter(not(col("geomType") === "Point")).count() == 0)
+    assert(withNull.filter(col("geomType").isNull).count() == 1)
+  }
+
+  test("property filters stay residual and still evaluate correctly") {
+    val df = spark.read.format("geojsonl").load(fixture)
+      .filter(col("properties").getItem("lift") === "yes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: []")
+      || !plan.contains("properties"),
+      s"map-access filter must not be claimed as pushed:\n$plan")
+    assert(df.count() == 1)
+  }
 }

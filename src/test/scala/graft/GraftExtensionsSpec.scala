@@ -35,12 +35,43 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_vec_dot"))
   }
 
+  test("graft_hash32/graft_hash64 match the portable hash helpers") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq("a", "hello world", "42", "").toDF("s")
+    df.createOrReplaceTempView("hash_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_hash32(s) AS h32, graft_hash64(s) AS h64 " +
+        "FROM hash_probe ORDER BY s").collect()
+    val viaDsl = df.select(
+        functions.HashFunctions.hash32(col("s")).as("h32"),
+        functions.HashFunctions.hash64(col("s")).as("h64"))
+      .orderBy(col("s")).collect()
+    assert(viaSql.map(_.toString).toSeq == viaDsl.map(_.toString).toSeq)
+  }
+
+  test("graft_morton_z matches the layout operator's interleave") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_morton_z(x, y) AS z FROM VALUES (0, 0), (1, 0), " +
+        "(0, 1), (35999, 17999), (65535, 65535) AS t(x, y) ORDER BY z")
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    val viaDsl = Seq((0, 0), (1, 0), (0, 1), (35999, 17999), (65535, 65535))
+      .toDF("x", "y")
+      .select(operators.SpatialLayout.mortonZ(col("x"), col("y")).as("z"))
+      .orderBy("z").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaDsl)
+    assert(viaSql.take(3) == Seq(0L, 1L, 2L)) // x→even bit, y→odd bit
+  }
+
   test("extensions class wires the same descriptions as register()") {
     val ext = new GraftExtensions
     // applying to a fresh SparkSessionExtensions must accept every
     // description without throwing (the builder-time injection path)
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("graft_line_length_m", "graft_vec_dot"))
+      Seq("graft_hash32", "graft_hash64", "graft_line_length_m",
+        "graft_morton_z", "graft_vec_dot"))
   }
 }
