@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
-import graft.functions.{DotProductExpr, LineLengthMExpr}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
+import graft.functions.{DotProductExpr, LineLengthMExpr, STDWithinExpr}
+import graft.plans.DistanceJoinRule
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -25,8 +26,12 @@ import graft.functions.{DotProductExpr, LineLengthMExpr}
   * whole-stage codegen, not a UDF shim.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // Distance-join planning: rewrites JOIN ... ON graft_st_dwithin(..)
+    // from a cartesian product into the grid-cell equi-join + refine.
+    ext.injectOptimizerRule(_ => DistanceJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -85,12 +90,31 @@ object GraftExtensions {
       oneArg("graft_hash64", hashN(15, _))),
     (FunctionIdentifier("graft_morton_z"),
       new ExpressionInfo(classOf[BitwiseOr].getName, "graft_morton_z"),
-      twoArg("graft_morton_z", mortonZ)))
+      twoArg("graft_morton_z", mortonZ)),
+    (FunctionIdentifier("graft_st_dwithin"),
+      new ExpressionInfo(classOf[STDWithinExpr].getName, "graft_st_dwithin"),
+      { args =>
+        if (args.size != 5) throw new IllegalArgumentException(
+          s"graft_st_dwithin expects (lon1, lat1, lon2, lat2, radiusM)," +
+            s" got ${args.size} arguments")
+        val d = args.map(a =>
+          if (a.dataType == DoubleType) a else Cast(a, DoubleType))
+        STDWithinExpr(d(0), d(1), d(2), d(3), d(4))
+      }))
 
-  /** Register the functions on a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register the functions + the distance-join rule on a live session
+    * (idempotent). The rule lands in `experimental.extraOptimizations`
+    * here — the post-analysis hook available after session build; the
+    * config-time path (`spark.sql.extensions`) injects it into the
+    * main operator-optimization batch instead.
+    */
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(DistanceJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DistanceJoinRule
+  }
 }

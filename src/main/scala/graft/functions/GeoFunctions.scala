@@ -36,6 +36,20 @@ object GeoFunctions {
     lit(2.0 * EarthRadiusM) * asin(sqrt(a))
   }
 
+  /** `graft_st_dwithin` as a DataFrame column: within-`radiusM`-meters
+    * predicate over two points, backed by the native codegen
+    * [[STDWithinExpr]]. Stated in a join condition, the registered
+    * [[graft.plans.DistanceJoinRule]] plans it as a grid-cell
+    * equi-join instead of a cartesian product.
+    */
+  def stDWithin(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+      radiusM: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(STDWithinExpr(expression(lon1.cast("double")),
+      expression(lat1.cast("double")), expression(lon2.cast("double")),
+      expression(lat2.cast("double")), expression(radiusM.cast("double"))))
+  }
+
   /** DuckDB twin of [[haversineM]] (same op order). */
   def sqlHaversineM(lon1: String, lat1: String, lon2: String, lat2: String): String =
     s"(2.0 * $EarthRadiusM) * asin(sqrt(" +

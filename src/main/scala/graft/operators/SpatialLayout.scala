@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import graft.functions.GeoFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -198,5 +199,44 @@ object SpatialLayout {
       .orderBy("bucket")
   }
 
-  def specs: Seq[QuerySpec] = Seq(qSpatialZorder)
+  // Declarative distance join, exercised end-to-end through the PURE
+  // SQL surface: the query text states `JOIN ... ON graft_st_dwithin`
+  // and nothing else — no grid cells, no explode. The registered
+  // DistanceJoinRule plans the grid-cell equi-join (the spec asserts
+  // no cartesian product); the DuckDB oracle replays the same join as
+  // an explicit haversine-filtered cross join, which is affordable at
+  // oracle scale and independent of the rewrite under test. Points
+  // derive from customer/supplier keys by integer arithmetic into a
+  // ~1.5 deg Alpine box; output is integer pair ids only.
+  private def dwPoints(table: String, key: String, mLon: Long, mLat: Long) =
+    s"""SELECT $key AS id,
+      |  CAST(($key * $mLon) % 15000 AS DOUBLE) / 10000.0 + 6.0 AS lon,
+      |  CAST(($key * $mLat) % 15000 AS DOUBLE) / 10000.0 + 45.0 AS lat
+      |FROM $table""".stripMargin
+
+  private val DwRadiusM = 8000.0
+
+  private val qSpatialDwithinSql = QuerySpec.of(
+    "q_spatial_dwithin_sql",
+    s"""WITH c AS (${dwPoints("customer", "c_custkey", 7919L, 104729L)}),
+      |s AS (${dwPoints("supplier", "s_suppkey", 48271L, 69621L)})
+      |SELECT c.id AS cid, s.id AS sid
+      |FROM c JOIN s ON ${GeoFunctions.sqlHaversineM(
+        "c.lon", "c.lat", "s.lon", "s.lat")} <= $DwRadiusM
+      |ORDER BY cid, sid""".stripMargin) { (sp, d) =>
+    graft.GraftExtensions.register(sp)
+    Tables.customer(sp, d).createOrReplaceTempView("graft_dw_customer")
+    Tables.supplier(sp, d).createOrReplaceTempView("graft_dw_supplier")
+    sp.sql(
+      s"""WITH c AS (${dwPoints("graft_dw_customer", "c_custkey",
+          7919L, 104729L)}),
+        |s AS (${dwPoints("graft_dw_supplier", "s_suppkey",
+          48271L, 69621L)})
+        |SELECT c.id AS cid, s.id AS sid
+        |FROM c JOIN s ON graft_st_dwithin(c.lon, c.lat, s.lon, s.lat,
+        |  $DwRadiusM)
+        |ORDER BY cid, sid""".stripMargin)
+  }
+
+  def specs: Seq[QuerySpec] = Seq(qSpatialZorder, qSpatialDwithinSql)
 }

@@ -72,6 +72,6 @@ class GraftExtensionsSpec extends SparkSpec {
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
       Seq("graft_hash32", "graft_hash64", "graft_line_length_m",
-        "graft_morton_z", "graft_vec_dot"))
+        "graft_morton_z", "graft_st_dwithin", "graft_vec_dot"))
   }
 }
