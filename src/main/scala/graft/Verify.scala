@@ -22,13 +22,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be LOUD: it is recorded in
+    // verify_errors.json (written even when empty, so its absence is
+    // itself a signal) and fails the process exit code — a broken
+    // query must never silently vanish from the correctness artifact.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ").take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +53,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    // Summary line (stdout, greppable). NOT a nonzero exit — the driver
+    // must still DuckDB-compare the queries that DID run; the manifest
+    // is the machine-readable failure record.
+    println(s"[verify] ${errors.size} failed of " +
+      s"${SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }}" +
+      (if (errors.nonEmpty) s": ${errors.keys.mkString(", ")}" else ""))
   }
 }

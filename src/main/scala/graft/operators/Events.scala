@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * aggregation, gap-based sessionization, funnel analysis, duplicate
   * collapsing, JSON property extraction.
   *
-  * The parquet `ts` column is TIMESTAMP(NANOS), which Spark 4 refuses
-  * by default (PARQUET_TYPE_ILLEGAL) — we read it with
-  * `spark.sql.legacy.parquet.nanosAsLong` as raw epoch-nanos and floor
-  * to epoch MILLISECONDS immediately (integer `DIV`, exact — the
-  * nanos exceed double's 2^53 exact-integer range, so no double math).
-  * DuckDB's `epoch_ms(ts)` floors the same way, so ms values agree.
+  * The parquet `ts` column has shipped as two physical types across
+  * testdata generations — TIMESTAMP(NANOS) (read as raw epoch-nanos
+  * long under `spark.sql.legacy.parquet.nanosAsLong`) and
+  * timestamp[us] (read as TIMESTAMP_NTZ) — so the reader dispatches on
+  * the scanned dtype ([[msFromTs]]) and floors to epoch MILLISECONDS
+  * immediately (integer `DIV`, exact — nanos exceed double's 2^53
+  * exact-integer range, so no double math). DuckDB's `epoch_ms(ts)`
+  * floors the same way, so ms values agree either way.
   *
   * Scale notes: sessionization is one shuffle on user_id (window
   * functions over the user partition); at 100 TB the events table
@@ -25,14 +27,31 @@ object Events {
 
   private val SESSION_GAP_MS = 30 * 60 * 1000L
 
-  /** events with `ms: Long` (epoch millis) replacing the ns timestamp.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at
-    * session build (Verify/Bench/SparkSpec) — mutating session conf
-    * inside a query function is racy under concurrent queries.
+  /** Epoch-millis expression for a `ts` column of the given scanned
+    * dtype. LongType = legacy TIMESTAMP(NANOS) data surfaced as
+    * epoch-nanos under `spark.sql.legacy.parquet.nanosAsLong` →
+    * integer-floor nanos to ms. Timestamp/TimestampNTZ = current
+    * timestamp[us] data → `unix_micros` then integer-floor to ms (the
+    * NTZ→TIMESTAMP cast is exact because every session pins
+    * `spark.sql.session.timeZone=UTC`, matching the UTC wall-clock the
+    * generator wrote).
+    */
+  private[graft] def msFromTs(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      expr("CAST(ts DIV 1000000 AS BIGINT)")
+    case _ =>
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000")
+  }
+
+  /** events with `ms: Long` (epoch millis) replacing the raw `ts`,
+    * whatever physical type `ts` arrived as (see [[msFromTs]]).
+    * Session conf is never mutated here — that would be racy under
+    * concurrent queries.
     */
   private[operators] def eventsMs(s: SparkSession, d: String): DataFrame = {
-    Tables.events(s, d)
-      .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+    val ev = Tables.events(s, d)
+    ev.withColumn("ms", msFromTs(ev.schema("ts").dataType))
       .drop("ts")
   }
 

@@ -53,7 +53,7 @@ object EventsStreaming {
       .parquet(s"$sfDir/events*.parquet")
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
-        expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"))
+        graft.operators.Events.msFromTs(schema("ts").dataType).as("ms"))
       .as[SessEvent]
     val sessions = stream
       .groupByKey(_.user_id)
@@ -106,7 +106,8 @@ object EventsStreaming {
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$sfDir/events*.parquet")
-      .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .withColumn("ms",
+        graft.operators.Events.msFromTs(schema("ts").dataType))
       .withColumn("event_time", timestamp_millis(col("ms")))
       .withWatermark("event_time", "1 hour")
       .select(col("user_id"), col("event_type"),
@@ -143,7 +144,8 @@ object EventsStreaming {
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$sfDir/events*.parquet")
-      .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .withColumn("ms",
+        graft.operators.Events.msFromTs(schema("ts").dataType))
       .withColumn("event_time", timestamp_millis(col("ms")))
       .withWatermark("event_time", "1 hour")
       .groupBy(col("user_id"),
@@ -206,17 +208,17 @@ object EventsStreaming {
   }
 
   /** Batch-equivalent streaming run of the hourly aggregation.
-    * `ts` arrives as epoch-nanos long (nanosAsLong read); it is floored
-    * to ms and projected to an event-time timestamp for the watermark.
+    * `ts` is floored to ms (schema-dispatched, see Events.msFromTs) and
+    * projected to an event-time timestamp for the watermark.
     */
   def hourlyViaStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // nanosAsLong is set at session build (see Events.eventsMs note)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$sfDir/events*.parquet")
-      .withColumn("ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .withColumn("ms",
+        graft.operators.Events.msFromTs(schema("ts").dataType))
       .withColumn("event_time", timestamp_millis(col("ms")))
       .withWatermark("event_time", "1 hour")
       .groupBy(
