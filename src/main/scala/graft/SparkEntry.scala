@@ -29,6 +29,7 @@ object SparkEntry {
       operators.ClusterPipeline.specs ++
       operators.Multimodal.specs ++
       operators.Enrichment.specs ++
+      operators.TerrainTiles.specs ++
       operators.PipelineE2E.specs ++
       operators.SpatialLayout.specs ++
       operators.GeoPackage.specs ++
