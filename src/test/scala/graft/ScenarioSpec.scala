@@ -77,6 +77,31 @@ class ScenarioSpec extends SparkSpec {
     assert(got.map(x => (x._1, x._4)) == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("clusters ski areas: lift and run join the existing point area (ref :354)") {
+    // The reference's flagship scenario at its own Oberau coordinates:
+    // a Skimap.org point ski area with a T-bar and a run ~100-450 m
+    // away. Both objects adopt area 1 via the adjacency pass, so the
+    // generation pass has nothing left to create.
+    val areas = Seq((1L, "downhill", 11.122066084534, 47.557111836837))
+      .toDF("area_id", "act", "lon", "lat")
+    val objs = Seq(
+      (2L, Seq("downhill"), 11.1223444, 47.5572422), // lift
+      (3L, Seq("downhill"), 11.1164229, 47.5581250)) // run
+      .toDF("okey", "uses", "lon", "lat")
+    val assigned = Clustering.transitiveAssign(areas, objs, R, Cell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(assigned == Seq((2L, 1L), (3L, 1L)))
+    // nothing unassigned → no generated ski area alongside area 1
+    val leftover = objs.join(
+      Clustering.transitiveAssign(areas, objs, R, Cell)
+        .withColumnRenamed("okey", "okey2"),
+      col("okey") === col("okey2"), "left_anti")
+    assert(Clustering.generateSkiAreas(
+      leftover.select(col("okey").as("oid"), lit("downhill").as("act"),
+        col("lon"), col("lat"), lit(false).as("is_lift")),
+      R, Cell).isEmpty)
+  }
+
   // ---- polygon containment + area removal (step 2) ----
 
   private def square(cx: Double, cy: Double, half: Double) = Seq(
@@ -95,6 +120,22 @@ class ScenarioSpec extends SparkSpec {
     val survivors = Clustering.siteOverlapSurvivors(covered)
       .collect().map(_.getLong(0)).toSeq
     assert(survivors == Seq(10L)) // 20 removed: no objects found
+  }
+
+  test("removed empty area's outside run gets its own generated area (ref :2155)") {
+    // The run sits wholly OUTSIDE the only polygon area: the area is
+    // removed (contains nothing), and the run — left unassigned — is
+    // picked up by the generation pass as a fresh nordic ski area.
+    val areas = Seq((10L, square(0.0, 0.0, 0.005), 0.0, 0.0))
+      .toDF("area_id", "ring", "alon", "alat")
+    val runs = Seq(
+      (2L, Seq(Seq(0.02, 0.02), Seq(0.03, 0.03)), false, 100.0))
+      .toDF("way_id", "coords", "in_site", "len_m")
+    val covered = Clustering.coveredBy(areas, runs, Cell, 1)
+    assert(covered.isEmpty)
+    assert(Clustering.siteOverlapSurvivors(covered).isEmpty) // 10 removed
+    val got = gen(nodes((2L, "nordic", 0.02, 0.02, false)))
+    assert(got == Seq((2L, "nordic", false, 2L)))
   }
 
   test("removes landuse area with >50% site overlap by length (ref :2456)") {
@@ -543,6 +584,30 @@ class ScenarioSpec extends SparkSpec {
     // name falls back to the skimap name; geometry to its position
     assert(row.getString(2) == "Named")
     assert(row.getDouble(6) == 0.001 && row.getDouble(7) == 0.0005)
+  }
+
+  test("updates activities and run convention for a site based ski area (ref :2230)") {
+    // Site area declared with NO activities and a placeholder point:
+    // after its member run attaches, activities are inferred from the
+    // member (nordic) and the run convention derives from the UPDATED
+    // geometry — the reference's run at lon/lat ≈ 1.5 lands in the
+    // europe convention, not the placeholder's.
+    val inferred = Clustering.inferAreaActivities(
+      Seq((1L, Seq.empty[String])).toDF("area_id", "activities"),
+      Seq((1L, "nordic")).toDF("area_id", "act"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(inferred == Seq((1L, Seq("nordic"))))
+    // geometry updated to the member centroid → convention re-derived
+    val conv = Seq((1.4993639242219372, 1.4993640268530994, -100.0, 40.0))
+      .toDF("lon", "lat", "plon", "plat")
+      .select(
+        operators.OutputFormats.difficultyConvention(col("lon"), col("lat"))
+          .as("updated"),
+        operators.OutputFormats.difficultyConvention(col("plon"), col("plat"))
+          .as("placeholder"))
+      .head()
+    assert(conv.getString(0) == "europe")
+    assert(conv.getString(1) == "north_america") // would be wrong pre-update
   }
 
   test("associates stations with MultiLineString lifts via part rows (ref :3316)") {
