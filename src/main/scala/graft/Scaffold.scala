@@ -48,6 +48,15 @@ object Scaffold {
         s"graft-scaffold-${sys.props.getOrElse("user.name", "anon")}")
         .getAbsolutePath)
 
+  /** Fingerprint extended with the ALGORITHM parameters the artifact
+    * was built under — an index keyed only by its input data silently
+    * serves stale content when a tunable (plane count derivation,
+    * k, shingle width, ...) changes between binaries. Call sites pass
+    * every constant the build closure reads.
+    */
+  def paramsKey(fingerprint: String, params: (String, Any)*): String =
+    fingerprint + params.map { case (k, v) => s";$k=$v" }.mkString
+
   private def keyHash(fingerprint: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(fingerprint.getBytes("UTF-8"))

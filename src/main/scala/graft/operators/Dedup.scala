@@ -57,7 +57,10 @@ object Dedup {
     * so bench timings measure the query, not JVM warmth.
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    graft.Scaffold.table(s, "minhash-sig", Tables.fingerprint(s, d, "documents")) {
+    graft.Scaffold.table(s, "minhash-sig",
+        graft.Scaffold.paramsKey(Tables.fingerprint(s, d, "documents"),
+          "algo" -> "minhash-v1", "shingle" -> SHINGLE_N,
+          "k" -> MINHASH_K)) {
       Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), shingles(col("toks"), SHINGLE_N).as("sh"))

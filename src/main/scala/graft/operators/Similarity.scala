@@ -122,7 +122,9 @@ object Similarity {
   private def lshIndex(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     graft.Scaffold.table(s, "ann-lsh-index",
-        Tables.fingerprint(s, d, "embeddings")) {
+        graft.Scaffold.paramsKey(Tables.fingerprint(s, d, "embeddings"),
+          "algo" -> "sign-lsh-v1", "targetBucket" -> TARGET_BUCKET,
+          "tables" -> 2)) {
       val np = nPlanes(Tables.embeddings(s, d).count())
       normalized(Tables.embeddings(s, d))
         .withColumn("b0", bucketExpr(col("v"), 0, np))
@@ -308,7 +310,8 @@ object Similarity {
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("cid"))
     val asg = graft.Scaffold.table(s, "ann-ivf-lists",
-        Tables.fingerprint(s, d, "embeddings")) {
+        graft.Scaffold.paramsKey(Tables.fingerprint(s, d, "embeddings"),
+          "algo" -> "ivf-v1", "k" -> IVF_K, "round" -> 9)) {
       n.crossJoin(broadcast(cent))
         .withColumn("cos",
           round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 9))
@@ -455,10 +458,13 @@ object Similarity {
       .select(col("vec_id"), col("m.cid").as("cid"), col("q"))
   }
 
-  /** Exact centroid update: per-(cid, dim) bigint sums → mean as an
-    * exact-ratio double. Collects k×DIM rows to the driver.
+  /** Exact centroid update state: per-(cid, dim) BIGINT member sums
+    * plus the member count — (sums, n) determines the mean exactly and
+    * stays engine-stable (no decimal rendering of a double). Collects
+    * k×DIM rows to the driver.
     */
-  private def kmUpdate(assigned: DataFrame): Array[(Int, Array[Double])] =
+  private def kmUpdateRaw(assigned: DataFrame)
+      : Array[(Int, Array[Long], Long)] =
     assigned
       .select(col("cid"), posexplode(col("q")).as(Seq("dim", "qd")))
       .groupBy("cid", "dim")
@@ -466,12 +472,15 @@ object Similarity {
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cid, rows) =>
-        val cv = new Array[Double](DIM)
-        rows.foreach(r =>
-          cv(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble)
-        (cid, cv)
+        val sums = new Array[Long](DIM)
+        rows.foreach(r => sums(r.getInt(1)) = r.getLong(2))
+        (cid, sums, rows.head.getLong(3))
       }
       .toArray.sortBy(_._1)
+
+  private def kmCentroids(raw: Array[(Int, Array[Long], Long)])
+      : Array[(Int, Array[Double])] =
+    raw.map { case (cid, sums, n) => (cid, sums.map(_.toDouble / n)) }
 
   /** DuckDB replay of one Lloyd round: assignment `a$t` from centroids
     * `c${t-1}`, update `c$t` from `a$t`.
@@ -510,9 +519,13 @@ object Similarity {
         |SELECT a.cid, count(*) AS n_members,
         |  any_value(sig) AS centroid_sig
         |FROM a$KmIters a JOIN (
-        |  SELECT cid, array_to_string(
-        |    list_transform(cv, x -> printf('%.6f', x)), ';') AS sig
-        |  FROM c$KmIters) c ON a.cid = c.cid
+        |  SELECT cid, array_to_string(list(CAST(sm AS VARCHAR)
+        |      ORDER BY dim), ';') AS sig
+        |  FROM (
+        |    SELECT cid, u.dim AS dim, CAST(sum(q[u.dim]) AS BIGINT) AS sm
+        |    FROM a$KmIters, unnest(range(1, ${DIM + 1})) AS u(dim)
+        |    GROUP BY cid, dim)
+        |  GROUP BY cid) c ON a.cid = c.cid
         |GROUP BY a.cid ORDER BY a.cid""".stripMargin
     }) { (s, d) =>
     import s.implicits._
@@ -526,17 +539,18 @@ object Similarity {
       qv.orderBy("vec_id").limit(KmK).collect().zipWithIndex.map {
         case (r, i) => (i, r.getSeq[Long](1).map(_.toDouble).toArray)
       }
-    var assigned: DataFrame = null
+    var raw: Array[(Int, Array[Long], Long)] = null
     for (_ <- 1 to KmIters) {
-      assigned = kmAssign(qv, cents)
-      cents = kmUpdate(assigned)
+      raw = kmUpdateRaw(kmAssign(qv, cents))
+      cents = kmCentroids(raw)
     }
-    val sigs = cents.map { case (cid, cv) =>
-      (cid, cv.map(x => f"$x%.6f").mkString(";"))
-    }.toSeq.toDF("cid", "centroid_sig")
-    assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
-      .join(broadcast(sigs), "cid")
-      .select(col("cid"), col("n_members"), col("centroid_sig"))
+    // Exact signature: per-dim BIGINT member sums (with n_members this
+    // determines the centroid exactly). A fixed-decimal rendering of
+    // the double mean is NOT engine-stable — Java's %.6f rounds
+    // half-up, DuckDB's printf half-even, and exactly-representable
+    // halves (sum/2^k) land on the boundary.
+    raw.map { case (cid, sums, n) => (cid, n, sums.mkString(";")) }
+      .toSeq.toDF("cid", "n_members", "centroid_sig")
       .orderBy("cid")
   }
 

@@ -25,21 +25,28 @@ import graft.functions.STDWithinExpr
   *   - match: inner/cross join whose condition conjunctively contains
   *     an unrefined [[STDWithinExpr]] with a foldable positive radius,
   *     one point per side (either orientation);
-  *   - rewrite: Generate(Explode(9 packed cell ids)) under the point-1
+  *   - rewrite: Generate(Explode(packed cell ids)) under the point-1
   *     side, a projected cell id on the point-2 side, join condition =
   *     cell equality AND the refined predicate AND the remaining
   *     conjuncts, then a Project back to the original output.
   *
-  * Each right row lands in exactly one cell and left rows explode to 9
+  * Each right row lands in exactly one cell and left rows explode to
   * DISTINCT cells, so a qualifying pair joins exactly once — no
-  * post-dedup. Cell size is radius/[[MetersPerCellDegree]] degrees,
-  * which keeps the 3x3 neighborhood complete for |lat| <= 75 deg
-  * (cos 75 deg = 0.2588 > 28800/111320); beyond that the cell walk
-  * would need widening, which no ski-world dataset reaches. Longitude
-  * wraparound at the antimeridian is likewise out of contract (as in
-  * the hand-written kernel). When the rule cannot apply (non-literal
-  * radius, predicate under OR, both points from one side) the
-  * expression still evaluates correctly — just without the rewrite.
+  * post-dedup. Cell size is radius/[[MetersPerCellDegree]] degrees;
+  * latitude rows always need only the ±1 walk (lat degrees are
+  * uniform), but the LONGITUDE walk is LATITUDE-AWARE: the half-width
+  * in cells is ceil((28800/111320) / cos(reachable lat)) per row —
+  * exactly 1 for |lat| <= 75 deg (cos 75 = 0.2588 > 28800/111320,
+  * so equatorial-to-alpine data keeps the classic 3x3 explode), and
+  * widening smoothly toward the poles so arbitrary SQL at |lat| > 75
+  * stays COMPLETE instead of silently missing east-west pairs (the
+  * reachable lat is the row's |lat| plus the radius in lat degrees,
+  * clamped to 89.9 — rows closer to the pole than that have no
+  * east-west direction left to miss). Longitude wraparound at the
+  * antimeridian is out of contract (as in the hand-written kernel).
+  * When the rule cannot apply (non-literal radius, predicate under
+  * OR, both points from one side) the expression still evaluates
+  * correctly — just without the rewrite.
   */
 object DistanceJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -98,10 +105,29 @@ object DistanceJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       BitwiseOr(ShiftLeft(cx, Literal(32)),
         BitwiseAnd(cy, Literal(0xFFFFFFFFL)))
 
-    val cells = CreateArray(for {
-      di <- Seq(-1L, 0L, 1L); dj <- Seq(-1L, 0L, 1L)
-    } yield pack(Add(cellOf(lLon), Literal(di)),
-      Add(cellOf(lLat), Literal(dj))))
+    // latitude-aware longitude half-width (cells): 1 for |lat| <= 75,
+    // ceil(0.2587 / cos(|lat| + radiusLatDeg)) beyond — see scaladoc
+    val reachLat = Least(Seq(
+      Add(Abs(Cast(lLat, org.apache.spark.sql.types.DoubleType)),
+        Literal(radius / 110574.0)),
+      Literal(89.9)))
+    val halfWidth = Greatest(Seq(
+      Ceil(Divide(Literal(radius / 111320.0 / cellDeg),
+        Cos(Multiply(reachLat, Literal(math.Pi / 180.0))))),
+      Literal(1L)))
+    val cx0 = cellOf(lLon)
+    val xVar = NamedLambdaVariable("graft_dwithin_cx", LongType,
+      nullable = true)
+    val yCells = CreateArray(Seq(-1L, 0L, 1L).map(dj =>
+      pack(xVar, Add(cellOf(lLat), Literal(dj)))))
+    // Sequence is TimeZoneAwareExpression: resolved only with a zone,
+    // even for integral sequences where it is irrelevant
+    val xRange = new Sequence(Subtract(cx0, halfWidth),
+      Add(cx0, halfWidth), Some(Literal(1L)))
+      .withTimeZone(org.apache.spark.sql.internal.SQLConf.get
+        .sessionLocalTimeZone)
+    val cells = Flatten(ArrayTransform(xRange,
+      LambdaFunction(yCells, Seq(xVar))))
     val lCell = AttributeReference("graft_dwithin_cell", LongType)()
     val lGen = Generate(Explode(cells), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(lCell),

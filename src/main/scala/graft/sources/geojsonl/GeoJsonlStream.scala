@@ -12,16 +12,20 @@ import org.apache.spark.util.SerializableConfiguration
   * the way the batch sink (or any external producer) appends to it.
   *
   * Offsets are positions in a write-ahead file list persisted under
-  * the query's checkpoint location (`<checkpoint>/graft-file-list`):
-  * each `latestOffset` lists the directory, appends files not seen
-  * before (sorted listing for a deterministic order within one
-  * batch), and atomically rewrites the log (temp + rename). Batch
-  * (start, end) reads exactly `known[start, end)`. On restart the
-  * list is rebuilt FROM THE LOG, so committed offsets keep meaning
-  * the same files even when later-arriving files sort before earlier
-  * ones — a plain re-listing would silently remap offsets. The
-  * directory is assumed append-only, the same contract as Spark's
-  * own file stream source.
+  * the query's checkpoint location as VERSIONED files
+  * (`<checkpoint>/graft-file-list.v{N}`): each `latestOffset` lists
+  * the directory, appends files not seen before (sorted listing for a
+  * deterministic order within one batch), and persists the log by
+  * writing a hidden temp and renaming it to the NEXT version — the
+  * previous version is deleted only after the new one exists, so a
+  * crash at any instant leaves at least one complete log on disk
+  * (delete-then-rename had a window that left none, bricking the
+  * checkpoint). Restart reads the highest version (falling back to
+  * the legacy unversioned `graft-file-list` name), so committed
+  * offsets keep meaning the same files even when later-arriving files
+  * sort before earlier ones — a plain re-listing would silently remap
+  * offsets. The directory is assumed append-only, the same contract
+  * as Spark's own file stream source.
   */
 private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
     fields: Array[String], permissive: Boolean, checkpointLocation: String,
@@ -29,16 +33,39 @@ private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream {
 
-  private val logPath = new Path(checkpointLocation, "graft-file-list")
+  private val LogBaseName = "graft-file-list"
+  private val logDir = new Path(checkpointLocation)
   private val known = scala.collection.mutable.ArrayBuffer[String]()
   private val seen = scala.collection.mutable.HashSet[String]()
+  private var logVersion = 0L
 
-  // restart: rebuild the append-ordered list from the log
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith(LogBaseName + ".v"))
+      name.stripPrefix(LogBaseName + ".v").toLongOption
+    else None
+
+  // restart: rebuild the append-ordered list from the newest complete
+  // log version (hidden .tmp files from an interrupted write never
+  // match the versioned name and are ignored)
   locally {
-    val fs = logPath.getFileSystem(conf.value)
-    if (fs.exists(logPath)) {
+    val fs = logDir.getFileSystem(conf.value)
+    val latest: Option[Path] =
+      if (!fs.exists(logDir)) None
+      else {
+        val versioned = fs.listStatus(logDir).map(_.getPath)
+          .flatMap(p => versionOf(p.getName).map(v => (v, p)))
+        if (versioned.nonEmpty) {
+          val (v, p) = versioned.maxBy(_._1)
+          logVersion = v
+          Some(p)
+        } else {
+          val legacy = new Path(logDir, LogBaseName)
+          if (fs.exists(legacy)) Some(legacy) else None
+        }
+      }
+    latest.foreach { p =>
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        fs.open(logPath), StandardCharsets.UTF_8))
+        fs.open(p), StandardCharsets.UTF_8))
       try {
         var line = in.readLine()
         while (line != null) {
@@ -50,17 +77,30 @@ private[geojsonl] class GeoJsonlMicroBatchStream(path: String,
   }
 
   private def persistLog(): Unit = {
-    val fs = logPath.getFileSystem(conf.value)
-    fs.mkdirs(logPath.getParent)
-    val tmp = new Path(logPath.getParent,
-      s".${logPath.getName}.tmp-${java.util.UUID.randomUUID}")
+    val fs = logDir.getFileSystem(conf.value)
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir,
+      s".$LogBaseName.tmp-${java.util.UUID.randomUUID}")
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(tmp, true), StandardCharsets.UTF_8))
     try known.foreach { f => out.write(f); out.write("\n") }
     finally out.close()
-    if (fs.exists(logPath)) fs.delete(logPath, false)
-    if (!fs.rename(tmp, logPath))
-      throw new java.io.IOException(s"rename $tmp -> $logPath failed")
+    val next = logVersion + 1
+    val dest = new Path(logDir, s"$LogBaseName.v$next")
+    // the destination name is fresh, so no delete precedes the rename
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    logVersion = next
+    // older versions (and the legacy unversioned name) are garbage
+    // only once the new version exists; cleanup failure is harmless —
+    // the next restart still picks the max version
+    fs.listStatus(logDir).map(_.getPath).foreach { p =>
+      val stale = versionOf(p.getName).exists(_ < next) ||
+        p.getName == LogBaseName
+      if (stale)
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+    }
   }
 
   private def refresh(): Unit = {

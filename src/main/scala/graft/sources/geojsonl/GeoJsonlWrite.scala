@@ -17,15 +17,19 @@ import org.apache.spark.util.SerializableConfiguration
   * (proper escaping), not string concat.
   *
   * Commit protocol (crash-safe in both modes):
-  *  - tasks write to HIDDEN temp names (`.part-<id>-<uuid>.jsonl.tmp`
-  *    — invisible to the reader, which skips dot-files), and task
-  *    commit renames to the visible name; a task killed without
-  *    abort() leaves only an invisible temp file;
-  *  - job commit deletes stray temp files, and — for
-  *    `mode("overwrite")` — deletes the files that pre-existed the
-  *    job ONLY NOW, so the previous data survives any failed write;
-  *  - job abort deletes committed-task files and temp files, leaving
-  *    the directory as it was.
+  *  - tasks write to HIDDEN temp names
+  *    (`.part-<id>-<uuid>.jsonl.<jobId>.tmp` — invisible to the
+  *    reader, which skips dot-files), and task commit renames to the
+  *    visible name; a task killed without abort() leaves only an
+  *    invisible temp file;
+  *  - job commit deletes stray temp files OF THIS JOB ONLY (the job
+  *    UUID is baked into the temp suffix, so two jobs writing the
+  *    same directory concurrently cannot delete each other's
+  *    in-flight temps), and — for `mode("overwrite")` — deletes the
+  *    files that pre-existed the job ONLY NOW, so the previous data
+  *    survives any failed write;
+  *  - job abort deletes committed-task files and this job's temp
+  *    files, leaving the directory as it was.
   * All filesystem access goes through the session's Hadoop conf
   * (serialized to executors), so `spark.hadoop.*` settings apply.
   */
@@ -49,6 +53,7 @@ private[geojsonl] class GeoJsonlBatchWrite(path: String,
       schema.fieldNames.mkString(", "))
 
   private val dir = new Path(path)
+  private val jobId = java.util.UUID.randomUUID.toString
   // visible files present before the job — deleted only at successful
   // commit when overwriting
   private var preExisting: Array[Path] = Array.empty
@@ -62,14 +67,14 @@ private[geojsonl] class GeoJsonlBatchWrite(path: String,
         .filterNot(p => p.getName.startsWith(".")
           || p.getName.startsWith("_"))
       else Array.empty
-    new GeoJsonlWriterFactory(path, conf)
+    new GeoJsonlWriterFactory(path, jobId, conf)
   }
 
   private def cleanTemps(): Unit = {
     val fs = dir.getFileSystem(conf.value)
     fs.listStatus(dir).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName.startsWith(".")
-        && p.getName.endsWith(".jsonl.tmp"))
+        && p.getName.endsWith(s".$jobId.tmp"))
       .foreach(fs.delete(_, false))
   }
 
@@ -89,22 +94,23 @@ private[geojsonl] class GeoJsonlBatchWrite(path: String,
   }
 }
 
-private[geojsonl] class GeoJsonlWriterFactory(path: String,
+private[geojsonl] class GeoJsonlWriterFactory(path: String, jobId: String,
     conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GeoJsonlDataWriter(path, partitionId, conf)
+    new GeoJsonlDataWriter(path, partitionId, jobId, conf)
 }
 
 private[geojsonl] case class GeoJsonlCommit(file: String)
     extends WriterCommitMessage
 
 private[geojsonl] class GeoJsonlDataWriter(dir: String, partitionId: Int,
-    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+    jobId: String, conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper
   private val finalName =
     f"part-$partitionId%05d-${java.util.UUID.randomUUID}.jsonl"
-  private val tmpFile = new Path(dir, s".$finalName.tmp")
+  private val tmpFile = new Path(dir, s".$finalName.$jobId.tmp")
   private val fs = tmpFile.getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmpFile, true),

@@ -127,6 +127,60 @@ class DistanceJoinRuleSpec extends SparkSpec {
     assert(joined.count() === expected)
   }
 
+  test("high-latitude pairs are complete (lat-aware longitude walk)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // At lat 84 deg, 500 m spans ~0.043 deg of longitude = ~2.5 cells
+    // of 500/28800 deg — a fixed 3x3 walk misses the pair; the
+    // lat-aware walk must find it. Brute-force haversine is the truth.
+    val l = Seq((1L, 0.0, 84.0), (2L, 10.0, 84.0)).toDF("l", "l_lon", "l_lat")
+    val r = Seq((10L, 0.0425, 84.0), (20L, 10.0425, 84.00005))
+      .toDF("r", "r_lon", "r_lat")
+    val joined = l.join(r,
+      GeoFunctions.stDWithin(col("l_lon"), col("l_lat"),
+        col("r_lon"), col("r_lat"), lit(500.0)))
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val got = joined.select("l", "r").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val truth = l.crossJoin(r)
+      .filter(GeoFunctions.haversineM(col("l_lon"), col("l_lat"),
+        col("r_lon"), col("r_lat")) <= 500.0)
+      .select("l", "r").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain in-radius pairs")
+    assert(got === truth)
+  }
+
+  test("cell explode width: 9 cells in the alps, widened near the pole") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    def cellsAt(lat: Double): Int = {
+      val l = Seq((1L, 6.5, lat)).toDF("l", "l_lon", "l_lat")
+      val r = Seq((10L, 6.5, lat)).toDF("r", "r_lon", "r_lat")
+      val joined = l.join(r,
+        GeoFunctions.stDWithin(col("l_lon"), col("l_lat"),
+          col("r_lon"), col("r_lat"), lit(500.0)))
+      val gen = joined.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(gen.nonEmpty, "rule did not plan a Generate")
+      // evaluate the planned cell array against the single left row
+      val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(gen.head.generator.children.head,
+          gen.head.child.output)
+      val arr = bound
+        .eval(org.apache.spark.sql.catalyst.InternalRow(1L, 6.5, lat))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      arr.numElements()
+    }
+    // lat-aware widening must not inflate the common case...
+    assert(cellsAt(45.5) === 9)
+    assert(cellsAt(75.0) === 9)
+    // ...and must widen where a 3x3 walk goes incomplete
+    assert(cellsAt(84.0) === 21) // half-width 3 -> 7 x 3
+  }
+
   test("scalar predicate outside a join still evaluates (filter use)") {
     GraftExtensions.register(spark)
     val n = a.filter(GeoFunctions.stDWithin(col("a_lon"), col("a_lat"),

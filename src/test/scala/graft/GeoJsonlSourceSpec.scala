@@ -57,6 +57,27 @@ class GeoJsonlSourceSpec extends SparkSpec {
     assert(spark.read.format("geojsonl").load(out).count() == 7)
   }
 
+  test("commit cleans only this job's temps; a concurrent job's survive") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("geojsonl-joblocal")
+    // another job's in-flight temp (different job UUID in the suffix)
+    val foreign = out.resolve(
+      ".part-00000-deadbeef.jsonl.11111111-2222-3333-4444-555555555555.tmp")
+    Files.write(foreign, Seq("half-written": CharSequence).asJava)
+    spark.read.format("geojsonl").load(fixture)
+      .write.format("geojsonl").mode("overwrite").save(out.toString)
+    assert(Files.exists(foreign),
+      "a concurrent job's temp must not be deleted by this job's commit")
+    // none of OUR temps remain
+    val ours = Files.list(out).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(".part-") && n.endsWith(".tmp"))
+      .filterNot(_ == foreign.getFileName.toString).toSeq
+    assert(ours.isEmpty, s"this job's temps must be cleaned: $ours")
+    // the hidden foreign temp is invisible to the reader
+    assert(spark.read.format("geojsonl").load(out.toString).count() == 7)
+  }
+
   test("malformed lines: failfast throws with context, permissive skips") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("geojsonl-bad")
@@ -132,6 +153,81 @@ class GeoJsonlSourceSpec extends SparkSpec {
     try { q2.processAllAvailable() } finally q2.stop()
     assert(names() == Seq("a1", "z1"),
       "restarted query must read exactly the new file, not re-read z")
+  }
+
+  test("file-list log is versioned; legacy + interrupted-write states recover") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("geojsonl-verlog")
+    val ckpt = Files.createTempDirectory("geojsonl-verlog-ckpt")
+    def feature(name: String) =
+      s"""{"type":"Feature","properties":{"name":"$name"},"geometry":{"type":"Point","coordinates":[1.0,0.0]}}"""
+    Files.write(dir.resolve("z.jsonl"),
+      Seq(feature("z1")).map(l => l: CharSequence).asJava)
+    val outDir = Files.createTempDirectory("geojsonl-verlog-out").toString
+    def start() = spark.readStream.format("geojsonl")
+      .load(dir.toString)
+      .select(col("properties").getItem("name").as("name"))
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", ckpt.toString).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the log lands as a VERSIONED file; no unversioned name remains
+    def logFiles() = Files.walk(ckpt).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("graft-file-list")).toSeq
+    assert(logFiles().forall(_.matches("graft-file-list\\.v\\d+")),
+      s"expected only versioned logs, got ${logFiles()}")
+    assert(logFiles().size == 1, "stale versions must be cleaned up")
+    // simulate the two crash leftovers: a legacy unversioned log from
+    // an old binary and an interrupted hidden temp — restart must read
+    // the max VERSION, ignore the temp, and still resume exactly
+    val logDir = Files.walk(ckpt).iterator().asScala
+      .find(_.getFileName.toString.startsWith("graft-file-list")).get.getParent
+    Files.write(logDir.resolve("graft-file-list"),
+      Seq("bogus-legacy-entry").map(l => l: CharSequence).asJava)
+    Files.write(logDir.resolve(".graft-file-list.tmp-dead"),
+      Seq("half-written").map(l => l: CharSequence).asJava)
+    Files.write(dir.resolve("a.jsonl"),
+      Seq(feature("a1")).map(l => l: CharSequence).asJava)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val names = spark.read.schema("name string").json(outDir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("a1", "z1"),
+      "restart from the versioned log must read only the new file")
+    // the persist after restart removed the legacy name again
+    assert(!Files.exists(logDir.resolve("graft-file-list")))
+  }
+
+  test("legacy unversioned file-list log is honored on restart") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("geojsonl-legacylog")
+    val ckpt = Files.createTempDirectory("geojsonl-legacylog-ckpt")
+    def feature(name: String) =
+      s"""{"type":"Feature","properties":{"name":"$name"},"geometry":{"type":"Point","coordinates":[1.0,0.0]}}"""
+    Files.write(dir.resolve("z.jsonl"),
+      Seq(feature("z1")).map(l => l: CharSequence).asJava)
+    val outDir = Files.createTempDirectory("geojsonl-legacylog-out").toString
+    def start() = spark.readStream.format("geojsonl")
+      .load(dir.toString)
+      .select(col("properties").getItem("name").as("name"))
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", ckpt.toString).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // rewrite the checkpoint to the pre-versioning layout: move the
+    // versioned log back to the legacy unversioned name
+    val ver = Files.walk(ckpt).iterator().asScala
+      .find(_.getFileName.toString.matches("graft-file-list\\.v\\d+")).get
+    Files.move(ver, ver.getParent.resolve("graft-file-list"))
+    Files.write(dir.resolve("a.jsonl"),
+      Seq(feature("a1")).map(l => l: CharSequence).asJava)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val names = spark.read.schema("name string").json(outDir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("a1", "z1"),
+      "legacy log must anchor offsets exactly like a versioned one")
   }
 
   test("column pruning pushes into the scan") {

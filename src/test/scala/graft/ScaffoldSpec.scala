@@ -38,6 +38,26 @@ class ScaffoldSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.scaffoldDir")
   }
 
+  test("algorithm params are part of the key: changed param rebuilds") {
+    freshRoot()
+    try {
+      val fp = "data-fp"
+      val k16 = Scaffold.paramsKey(fp, "algo" -> "ivf-v1", "k" -> 16)
+      val k32 = Scaffold.paramsKey(fp, "algo" -> "ivf-v1", "k" -> 32)
+      assert(k16 != k32)
+      val a = Scaffold.table(spark, "spec", k16)(Seq(1L).toDF("k"))
+      // same data fingerprint, different algorithm constant → a fresh
+      // artifact, NOT the stale k=16 index
+      val b = Scaffold.table(spark, "spec", k32)(Seq(1L, 2L).toDF("k"))
+      assert(a.count() == 1 && b.count() == 2)
+      // identical params reuse the artifact
+      assert(Scaffold.table(spark, "spec",
+        Scaffold.paramsKey(fp, "algo" -> "ivf-v1", "k" -> 16)) {
+        Seq(9L, 9L, 9L).toDF("k")
+      }.count() == 1)
+    } finally spark.conf.unset("spark.graft.scaffoldDir")
+  }
+
   test("stale partial directory (no _SUCCESS) is rebuilt, not served") {
     val root = freshRoot()
     try {
