@@ -221,6 +221,59 @@ object GeoPackage {
       source.join(target.select("layer", "fid"),
         Seq("layer", "fid"), "left_anti"))
 
+  /** N-directory output merge
+    * (`/root/reference/src/scripts/merge_outputs.ts:93-445`,
+    * `src/io/GeoPackageMerger.ts:33-283`): input `rows` carries one
+    * row per (dir_idx, kind, file, row_seq, fid, ...) where dirs are
+    * processed in dir_idx order. Reference semantics, distributed:
+    *
+    *  - CSV / GeoJSON files CONCAT every directory's rows (the
+    *    header/wrapper is emitted once; rows are never deduped);
+    *  - GeoPackage tables take the FIRST directory that has the file
+    *    as the base (copied wholesale, internal duplicates included —
+    *    `copyTableFromSource` does plain INSERTs), and each later
+    *    directory inserts only rows whose `fid` has not been seen yet
+    *    (`mergeDataIntoExistingTable`'s feature_id set; within one
+    *    source, ROWID order decides which duplicate lands first);
+    *  - rows with NULL fid are always inserted (the reference only
+    *    consults the set for non-null feature_ids).
+    *
+    * Shape for 100 TB: the base-dir lookup is a tiny per-file
+    * aggregate broadcast back; the first-wins choice is a window over
+    * (file, fid) — high-cardinality keys, so no skew — and null-fid
+    * rows bypass the window entirely instead of piling into one
+    * partition.
+    */
+  def mergeOutputsMulti(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.groupBy("file").agg(min("dir_idx").as("base_dir"))
+    val wRk = Window.partitionBy("file", "fid")
+      .orderBy("dir_idx", "row_seq")
+    val withFid = rows.filter(col("fid").isNotNull)
+      .withColumn("rk", row_number().over(wRk))
+    val nullFid = rows.filter(col("fid").isNull)
+      .withColumn("rk", lit(1))
+    withFid.unionByName(nullFid)
+      .join(broadcast(base), Seq("file"))
+      .filter(col("kind") =!= "gpkg" || col("fid").isNull ||
+        col("dir_idx") === col("base_dir") || col("rk") === 1)
+      .drop("rk")
+  }
+
+  /** GeoPackage metadata bookkeeping
+    * (`GeoPackageMerger.ts:289-347`): every source that carries a
+    * table upserts its `gpkg_contents` / `gpkg_geometry_columns` rows
+    * with INSERT OR REPLACE, so the LAST directory's entry (bbox,
+    * srs) wins outright — replaced, not unioned.
+    */
+  def mergeGpkgMetadata(meta: DataFrame): DataFrame =
+    meta.groupBy("file").agg(
+      max("dir_idx").as("meta_dir"),
+      max_by(struct(col("srs_id"), col("min_x"), col("min_y"),
+        col("max_x"), col("max_y")), col("dir_idx")).as("m"))
+      .select(col("file"), col("meta_dir"), col("m.srs_id"),
+        col("m.min_x"), col("m.min_y"), col("m.max_x"), col("m.max_y"))
+
   // ---- S11: output merger query ------------------------------------------
   // Two overlapping regional extracts per layer (even ids + every 7th
   // vs odd ids + every 7th) run through [[mergeOutputs]]. The merged
@@ -294,5 +347,164 @@ object GeoPackage {
       .orderBy("layer")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qLayers, qMerge)
+  // ---- S11 depth: multi-directory merge ----------------------------------
+  // Three overlapping per-region extract directories (conflicting ids
+  // across every pair), a CSV that must concat with one header, a
+  // GeoPackage table absent from dir 0 (base becomes dir 1 — the
+  // copy-table-from-source path), a table only dir 2 carries, NULL
+  // feature_ids that always insert, and per-dir gpkg_contents rows
+  // whose last writer wins. ~58k fixture rows at sf0.01.
+  private val qMergeMulti = QuerySpec.of(
+    "q_merge_multi", {
+      val h = HashFunctions.sqlHash64("fid")
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |${SkiQueries.liftOracleCtes},
+        |runsrc AS (
+        |  SELECT way_id AS k,
+        |    CASE WHEN way_id % 97 = 0 THEN NULL
+        |      ELSE md5(concat_ws('|', 'run', CAST(way_id AS VARCHAR),
+        |        status, array_to_string(uses, ';'), difficulty, name))
+        |      END AS fid,
+        |    lon0 AS lon, lat0 AS lat
+        |  FROM kept),
+        |liftsrc AS (
+        |  SELECT lift_id AS k,
+        |    md5(concat_ws('|', 'lift', CAST(lift_id AS VARCHAR), status,
+        |      lift_type, name)) AS fid,
+        |    CAST((lift_id * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0
+        |      AS lon,
+        |    CAST((lift_id * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0
+        |      AS lat
+        |  FROM lfmt),
+        |allrows AS (
+        |  SELECT 0 AS dir_idx, 'gpkg' AS kind, 'gpkg:runs' AS file,
+        |    k AS row_seq, fid, lon, lat
+        |  FROM runsrc WHERE k % 3 = 0 OR k % 5 = 0
+        |  UNION ALL SELECT 1, 'gpkg', 'gpkg:runs', k, fid, lon, lat
+        |  FROM runsrc WHERE k % 3 = 1 OR k % 5 = 0
+        |  UNION ALL SELECT 2, 'gpkg', 'gpkg:runs', k, fid, lon, lat
+        |  FROM runsrc WHERE k % 3 = 2 OR k % 5 = 0
+        |  UNION ALL SELECT 0, 'csv', 'csv:runs.csv', k, fid, lon, lat
+        |  FROM runsrc WHERE k % 3 = 0 OR k % 5 = 0
+        |  UNION ALL SELECT 1, 'csv', 'csv:runs.csv', k, fid, lon, lat
+        |  FROM runsrc WHERE k % 3 = 1 OR k % 5 = 0
+        |  UNION ALL SELECT 2, 'csv', 'csv:runs.csv', k, fid, lon, lat
+        |  FROM runsrc WHERE k % 3 = 2 OR k % 5 = 0
+        |  UNION ALL SELECT 2, 'gpkg', 'gpkg:extra', k, fid, lon, lat
+        |  FROM runsrc WHERE k % 13 = 0
+        |  UNION ALL SELECT 1, 'gpkg', 'gpkg:lifts', k, fid, lon, lat
+        |  FROM liftsrc WHERE k % 2 = 1 OR k % 11 = 0
+        |  UNION ALL SELECT 2, 'gpkg', 'gpkg:lifts', k, fid, lon, lat
+        |  FROM liftsrc WHERE k % 2 = 0 OR k % 11 = 0),
+        |based AS (
+        |  SELECT *, min(dir_idx) OVER (PARTITION BY file) AS base_dir
+        |  FROM allrows),
+        |ranked AS (
+        |  SELECT *, CASE WHEN fid IS NULL THEN 1 ELSE
+        |    row_number() OVER (PARTITION BY file, fid
+        |      ORDER BY dir_idx, row_seq) END AS rk
+        |  FROM based),
+        |keptm AS (
+        |  SELECT * FROM ranked
+        |  WHERE kind <> 'gpkg' OR fid IS NULL OR dir_idx = base_dir
+        |    OR rk = 1),
+        |totals AS (SELECT file, count(*) AS n_total FROM allrows
+        |  GROUP BY file),
+        |stats AS (
+        |  SELECT file, count(*) AS n_merged,
+        |    CAST(sum(CASE WHEN dir_idx = base_dir THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_base,
+        |    CAST(sum(CASE WHEN dir_idx <> base_dir THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_inserted,
+        |    CAST(sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_fid,
+        |    CAST(sum(CASE WHEN fid IS NOT NULL
+        |      THEN $h % 1000000000000 ELSE 0 END) AS BIGINT)
+        |      AS id_checksum
+        |  FROM keptm GROUP BY file),
+        |meta0 AS (
+        |  SELECT file, dir_idx, 4326 + dir_idx AS srs_id,
+        |    min(lon) AS min_x, min(lat) AS min_y,
+        |    max(lon) AS max_x, max(lat) AS max_y
+        |  FROM allrows WHERE kind = 'gpkg' GROUP BY file, dir_idx),
+        |metaf AS (
+        |  SELECT file, dir_idx AS meta_dir, srs_id,
+        |    min_x, min_y, max_x, max_y
+        |  FROM meta0 QUALIFY row_number() OVER (PARTITION BY file
+        |    ORDER BY dir_idx DESC) = 1)
+        |SELECT s.file, t.n_total, s.n_merged, s.n_base, s.n_inserted,
+        |  s.n_null_fid, t.n_total - s.n_merged AS n_skipped,
+        |  s.id_checksum, m.meta_dir, m.srs_id,
+        |  round(m.min_x, 6) AS bbox_w, round(m.min_y, 6) AS bbox_s,
+        |  round(m.max_x, 6) AS bbox_e, round(m.max_y, 6) AS bbox_n
+        |FROM stats s JOIN totals t USING (file)
+        |LEFT JOIN metaf m USING (file)
+        |ORDER BY s.file""".stripMargin
+    }) { (s, d) =>
+    def p1(j: Int) = element_at(element_at(col("coords"), 1), j)
+    val runs = SkiQueries.formatted(s, d).filter(col("kept"))
+      .select(col("way_id").cast("long").as("k"),
+        when(pmod(col("way_id"), lit(97)) === 0, lit(null).cast("string"))
+          .otherwise(col("id")).as("fid"),
+        p1(1).as("lon"), p1(2).as("lat"))
+    val lifts = SkiQueries.formattedLifts(s, d)
+      .select(col("lift_id").cast("long").as("k"),
+        md5(concat_ws("|", lit("lift"), col("lift_id"), col("status"),
+          col("lift_type"), col("name"))).as("fid"),
+        (pmod(col("lift_id") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("lon"),
+        (pmod(col("lift_id") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("lat"))
+    def part(df: DataFrame, dir: Int, kind: String, file: String,
+        cond: Column) =
+      df.filter(cond).select(lit(dir).as("dir_idx"), lit(kind).as("kind"),
+        lit(file).as("file"), col("k").as("row_seq"), col("fid"),
+        col("lon"), col("lat"))
+    val m3 = pmod(col("k"), lit(3))
+    val m5 = pmod(col("k"), lit(5))
+    val rows = Seq(
+      part(runs, 0, "gpkg", "gpkg:runs", m3 === 0 || m5 === 0),
+      part(runs, 1, "gpkg", "gpkg:runs", m3 === 1 || m5 === 0),
+      part(runs, 2, "gpkg", "gpkg:runs", m3 === 2 || m5 === 0),
+      part(runs, 0, "csv", "csv:runs.csv", m3 === 0 || m5 === 0),
+      part(runs, 1, "csv", "csv:runs.csv", m3 === 1 || m5 === 0),
+      part(runs, 2, "csv", "csv:runs.csv", m3 === 2 || m5 === 0),
+      part(runs, 2, "gpkg", "gpkg:extra", pmod(col("k"), lit(13)) === 0),
+      part(lifts, 1, "gpkg", "gpkg:lifts",
+        pmod(col("k"), lit(2)) === 1 || pmod(col("k"), lit(11)) === 0),
+      part(lifts, 2, "gpkg", "gpkg:lifts",
+        pmod(col("k"), lit(2)) === 0 || pmod(col("k"), lit(11)) === 0))
+      .reduce(_.unionByName(_))
+      .localCheckpoint() // read by merge + totals + metadata
+    val kept = mergeOutputsMulti(rows)
+    val meta = mergeGpkgMetadata(
+      rows.filter(col("kind") === "gpkg").groupBy("file", "dir_idx")
+        .agg(min("lon").as("min_x"), min("lat").as("min_y"),
+          max("lon").as("max_x"), max("lat").as("max_y"))
+        .withColumn("srs_id", lit(4326) + col("dir_idx")))
+    val totals = rows.groupBy("file").agg(count(lit(1)).as("n_total"))
+    val stats = kept.groupBy("file").agg(
+      count(lit(1)).as("n_merged"),
+      sum(when(col("dir_idx") === col("base_dir"), 1L).otherwise(0L))
+        .as("n_base"),
+      sum(when(col("dir_idx") =!= col("base_dir"), 1L).otherwise(0L))
+        .as("n_inserted"),
+      sum(when(col("fid").isNull, 1L).otherwise(0L)).as("n_null_fid"),
+      sum(when(col("fid").isNotNull,
+        pmod(HashFunctions.hash64(col("fid")), lit(1000000000000L)))
+        .otherwise(0L)).as("id_checksum"))
+    stats.join(totals, "file")
+      .withColumn("n_skipped", col("n_total") - col("n_merged"))
+      .join(meta, Seq("file"), "left")
+      .select(col("file"), col("n_total"), col("n_merged"), col("n_base"),
+        col("n_inserted"), col("n_null_fid"), col("n_skipped"),
+        col("id_checksum"), col("meta_dir"), col("srs_id"),
+        round(col("min_x"), 6).as("bbox_w"),
+        round(col("min_y"), 6).as("bbox_s"),
+        round(col("max_x"), 6).as("bbox_e"),
+        round(col("max_y"), 6).as("bbox_n"))
+      .orderBy("file")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qLayers, qMerge, qMergeMulti)
 }
