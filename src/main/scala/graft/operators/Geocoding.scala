@@ -15,12 +15,19 @@ import org.apache.spark.sql.functions._
   * region → country with nulls LAST (PlaceUtils.sortPlaces/
   * uniquePlaces).
   *
-  * The geocoding backend is a deterministic stub (zero-egress
-  * container): place fields derive from the portable hash of the
-  * geohash key, with nulls injected to exercise the nulls-last sort.
-  * A place renders as "locality/region/country" with '~' for null —
-  * '~' sorts after alphanumerics, so one string serves as both sort
-  * key and display (the oracle uses the identical encoding).
+  * The geocoding BACKEND (photon HTTP) is a deterministic stub
+  * (zero-egress container): the hash of the geohash key picks which
+  * country/region the "response" names. The RESOLUTION is real —
+  * the picked row resolves through the vendored public ISO-3166
+  * table ([[Iso3166]]), yielding the reference's `iso3166_1Alpha2`
+  * and `iso3166_2 = country + "-" + region` codes
+  * (`Geocoder.ts:268-333`); the locality stays a stub (photon city),
+  * and nulls are injected (no-state responses, country-only rows) to
+  * exercise the nulls-last sort. A place renders as
+  * "locality/iso3166_2/country" with '~' for null — '~' sorts after
+  * alphanumerics, so one string serves as both sort key and display
+  * (the oracle uses the identical encoding over the same vendored
+  * rows).
   *
   * Scale notes: geohash keying collapses nearby points into one cache
   * key BEFORE the fetch (the reference's request dedup, distributed);
@@ -37,21 +44,34 @@ object Geocoding {
     sqlStubPlace(key)
 
   private def stubPlace(key: Column): Column = {
+    val n = Iso3166.size
+    val iso2Arr = Iso3166.entries.map(_.iso2.getOrElse(""))
+    val ccArr = Iso3166.entries.map(_.cc)
     val h = HashFunctions.hash32(key)
-    val ctry = concat(lit("C"), pmod(h, lit(40)))
-    val reg = when(pmod(h, lit(7)) === 0, lit("~"))
-      .otherwise(concat(lit("R"), pmod(h, lit(150))))
+    val idx = pmod(h, lit(n))
+    // ISO resolution: the picked row's codes, looked up in the
+    // vendored table (a literal-array broadcast — Iso3166.table is
+    // the DataFrame form for whole-table joins)
+    val iso2 = element_at(typedLit(iso2Arr), (idx + 1).cast("int"))
+    val cc = element_at(typedLit(ccArr), (idx + 1).cast("int"))
+    // no-state response (h % 7 == 0) or a country-only row → no
+    // iso3166_2, exactly the reference's `region === null` branch
+    val reg = when(pmod(h, lit(7)) === 0 || iso2 === "", lit("~"))
+      .otherwise(iso2)
     val loc = when(pmod(h, lit(3)) === 0, lit("~"))
       .otherwise(concat(lit("L"), pmod(h, lit(900))))
-    concat(loc, lit("/"), reg, lit("/"), ctry)
+    concat(loc, lit("/"), reg, lit("/"), cc)
   }
 
   private def sqlStubPlace(key: String): String = {
+    val n = Iso3166.size
     val h = HashFunctions.sqlHash32(key)
+    val i = s"(CAST($h % $n AS INT) + 1)"
     s"""(CASE WHEN $h % 3 = 0 THEN '~' ELSE 'L' || CAST($h % 900 AS VARCHAR) END)
        | || '/' ||
-       |(CASE WHEN $h % 7 = 0 THEN '~' ELSE 'R' || CAST($h % 150 AS VARCHAR) END)
-       | || '/' || ('C' || CAST($h % 40 AS VARCHAR))""".stripMargin
+       |(CASE WHEN $h % 7 = 0 OR (${Iso3166.sqlIso2List})[$i] = '' THEN '~'
+       |  ELSE (${Iso3166.sqlIso2List})[$i] END)
+       | || '/' || ((${Iso3166.sqlCcList})[$i])""".stripMargin
       .replaceAll("\n", " ")
   }
 
