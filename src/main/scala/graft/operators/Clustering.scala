@@ -289,9 +289,13 @@ object Clustering {
     * as singleton components. Returns (nid, label).
     *
     * Scale notes: the loop tables hold only edge-participating nodes;
-    * every iteration is a join + groupBy on flat longs over
-    * checkpointed inputs, and convergence is read from a `chg` flag
-    * inside the already-materialized iteration output.
+    * every round is a join + groupBy on flat longs over checkpointed
+    * inputs, and convergence is read from an accumulated `chg` flag
+    * probed only every SECOND round — two propagation rounds share one
+    * driver action (the probe materializes both rounds' lazy
+    * checkpoints), halving the blocking round-trips a long chain pays.
+    * A converged first-half round makes the second a cheap no-op, so
+    * the batched probe costs at most one trivial extra round.
     */
   def minLabelComponents(pairsIn: DataFrame): DataFrame = {
     // lazy checkpoints throughout: each is materialized by the FIRST
@@ -306,41 +310,49 @@ object Clustering {
     val biPairs = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(false)
-    var labels = biPairs.select(col("a").as("nid")).distinct()
-      .select(col("nid"), col("nid").as("label"))
-      .localCheckpoint(false)
-    var changed = true
-    var iter = 0
-    while (changed && iter < 25) {
+    // one min-neighbor + pointer-doubling round; `chg` accumulates
+    // across rounds until the caller resets it
+    def round(l: DataFrame): DataFrame = {
       val neighborMin = biPairs
-        .join(labels.select(col("nid").as("b"), col("label").as("nlabel")),
-          "b")
+        .join(l.select(col("nid").as("b"), col("label").as("nlabel")), "b")
         .groupBy(col("a").as("nid"))
         .agg(min("nlabel").as("nmin"))
-      val stepped = labels.join(neighborMin, Seq("nid"), "left")
+      val stepped = l.join(neighborMin, Seq("nid"), "left")
         .select(col("nid"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
-      val updated = stepped
+          (col("chg") || coalesce(col("nmin"), col("label")) < col("label"))
+            .as("chg"))
+      stepped
         .join(stepped.select(col("nid").as("label"),
           col("label").as("ll")), Seq("label"), "left")
         .select(col("nid"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
           (col("chg") || coalesce(col("ll"), col("label")) < col("label"))
             .as("chg"))
-        .localCheckpoint(false)
-      // ONE action: the bool_or scan materializes the lazy checkpoint
-      // and returns the convergence flag (was checkpoint + probe = 2)
-      changed = updated.agg(max(col("chg"))).head.getBoolean(0)
-      labels = updated.drop("chg")
-      iter += 1
+    }
+    var labels = biPairs.select(col("a").as("nid")).distinct()
+      .select(col("nid"), col("nid").as("label"),
+        lit(false).as("chg"))
+      .localCheckpoint(false)
+    var changed = true
+    var pairIter = 0
+    while (changed && pairIter < 13) {
+      val half = round(labels).localCheckpoint(false)
+      val full = round(half).localCheckpoint(false)
+      // ONE action per TWO rounds: the bool_or scan materializes both
+      // lazy checkpoints (ancestors complete at job end) and answers
+      // convergence for the pair
+      changed = full.agg(max(col("chg"))).head.getBoolean(0)
+      labels = full.withColumn("chg", lit(false))
+      pairIter += 1
     }
     if (changed)
-      // pointer doubling covers diameter 2^25 — hitting this means the
-      // caller would silently see split components, so make it loud.
+      // 13 pairs = 26 pointer-doubled rounds covers diameter 2^26 —
+      // hitting this means the caller would silently see split
+      // components, so make it loud.
       System.err.println(
         s"[minLabelComponents] WARNING: label propagation NOT converged " +
-          s"after $iter iterations; components may be split")
-    labels
+          s"after ${pairIter * 2} rounds; components may be split")
+    labels.drop("chg")
   }
 }
