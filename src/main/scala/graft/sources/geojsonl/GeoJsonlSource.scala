@@ -41,6 +41,13 @@ import org.apache.spark.util.SerializableConfiguration
   * pruning pushes down ([[SupportsPushDownRequiredColumns]]): a query
   * touching only `geomType` never parses properties or builds
   * coordinate arrays — visible as ReadSchema in `.explain`.
+  *
+  * Spatial pruning: the table exposes METADATA columns `bbox_w/s/e/n`
+  * (per-feature bbox, null without geometry; absent from `SELECT *`).
+  * Range predicates over them push into the scan, filter rows before
+  * the expensive decode, and — where the sink's `.bbox` sidecar
+  * summaries exist — prune whole FILES at planning time
+  * ([[GeoJsonlBbox]]), the behavior that matters at 100 TB.
   */
 class GeoJsonlSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "geojsonl"
@@ -70,9 +77,22 @@ object GeoJsonlSource {
 
 private[geojsonl] class GeoJsonlTable(path: String)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"geojsonl($path)"
   override def schema(): StructType = GeoJsonlSource.Schema
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GeoJsonlBbox.Cols.toArray.sorted.map { c =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = c
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          DoubleType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "per-feature bbox ordinate (null without geometry)"
+      }
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
@@ -130,7 +150,10 @@ private[geojsonl] class GeoJsonlScan(path: String, required: StructType,
 
   // driver-side listing through the session's Hadoop conf (so the
   // source honors the same filesystems as every other reader); hidden
-  // and _SUCCESS files are skipped like Spark's file sources do
+  // and _SUCCESS files are skipped like Spark's file sources do.
+  // Files whose `.bbox` sidecar proves the pushed filters cannot
+  // match any contained row are pruned HERE — the scan never opens
+  // them (sidecar-less files always read).
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
@@ -142,7 +165,13 @@ private[geojsonl] class GeoJsonlScan(path: String, required: StructType,
             || f.getName.startsWith("."))
           .sortBy(_.toString)
       else Array(p)
-    files.map(f => GeoJsonlInputPartition(f.toString): InputPartition)
+    val kept =
+      if (filters.isEmpty) files
+      else files.filter { f =>
+        GeoJsonlBbox.read(fs, f)
+          .forall(s => GeoJsonlBbox.mayMatchAll(filters, s))
+      }
+    kept.map(f => GeoJsonlInputPartition(f.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -186,11 +215,15 @@ private[geojsonl] class GeoJsonlPartitionReader(file: String,
   }
   private var line: String = _
   private var node: JsonNode = _
+  private var bbox: Array[java.lang.Double] = _
+
+  private val wantBbox = fields.exists(GeoJsonlBbox.Cols)
+  private val filterBbox = filters.exists(GeoJsonlFilters.needsBbox)
 
   // parse inside next() so `mode=permissive` can SKIP malformed lines
   // (the default, failfast, surfaces the file and offending line);
-  // pushed geomType filters reject non-matching features HERE, before
-  // the expensive properties/coordinates decode in get()
+  // pushed geomType/bbox filters reject non-matching features HERE,
+  // before the expensive properties/coordinates decode in get()
   override def next(): Boolean = {
     node = null
     while (node == null) {
@@ -199,8 +232,9 @@ private[geojsonl] class GeoJsonlPartitionReader(file: String,
       if (line == null) return false
       try {
         val parsed = mapper.readTree(line)
+        bbox = if (wantBbox || filterBbox) featureBbox(parsed) else null
         if (filters.isEmpty
-            || GeoJsonlFilters.evalAll(filters, geomType(parsed)))
+            || GeoJsonlFilters.evalAll(filters, geomType(parsed), bboxAt))
           node = parsed
       }
       catch {
@@ -213,6 +247,42 @@ private[geojsonl] class GeoJsonlPartitionReader(file: String,
     true
   }
 
+  private def bboxAt(col: String): java.lang.Double =
+    if (bbox == null) null
+    else col match {
+      case GeoJsonlBbox.W => bbox(0)
+      case GeoJsonlBbox.S => bbox(1)
+      case GeoJsonlBbox.E => bbox(2)
+      case GeoJsonlBbox.N => bbox(3)
+      case _ => null
+    }
+
+  /** (w, s, e, n) over every coordinate, or null without geometry. */
+  private def featureBbox(n: JsonNode): Array[java.lang.Double] = {
+    var minLon = Double.MaxValue; var minLat = Double.MaxValue
+    var maxLon = Double.MinValue; var maxLat = Double.MinValue
+    var seen = false
+    def walk(c: JsonNode): Unit =
+      if (c.isArray && c.size() > 0) {
+        if (c.get(0).isNumber) {
+          if (c.size() >= 2) {
+            val lon = c.get(0).asDouble(); val lat = c.get(1).asDouble()
+            if (lon < minLon) minLon = lon
+            if (lon > maxLon) maxLon = lon
+            if (lat < minLat) minLat = lat
+            if (lat > maxLat) maxLat = lat
+            seen = true
+          }
+        } else {
+          val it = c.elements()
+          while (it.hasNext) walk(it.next())
+        }
+      }
+    walk(n.path("geometry").path("coordinates"))
+    if (!seen) null
+    else Array[java.lang.Double](minLon, minLat, maxLon, maxLat)
+  }
+
   override def get(): InternalRow = {
     InternalRow.fromSeq(fields.toSeq.map {
       case "properties" => props(node.path("properties"))
@@ -221,6 +291,10 @@ private[geojsonl] class GeoJsonlPartitionReader(file: String,
         case t => UTF8String.fromString(t)
       }
       case "parts" => parts(node)
+      case c if GeoJsonlBbox.Cols(c) => bboxAt(c) match {
+        case null => null
+        case d => d.doubleValue()
+      }
       case other => throw new IllegalArgumentException(
         s"unknown geojsonl field $other")
     })

@@ -80,7 +80,12 @@ private[geojsonl] class GeoJsonlBatchWrite(path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = dir.getFileSystem(conf.value)
-    preExisting.foreach(fs.delete(_, false))
+    preExisting.foreach { p =>
+      fs.delete(p, false)
+      // a stale sidecar describing a deleted file would mis-prune
+      // future scans
+      fs.delete(GeoJsonlBbox.sidecarPath(p), false)
+    }
     cleanTemps()
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
@@ -89,6 +94,7 @@ private[geojsonl] class GeoJsonlBatchWrite(path: String,
     val fs = dir.getFileSystem(conf.value)
     messages.collect { case GeoJsonlCommit(f) =>
       fs.delete(new Path(f), false)
+      fs.delete(GeoJsonlBbox.sidecarPath(new Path(f)), false)
     }
     cleanTemps()
   }
@@ -116,14 +122,27 @@ private[geojsonl] class GeoJsonlDataWriter(dir: String, partitionId: Int,
     new java.io.OutputStreamWriter(fs.create(tmpFile, true),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  // running file summary for the `.bbox` sidecar (posNode sees every
+  // rendered position, so the bbox needs no second pass)
+  private var nRows = 0L
+  private var nGeom = 0L
+  private var minLon = Double.MaxValue
+  private var minLat = Double.MaxValue
+  private var maxLon = Double.MinValue
+  private var maxLat = Double.MinValue
+  private val geomTypes = scala.collection.mutable.Set[String]()
+
   override def write(row: InternalRow): Unit = {
     val feature = mapper.createObjectNode()
     feature.put("type", "Feature")
     if (row.isNullAt(0)) feature.putNull("properties")
     else feature.set("properties", propsNode(row.getMap(0)))
+    nRows += 1
     if (row.isNullAt(1) || row.isNullAt(2)) feature.putNull("geometry")
     else {
       val geomType = row.getUTF8String(1).toString
+      nGeom += 1
+      geomTypes += geomType
       val g = feature.putObject("geometry")
       g.put("type", geomType)
       g.set("coordinates", coordsNode(geomType, row.getArray(2)))
@@ -171,10 +190,19 @@ private[geojsonl] class GeoJsonlDataWriter(dir: String, partitionId: Int,
     (0 until n).foreach(i => a.add(f(i)))
     a
   }
-  private def posNode(p: ArrayData): ArrayNode =
+  private def posNode(p: ArrayData): ArrayNode = {
+    if (p.numElements() >= 2) {
+      val lon = p.get(0, DoubleType).asInstanceOf[Double]
+      val lat = p.get(1, DoubleType).asInstanceOf[Double]
+      if (lon < minLon) minLon = lon
+      if (lon > maxLon) maxLon = lon
+      if (lat < minLat) minLat = lat
+      if (lat > maxLat) maxLat = lat
+    }
     fill(p.numElements())(i =>
       mapper.getNodeFactory.numberNode(p.get(i, DoubleType)
         .asInstanceOf[Double]))
+  }
   private def ringNode(r: ArrayData): ArrayNode =
     fill(r.numElements())(i => posNode(r.getArray(i)))
   private def ringsNode(rs: ArrayData): ArrayNode =
@@ -185,6 +213,12 @@ private[geojsonl] class GeoJsonlDataWriter(dir: String, partitionId: Int,
     val dest = new Path(dir, finalName)
     if (!fs.rename(tmpFile, dest))
       throw new java.io.IOException(s"rename $tmpFile -> $dest failed")
+    // sidecar AFTER the data rename: a crash in between leaves a data
+    // file without summary (reads unpruned), never a summary without
+    // data
+    GeoJsonlBbox.write(fs, dest,
+      FileSummary(nRows, nGeom, minLon, minLat, maxLon, maxLat,
+        geomTypes.toSet))
     GeoJsonlCommit(dest.toString)
   }
 

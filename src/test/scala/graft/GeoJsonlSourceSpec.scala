@@ -57,6 +57,71 @@ class GeoJsonlSourceSpec extends SparkSpec {
     assert(spark.read.format("geojsonl").load(out).count() == 7)
   }
 
+  test("bbox metadata columns: range filters push down, prune files, stay exact") {
+    val dir = Files.createTempDirectory("geojsonl-bbox").toString
+    import spark.implicits._
+    // three lon bands -> three shard files with disjoint bboxes, plus
+    // one feature without geometry (null bbox)
+    val feats = ((0 until 30).map { i =>
+      val lon = (i % 3) * 50.0 + (i / 3) * 0.1 // bands at 0.., 50.., 100..
+      (Map("name" -> s"f$i"), "Point",
+        Seq(Seq(Seq(Seq(lon, 10.0 + (i / 3) * 0.1)))))
+    } :+ ((Map("name" -> "nogeom"), null: String,
+      null: Seq[Seq[Seq[Seq[Double]]]])))
+      .toDF("properties", "geomType", "parts")
+    feats
+      .repartitionByRange(3, element_at(element_at(element_at(
+        element_at(col("parts"), 1), 1), 1), 1))
+      .write.format("geojsonl").mode("overwrite").save(dir)
+    // sidecars exist for each shard
+    import scala.jdk.CollectionConverters._
+    val sidecars = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".bbox")).toSeq
+    assert(sidecars.size == 3, s"one sidecar per shard: $sidecars")
+
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+
+    val base = spark.read.format("geojsonl").load(dir)
+    // SELECT * must NOT include the metadata columns
+    assert(base.columns.toSeq == Seq("properties", "geomType", "parts"))
+
+    val filtered = base.filter(col("bbox_w") >= 90.0)
+    // the predicate is pushed into the scan...
+    assert(scanOf(filtered).scan.description().contains("bbox_w"),
+      scanOf(filtered).scan.description())
+    // ...and prunes two of the three shard files at planning time
+    assert(scanOf(filtered).inputPartitions.size == 1,
+      "bbox-disjoint shards must be pruned from the scan")
+    // results stay exact: the 10 band-2 features, no null-bbox row
+    val names = filtered.select(col("properties").getItem("name"))
+      .collect().map(_.getString(0)).toSet
+    assert(names == (0 until 30).filter(_ % 3 == 2).map(i => s"f$i").toSet)
+
+    // selecting a bbox column materializes per-feature values
+    val withBbox = base.select(col("geomType"), col("bbox_w"), col("bbox_n"))
+    val geomRows = withBbox.filter(col("geomType").isNotNull)
+    assert(geomRows.filter(col("bbox_w").isNull).count() == 0)
+    assert(withBbox.filter(col("geomType").isNull)
+      .filter(col("bbox_w").isNotNull).count() == 0)
+
+    // a bbox-range with no matching shard reads zero files
+    val none = base.filter(col("bbox_e") < -500.0)
+    assert(scanOf(none).inputPartitions.isEmpty && none.count() == 0)
+
+    // sidecar-less data (external producer) still answers exactly
+    Files.write(java.nio.file.Paths.get(dir, "extern.jsonl"),
+      Seq("""{"type":"Feature","properties":{"name":"x"},"geometry":{"type":"Point","coordinates":[95.0,11.0]}}""")
+        .map(l => l: CharSequence).asJava)
+    val after = spark.read.format("geojsonl").load(dir)
+      .filter(col("bbox_w") >= 90.0)
+    assert(after.select(col("properties").getItem("name")).collect()
+      .map(_.getString(0)).toSet
+      == ((0 until 30).filter(_ % 3 == 2).map(i => s"f$i").toSet + "x"))
+  }
+
   test("commit cleans only this job's temps; a concurrent job's survive") {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("geojsonl-joblocal")
