@@ -336,6 +336,32 @@ object Events {
     graft.streaming.EventsStreaming.enrichViaStream(s, d)
   }
 
+  // ---- stream-stream interval join: view→purchase conversions ------------
+  // Double-watermarked streaming inner join (see EventsStreaming
+  // .convertViaStream): purchases match prior views of the same user
+  // within 30 minutes; rollup is per-user pair/coverage/lag stats.
+  // All-integer output (counts + ms lags) — hash-exact.
+  private val qStreamConvert = QuerySpec.of(
+    "q_stream_events_convert",
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, epoch_ms(ts) AS vms
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pms
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.user_id, view_id, purchase_id, pms - vms AS lag_ms
+      |  FROM p JOIN v ON p.user_id = v.user_id
+      |    AND vms <= pms AND pms - vms <= 1800000)
+      |SELECT user_id, count(*) AS n_pairs,
+      |  count(DISTINCT view_id) AS n_views,
+      |  count(DISTINCT purchase_id) AS n_purchases,
+      |  min(lag_ms) AS min_lag_ms, max(lag_ms) AS max_lag_ms
+      |FROM j GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.convertViaStream(s, d)
+  }
+
   // ---- volume anomaly detection ----------------------------------------
   // Daily event-count outliers per event type: days whose count
   // exceeds mean + 2*stddev of that type's daily series — the basic
@@ -387,5 +413,5 @@ object Events {
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
       qAttribution, qAnomaly, qStreamHourly, qStreamSessions,
-      qStreamSessionWindow, qStreamDedup, qStreamEnrich)
+      qStreamSessionWindow, qStreamDedup, qStreamEnrich, qStreamConvert)
 }

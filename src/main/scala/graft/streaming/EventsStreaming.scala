@@ -207,6 +207,65 @@ object EventsStreaming {
     spark.table(name).orderBy("segment", "event_type")
   }
 
+  /** Stream-stream INTERVAL join: view→purchase conversion pairs
+    * within 30 minutes per user — the remaining Structured Streaming
+    * operator family (double-sided watermarked join). Both sides are
+    * event-time watermarked and the join condition bounds purchase
+    * time to [view time, view time + 30 min], which is what lets the
+    * state store evict both sides as the watermark advances — without
+    * the time bound a stream-stream inner join would buffer forever.
+    *
+    * Scale shape: state is keyed by user_id (the equality column), so
+    * the join shuffles both streams once on user_id and holds only a
+    * 30-minute-plus-watermark window of rows per user; pair emission
+    * is append-mode incremental. The raw pair stream lands in the
+    * sink; the per-user rollup runs as a batch aggregate over it (on
+    * a live pipeline that rollup would be a second streaming agg).
+    *
+    * Equality contract with the batch oracle: event-times are exact
+    * millisecond-derived timestamps, and the interval bound
+    * `p_time <= v_time + 30 min` is evaluated on microsecond-precision
+    * values that are whole milliseconds — identical to the oracle's
+    * `pms - vms <= 1800000` integer arithmetic.
+    */
+  def convertViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_convert_${counter.incrementAndGet()}"
+    def side(tpe: String, prefix: String) = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .filter(col("event_type") === tpe)
+      .withColumn("ms",
+        graft.operators.Events.msFromTs(schema("ts").dataType))
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        col("ms").as(s"${prefix}_ms"),
+        timestamp_millis(col("ms")).as(s"${prefix}_time"))
+      .withWatermark(s"${prefix}_time", "1 hour")
+    val views = side("view", "v")
+    val purchases = side("purchase", "p")
+    val pairs = purchases.join(views,
+      expr("""v_user = p_user
+        AND v_time <= p_time
+        AND p_time <= v_time + INTERVAL 30 MINUTES"""))
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_id")).as("n_views"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        min(col("p_ms") - col("v_ms")).as("min_lag_ms"),
+        max(col("p_ms") - col("v_ms")).as("max_lag_ms"))
+      .orderBy("user_id")
+  }
+
   /** Batch-equivalent streaming run of the hourly aggregation.
     * `ts` is floored to ms (schema-dispatched, see Events.msFromTs) and
     * projected to an event-time timestamp for the watermark.
