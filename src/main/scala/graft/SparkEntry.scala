@@ -13,6 +13,7 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     operators.RelationalQueries.specs ++
       operators.TextAnalysis.specs ++
+      operators.Pii.specs ++
       operators.Dedup.specs ++
       operators.Corpus.specs ++
       operators.CorpusProfile.specs ++
