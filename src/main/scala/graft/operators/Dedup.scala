@@ -452,7 +452,82 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- semantic dedup (SemDeDup-shaped survivor selection) ---------------
+  // The embedding-space dedup DECISION pass: cosine near-dup pairs
+  // within each cluster (the `label` column plays the k-means cluster
+  // role — at 100 TB the blocking key would come from q_embed_kmeans's
+  // assignments, identical plan) → connected components of the
+  // near-dup graph → one survivor per component (min vec_id), vectors
+  // with no near-neighbor surviving as singletons. Reported per
+  // cluster: corpus size, dup-graph size, components, survivors, and
+  // the drop rate in exact basis points.
+  //
+  // Scale shape: the pair join is cluster-blocked (never all-pairs);
+  // components come from the same pointer-doubling label propagation
+  // the spatial clustering uses (O(log diameter) tiny-table
+  // iterations); the rollup is one narrow (label) aggregate.
+  private val qSemantic = QuerySpec.of(
+    "q_dedup_semantic",
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e),
+      |cand AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_sum(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) >= 0.3),
+      |bi AS (
+      |  SELECT va AS a, vb AS b FROM cand
+      |  UNION ALL SELECT vb, va FROM cand),
+      |reach AS (
+      |  SELECT a AS nid, a AS lbl FROM bi
+      |  UNION
+      |  SELECT bi.b AS nid, r.lbl FROM reach r
+      |  JOIN bi ON bi.a = r.nid WHERE r.lbl < bi.b),
+      |lab AS (SELECT nid, min(lbl) AS comp FROM reach GROUP BY nid),
+      |g AS (
+      |  SELECT e.vec_id, e.label, lab.comp
+      |  FROM e LEFT JOIN lab ON e.vec_id = lab.nid)
+      |SELECT label, count(*) AS n_vecs,
+      |  count(comp) AS n_dup_nodes,
+      |  count(DISTINCT comp) AS n_components,
+      |  count(*) - count(comp) + count(DISTINCT comp) AS n_survivors,
+      |  (count(comp) - count(DISTINCT comp)) * 10000 // count(*) AS drop_bp
+      |FROM g GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"), col("label"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("label"))
+    val dot = graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .filter(round(dot / (col("na") * col("nb")), 9) >= 0.3)
+      .select("a", "b")
+    val comp = Clustering.minLabelComponents(pairs)
+      .select(col("nid").as("vec_id"), col("label").as("comp"))
+    e.select("vec_id", "label")
+      .join(comp, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("comp")).as("n_dup_nodes"),
+        countDistinct(col("comp")).as("n_components"),
+        (count(lit(1)) - count(col("comp")) + countDistinct(col("comp")))
+          .as("n_survivors"),
+        expr("CAST((count(comp) - count(DISTINCT comp)) * 10000" +
+          " DIV count(*) AS BIGINT)").as("drop_bp"))
+      .orderBy("label")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
-      qEmbed, qWinnow)
+      qEmbed, qWinnow, qSemantic)
 }
