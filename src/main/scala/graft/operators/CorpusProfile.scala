@@ -447,6 +447,51 @@ object CorpusProfile {
       .orderBy("source")
   }
 
+  // ---- lexical novelty profile (trigram hapax / type-token) -------------
+  // Per-source lexical-diversity report over word 3-grams: gram
+  // volume, distinct types, hapax legomena (grams occurring exactly
+  // once WITHIN the source), and integer-basis-point type-token and
+  // hapax rates — the "how much novel text does this source
+  // contribute" number next to the dup-rate in a corpus report.
+  // (Unigrams would be useless on a small closed vocabulary — every
+  // word is frequent; the trigram space is where novelty lives.)
+  // Shape: explode → (source, gram) hash-agg with map-side partials →
+  // per-source rollup; exact integers throughout.
+  private val qHapax = QuerySpec.of(
+    "q_text_hapax", {
+      val toks = sql.toks
+      val grams = sql.shingles("toks", 3)
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+        |g AS (SELECT source, unnest($grams) AS gram FROM t),
+        |c AS (
+        |  SELECT source, gram, count(*) AS n
+        |  FROM g GROUP BY source, gram)
+        |SELECT source,
+        |  CAST(sum(n) AS BIGINT) AS n_grams,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  count(*) * 10000 // CAST(sum(n) AS BIGINT) AS ttr_bp,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 10000 // count(*) AS hapax_bp
+        |FROM c GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    Tables.fanout(Tables.documents(s, d))
+      .select(col("source"),
+        explode(shingles(tokens(col("text")), 3)).as("gram"))
+      .groupBy("source", "gram")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_grams"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_grams"), col("n_types"),
+        col("n_hapax"),
+        expr("CAST(n_types * 10000 DIV n_grams AS BIGINT)").as("ttr_bp"),
+        expr("CAST(n_hapax * 10000 DIV n_types AS BIGINT)").as("hapax_bp"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qVocabCoverage, qSourceOverlap, qDupSpans,
-    qMixtureWeights, qQualityVsDup, qSplitContamination, qCorpusDiff)
+    qMixtureWeights, qQualityVsDup, qSplitContamination, qCorpusDiff, qHapax)
 }
