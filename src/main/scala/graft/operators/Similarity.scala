@@ -618,6 +618,50 @@ object Similarity {
       |${(1 to PqIters).map(round).mkString(",\n")}""".stripMargin
   }
 
+  /** Shared PQ training: integer-quantized vectors `qv` (vec_id, q)
+    * plus, per subspace, the FINAL assignment DataFrame (vec_id, cid,
+    * qs — the stored codes) and the post-update centroids (the
+    * codebook ADC tables are built from). The assignment uses the
+    * PREVIOUS round's centroids and the returned centroids are the
+    * update over those members — the same (a_T, c_T) pairing the
+    * oracle's CTE chain produces.
+    */
+  private def pqTrained(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, Seq[(Int, DataFrame, Array[(Int, Array[Double])])]) = {
+    val qv = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => (x * DIM + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
+          .as("q"))
+      .localCheckpoint() // M training loops + the code join re-read these
+    val perSub = (0 until PqM).map { sub =>
+      val sv = qv.select(col("vec_id"),
+        slice(col("q"), sub * PqSubDim + 1, PqSubDim).as("qs"))
+      var cents: Array[(Int, Array[Double])] =
+        sv.orderBy("vec_id").limit(PqK).collect().zipWithIndex.map {
+          case (r, i) => (i, r.getSeq[Long](1).map(_.toDouble).toArray)
+        }
+      var assigned: DataFrame = null
+      for (_ <- 1 to PqIters) {
+        val candidates = cents.map { case (cid, cv) =>
+          val dist = aggregate(
+            zip_with(col("qs"), typedLit(cv.toSeq),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (acc, x) => acc + x)
+          struct(dist.as("dist"), lit(cid).as("cid"))
+        }
+        assigned = sv.withColumn("m", least(candidates: _*))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("qs"))
+        cents = pqUpdate(assigned)
+      }
+      // several consumers read the final assignment (code join, member
+      // counts, centroid signatures, ADC search) — materialize once
+      // instead of re-running the broadcast-argmin scan per consumer
+      (sub, assigned.localCheckpoint(), cents)
+    }
+    (qv, perSub)
+  }
+
   private val qPq = QuerySpec.of(
     "q_embed_pq", {
       val subs = (0 until PqM).map(pqOracleSub).mkString(",\n")
@@ -662,37 +706,7 @@ object Similarity {
         |ORDER BY subspace, cid""".stripMargin
     }) { (s, d) =>
     import s.implicits._
-    val qv = Tables.fanout(Tables.embeddings(s, d))
-      .select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => (x * DIM + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
-          .as("q"))
-      .localCheckpoint() // M training loops + the code join re-read these
-    val perSub = (0 until PqM).map { sub =>
-      val sv = qv.select(col("vec_id"),
-        slice(col("q"), sub * PqSubDim + 1, PqSubDim).as("qs"))
-      var cents: Array[(Int, Array[Double])] =
-        sv.orderBy("vec_id").limit(PqK).collect().zipWithIndex.map {
-          case (r, i) => (i, r.getSeq[Long](1).map(_.toDouble).toArray)
-        }
-      var assigned: DataFrame = null
-      for (_ <- 1 to PqIters) {
-        val candidates = cents.map { case (cid, cv) =>
-          val dist = aggregate(
-            zip_with(col("qs"), typedLit(cv.toSeq),
-              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-            lit(0.0), (acc, x) => acc + x)
-          struct(dist.as("dist"), lit(cid).as("cid"))
-        }
-        assigned = sv.withColumn("m", least(candidates: _*))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("qs"))
-        cents = pqUpdate(assigned)
-      }
-      // three consumers read the final assignment (code join, member
-      // counts, centroid signatures) — materialize once instead of
-      // re-running the broadcast-argmin scan per consumer
-      (sub, assigned.localCheckpoint(), cents)
-    }
+    val (_, perSub) = pqTrained(s, d)
     val codes = perSub.map { case (sub, a, _) =>
       a.select(col("vec_id"), col("cid").as(s"k$sub"))
     }.reduce(_.join(_, "vec_id"))
@@ -715,8 +729,110 @@ object Similarity {
       .orderBy("subspace", "cid")
   }
 
+  // ---- PQ asymmetric-distance search (ADC) -------------------------------
+  // The search half of IVF-PQ: corpus vectors are represented ONLY by
+  // their M-part PQ codes (4 small ints/vector); each query builds an
+  // M×K lookup table of squared distances from its subvectors to every
+  // codebook centroid, and a candidate's approximate distance is M
+  // table lookups + adds — never a full-dimension dot product against
+  // the corpus. This is what makes billion-vector search affordable:
+  // the scan reads 4 ints per vector instead of 64 doubles.
+  //
+  // Scale shape: tables are driver-built (NQUERIES × M × K doubles,
+  // bounded) and broadcast; the corpus side streams its code table
+  // once with a map-only ADC projection; per-query top-k is the same
+  // window-over-broadcast-queries shape as q_ann_bruteforce (at
+  // billions of rows, a per-query TakeOrdered aggregate instead).
+  // Determinism: codes and centroids are the q_embed_pq training
+  // output (exact integer subvectors, bigint-sum/count centroid
+  // means); table entries fold left-to-right like the oracle's
+  // list_sum; ranking keys on round(adc, 9) with vec_id tie-break.
+  private val qPqAdc = QuerySpec.of(
+    "q_ann_pq_adc", {
+      val subs = (0 until PqM).map(pqOracleSub).mkString(",\n")
+      val codeJoin = (1 until PqM)
+        .map(s => s"JOIN a${PqIters}_$s x$s USING (vec_id)").mkString(" ")
+      val codeCols = (0 until PqM)
+        .map(s => if (s == 0) "x0.cid AS k0" else s"x$s.cid AS k$s")
+        .mkString(", ")
+      val tabs = (0 until PqM).map { sub =>
+        s"""tabs_$sub AS (
+          |  SELECT q.vec_id AS qid, c.cid,
+          |    list_sum(list_transform(range(1, ${PqSubDim + 1}), i ->
+          |      (CAST(q.qs[i] AS DOUBLE) - c.cv[i])
+          |        * (CAST(q.qs[i] AS DOUBLE) - c.cv[i]))) AS dist
+          |  FROM qv_$sub q CROSS JOIN c${PqIters}_$sub c
+          |  WHERE q.vec_id < $NQUERIES)""".stripMargin
+      }.mkString(",\n")
+      val tabJoin = (1 until PqM).map(s =>
+        s"JOIN tabs_$s t$s ON t$s.cid = c.k$s AND t$s.qid = t0.qid")
+        .mkString(" ")
+      s"""WITH qv AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |    CAST(trunc(x * $DIM
+        |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |$subs,
+        |codes AS (
+        |  SELECT x0.vec_id, $codeCols FROM a${PqIters}_0 x0 $codeJoin),
+        |$tabs,
+        |adc AS (
+        |  SELECT t0.qid, c.vec_id,
+        |    ${(0 until PqM).map(s => s"t$s.dist").mkString(" + ")} AS adc
+        |  FROM codes c JOIN tabs_0 t0 ON t0.cid = c.k0 $tabJoin
+        |  WHERE c.vec_id <> t0.qid),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY qid ORDER BY round(adc, 9), vec_id) AS rk
+        |  FROM adc)
+        |SELECT qid AS query_id, vec_id AS cand_id,
+        |  round(adc, 6) AS adc_dist, rk
+        |FROM r WHERE rk <= $TOPK
+        |ORDER BY query_id, rk""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val (qv, perSub) = pqTrained(s, d)
+    val codes = perSub.map { case (sub, a, _) =>
+      a.select(col("vec_id"), col("cid").as(s"k$sub"))
+    }.reduce(_.join(_, "vec_id"))
+    val centsBySub = perSub.map { case (sub, _, c) => sub -> c }.toMap
+    // per-query ADC tables: M arrays of K squared distances, built on
+    // the driver from the (bounded) query vectors + codebooks with the
+    // same left-to-right accumulation order as the oracle's list_sum
+    val tabRows = qv.filter(col("vec_id") < NQUERIES).orderBy("vec_id")
+      .collect().map { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Long](1)
+        val t = (0 until PqM).map { sub =>
+          val qs = q.slice(sub * PqSubDim, (sub + 1) * PqSubDim)
+          centsBySub(sub).sortBy(_._1).map { case (_, cv) =>
+            var acc = 0.0
+            var i = 0
+            while (i < PqSubDim) {
+              val dd = qs(i).toDouble - cv(i); acc += dd * dd; i += 1
+            }
+            acc
+          }.toSeq
+        }
+        (qid, t(0), t(1), t(2), t(3))
+      }.toSeq.toDF("qid", "t0", "t1", "t2", "t3")
+    val adc = (0 until PqM)
+      .map(sub => element_at(col(s"t$sub"), col(s"k$sub") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("adc"), 9), col("vec_id"))
+    codes.crossJoin(broadcast(tabRows))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("qid").as("query_id"), col("vec_id").as("cand_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans, qPq)
+    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans, qPq, qPqAdc)
 }
 
 
