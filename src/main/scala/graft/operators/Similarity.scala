@@ -831,8 +831,34 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ---- PQ-ADC recall@k vs the exact scan ---------------------------------
+  // How much ranking quality the 4-byte code representation costs:
+  // overlap between the ADC top-k and the brute-force cosine top-k,
+  // in exact basis points. (ADC ranks by quantized L2 while the exact
+  // scan ranks by cosine, so this also measures the metric gap — the
+  // honest number a compression layer reports.) Composes the two
+  // existing operators; integer-only output.
+  private val qPqRecall = QuerySpec.of(
+    "q_ann_pq_recall",
+    s"""WITH bf AS (${qBrute.oracle.get}),
+      |a AS (${qPqAdc.oracle.get})
+      |SELECT count(*) AS n_hits,
+      |  CAST(${NQUERIES * TOPK} AS BIGINT) AS n_total,
+      |  count(*) * 10000 // ${NQUERIES * TOPK} AS recall_bp
+      |FROM bf JOIN a USING (query_id, cand_id)""".stripMargin) { (s, d) =>
+    val bf = qBrute.fn(s, d).select("query_id", "cand_id")
+    val ad = qPqAdc.fn(s, d).select("query_id", "cand_id")
+    bf.join(ad, Seq("query_id", "cand_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        lit(NQUERIES.toLong * TOPK).as("n_total"),
+        expr(s"CAST(n_hits * 10000 DIV ${NQUERIES * TOPK} AS BIGINT)")
+          .as("recall_bp"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans, qPq, qPqAdc)
+    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans, qPq, qPqAdc,
+      qPqRecall)
 }
 
 

@@ -383,7 +383,96 @@ object TextAnalysis {
       .limit(BpeTopK)
   }
 
+  // ---- bigram-LM fluency scoring ------------------------------------------
+  // The deterministic analog of perplexity-bucket quality filtering
+  // (KenLM-style): train add-one-smoothed bigram transition
+  // probabilities on the corpus itself, score each document by its
+  // MEAN transition likelihood, and report per-source score
+  // distributions. Log-free on purpose: ln() implementations differ
+  // across engines, while p(b|a) = (c(a,b)+1)/(c(a·)+V) is a single
+  // IEEE division of exact integers and the per-doc mean folds the
+  // probabilities in position order — the same fixed-order-fold trick
+  // the BM25 ranking uses — so scores hash-match bit-exactly. Scores
+  // quantize to integer micro-units with explicit trunc(x*1e6 + 0.5)
+  // (both engines' round() disagree on representability boundaries;
+  // trunc does not).
+  //
+  // Scale shape: the bigram count table is |bigram types| rows
+  // (vocab²-bounded — broadcast here; a shuffle equality join at
+  // larger vocabs, same plan otherwise), V is a 1-row broadcast dim,
+  // and the per-doc fold is one (doc_id) hash-agg. No global sorts,
+  // no cross-row float accumulation anywhere.
+  private val qLmScore = QuerySpec.of(
+    "q_text_lm_score", {
+      val toks = sql.toks
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $toks AS toks FROM documents),
+        |pr AS (
+        |  SELECT doc_id, source, u.i AS pos,
+        |    toks[u.i] AS a, toks[u.i + 1] AS b
+        |  FROM t, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |cnt AS (SELECT a, b, count(*) AS c FROM pr GROUP BY a, b),
+        |cp AS (SELECT a, CAST(sum(c) AS BIGINT) AS cp FROM cnt GROUP BY a),
+        |v AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t)),
+        |sc AS (
+        |  SELECT pr.doc_id, pr.source, pr.pos,
+        |    CAST(cnt.c + 1 AS DOUBLE) / (cp.cp + v.v) AS p
+        |  FROM pr JOIN cnt USING (a, b) JOIN cp USING (a) CROSS JOIN v),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    list_sum(list(p ORDER BY pos)) / count(*) AS score
+        |  FROM sc GROUP BY doc_id, source),
+        |m AS (
+        |  SELECT source,
+        |    CAST(trunc(score * 1000000 + 0.5) AS BIGINT) AS micro
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(micro) AS BIGINT) // count(*) AS avg_micro,
+        |  min(micro) AS min_micro, max(micro) AS max_micro
+        |FROM m GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val t = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint() // bigram explode + vocab count both read toks
+    val pr = t
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(i.as("pos"),
+            element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("x"))
+      .select(col("doc_id"), col("source"),
+        col("x.pos"), col("x.a"), col("x.b"))
+      .localCheckpoint() // read twice: count training + scoring join
+    val cnt = pr.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val cp = cnt.groupBy("a").agg(sum("c").as("cp"))
+    val v = t.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val scored = pr
+      .join(broadcast(cnt), Seq("a", "b"))
+      .join(broadcast(cp), Seq("a"))
+      .crossJoin(broadcast(v))
+      .withColumn("p",
+        (col("c") + 1).cast("double")
+          / (col("cp") + col("v")).cast("double"))
+    scored.groupBy("doc_id", "source")
+      .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("score"))
+      .withColumn("micro",
+        (col("score") * 1000000 + 0.5).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(micro) DIV count(*) AS BIGINT)").as("avg_micro"),
+        min("micro").as("min_micro"), max("micro").as("max_micro"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
-    qPostings, qBloomScreen, qBpePairs)
+    qPostings, qBloomScreen, qBpePairs, qLmScore)
 }
