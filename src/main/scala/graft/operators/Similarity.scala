@@ -255,36 +255,89 @@ object Similarity {
   private val IVF_K = 16
   private val IVF_PROBE = 2
 
+  /** Shared IVF CTE block: coarse centroids, the inverted-list
+    * assignment, the probe list, and the probed candidate set —
+    * used by both the exact-rescore IVF search and the IVF-PQ (ADC)
+    * search, which must agree on the index they read.
+    */
+  private def duckIvfCtes: String = {
+    val assignDot = duckDot("n.v", "c.v")
+    val probeDot = duckDot("q.v", "c.v")
+    s"""cent AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id < $IVF_K),
+      |asg0 AS (
+      |  SELECT n.vec_id, c.cid,
+      |    round(($assignDot) / (n.nrm * c.nrm), 9) AS cos
+      |  FROM n CROSS JOIN cent c),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid) AS rk FROM asg0) WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, v, nrm FROM n
+      |  WHERE vec_id < $NQUERIES),
+      |probe0 AS (
+      |  SELECT q.query_id, c.cid,
+      |    round(($probeDot) / (q.nrm * c.nrm), 9) AS cos
+      |  FROM q CROSS JOIN cent c),
+      |probe AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, cid) AS rk FROM probe0)
+      |  WHERE rk <= $IVF_PROBE),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS cand_id
+      |  FROM probe p JOIN asg a ON p.cid = a.cid
+      |  WHERE a.vec_id <> p.query_id)""".stripMargin
+  }
+
+  private def ivfCentroids(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+
+  /** Inverted-list assignment: broadcast the K centroids, keep the
+    * argmax row — map-side only, no shuffle until the list-id
+    * candidate join. The inverted lists ARE the index: persisted once
+    * per dataset fingerprint as a parquet scaffold (same architecture
+    * as the minhash-sig and ann-lsh-index artifacts) — queries
+    * (exact-rescore IVF and IVF-PQ alike) re-read the lists instead
+    * of re-deriving them, and the artifact survives session and
+    * executor loss.
+    */
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String,
+      n: DataFrame, cent: DataFrame): DataFrame = {
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid"))
+    graft.Scaffold.table(s, "ann-ivf-lists",
+        graft.Scaffold.paramsKey(Tables.fingerprint(s, d, "embeddings"),
+          "algo" -> "ivf-v1", "k" -> IVF_K, "round" -> 9)) {
+      n.crossJoin(broadcast(cent))
+        .withColumn("cos",
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 9))
+        .withColumn("rk", row_number().over(wAsg))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+  }
+
+  /** (query_id, cid) probe set: the IVF_PROBE nearest coarse
+    * centroids per query.
+    */
+  private def ivfProbes(q: DataFrame, cent: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= IVF_PROBE)
+      .select(col("query_id"), col("cid"))
+  }
+
   private val qIvf = QuerySpec.of(
     "q_ann_ivf", {
-      val assignDot = duckDot("n.v", "c.v")
-      val probeDot = duckDot("q.v", "c.v")
       val scoreDot = duckDot("q.v", "x.v")
       s"""WITH $duckNorm,
-        |cent AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id < $IVF_K),
-        |asg0 AS (
-        |  SELECT n.vec_id, c.cid,
-        |    round(($assignDot) / (n.nrm * c.nrm), 9) AS cos
-        |  FROM n CROSS JOIN cent c),
-        |asg AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid) AS rk FROM asg0) WHERE rk = 1),
-        |q AS (SELECT vec_id AS query_id, v, nrm FROM n
-        |  WHERE vec_id < $NQUERIES),
-        |probe0 AS (
-        |  SELECT q.query_id, c.cid,
-        |    round(($probeDot) / (q.nrm * c.nrm), 9) AS cos
-        |  FROM q CROSS JOIN cent c),
-        |probe AS (
-        |  SELECT query_id, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, cid) AS rk FROM probe0)
-        |  WHERE rk <= $IVF_PROBE),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id AS cand_id
-        |  FROM probe p JOIN asg a ON p.cid = a.cid
-        |  WHERE a.vec_id <> p.query_id),
+        |$duckIvfCtes,
         |sc AS (
         |  SELECT cand.query_id, cand.cand_id,
         |    round(($scoreDot) / (q.nrm * x.nrm), 9) AS cos
@@ -297,39 +350,12 @@ object Similarity {
         |ORDER BY query_id, rk""".stripMargin
     }) { (s, d) =>
     val n = normalized(Tables.embeddings(s, d)).localCheckpoint()
-    val cent = n.filter(col("vec_id") < IVF_K)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    // assignment: broadcast the K centroids, keep the argmax row —
-    // map-side only, no shuffle until the list-id candidate join.
-    // The inverted lists ARE the index: persisted once per dataset
-    // fingerprint as a parquet scaffold (same architecture as the
-    // minhash-sig and ann-lsh-index artifacts) — queries re-read the
-    // lists instead of re-deriving them, and the artifact survives
-    // session and executor loss.
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cid"))
-    val asg = graft.Scaffold.table(s, "ann-ivf-lists",
-        graft.Scaffold.paramsKey(Tables.fingerprint(s, d, "embeddings"),
-          "algo" -> "ivf-v1", "k" -> IVF_K, "round" -> 9)) {
-      n.crossJoin(broadcast(cent))
-        .withColumn("cos",
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 9))
-        .withColumn("rk", row_number().over(wAsg))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"))
-    }
+    val cent = ivfCentroids(n)
+    val asg = ivfIndex(s, d, n, cent)
     val q = n.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cid"))
-    val probe = q.crossJoin(broadcast(cent))
-      .withColumn("cos",
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= IVF_PROBE)
-      .select(col("query_id"), col("cid"))
+    val probe = ivfProbes(q, cent)
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     asg.join(broadcast(probe), Seq("cid"))
@@ -747,59 +773,25 @@ object Similarity {
   // output (exact integer subvectors, bigint-sum/count centroid
   // means); table entries fold left-to-right like the oracle's
   // list_sum; ranking keys on round(adc, 9) with vec_id tie-break.
-  private val qPqAdc = QuerySpec.of(
-    "q_ann_pq_adc", {
-      val subs = (0 until PqM).map(pqOracleSub).mkString(",\n")
-      val codeJoin = (1 until PqM)
-        .map(s => s"JOIN a${PqIters}_$s x$s USING (vec_id)").mkString(" ")
-      val codeCols = (0 until PqM)
-        .map(s => if (s == 0) "x0.cid AS k0" else s"x$s.cid AS k$s")
-        .mkString(", ")
-      val tabs = (0 until PqM).map { sub =>
-        s"""tabs_$sub AS (
-          |  SELECT q.vec_id AS qid, c.cid,
-          |    list_sum(list_transform(range(1, ${PqSubDim + 1}), i ->
-          |      (CAST(q.qs[i] AS DOUBLE) - c.cv[i])
-          |        * (CAST(q.qs[i] AS DOUBLE) - c.cv[i]))) AS dist
-          |  FROM qv_$sub q CROSS JOIN c${PqIters}_$sub c
-          |  WHERE q.vec_id < $NQUERIES)""".stripMargin
-      }.mkString(",\n")
-      val tabJoin = (1 until PqM).map(s =>
-        s"JOIN tabs_$s t$s ON t$s.cid = c.k$s AND t$s.qid = t0.qid")
-        .mkString(" ")
-      s"""WITH qv AS (
-        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
-        |    CAST(trunc(x * $DIM
-        |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |$subs,
-        |codes AS (
-        |  SELECT x0.vec_id, $codeCols FROM a${PqIters}_0 x0 $codeJoin),
-        |$tabs,
-        |adc AS (
-        |  SELECT t0.qid, c.vec_id,
-        |    ${(0 until PqM).map(s => s"t$s.dist").mkString(" + ")} AS adc
-        |  FROM codes c JOIN tabs_0 t0 ON t0.cid = c.k0 $tabJoin
-        |  WHERE c.vec_id <> t0.qid),
-        |r AS (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY qid ORDER BY round(adc, 9), vec_id) AS rk
-        |  FROM adc)
-        |SELECT qid AS query_id, vec_id AS cand_id,
-        |  round(adc, 6) AS adc_dist, rk
-        |FROM r WHERE rk <= $TOPK
-        |ORDER BY query_id, rk""".stripMargin
-    }) { (s, d) =>
-    import s.implicits._
-    val (qv, perSub) = pqTrained(s, d)
-    val codes = perSub.map { case (sub, a, _) =>
+  /** (vec_id, k0..k{M-1}): the stored PQ code table. */
+  private def pqCodes(
+      perSub: Seq[(Int, DataFrame, Array[(Int, Array[Double])])])
+      : DataFrame =
+    perSub.map { case (sub, a, _) =>
       a.select(col("vec_id"), col("cid").as(s"k$sub"))
     }.reduce(_.join(_, "vec_id"))
+
+  /** Per-query ADC tables: M arrays of K squared distances, built on
+    * the driver from the (bounded) query vectors + codebooks with the
+    * same left-to-right accumulation order as the oracle's list_sum.
+    */
+  private def adcTables(s: org.apache.spark.sql.SparkSession,
+      qv: DataFrame,
+      perSub: Seq[(Int, DataFrame, Array[(Int, Array[Double])])])
+      : DataFrame = {
+    import s.implicits._
     val centsBySub = perSub.map { case (sub, _, c) => sub -> c }.toMap
-    // per-query ADC tables: M arrays of K squared distances, built on
-    // the driver from the (bounded) query vectors + codebooks with the
-    // same left-to-right accumulation order as the oracle's list_sum
-    val tabRows = qv.filter(col("vec_id") < NQUERIES).orderBy("vec_id")
+    qv.filter(col("vec_id") < NQUERIES).orderBy("vec_id")
       .collect().map { r =>
         val qid = r.getLong(0)
         val q = r.getSeq[Long](1)
@@ -816,9 +808,70 @@ object Similarity {
         }
         (qid, t(0), t(1), t(2), t(3))
       }.toSeq.toDF("qid", "t0", "t1", "t2", "t3")
-    val adc = (0 until PqM)
+  }
+
+  /** M table lookups + adds — the whole per-candidate ADC cost. */
+  private def adcSum: Column =
+    (0 until PqM)
       .map(sub => element_at(col(s"t$sub"), col(s"k$sub") + 1))
       .reduce(_ + _)
+
+  /** Shared PQ-ADC CTE block: quantized vectors, the per-subspace
+    * training chains, the stored code table, and the per-query ADC
+    * distance tables — used by both the full-scan ADC search and the
+    * IVF-PQ probe search.
+    */
+  private def duckPqCtes: String = {
+    val subs = (0 until PqM).map(pqOracleSub).mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN a${PqIters}_$s x$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until PqM)
+      .map(s => if (s == 0) "x0.cid AS k0" else s"x$s.cid AS k$s")
+      .mkString(", ")
+    val tabs = (0 until PqM).map { sub =>
+      s"""tabs_$sub AS (
+        |  SELECT q.vec_id AS qid, c.cid,
+        |    list_sum(list_transform(range(1, ${PqSubDim + 1}), i ->
+        |      (CAST(q.qs[i] AS DOUBLE) - c.cv[i])
+        |        * (CAST(q.qs[i] AS DOUBLE) - c.cv[i]))) AS dist
+        |  FROM qv_$sub q CROSS JOIN c${PqIters}_$sub c
+        |  WHERE q.vec_id < $NQUERIES)""".stripMargin
+    }.mkString(",\n")
+    s"""qv AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
+      |    CAST(trunc(x * $DIM
+      |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |$subs,
+      |codes AS (
+      |  SELECT x0.vec_id, $codeCols FROM a${PqIters}_0 x0 $codeJoin),
+      |$tabs""".stripMargin
+  }
+
+  private val qPqAdc = QuerySpec.of(
+    "q_ann_pq_adc", {
+      val tabJoin = (1 until PqM).map(s =>
+        s"JOIN tabs_$s t$s ON t$s.cid = c.k$s AND t$s.qid = t0.qid")
+        .mkString(" ")
+      s"""WITH $duckPqCtes,
+        |adc AS (
+        |  SELECT t0.qid, c.vec_id,
+        |    ${(0 until PqM).map(s => s"t$s.dist").mkString(" + ")} AS adc
+        |  FROM codes c JOIN tabs_0 t0 ON t0.cid = c.k0 $tabJoin
+        |  WHERE c.vec_id <> t0.qid),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY qid ORDER BY round(adc, 9), vec_id) AS rk
+        |  FROM adc)
+        |SELECT qid AS query_id, vec_id AS cand_id,
+        |  round(adc, 6) AS adc_dist, rk
+        |FROM r WHERE rk <= $TOPK
+        |ORDER BY query_id, rk""".stripMargin
+    }) { (s, d) =>
+    val (qv, perSub) = pqTrained(s, d)
+    val codes = pqCodes(perSub)
+    val tabRows = adcTables(s, qv, perSub)
+    val adc = adcSum
     val w = Window.partitionBy("qid")
       .orderBy(round(col("adc"), 9), col("vec_id"))
     codes.crossJoin(broadcast(tabRows))
@@ -856,9 +909,65 @@ object Similarity {
           .as("recall_bp"))
   }
 
+  // ---- IVF-PQ probe search ------------------------------------------------
+  // The combined billion-scale architecture: probe the IVF_PROBE
+  // nearest inverted lists (coarse quantizer), then rank ONLY those
+  // lists' members by PQ-ADC table lookups — the scan touches a
+  // probed fraction of the corpus and reads 4 small ints per
+  // candidate. Reuses the persisted inverted-list scaffold the
+  // exact-rescore IVF search reads (same artifact key) and the
+  // q_embed_pq codebooks; the DuckDB oracle composes the two CTE
+  // blocks and replays the probe → code-lookup → rank chain exactly.
+  private val qIvfPq = QuerySpec.of(
+    "q_ann_ivfpq", {
+      val tabJoin = (1 until PqM).map(s =>
+        s"JOIN tabs_$s t$s ON t$s.cid = k.k$s AND t$s.qid = c.query_id")
+        .mkString(" ")
+      s"""WITH $duckNorm,
+        |$duckIvfCtes,
+        |$duckPqCtes,
+        |adc AS (
+        |  SELECT c.query_id, c.cand_id,
+        |    ${(0 until PqM).map(s => s"t$s.dist").mkString(" + ")} AS adc
+        |  FROM cand c JOIN codes k ON k.vec_id = c.cand_id
+        |  JOIN tabs_0 t0 ON t0.cid = k.k0 AND t0.qid = c.query_id
+        |  $tabJoin),
+        |r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY round(adc, 9), cand_id) AS rk
+        |  FROM adc)
+        |SELECT query_id, cand_id, round(adc, 6) AS adc_dist, rk
+        |FROM r WHERE rk <= $TOPK
+        |ORDER BY query_id, rk""".stripMargin
+    }) { (s, d) =>
+    val n = normalized(Tables.embeddings(s, d)).localCheckpoint()
+    val cent = ivfCentroids(n)
+    val asg = ivfIndex(s, d, n, cent)
+    val q = n.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probe = ivfProbes(q, cent)
+    val (qv, perSub) = pqTrained(s, d)
+    val codes = pqCodes(perSub)
+    val tabRows = adcTables(s, qv, perSub)
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("adc"), 9), col("cand_id"))
+    asg.join(broadcast(probe), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+      .join(broadcast(tabRows), col("qid") === col("query_id"))
+      .withColumn("adc", adcSum)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("query_id"), col("cand_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans, qPq, qPqAdc,
-      qPqRecall)
+      qPqRecall, qIvfPq)
 }
 
 
