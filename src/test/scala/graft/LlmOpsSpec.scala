@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Boundary-pinning specs for the round-11 LLM-pipeline operators,
+  * on crafted fixture tables (the oracle compare exercises them on the
+  * driver's testdata; these pin the edge semantics that data may not
+  * hit).
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDir(name: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft-llm-$name").toString
+    d
+  }
+
+  test("stream convert: 30-minute boundary is inclusive, prior-view only") {
+    val dir = fixtureDir("convert")
+    val t0 = 1700000000000L
+    Seq(
+      // user 1: view, purchase exactly +30min (IN), purchase +30min+1ms (OUT)
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, t0 + 1800000L, 1L, "purchase", 1.0, "{}"),
+      (3L, t0 + 1800001L, 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase BEFORE its view — no pair
+      (4L, t0 + 1000L, 2L, "purchase", 1.0, "{}"),
+      (5L, t0 + 2000L, 2L, "view", 1.0, "{}"),
+      // user 3: two views, one purchase inside both windows → 2 pairs
+      (6L, t0, 3L, "view", 1.0, "{}"),
+      (7L, t0 + 60000L, 3L, "view", 1.0, "{}"),
+      (8L, t0 + 120000L, 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_stream_events_convert")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("max_lag_ms")))).toMap
+    assert(rows(1L) == ((1L, 1800000L))) // boundary pair in, +1ms out
+    assert(!rows.contains(2L))           // purchase-before-view never pairs
+    assert(rows(3L) == ((2L, 120000L)))
+  }
+
+  test("semantic dedup: transitive chain collapses, singleton survives") {
+    val dir = fixtureDir("semdedup")
+    val dim = 64
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    val s2 = (1.0 / math.sqrt(2.0)).toFloat
+    // A=e0, B=(e0+e1)/sqrt2, C=e1: cos(A,B)=cos(B,C)=0.707, cos(A,C)=0
+    // → one chain component {A,B,C}; D=e2 isolated.
+    Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(0 -> s2, 1 -> s2), 0),
+      (2L, vec(1 -> 1.0f), 0),
+      (3L, vec(2 -> 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q_dedup_semantic")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_vecs") == 4)
+    assert(row.getAs[Long]("n_dup_nodes") == 3)
+    assert(row.getAs[Long]("n_components") == 1)
+    assert(row.getAs[Long]("n_survivors") == 2) // chain keeper + singleton
+    assert(row.getAs[Long]("drop_bp") == 5000)  // 2 of 4 dropped
+  }
+
+  test("semantic dedup: cross-label pairs never form") {
+    val dir = fixtureDir("semlabels")
+    // identical vectors but different labels → no pairs at all
+    val v = Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    Seq((0L, v, 0), (1L, v, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q_dedup_semantic")(spark, dir)
+      .collect().map(x => x.getAs[Int]("label") ->
+        x.getAs[Long]("n_survivors")).toMap
+    assert(r == Map(0 -> 1L, 1 -> 1L))
+  }
+
+  test("lm score: hand-computed add-one bigram mean on a tiny corpus") {
+    val dir = fixtureDir("lm")
+    Seq((0L, "a b a b", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // bigrams: (a,b)x2, (b,a)x1; cp(a)=2, cp(b)=1; V=2
+    // p(a,b) = 3/4, p(b,a) = 2/3
+    // score = (0.75 + 2/3 + 0.75) / 3; micro = trunc(score*1e6 + 0.5)
+    val exp = ((0.75 + 2.0 / 3.0 + 0.75) / 3.0 * 1e6 + 0.5).toLong
+    val r = SparkEntry.queries("q_text_lm_score")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 1)
+    assert(r.head.getAs[Long]("avg_micro") == exp)
+    assert(r.head.getAs[Long]("min_micro") == exp)
+  }
+
+  test("hapax: trigram types and hapax counted within source") {
+    val dir = fixtureDir("hapax")
+    Seq(
+      (0L, "a b c d", "en", "s1", 7L),   // "a b c", "b c d" — both hapax
+      (1L, "a b c", "en", "s1", 5L),     // "a b c" again → not hapax
+      (2L, "x y z", "en", "s2", 5L))     // separate source
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_text_hapax")(spark, dir)
+      .collect().map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_types"),
+          x.getAs[Long]("n_hapax")))).toMap
+    assert(r("s1") == ((3L, 2L, 1L))) // "a b c" twice, "b c d" once
+    assert(r("s2") == ((1L, 1L, 1L)))
+  }
+
+  test("pii: redaction shortens exactly the matched spans") {
+    val s = "Contact Customer#000000007 at user8@mail.example.com" +
+      " or +1-555-0008 (acct 100000296)"
+    val red = Seq(s).toDF("t")
+      .select(graft.operators.Pii.redact(col("t")))
+      .collect().head.getString(0)
+    assert(red == "Contact Customer#[ID] at [EMAIL]" +
+      " or [PHONE] (acct [ID])")
+  }
+}
