@@ -91,6 +91,21 @@ object GraftExtensions {
     (FunctionIdentifier("graft_morton_z"),
       new ExpressionInfo(classOf[BitwiseOr].getName, "graft_morton_z"),
       twoArg("graft_morton_z", mortonZ)),
+    (FunctionIdentifier("graft_pii_redact"),
+      new ExpressionInfo(classOf[RegExpReplace].getName,
+        "graft_pii_redact"),
+      oneArg("graft_pii_redact", { e =>
+        // the ordered email → phone → id scrub, as the same nested
+        // codegen RegExpReplace chain Pii.redact builds (order is part
+        // of the contract: later counts/patterns never see digits
+        // inside earlier matches)
+        def rr(x: Expression, re: String, rep: String): Expression =
+          RegExpReplace(x, Literal(re), Literal(rep))
+        rr(rr(rr(Cast(e, StringType),
+          graft.operators.Pii.EmailRe, "[EMAIL]"),
+          graft.operators.Pii.PhoneRe, "[PHONE]"),
+          graft.operators.Pii.IdRe, "[ID]")
+      })),
     (FunctionIdentifier("graft_st_dwithin"),
       new ExpressionInfo(classOf[STDWithinExpr].getName, "graft_st_dwithin"),
       { args =>

@@ -50,6 +50,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq == viaDsl.map(_.toString).toSeq)
   }
 
+  test("graft_pii_redact matches the DataFrame scrubber") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val s = "mail user1234567@example.com or +1-555-0134, acct 987654321"
+    val sqlRes = spark.sql(
+      s"SELECT graft_pii_redact('$s') AS r").collect().head.getString(0)
+    val dslRes = Seq(s).toDF("t")
+      .select(operators.Pii.redact(col("t")))
+      .collect().head.getString(0)
+    assert(sqlRes == dslRes)
+    assert(sqlRes == "mail [EMAIL] or [PHONE], acct [ID]")
+  }
+
   test("graft_morton_z matches the layout operator's interleave") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql(
@@ -72,6 +85,7 @@ class GraftExtensionsSpec extends SparkSpec {
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
       Seq("graft_hash32", "graft_hash64", "graft_line_length_m",
-        "graft_morton_z", "graft_st_dwithin", "graft_vec_dot"))
+        "graft_morton_z", "graft_pii_redact", "graft_st_dwithin",
+        "graft_vec_dot"))
   }
 }
