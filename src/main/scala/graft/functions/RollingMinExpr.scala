@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Sliding-window minimum over an `array<long>` as a NATIVE Catalyst
+  * expression — the winnowing sketch kernel (MOSS fingerprint
+  * selection).
+  *
+  * The declarative form
+  * (`transform(sequence(...), j -> array_min(slice(hs, j, W)))`) is a
+  * higher-order function: CodegenFallback, interpreted per row, and
+  * O(n·W) because every window re-scans its W elements. This
+  * expression generates one static call into [[SketchKernels]] — a
+  * monotonic-deque pass, O(n) total regardless of W, inside the
+  * surrounding WholeStageCodegen span. At a 100 TB corpus the window
+  * min runs once per character of every document; the asymptotic drop
+  * is the difference between the sketch being scan-bound or
+  * compute-bound.
+  *
+  * Value contract: identical to the declarative form on every input
+  * whose windows hold ≥1 non-null element (minimum per window,
+  * windows 1..n-W+1 in order; null elements ignored). An all-null
+  * window yields a null element, like `array_min`. Inputs shorter
+  * than the window produce an EMPTY array — the declarative original
+  * relied on its caller's length pre-filter there (its
+  * `sequence(1, k<1)` shape would walk descending indices), so the
+  * kernel's guard is strictly saner for library callers.
+  */
+case class RollingMinExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rollingMin expects array<bigint>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.rollingMin(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.rollingMin($c, $w)")
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingMinExpr = copy(child = newChild)
+}
+
+object RollingMinExpr {
+  /** Column-API lift: per-window minima of `hs` over window `w`. */
+  def rollingMin(hs: Column, w: Int): Column =
+    GraftExpressionBridge.column(
+      RollingMinExpr(GraftExpressionBridge.expression(hs), w))
+}
+
+/** Static kernels called from generated code. */
+object SketchKernels {
+
+  /** Monotonic-deque sliding minimum: one O(n) pass, emitting the
+    * window min for each of the n-W+1 positions. Nulls never enter
+    * the deque; an all-null window emits null.
+    */
+  def rollingMin(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n < w) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - w + 1)
+    val dq = new Array[Int](n) // indices with increasing values
+    var head = 0
+    var tail = 0 // live deque slice is [head, tail)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val v = hs.getLong(i)
+        while (tail > head && hs.getLong(dq(tail - 1)) >= v) tail -= 1
+        dq(tail) = i
+        tail += 1
+      }
+      while (tail > head && dq(head) <= i - w) head += 1
+      if (i >= w - 1)
+        out(i - w + 1) =
+          if (tail > head) java.lang.Long.valueOf(hs.getLong(dq(head)))
+          else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -378,9 +378,10 @@ object Dedup {
   // the substring-level dedup the token-set fingerprint cannot see —
   // partial overlap, boilerplate, quotations.
   //
-  // Scale shape: sketching is one map-side pass (the O(n·W) window
-  // min here would be an O(n) monotonic-deque rolling min in a custom
-  // Expression at 100 TB — semantics identical); fingerprints that
+  // Scale shape: sketching is one map-side pass — the window min is a
+  // native O(n) monotonic-deque expression ([[graft.functions
+  // .RollingMinExpr]], whole-stage codegen), not the interpreted
+  // O(n·W) transform/slice/array_min form; fingerprints that
   // occur in more than WINNOW_MAXDF documents are dropped as
   // stop-grams BEFORE the pair join — the df cap is what keeps a
   // boilerplate gram shared by half the corpus from going quadratic,
@@ -431,10 +432,11 @@ object Dedup {
       // per window position; without it Project-collapse inlines the
       // per-gram md5 array into EVERY reference (O(n·W) rehashing)
       .localCheckpoint()
+    // native monotonic-deque window min (O(n) per doc, codegen) — the
+    // former transform/slice/array_min form was interpreted O(n·W)
     val sketch = grams.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), size(col("hs")) - WINNOW_W + 1),
-        j => array_min(slice(col("hs"), j, lit(WINNOW_W))))).as("sketch"))
+      array_distinct(graft.functions.RollingMinExpr
+        .rollingMin(col("hs"), WINNOW_W)).as("sketch"))
     val f0 = sketch
       .select(col("doc_id"), explode(col("sketch")).as("fp"))
       .localCheckpoint()

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.RollingMinExpr
+import org.apache.spark.sql.functions._
+
+/** The native monotonic-deque window min must agree with the
+  * declarative transform/slice/array_min form it replaced — on random
+  * inputs (seeded differential sweep), ties, and null elements.
+  */
+class RollingMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def declarative(hs: Seq[java.lang.Long], w: Int): Seq[Any] =
+    Seq(Tuple1(hs)).toDF("hs")
+      .select(transform(
+        sequence(lit(1), greatest(size(col("hs")) - w + 1, lit(0))),
+        j => array_min(slice(col("hs"), j, lit(w)))).as("m"))
+      .collect().head.getSeq[Any](0)
+
+  private def native(hs: Seq[java.lang.Long], w: Int): Seq[Any] =
+    Seq(Tuple1(hs)).toDF("hs")
+      .select(RollingMinExpr.rollingMin(col("hs"), w).as("m"))
+      .collect().head.getSeq[Any](0)
+
+  test("matches the declarative window min on random arrays") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 60) {
+      val n = 1 + rnd.nextInt(40)
+      val w = 1 + rnd.nextInt(12)
+      val xs = Seq.fill(n)(java.lang.Long.valueOf(rnd.nextLong() % 1000))
+      if (n >= w) assert(native(xs, w) == declarative(xs, w),
+        s"n=$n w=$w xs=$xs")
+      else assert(native(xs, w) == Seq())
+    }
+  }
+
+  test("ties and duplicates keep the window minimum") {
+    val xs = Seq(5L, 5L, 1L, 1L, 5L, 0L, 0L, 9L).map(java.lang.Long.valueOf)
+    assert(native(xs, 3) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("null elements are ignored; an all-null window is null") {
+    val xs = Seq[java.lang.Long](null, 7L, null, null, null, 3L)
+    assert(native(xs, 2) == Seq(7L, 7L, null, null, 3L))
+    assert(native(Seq[java.lang.Long](null, null), 2) == Seq(null))
+  }
+
+  test("short input yields an empty sketch, not descending windows") {
+    assert(native(Seq(1L, 2L).map(java.lang.Long.valueOf), 5) == Seq())
+  }
+}
