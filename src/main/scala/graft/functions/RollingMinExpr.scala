@@ -92,4 +92,29 @@ object SketchKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** One-pass 32-bit SimHash majority vote (see [[SimHash32Expr]] for
+    * the value contract; null elements count as hash 0).
+    */
+  def simhash32(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = if (hashes.isNullAt(i)) 0L else hashes.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) r |= 1L << b
+      b += 1
+    }
+    r
+  }
 }

@@ -92,28 +92,19 @@ object TextFunctions {
       array_min(transform(sh, s =>
         HashFunctions.hash64(concat(j.cast("string"), lit(":"), s)))))
 
-  /** 32-bit SimHash over the token multiset (±1 per bit, majority).
-    * The shift amount is a lambda-bound column, so the shifts go through
-    * `call_function` (the Scala `shiftright`/`shiftleft` helpers only
-    * accept a literal Int bit count).
-    */
+  /** 32-bit SimHash over the token multiset (±1 per bit, majority). */
   def simhash32(toks: Column): Column =
     simhash32FromHashes(transform(toks, t => HashFunctions.hash32(t)))
 
   /** SimHash from a pre-computed token-hash array — use with the hash
-    * array materialized (e.g. behind an exchange) so the 32 bit-votes
-    * don't re-evaluate the hashing per bit.
+    * array materialized (e.g. behind an exchange) so the bit votes
+    * don't re-evaluate the hashing. Native one-pass kernel
+    * ([[SimHash32Expr]]); the former doubly-interpreted
+    * aggregate-within-aggregate paid O(32·n) lambda evaluations per
+    * document.
     */
-  def simhash32FromHashes(hashes: Column): Column = {
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
-      val vote = aggregate(hashes, lit(0),
-        (s, h) => s + when(
-          call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      acc + when(vote > 0, call_function("shiftleft", lit(1L), b))
-        .otherwise(0L)
-    })
-  }
+  def simhash32FromHashes(hashes: Column): Column =
+    SimHash32Expr.simhash32(hashes)
 
   /** DuckDB twins for oracle SQL composition. */
   object sql {

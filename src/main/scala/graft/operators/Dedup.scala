@@ -237,16 +237,18 @@ object Dedup {
       |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // token hashes materialize behind the barrier; the 32 bit-votes
-    // then read the hash array as an attribute (simhash32 applied
-    // directly would re-hash every token for every bit).
+    // the native one-pass SimHash kernel consumes the hash array ONCE
+    // (SimHash32Expr), so hashing fuses into the same projection — no
+    // barrier needed between hashing and the bit votes (the former
+    // interpreted 32-vote form re-read the array per bit and needed
+    // the hashes materialized); the checkpoint below feeds the 4-way
+    // chunk explode + the pair refine without recomputing the sketch
     val sims = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
-        transform(col("toks"), t => HashFunctions.hash32(t)).as("hashes"))
-      .localCheckpoint()
-      .select(col("doc_id"), simhash32FromHashes(col("hashes")).as("sim"))
+        simhash32FromHashes(
+          transform(col("toks"), t => HashFunctions.hash32(t))).as("sim"))
       .localCheckpoint()
     val chunked = sims.select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(3)), c =>

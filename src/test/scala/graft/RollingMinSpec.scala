@@ -48,4 +48,39 @@ class RollingMinSpec extends SparkSpec {
   test("short input yields an empty sketch, not descending windows") {
     assert(native(Seq(1L, 2L).map(java.lang.Long.valueOf), 5) == Seq())
   }
+
+  // ---- SimHash32Expr: differential vs the replaced declarative form ----
+
+  private def simhashDeclarative(hs: Seq[java.lang.Long]): Long =
+    Seq(Tuple1(hs)).toDF("hashes")
+      .select(aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+        val vote = aggregate(col("hashes"), lit(0),
+          (s, h) => s + when(
+            call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(0L)
+      }).as("sim")).collect().head.getLong(0)
+
+  private def simhashNative(hs: Seq[java.lang.Long]): Long =
+    Seq(Tuple1(hs)).toDF("hashes")
+      .select(graft.functions.SimHash32Expr.simhash32(col("hashes")))
+      .collect().head.getLong(0)
+
+  test("simhash kernel matches the declarative bit votes on random input") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 40) {
+      val n = rnd.nextInt(30)
+      val xs = Seq.fill(n)(
+        java.lang.Long.valueOf(rnd.nextLong().abs % (1L << 32)))
+      assert(simhashNative(xs) == simhashDeclarative(xs), s"xs=$xs")
+    }
+  }
+
+  test("simhash: empty array is 0; null element votes like hash 0") {
+    assert(simhashNative(Seq()) == 0L)
+    val withNull = Seq[java.lang.Long](null, 0xFFFFFFFFL, 0xFFFFFFFFL)
+    assert(simhashNative(withNull) == simhashDeclarative(withNull))
+    assert(simhashNative(withNull) == 0xFFFFFFFFL) // 2-1 majority per bit
+  }
 }
