@@ -466,10 +466,14 @@ object Dedup {
   // cluster: corpus size, dup-graph size, components, survivors, and
   // the drop rate in exact basis points.
   //
-  // Scale shape: the pair join is cluster-blocked (never all-pairs);
-  // components come from the same pointer-doubling label propagation
-  // the spatial clustering uses (O(log diameter) tiny-table
-  // iterations); the rollup is one narrow (label) aggregate.
+  // Scale shape: the pair join is cluster-blocked — quadratic only
+  // WITHIN a cluster, so the knob that bounds it is cluster
+  // granularity; at corpus scale the blocking key would be
+  // (k-means cluster ∩ sign-LSH bucket), reusing q_ann_lsh's bucket
+  // caps, with this exact downstream unchanged. Components come from
+  // the same pointer-doubling label propagation the spatial
+  // clustering uses (O(log diameter) tiny-table iterations); the
+  // rollup is one narrow (label) aggregate.
   private val qSemantic = QuerySpec.of(
     "q_dedup_semantic",
     """WITH RECURSIVE e AS (
