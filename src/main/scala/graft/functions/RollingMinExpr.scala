@@ -93,6 +93,64 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val seedPrefixes =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Byte]]()
+
+  private def seedPrefix(j: Int): Array[Byte] =
+    seedPrefixes.computeIfAbsent(j,
+      jj => s"$jj:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** `hash64` of raw md5 input bytes: first 15 hex chars of the digest
+    * parsed base-16 = big-endian first-8-bytes >>> 4.
+    */
+  private def hash64Bytes(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
+
+  /** One-pass MinHash signature (see [[MinHashSigExpr]] for the value
+    * contract).
+    */
+  def minhashSig(sh: ArrayData, k: Int): ArrayData = {
+    val md = md5TL.get()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      if (!sh.isNullAt(i)) {
+        any = true
+        val bytes = sh.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(seedPrefix(j))
+          md.update(bytes)
+          val v = hash64Bytes(md)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    if (any) {
+      var j = 0
+      while (j < k) { out(j) = java.lang.Long.valueOf(mins(j)); j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass 32-bit SimHash majority vote (see [[SimHash32Expr]] for
     * the value contract; null elements count as hash 0).
     */

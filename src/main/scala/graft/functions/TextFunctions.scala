@@ -85,12 +85,13 @@ object TextFunctions {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
   /** MinHash signature: for seeds 0..k-1, min over shingles of the
-    * seeded portable hash. Null-safe only for non-empty shingle arrays.
+    * seeded portable hash. Native one-pass kernel ([[MinHashSigExpr]]);
+    * the former doubly-nested transform/array_min form made k
+    * interpreted passes and walked an md5/conv/substring expression
+    * tree for every (seed, shingle).
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(sh, s =>
-        HashFunctions.hash64(concat(j.cast("string"), lit(":"), s)))))
+    MinHashSigExpr.minhashSig(sh, k)
 
   /** 32-bit SimHash over the token multiset (±1 per bit, majority). */
   def simhash32(toks: Column): Column =

@@ -83,4 +83,38 @@ class RollingMinSpec extends SparkSpec {
     assert(simhashNative(withNull) == simhashDeclarative(withNull))
     assert(simhashNative(withNull) == 0xFFFFFFFFL) // 2-1 majority per bit
   }
+
+  // ---- MinHashSigExpr: differential vs the replaced declarative form ----
+
+  private def minhashDeclarative(sh: Seq[String], k: Int): Seq[Any] =
+    Seq(Tuple1(sh)).toDF("sh")
+      .select(transform(sequence(lit(0), lit(k - 1)), j =>
+        array_min(transform(col("sh"), s =>
+          graft.functions.HashFunctions.hash64(
+            concat(j.cast("string"), lit(":"), s))))).as("sig"))
+      .collect().head.getSeq[Any](0)
+
+  private def minhashNative(sh: Seq[String], k: Int): Seq[Any] =
+    Seq(Tuple1(sh)).toDF("sh")
+      .select(graft.functions.MinHashSigExpr.minhashSig(col("sh"), k)
+        .as("sig"))
+      .collect().head.getSeq[Any](0)
+
+  test("minhash kernel matches the declarative seeded-md5 minima") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(20)
+      val k = 1 + rnd.nextInt(16)
+      val sh = Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(12))
+        .mkString + (if (rnd.nextBoolean()) " zügig" else ""))
+      assert(minhashNative(sh, k) == minhashDeclarative(sh, k),
+        s"k=$k sh=$sh")
+    }
+  }
+
+  test("minhash: empty shingles give k nulls; seeds differ") {
+    assert(minhashNative(Seq(), 4) == Seq(null, null, null, null))
+    val sig = minhashNative(Seq("alpha beta gamma"), 12)
+    assert(sig.toSet.size == 12) // 12 independent seeded hashes
+  }
 }
