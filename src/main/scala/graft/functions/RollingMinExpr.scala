@@ -151,6 +151,33 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  private val SpaceSep =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** One-pass word-n-gram windows (see [[ShinglesExpr]] for the value
+    * contract).
+    */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](sz - n + 1)
+    var i = 0
+    while (i <= sz - n) {
+      val parts =
+        new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) =
+          if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) =
+        org.apache.spark.unsafe.types.UTF8String.concatWs(SpaceSep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass 32-bit SimHash majority vote (see [[SimHash32Expr]] for
     * the value contract; null elements count as hash 0).
     */

@@ -72,11 +72,13 @@ object TextFunctions {
     round(lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - noise) * 0.2, 6)
   }
 
-  /** Word-n-gram shingles as space-joined strings ("w1 w2 w3"). */
+  /** Word-n-gram shingles as space-joined strings ("w1 w2 w3").
+    * Native one-pass kernel ([[ShinglesExpr]]); the former
+    * transform/slice/concat_ws form paid an interpreted slice
+    * allocation per window.
+    */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    ShinglesExpr.shingles(toks, n)
 
   /** Canonical fingerprint (the classic dedup "fingerprint method"):
     * md5 over the sorted distinct token set.

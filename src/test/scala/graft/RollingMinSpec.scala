@@ -117,4 +117,36 @@ class RollingMinSpec extends SparkSpec {
     val sig = minhashNative(Seq("alpha beta gamma"), 12)
     assert(sig.toSet.size == 12) // 12 independent seeded hashes
   }
+
+  // ---- ShinglesExpr: differential vs the replaced declarative form ----
+
+  private def shinglesDeclarative(toks: Seq[String], n: Int): Seq[String] =
+    Seq(Tuple1(toks)).toDF("toks")
+      .select(when(size(col("toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("sh"))
+      .collect().head.getSeq[String](0)
+
+  private def shinglesNative(toks: Seq[String], n: Int): Seq[String] =
+    Seq(Tuple1(toks)).toDF("toks")
+      .select(graft.functions.ShinglesExpr.shingles(col("toks"), n).as("sh"))
+      .collect().head.getSeq[String](0)
+
+  test("shingle kernel matches the declarative windows on random input") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 40) {
+      val len = rnd.nextInt(12)
+      val n = 1 + rnd.nextInt(5)
+      val toks = Seq.fill(len)(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      assert(shinglesNative(toks, n) == shinglesDeclarative(toks, n),
+        s"n=$n toks=$toks")
+    }
+  }
+
+  test("shingles: null tokens are skipped by the joiner, like concat_ws") {
+    val toks = Seq("a", null, "c", "d")
+    assert(shinglesNative(toks, 3) == shinglesDeclarative(toks, 3))
+    assert(shinglesNative(toks, 3) == Seq("a c", "c d"))
+  }
 }
