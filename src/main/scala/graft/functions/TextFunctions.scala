@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased alphanumeric tokens; empty strings dropped. */
+  /** Lowercased alphanumeric tokens; empty strings dropped.
+    * `array_remove` instead of a `filter` lambda: identical values on
+    * split output (which never contains nulls), but array_remove is a
+    * codegen'd builtin while filter is an interpreted higher-order
+    * function — this keeps the whole tokenize inside the surrounding
+    * WholeStageCodegen span.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
-  /** Whitespace token count. */
+  /** Whitespace token count (codegen'd; see [[tokens]]). */
   def wsTokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+    size(array_remove(split(text, "\\s+"), ""))
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation. */
   def bpeTokenCount(text: Column): Column =
