@@ -456,6 +456,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- streaming index maintenance (foreachBatch sink) --------------------
+  // Each arriving micro-batch of documents is signed with the same
+  // minhash kernels as the batch index and APPENDED to a parquet
+  // signature index (see streaming/DocsStreaming.scala) — the
+  // incremental-ingest path of the dedup index. The rollup
+  // (per-source doc counts, distinct first-seed signatures, an exact
+  // integer checksum of the signatures) is batch-identical under
+  // AvailableNow, which is what the DuckDB oracle recomputes from
+  // scratch.
+  private val qStreamIndex = QuerySpec.of(
+    "q_stream_docs_index", {
+      val h0 = "CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT)"
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $duckToks AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(0, len(toks) - ${SHINGLE_N - 1}),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + $SHINGLE_N), ' ')) AS sh
+        |  FROM t WHERE len(toks) >= $SHINGLE_N),
+        |s1 AS (
+        |  SELECT source,
+        |    list_aggregate(list_transform(sh, s -> $h0), 'min') AS s1
+        |  FROM sh)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT s1) AS n_distinct_s1,
+        |  CAST(sum(s1 % 1000000) AS BIGINT) AS checksum
+        |FROM s1 GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    graft.streaming.DocsStreaming.indexViaStream(s, d, SHINGLE_N, MINHASH_K)
+  }
+
   // ---- semantic dedup (SemDeDup-shaped survivor selection) ---------------
   // The embedding-space dedup DECISION pass: cosine near-dup pairs
   // within each cluster (the `label` column plays the k-means cluster
@@ -537,5 +568,5 @@ object Dedup {
 
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
-      qEmbed, qWinnow, qSemantic)
+      qEmbed, qWinnow, qSemantic, qStreamIndex)
 }
