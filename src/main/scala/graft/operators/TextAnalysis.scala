@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -397,11 +398,33 @@ object TextAnalysis {
   // (both engines' round() disagree on representability boundaries;
   // trunc does not).
   //
-  // Scale shape: the bigram count table is |bigram types| rows
-  // (vocab²-bounded — broadcast here; a shuffle equality join at
-  // larger vocabs, same plan otherwise), V is a 1-row broadcast dim,
-  // and the per-doc fold is one (doc_id) hash-agg. No global sorts,
-  // no cross-row float accumulation anywhere.
+  // Scale shape — train once, score forever: the smoothed transition
+  // table (a, b, c, cp, v) is a PERSISTED scaffold keyed by the
+  // corpus fingerprint (|bigram types| rows, vocab²-bounded), so the
+  // query path is ONE corpus scan joined (broadcast here; shuffle
+  // equality join at larger vocabs) against the artifact — no
+  // corpus-sized checkpoint anywhere. The per-doc fold is one
+  // (doc_id) hash-agg. No global sorts, no cross-row float
+  // accumulation anywhere.
+  private def bigramLm(s: SparkSession, d: String): DataFrame =
+    graft.Scaffold.table(s, "bigram-lm",
+        graft.Scaffold.paramsKey(Tables.fingerprint(s, d, "documents"),
+          "algo" -> "bigram-lm-v1", "smoothing" -> "add-one")) {
+      val t = Tables.fanout(Tables.documents(s, d))
+        .select(tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .localCheckpoint() // one-time build: bigram count + vocab scan
+      val cnt = t
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("x"))
+        .groupBy("x.a", "x.b").agg(count(lit(1)).as("c"))
+      val cp = cnt.groupBy("a").agg(sum("c").as("cp"))
+      val v = t.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      cnt.join(cp, "a").crossJoin(v)
+    }
+
   private val qLmScore = QuerySpec.of(
     "q_text_lm_score", {
       val toks = sql.toks
@@ -434,11 +457,10 @@ object TextAnalysis {
         |  min(micro) AS min_micro, max(micro) AS max_micro
         |FROM m GROUP BY source ORDER BY source""".stripMargin
     }) { (s, d) =>
-    val t = Tables.fanout(Tables.documents(s, d))
+    val lm = bigramLm(s, d)
+    val pr = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .localCheckpoint() // bigram explode + vocab count both read toks
-    val pr = t
       .select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => struct(i.as("pos"),
@@ -446,15 +468,8 @@ object TextAnalysis {
             element_at(col("toks"), i + 1).as("b")))).as("x"))
       .select(col("doc_id"), col("source"),
         col("x.pos"), col("x.a"), col("x.b"))
-      .localCheckpoint() // read twice: count training + scoring join
-    val cnt = pr.groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val cp = cnt.groupBy("a").agg(sum("c").as("cp"))
-    val v = t.select(explode(col("toks")).as("tok"))
-      .agg(countDistinct("tok").as("v"))
     val scored = pr
-      .join(broadcast(cnt), Seq("a", "b"))
-      .join(broadcast(cp), Seq("a"))
-      .crossJoin(broadcast(v))
+      .join(broadcast(lm), Seq("a", "b"))
       .withColumn("p",
         (col("c") + 1).cast("double")
           / (col("cp") + col("v")).cast("double"))

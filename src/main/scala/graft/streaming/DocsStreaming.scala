@@ -32,7 +32,12 @@ object DocsStreaming {
     val stream = spark.readStream
       .schema(schema)
       .parquet(s"$sfDir/documents*.parquet")
+    // checkpointLocation makes the drive restartable (offsets tracked
+    // per micro-batch); the parquet append itself is at-least-once —
+    // a production deployment would key an idempotent MERGE on
+    // (batchId, doc_id), same handle, different batch-side statement
     val q = stream.writeStream
+      .option("checkpointLocation", s"$outDir-ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch
           .select(col("doc_id"), col("source"),
