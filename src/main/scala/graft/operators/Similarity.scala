@@ -909,6 +909,28 @@ object Similarity {
           .as("recall_bp"))
   }
 
+  // ---- IVF recall@k vs the exact scan -------------------------------------
+  // Completes the recall matrix (sign-LSH and PQ-ADC rows exist):
+  // overlap of the probe-then-exact-rescore IVF top-k with the
+  // brute-force top-k, exact basis points.
+  private val qIvfRecall = QuerySpec.of(
+    "q_ann_ivf_recall",
+    s"""WITH bf AS (${qBrute.oracle.get}),
+      |iv AS (${qIvf.oracle.get})
+      |SELECT count(*) AS n_hits,
+      |  CAST(${NQUERIES * TOPK} AS BIGINT) AS n_total,
+      |  count(*) * 10000 // ${NQUERIES * TOPK} AS recall_bp
+      |FROM bf JOIN iv USING (query_id, cand_id)""".stripMargin) { (s, d) =>
+    val bf = qBrute.fn(s, d).select("query_id", "cand_id")
+    val iv = qIvf.fn(s, d).select("query_id", "cand_id")
+    bf.join(iv, Seq("query_id", "cand_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        lit(NQUERIES.toLong * TOPK).as("n_total"),
+        expr(s"CAST(n_hits * 10000 DIV ${NQUERIES * TOPK} AS BIGINT)")
+          .as("recall_bp"))
+  }
+
   // ---- IVF-PQ probe search ------------------------------------------------
   // The combined billion-scale architecture: probe the IVF_PROBE
   // nearest inverted lists (coarse quantizer), then rank ONLY those
@@ -966,8 +988,8 @@ object Similarity {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(qBrute, qLsh, qIvf, qRecall, qQuantize, qKmeans, qPq, qPqAdc,
-      qPqRecall, qIvfPq)
+    Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
+      qPqAdc, qPqRecall, qIvfPq)
 }
 
 
