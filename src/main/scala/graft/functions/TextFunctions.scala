@@ -59,11 +59,14 @@ object TextFunctions {
     when(size(toks) === 0, 0.0)
       .otherwise(vocabHits(toks, enStopwords).cast("double") / size(toks))
 
-  /** Mean token length (0 when no tokens). */
+  /** Mean token length (0 when no tokens). Sum-of-lengths computed as
+    * `length(concat_ws("", toks))` — integer-exact and equal to the
+    * former per-element fold, but ConcatWs is a codegen'd builtin
+    * while the aggregate lambda was interpreted.
+    */
   def meanTokenLen(toks: Column): Column =
     when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
-        / size(toks))
+      length(concat_ws("", toks)).cast("double") / size(toks))
 
   /** Composite document quality score in [0,1] — length, stopword
     * density, punctuation/digit noise. Same shape as the reference-class
