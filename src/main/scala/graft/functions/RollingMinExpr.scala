@@ -151,6 +151,21 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass vocabulary-hit count (see [[VocabHitsExpr]]). */
+  def vocabHits(toks: ArrayData,
+      vocab: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])
+      : Int = {
+    val n = toks.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && vocab.contains(toks.getUTF8String(i)))
+        hits += 1
+      i += 1
+    }
+    hits
+  }
+
   private val SpaceSep =
     org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 

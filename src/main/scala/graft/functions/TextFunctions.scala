@@ -50,9 +50,13 @@ object TextFunctions {
   val enStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  /** Count of tokens contained in a fixed vocabulary. */
+  /** Count of tokens contained in a fixed vocabulary (with
+    * multiplicity). Native one-pass kernel ([[VocabHitsExpr]]); the
+    * former size/filter/isin form was an interpreted higher-order
+    * function walking an In-list per token.
+    */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
-    size(filter(toks, t => t.isin(vocab.map(x => x: Any): _*)))
+    VocabHitsExpr.vocabHits(toks, vocab)
 
   /** Stopword ratio over token count (0 when no tokens). */
   def stopwordRatio(toks: Column): Column =

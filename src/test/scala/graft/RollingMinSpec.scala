@@ -149,4 +149,28 @@ class RollingMinSpec extends SparkSpec {
     assert(shinglesNative(toks, 3) == shinglesDeclarative(toks, 3))
     assert(shinglesNative(toks, 3) == Seq("a c", "c d"))
   }
+
+  // ---- VocabHitsExpr: differential vs the replaced declarative form ----
+
+  test("vocab-hit kernel counts with multiplicity; nulls never hit") {
+    val vocab = Seq("the", "a", "of")
+    def declarative(toks: Seq[String]): Int =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(size(filter(col("toks"),
+          t => t.isin(vocab.map(x => x: Any): _*))).as("n"))
+        .collect().head.getInt(0)
+    def native(toks: Seq[String]): Int =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(graft.functions.VocabHitsExpr.vocabHits(col("toks"), vocab)
+          .as("n")).collect().head.getInt(0)
+    val cases = Seq(
+      Seq("the", "the", "cat", "of"),
+      Seq("a", null, "the"),
+      Seq[String](),
+      Seq("dog", "fish"))
+    cases.foreach { c =>
+      assert(native(c) == declarative(c), s"toks=$c")
+    }
+    assert(native(Seq("the", "the", "cat", "of")) == 3) // multiplicity
+  }
 }
