@@ -151,6 +151,41 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** Rolling K-code-point-gram md5 hashes (see [[GramHashExpr]] for
+    * the value contract). One byte-array walk for the code-point
+    * offsets, then one digest per gram over the byte RANGE — no
+    * substring copies.
+    */
+  def gramHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): ArrayData = {
+    val bytes = text.getBytes
+    // code-point start offsets (ASCII fast path falls out naturally)
+    val offs = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var off = 0
+    while (off < bytes.length) {
+      offs(nChars) = off
+      off += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(off))
+      nChars += 1
+    }
+    offs(nChars) = bytes.length
+    if (nChars < k) return new GenericArrayData(Array.empty[Long])
+    val md = md5TL.get()
+    val out = new Array[Long](nChars - k + 1)
+    var i = 0
+    while (i <= nChars - k) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      val d = md.digest()
+      out(i) =
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass vocabulary-hit count (see [[VocabHitsExpr]]). */
   def vocabHits(toks: ArrayData,
       vocab: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])

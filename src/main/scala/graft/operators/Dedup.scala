@@ -424,21 +424,19 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
     val minLen = WINNOW_K + WINNOW_W - 1
-    val grams = Tables.fanout(Tables.documents(s, d))
+    // fully native sketch: one-pass gram md5s over byte ranges
+    // (GramHashExpr) feeding the O(n) monotonic-deque window min
+    // (RollingMinExpr), both inside whole-stage codegen. The window
+    // min consumes the gram array ONCE, so Project-collapse fusing
+    // the two kernels into one projection is exactly what we want —
+    // the materialization barrier the interpreted O(n·W) form needed
+    // (it re-read `hs` per window position) is gone.
+    val sketch = Tables.fanout(Tables.documents(s, d))
       .filter(length(col("text")) >= minLen)
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("text")) - WINNOW_K + 1),
-          i => graft.functions.HashFunctions.hash32(
-            col("text").substr(i, lit(WINNOW_K)))).as("hs"))
-      // materialization barrier: the window-min pass reads `hs` once
-      // per window position; without it Project-collapse inlines the
-      // per-gram md5 array into EVERY reference (O(n·W) rehashing)
-      .localCheckpoint()
-    // native monotonic-deque window min (O(n) per doc, codegen) — the
-    // former transform/slice/array_min form was interpreted O(n·W)
-    val sketch = grams.select(col("doc_id"),
-      array_distinct(graft.functions.RollingMinExpr
-        .rollingMin(col("hs"), WINNOW_W)).as("sketch"))
+        array_distinct(graft.functions.RollingMinExpr.rollingMin(
+          graft.functions.GramHashExpr.gramHashes(col("text"), WINNOW_K),
+          WINNOW_W)).as("sketch"))
     val f0 = sketch
       .select(col("doc_id"), explode(col("sketch")).as("fp"))
       .localCheckpoint()

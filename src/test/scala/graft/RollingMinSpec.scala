@@ -150,6 +150,41 @@ class RollingMinSpec extends SparkSpec {
     assert(shinglesNative(toks, 3) == Seq("a c", "c d"))
   }
 
+  // ---- GramHashExpr: differential vs the replaced declarative form ----
+
+  private def gramsDeclarative(text: String, k: Int): Seq[Long] =
+    Seq(text).toDF("text")
+      .select(transform(sequence(lit(1), length(col("text")) - k + 1),
+        i => graft.functions.HashFunctions.hash32(
+          col("text").substr(i, lit(k)))).as("hs"))
+      .collect().head.getSeq[Long](0)
+
+  private def gramsNative(text: String, k: Int): Seq[Long] =
+    Seq(text).toDF("text")
+      .select(graft.functions.GramHashExpr.gramHashes(col("text"), k)
+        .as("hs"))
+      .collect().head.getSeq[Long](0)
+
+  test("gram-hash kernel matches the declarative substr/md5 chain") {
+    val rnd = new scala.util.Random(19)
+    for (_ <- 1 to 25) {
+      val len = rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(8)
+      val text = rnd.alphanumeric.take(len).mkString
+      if (len >= k)
+        assert(gramsNative(text, k) == gramsDeclarative(text, k),
+          s"k=$k text=$text")
+      else assert(gramsNative(text, k) == Seq())
+    }
+  }
+
+  test("gram-hash positions count code points, not bytes") {
+    // 'ü' is 2 UTF-8 bytes but one code point — grams must align on
+    // characters exactly like substr()
+    val text = "über grün"
+    assert(gramsNative(text, 4) == gramsDeclarative(text, 4))
+  }
+
   // ---- VocabHitsExpr: differential vs the replaced declarative form ----
 
   test("vocab-hit kernel counts with multiplicity; nulls never hit") {
