@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
-import graft.functions.{DotProductExpr, LineLengthMExpr, STDWithinExpr}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StringType}
+import graft.functions.{DotProductExpr, GramHashExpr, LineLengthMExpr,
+  MinHashSigExpr, RollingMinExpr, STDWithinExpr, ShinglesExpr, SimHash32Expr}
 import graft.plans.DistanceJoinRule
 
 /** SQL surface for the library's native Catalyst expressions.
@@ -50,6 +51,26 @@ object GraftExtensions {
       s"$name expects 2 arguments, got ${args.size}")
   }
 
+  /** (expr, INT LITERAL) builders — the sketch kernels take their
+    * width/count as a construction-time parameter, so the SQL argument
+    * must be a foldable integer.
+    */
+  private def withIntArg(name: String, f: (Expression, Int) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) if b.foldable &&
+        (b.dataType == IntegerType || b.dataType == LongType) =>
+      val v = b.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$name expects a literal INT second argument, got $other")
+      }
+      f(a, v)
+    case args => throw new IllegalArgumentException(
+      s"$name expects (expr, literal int), got ${args.size} args" +
+        (if (args.size == 2) s" (2nd: ${args(1)})" else ""))
+  }
+
   // The portable md5-based hashes and the Morton interleave are
   // compositions of Spark's own codegen expressions (Md5 / Conv /
   // Substring / shift-mask bitwise chain) — registering the SAME
@@ -91,6 +112,25 @@ object GraftExtensions {
     (FunctionIdentifier("graft_morton_z"),
       new ExpressionInfo(classOf[BitwiseOr].getName, "graft_morton_z"),
       twoArg("graft_morton_z", mortonZ)),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      withIntArg("graft_shingles", ShinglesExpr(_, _))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName,
+        "graft_minhash_sig"),
+      withIntArg("graft_minhash_sig", MinHashSigExpr(_, _))),
+    (FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName,
+        "graft_simhash32"),
+      oneArg("graft_simhash32", SimHash32Expr)),
+    (FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashExpr].getName,
+        "graft_gram_hashes"),
+      withIntArg("graft_gram_hashes", GramHashExpr(_, _))),
+    (FunctionIdentifier("graft_rolling_min"),
+      new ExpressionInfo(classOf[RollingMinExpr].getName,
+        "graft_rolling_min"),
+      withIntArg("graft_rolling_min", RollingMinExpr(_, _))),
     (FunctionIdentifier("graft_pii_redact"),
       new ExpressionInfo(classOf[RegExpReplace].getName,
         "graft_pii_redact"),

@@ -50,6 +50,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq == viaDsl.map(_.toString).toSeq)
   }
 
+  test("sketch kernels resolve in SQL and match the DSL twins") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // shingles + minhash via SQL == DSL kernels
+    val sqlSig = spark.sql(
+      """SELECT graft_minhash_sig(
+        |  graft_shingles(array('a','b','c','d'), 3), 4) AS sig""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    val dslSig = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("toks")
+      .select(functions.TextFunctions.minhashSignature(
+        functions.TextFunctions.shingles(col("toks"), 3), 4).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(sqlSig == dslSig && sqlSig.size == 4)
+    // gram hashes + rolling min + simhash
+    val r = spark.sql(
+      """SELECT graft_rolling_min(graft_gram_hashes('abcdefgh', 3), 2) AS m,
+        |  graft_simhash32(array(CAST(5 AS BIGINT))) AS sh""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0).size == 5) // 6 grams → 5 windows
+    assert(r.getLong(1) == 5L)          // single element majority = itself
+    // non-literal width is rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(array('a'), CAST(rand()*2 AS INT))")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_shingles"))
+  }
+
   test("graft_pii_redact matches the DataFrame scrubber") {
     GraftExtensions.register(spark)
     import spark.implicits._
@@ -84,8 +112,9 @@ class GraftExtensionsSpec extends SparkSpec {
     // description without throwing (the builder-time injection path)
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("graft_hash32", "graft_hash64", "graft_line_length_m",
-        "graft_morton_z", "graft_pii_redact", "graft_st_dwithin",
-        "graft_vec_dot"))
+      Seq("graft_gram_hashes", "graft_hash32", "graft_hash64",
+        "graft_line_length_m", "graft_minhash_sig", "graft_morton_z",
+        "graft_pii_redact", "graft_rolling_min", "graft_shingles",
+        "graft_simhash32", "graft_st_dwithin", "graft_vec_dot"))
   }
 }
