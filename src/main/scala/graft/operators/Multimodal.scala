@@ -221,5 +221,60 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qFeatures, qFrames, qResize)
+  // ---- query: REAL container-header dimension decode ---------------------
+  // The one media-decode step implementable offline for real: parse
+  // width/height out of actual PNG/GIF/JPEG container headers
+  // (functions.ImageDimsExpr — byte-walking, no codec). The corpus
+  // synthesizes a VALID header per document from its metadata (format
+  // by doc_id, dimensions from n_chars) with pure built-ins
+  // (hex-string assembly + one unhex), the kernel parses the real
+  // bytes back, and the oracle recomputes the expected parse from the
+  // same metadata — hash equality proves the whole construct→parse
+  // round trip, including the JPEG segment walk landing on SOF0
+  // behind APP0 and COM segments.
+  private val qDims = QuerySpec.of(
+    "q_multimodal_dims",
+    """WITH m AS (
+      |  SELECT doc_id, doc_id % 3 AS fmt_i,
+      |    CAST((n_chars % 640) + 1 AS INT) AS w,
+      |    CAST((n_chars % 480) + 1 AS INT) AS h
+      |  FROM documents)
+      |SELECT CASE fmt_i WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |    ELSE 'jpeg' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+      |  min(w) AS min_w, max(w) AS max_w
+      |FROM m GROUP BY format ORDER BY format""".stripMargin) { (s, d) =>
+    val w = (pmod(col("n_chars"), lit(640)) + 1).cast("int")
+    val h = (pmod(col("n_chars"), lit(480)) + 1).cast("int")
+    def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def le16(c: org.apache.spark.sql.Column) =
+      concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), be32(w), be32(h))
+    val gifHex = concat(lit("474946383961"), le16(w), le16(h))
+    val jpegHex = concat(
+      lit("FFD8" +                              // SOI
+        "FFE0" + "0010" + "4A4649460001010000480048" + "0000" + // APP0
+        "FFFE" + "0004" + "ABCD" +              // COM (varies SOF offset)
+        "FFC0" + "0011" + "08"),                // SOF0: len, precision
+      be16(h), be16(w), lit("03" + "011100" + "021101" + "031101"))
+    val bytes = unhex(
+      when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+        .when(pmod(col("doc_id"), lit(3)) === 1, gifHex)
+        .otherwise(jpegHex))
+    val dims = graft.functions.ImageDimsExpr.imageDims(bytes)
+    Tables.fanout(Tables.documents(s, d))
+      .select(dims.as("d"))
+      .select(col("d.format").as("format"), col("d.width").as("w"),
+        col("d.height").as("h"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum("w").as("sum_w"), sum("h").as("sum_h"),
+        min("w").as("min_w"), max("w").as("max_w"))
+      .orderBy("format")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qFeatures, qFrames, qResize, qDims)
 }
