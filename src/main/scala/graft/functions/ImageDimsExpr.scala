@@ -79,6 +79,11 @@ object ImageKernels {
   private def row(fmt: String, w: Int, h: Int): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
 
+  /** WAV metadata (see [[AudioMetaExpr]]); static here so generated
+    * code resolves one kernel holder for the media parsers.
+    */
+  def audioMeta(b: Array[Byte]): InternalRow = AudioMetaExpr.parse(b)
+
   /** Null for unrecognized/truncated input; see [[ImageDimsExpr]]. */
   def imageDims(b: Array[Byte]): InternalRow = {
     val n = b.length

@@ -276,5 +276,59 @@ object Multimodal {
       .orderBy("format")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qFeatures, qFrames, qResize, qDims)
+  // ---- query: REAL WAV header metadata decode ----------------------------
+  // Audio twin of q_multimodal_dims: a valid RIFF/WAVE header is
+  // synthesized per document (channels/rate from metadata, 16-bit
+  // PCM), AudioMetaExpr walks the real chunk list back, and the
+  // oracle recomputes the expected parse including the exact integer
+  // duration (data_bytes·1000 DIV byte_rate).
+  private val qAudio = QuerySpec.of(
+    "q_multimodal_audio",
+    """WITH m AS (
+      |  SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |    CAST(8000 + (n_chars % 80) * 100 AS INT) AS rate,
+      |    CAST(n_chars * 100 AS BIGINT) AS data_len
+      |  FROM documents),
+      |p AS (
+      |  SELECT channels, rate, data_len,
+      |    data_len * 1000 // (rate * channels * 2) AS duration_ms
+      |  FROM m)
+      |SELECT channels, count(*) AS n,
+      |  CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+      |  min(rate) AS min_rate, max(rate) AS max_rate
+      |FROM p GROUP BY channels ORDER BY channels""".stripMargin) { (s, d) =>
+    val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val rate = (lit(8000) + pmod(col("n_chars"), lit(80)) * 100).cast("int")
+    val dataLen = (col("n_chars") * 100).cast("long")
+    val byteRate = (rate * channels * 2).cast("long")
+    def be32h(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16h(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def le32h(c: org.apache.spark.sql.Column) = {
+      val b = be32h(c)
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16h(c: org.apache.spark.sql.Column) = {
+      val b = be16h(c)
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    val wavHex = concat(
+      lit("52494646"), le32h((dataLen + 36).cast("int")), lit("57415645"),
+      lit("666D7420"), le32h(lit(16)), le16h(lit(1)), le16h(channels),
+      le32h(rate), le32h(byteRate.cast("int")), le16h(channels * 2),
+      le16h(lit(16)),
+      lit("64617461"), le32h(dataLen.cast("int")))
+    val meta = graft.functions.AudioMetaExpr.audioMeta(unhex(wavHex))
+    Tables.fanout(Tables.documents(s, d))
+      .select(meta.as("a"))
+      .select(col("a.channels").as("channels"),
+        col("a.sample_rate").as("rate"), col("a.duration_ms").as("ms"))
+      .groupBy("channels")
+      .agg(count(lit(1)).as("n"), sum("ms").as("total_ms"),
+        min("rate").as("min_rate"), max("rate").as("max_rate"))
+      .orderBy("channels")
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qFeatures, qFrames, qResize, qDims, qAudio)
 }

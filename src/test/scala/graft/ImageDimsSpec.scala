@@ -61,6 +61,38 @@ class ImageDimsSpec extends SparkSpec {
     assert(parse(bmp) == Some(("bmp", 320, 16)))
   }
 
+  test("WAV: canonical header, extra chunk with odd-length padding") {
+    def wav(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.AudioMetaExpr.audioMeta(col("b")).as("a"))
+        .collect().head
+      if (r.isNullAt(0)) None
+      else {
+        val a = r.getStruct(0)
+        Some((a.getInt(0), a.getInt(1), a.getInt(2), a.getLong(3),
+          a.getLong(4)))
+      }
+    }
+    // canonical 44-byte header: mono 8000 Hz 16-bit, 16000 data bytes
+    // = exactly 1000 ms
+    val canonical = hexBytes(
+      "52494646 24400000 57415645" +
+        "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+        "64617461 803E0000")
+    assert(wav(canonical) == Some((1, 8000, 16, 16000L, 1000L)))
+    // a LIST chunk with ODD length (pad byte) before fmt — the walk
+    // must realign on the word boundary
+    val padded = hexBytes(
+      "52494646 33400000 57415645" +
+        "4C495354 03000000 414243 00" + // LIST len 3 + pad
+        "666D7420 10000000 0100 0200 401F0000 007D0000 0400 1000" +
+        "64617461 803E0000")
+    assert(wav(padded) == Some((2, 8000, 16, 16000L, 500L)))
+    // truncated fmt / missing data → null
+    assert(wav(hexBytes("52494646 08000000 57415645 666D7420 1000")) == None)
+    assert(wav("RIFFxxxxWAVE".getBytes("UTF-8")) == None)
+  }
+
   test("negatives: truncation, bad magic, desynchronized JPEG") {
     assert(parse(Array[Byte]()) == None)
     assert(parse(hexBytes("89504E47")) == None)          // truncated PNG
