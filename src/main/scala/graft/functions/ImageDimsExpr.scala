@@ -84,6 +84,9 @@ object ImageKernels {
     */
   def audioMeta(b: Array[Byte]): InternalRow = AudioMetaExpr.parse(b)
 
+  /** MP4 mvhd metadata (see [[VideoMetaExpr]]). */
+  def videoMeta(b: Array[Byte]): InternalRow = VideoMetaExpr.parse(b)
+
   /** Null for unrecognized/truncated input; see [[ImageDimsExpr]]. */
   def imageDims(b: Array[Byte]): InternalRow = {
     val n = b.length

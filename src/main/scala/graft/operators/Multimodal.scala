@@ -329,6 +329,43 @@ object Multimodal {
       .orderBy("channels")
   }
 
+  // ---- query: REAL MP4 movie-header decode -------------------------------
+  // Video member of the header-decode family: a minimal valid ISO
+  // BMFF tree (ftyp + moov/mvhd v0) is synthesized per document,
+  // VideoMetaExpr walks the size-prefixed box tree back, and the
+  // oracle recomputes the exact integer duration
+  // (duration·1000 DIV timescale).
+  private val qVideo = QuerySpec.of(
+    "q_multimodal_video",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(600 + (n_chars % 10) * 60 AS INT) AS ts,
+      |    CAST(n_chars * 123 AS BIGINT) AS dur
+      |  FROM documents)
+      |SELECT ts AS timescale, count(*) AS n,
+      |  CAST(sum(dur * 1000 // ts) AS BIGINT) AS total_ms,
+      |  min(dur) AS min_dur, max(dur) AS max_dur
+      |FROM m GROUP BY ts ORDER BY ts""".stripMargin) { (s, d) =>
+    val ts = (lit(600) + pmod(col("n_chars"), lit(10)) * 60).cast("int")
+    val dur = (col("n_chars") * 123).cast("long")
+    def be32h(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"), // ftyp
+      lit("00000024" + "6D6F6F76"),                           // moov(36)
+      lit("0000001C" + "6D766864" + "00" + "000000" +         // mvhd v0
+        "00000000" + "00000000"),                             // ctime mtime
+      be32h(ts), be32h(dur.cast("int")))
+    val meta = graft.functions.VideoMetaExpr.videoMeta(unhex(mp4Hex))
+    Tables.fanout(Tables.documents(s, d))
+      .select(meta.as("v"))
+      .select(col("v.timescale").as("timescale"),
+        col("v.duration").as("dur"), col("v.duration_ms").as("ms"))
+      .groupBy("timescale")
+      .agg(count(lit(1)).as("n"), sum("ms").as("total_ms"),
+        min("dur").as("min_dur"), max("dur").as("max_dur"))
+      .orderBy("timescale")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qFeatures, qFrames, qResize, qDims, qAudio)
+    Seq(qFeatures, qFrames, qResize, qDims, qAudio, qVideo)
 }

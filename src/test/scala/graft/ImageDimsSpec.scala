@@ -93,6 +93,39 @@ class ImageDimsSpec extends SparkSpec {
     assert(wav("RIFFxxxxWAVE".getBytes("UTF-8")) == None)
   }
 
+  test("MP4: mvhd behind free/trak boxes, v0 and v1 layouts") {
+    def mp4(bytes: Array[Byte]): Option[(Int, Long, Long)] = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(graft.functions.VideoMetaExpr.videoMeta(col("b")).as("v"))
+        .collect().head
+      if (r.isNullAt(0)) None
+      else {
+        val v = r.getStruct(0)
+        Some((v.getInt(0), v.getLong(1), v.getLong(2)))
+      }
+    }
+    // free box before moov; trak stub before mvhd inside moov;
+    // timescale 600, duration 1500 → 2500 ms
+    val v0 = hexBytes(
+      "00000010 66747970 69736F6D 00000200" +
+        "00000008 66726565" +
+        "0000002C 6D6F6F76" +
+        "00000008 7472616B" +
+        "0000001C 6D766864 00 000000 00000000 00000000" +
+        "00000258 000005DC")
+    assert(mp4(v0) == Some((600, 1500L, 2500L)))
+    // v1 layout: 64-bit times, timescale 90000, duration 180000 → 2000 ms
+    val v1 = hexBytes(
+      "00000030 6D6F6F76" +
+        "00000028 6D766864 01 000000" +
+        "0000000000000000 0000000000000000" +
+        "00015F90 000000000002BF20")
+    assert(mp4(v1) == Some((90000, 180000L, 2000L)))
+    // malformed: box size smaller than header → null, no infinite loop
+    assert(mp4(hexBytes("00000004 6D6F6F76")) == None)
+    assert(mp4(hexBytes("00000010 66747970 69736F6D 00000200")) == None)
+  }
+
   test("negatives: truncation, bad magic, desynchronized JPEG") {
     assert(parse(Array[Byte]()) == None)
     assert(parse(hexBytes("89504E47")) == None)          // truncated PNG
