@@ -336,6 +336,47 @@ object Events {
     graft.streaming.EventsStreaming.enrichViaStream(s, d)
   }
 
+  // ---- rolling engagement: DAU / trailing-7-day WAU / stickiness ---------
+  // The classic sliding-distinct problem done the scale-correct way:
+  // exact distinct (day, user) pairs FIRST (one shuffle, the only
+  // corpus-sized exchange), then a bounded 7-day range join against
+  // the tiny day dimension (broadcast — each pair fans out ≤7×), so
+  // the rolling distinct never re-scans raw events. Stickiness
+  // (DAU/WAU) in exact integer basis points.
+  private val qEngagement = QuerySpec.of(
+    "q_events_engagement",
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+      |wau AS (
+      |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+      |  FROM days d JOIN du u
+      |    ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY d.day)
+      |SELECT d.day, dau.dau, wau.wau,
+      |  dau.dau * 10000 // wau.wau AS stickiness_bp
+      |FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+      |ORDER BY d.day""".stripMargin) { (s, d) =>
+    val du = eventsMs(s, d)
+      .select(expr("CAST(ms DIV 86400000 AS BIGINT)").as("day"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint() // read 3×: day dim, DAU, WAU range join
+    val days = du.select("day").distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days.select(col("day").as("d")))
+      .join(du, col("day").between(col("d") - 6, col("d")))
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("wau"))
+      .select(col("d").as("day"), col("wau"))
+    days.join(dau, "day").join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("CAST(dau * 10000 DIV wau AS BIGINT)").as("stickiness_bp"))
+      .orderBy("day")
+  }
+
   // ---- stream-stream interval join: view→purchase conversions ------------
   // Double-watermarked streaming inner join (see EventsStreaming
   // .convertViaStream): purchases match prior views of the same user
@@ -412,6 +453,6 @@ object Events {
 
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
-      qAttribution, qAnomaly, qStreamHourly, qStreamSessions,
+      qAttribution, qAnomaly, qEngagement, qStreamHourly, qStreamSessions,
       qStreamSessionWindow, qStreamDedup, qStreamEnrich, qStreamConvert)
 }
