@@ -377,6 +377,90 @@ object Events {
       .orderBy("day")
   }
 
+  // ---- portable HyperLogLog distinct-user estimate -----------------------
+  // The cardinality sketch a 100 TB pipeline actually runs — built
+  // PORTABLY so the DuckDB oracle reproduces it bit-for-bit (Spark's
+  // approx_count_distinct is engine-private): register = md5-hash64 %
+  // m, rank = leading-zero count of the remaining W bits via
+  // length(bin(x)) (exact integers in both engines), register maxima
+  // are integer maxes, and every 2^-rank term is a DYADIC rational —
+  // the register sum is EXACTLY representable in double, so the raw
+  // HLL estimate (alpha·m²/S, no small-range correction — that would
+  // need ln(), which is not engine-stable) is bit-identical. Reported
+  // against the exact distinct with the error in basis points.
+  // Shape: one (register) hash-agg of m=64 rows — the whole sketch
+  // state is 64 integers at any corpus size.
+  private val HllM = 64
+  private val HllW = 54 // hash64 is 60-bit; 6 bits pick the register
+  private val HllAlpha = 0.709 // alpha_64
+
+  private val qHll = QuerySpec.of(
+    "q_events_hll_users", {
+      val h = graft.functions.HashFunctions.sqlHash64("user_id")
+      s"""WITH h AS (
+        |  SELECT DISTINCT $h AS hv FROM events),
+        |rr AS (
+        |  SELECT hv % $HllM AS reg,
+        |    CASE WHEN hv // $HllM = 0 THEN ${HllW + 1}
+        |      ELSE $HllW - length(bin(hv // $HllM))
+        |        + CASE WHEN substr(bin(hv // $HllM), 1, 1) = '0'
+        |            THEN length(bin(hv // $HllM)) -
+        |              length(ltrim(bin(hv // $HllM), '0')) ELSE 0 END
+        |        + 1 END AS rank
+        |  FROM h),
+        |mx AS (SELECT reg, max(rank) AS mr FROM rr GROUP BY reg),
+        |regs AS (
+        |  SELECT r.reg, coalesce(mx.mr, 0) AS mr
+        |  FROM (SELECT unnest(range(0, $HllM)) AS reg) r
+        |  LEFT JOIN mx ON r.reg = mx.reg),
+        |s AS (
+        |  SELECT CAST(sum(1.0 / CAST((CAST(1 AS BIGINT) << mr) AS DOUBLE))
+        |    AS DOUBLE) AS sm,
+        |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zero_regs
+        |  FROM regs),
+        |e AS (
+        |  SELECT round($HllAlpha * $HllM * $HllM / sm, 6) AS estimate,
+        |    zero_regs FROM s),
+        |x AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        |SELECT x.n_exact, e.estimate, e.zero_regs,
+        |  abs(CAST(round(e.estimate) AS BIGINT) - x.n_exact) * 10000
+        |    // x.n_exact AS err_bp
+        |FROM e, x""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions.hash64
+    val hv = Tables.events(s, d)
+      .select(hash64(col("user_id")).as("hv")).distinct()
+    // rank of the W-bit suffix: W - floor(log2(x)) via length(bin(x)),
+    // minus bin()'s leading zeros (Spark's bin() of a positive long
+    // never has them, but the expression mirrors the oracle exactly)
+    val rest = expr(s"hv DIV $HllM")
+    val binr = bin(rest)
+    val rank = when(rest === 0, lit(HllW + 1))
+      .otherwise(lit(HllW) - length(binr)
+        + when(substring(binr, 1, 1) === "0",
+            length(binr) - length(ltrim(binr, "0"))).otherwise(0)
+        + 1)
+    val mx = hv.select(pmod(col("hv"), lit(HllM)).as("reg"), rank.as("rank"))
+      .groupBy("reg").agg(max("rank").as("mr"))
+    val regs = s.range(0, HllM).select(col("id").as("reg"))
+      .join(mx, Seq("reg"), "left")
+      .select(coalesce(col("mr"), lit(0)).as("mr"))
+    val agg = regs.agg(
+      sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT)," +
+        " CAST(mr AS INT)) AS DOUBLE)")).as("sm"),
+      sum(when(col("mr") === 0, 1L).otherwise(0L)).as("zero_regs"))
+    val est = agg.select(
+      round(lit(HllAlpha) * HllM * HllM / col("sm"), 6).as("estimate"),
+      col("zero_regs"))
+    val exact = Tables.events(s, d)
+      .agg(countDistinct("user_id").as("n_exact"))
+    est.crossJoin(exact)
+      .select(col("n_exact"), col("estimate"), col("zero_regs"),
+        expr("CAST(abs(CAST(round(estimate) AS BIGINT) - n_exact)" +
+          " * 10000 DIV n_exact AS BIGINT)").as("err_bp"))
+  }
+
   // ---- stream-stream interval join: view→purchase conversions ------------
   // Double-watermarked streaming inner join (see EventsStreaming
   // .convertViaStream): purchases match prior views of the same user
@@ -453,6 +537,7 @@ object Events {
 
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
-      qAttribution, qAnomaly, qEngagement, qStreamHourly, qStreamSessions,
-      qStreamSessionWindow, qStreamDedup, qStreamEnrich, qStreamConvert)
+      qAttribution, qAnomaly, qEngagement, qHll, qStreamHourly,
+      qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
+      qStreamConvert)
 }
