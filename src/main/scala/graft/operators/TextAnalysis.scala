@@ -487,7 +487,77 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- portable Count-Min frequency sketch -------------------------------
+  // The frequency twin of the HLL cardinality sketch
+  // (q_events_hll_users): d=4 seeded md5 row-hashes × w=256 counters,
+  // estimate = min over rows — ALL integer arithmetic, so the sketch,
+  // the probes, and the overestimate report are trivially bit-exact
+  // across engines. Probed on the exact top-10 tokens; CM guarantees
+  // est >= exact, and the overestimate (collision mass) is reported
+  // in basis points. Shape: one (row, col) hash-agg of d·w = 1024
+  // cells at any corpus size + a broadcast probe join.
+  // w = 16 on a ~40-type vocabulary so collisions actually happen and
+  // the min-over-rows recovery + overestimate report are exercised
+  // (at w = 256 every probe came back exact and the CM guarantee was
+  // untested); at corpus scale w grows with the heavy-hitter budget.
+  private val CmD = 4
+  private val CmW = 16
+  private val CmTopK = 10
+
+  private val qCmSketch = QuerySpec.of(
+    "q_text_cm_tokens", {
+      val toks = sql.toks
+      def pos(row: String) = graft.functions.HashFunctions
+        .sqlHash32(s"'$row' || '#' || t") + s" % $CmW"
+      val rowSel = (0 until CmD).map(r =>
+        s"SELECT $r AS row, ${pos(r.toString)} AS col, t FROM tok")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (
+        |  SELECT unnest($toks) AS t FROM documents),
+        |cells AS (
+        |  SELECT row, col, count(*) AS c
+        |  FROM ($rowSel) GROUP BY row, col),
+        |exact AS (
+        |  SELECT t, count(*) AS n FROM tok GROUP BY t
+        |  ORDER BY n DESC, t LIMIT $CmTopK),
+        |probe AS (
+        |  SELECT e.t, e.n, min(cells.c) AS est
+        |  FROM exact e, (SELECT unnest(range(0, $CmD)) AS row) r
+        |  JOIN cells ON cells.row = r.row
+        |   AND cells.col = ${pos("r.row").replace("|| t", "|| e.t")
+            .replace("'r.row'", "r.row")}
+        |  GROUP BY e.t, e.n)
+        |SELECT t AS token, CAST(n AS BIGINT) AS n_exact,
+        |  CAST(est AS BIGINT) AS n_est,
+        |  (est - n) * 10000 // n AS over_bp
+        |FROM probe ORDER BY n_exact DESC, token""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions.hash32
+    val tok = Tables.fanout(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("t"))
+      .localCheckpoint() // sketch build + exact top-k read it
+    def pos(row: org.apache.spark.sql.Column) =
+      pmod(hash32(concat(row.cast("string"), lit("#"), col("t"))),
+        lit(CmW))
+    val cells = tok
+      .select(explode(sequence(lit(0), lit(CmD - 1))).as("row"), col("t"))
+      .select(col("row"), pos(col("row")).as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("c"))
+    val exact = tok.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(CmTopK)
+    val probes = broadcast(exact
+      .withColumn("row", explode(sequence(lit(0), lit(CmD - 1))))
+      .withColumn("col", pos(col("row"))))
+    cells.join(probes, Seq("row", "col"))
+      .groupBy("t", "n")
+      .agg(min("c").as("est"))
+      .select(col("t").as("token"), col("n").cast("long").as("n_exact"),
+        col("est").cast("long").as("n_est"),
+        expr("CAST((est - n) * 10000 DIV n AS BIGINT)").as("over_bp"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
-    qPostings, qBloomScreen, qBpePairs, qLmScore)
+    qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch)
 }
