@@ -116,6 +116,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(r("s2") == ((1L, 1L, 1L)))
   }
 
+  test("engagement: trailing window includes day-6, excludes day-7") {
+    val dir = fixtureDir("engage")
+    val day = 86400000L
+    val t0 = 1700006400000L - (1700006400000L % day) // day boundary
+    Seq(
+      (1L, t0, 1L),                 // user 1 on day d
+      (2L, t0 + 6 * day, 2L),      // user 2 on day d+6
+      (3L, t0 + 7 * day, 3L))      // user 3 on day d+7
+      .map { case (e, ms, u) => (e, ms, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_events_engagement")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") - t0 / day ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau")))).toMap
+    assert(rows(0L) == ((1L, 1L)))
+    // day d+6: user 1 (d is 6 days back, inside) + user 2
+    assert(rows(6L) == ((1L, 2L)))
+    // day d+7: user 1 aged out (7 days back), user 2 still in
+    assert(rows(7L) == ((1L, 2L)))
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
