@@ -131,10 +131,20 @@ object Bench {
     val sampleJson = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.map(d => f"$d%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // binary↔artifact traceability: rounds 9/10 both needed manual
+    // adjudication of which commit a bench artifact measured
+    val commit =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty) out.take(40) else "unknown"
+      } catch { case _: Throwable => "unknown" }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""samples":$sampleJson,""" +
-        s""""load":{"start":$loadStart,"end":$loadEnd},"sf":"$sfDir"}"""
+        s""""load":{"start":$loadStart,"end":$loadEnd},""" +
+        s""""commit":"$commit","sf":"$sfDir"}"""
     java.nio.file.Files.write(lastPath, line.getBytes("UTF-8"))
     println(line)
     spark.stop()
