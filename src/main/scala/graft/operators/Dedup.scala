@@ -4,6 +4,7 @@ import graft.{QuerySpec, Tables}
 import graft.functions.HashFunctions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings`.
@@ -454,6 +455,113 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- exact duplicated-span REMOVAL (the rewrite, not just the measure) --
+  // The deduplicate-the-training-text operator: every corpus-repeated
+  // word-8-gram keeps only its CANONICAL occurrence (first by
+  // (doc_id, pos)); token positions covered by any non-canonical
+  // occurrence are dropped and each document is re-emitted without
+  // them. q_dup_spans measures this duplication; this operator
+  // performs the rewrite — and the oracle hashes the REWRITTEN CORPUS
+  // TEXT itself (per-source md5 of the doc-ordered rewritten
+  // documents), so the hash compare proves every kept/dropped token
+  // agrees, not just the counts.
+  //
+  // Scale shape: one gram-keyed window ranks occurrences (the shuffle
+  // key is the gram; a boilerplate gram shared by half the corpus is
+  // the hot spot and would be df-capped like WINNOW_MAXDF — here
+  // exact), coverage explodes only duplicated-gram occurrences, and
+  // the rebuild is one (doc) hash-agg. Rewriting is one corpus scan
+  // plus those bounded joins — never quadratic.
+  private val SpanG = 8
+
+  private val qSpanRewrite = QuerySpec.of(
+    "q_dedup_span_rewrite", {
+      val toks = duckToks
+      val grams = graft.functions.TextFunctions.sql.shingles("toks", SpanG)
+      s"""WITH b AS (
+        |  SELECT doc_id, source, $toks AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, len(toks) AS ntok, toks,
+        |    $grams AS grams
+        |  FROM b),
+        |occ AS (
+        |  SELECT doc_id, u.i AS pos, grams[u.i + 1] AS gram
+        |  FROM g, unnest(range(0, len(grams))) AS u(i)),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS cnt
+        |  FROM occ),
+        |removable AS (
+        |  SELECT DISTINCT doc_id, rpos FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + $SpanG)) AS rpos
+        |    FROM ranked WHERE cnt > 1 AND rn > 1)),
+        |tp AS (
+        |  SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok
+        |  FROM g, unnest(range(0, len(toks))) AS u(i)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok
+        |  FROM tp LEFT JOIN removable r
+        |    ON tp.doc_id = r.doc_id AND tp.pos = r.rpos
+        |  WHERE r.rpos IS NULL),
+        |rw AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS s,
+        |    count(*) AS kept
+        |  FROM kept GROUP BY doc_id),
+        |fl AS (
+        |  SELECT g.doc_id, g.source, g.ntok,
+        |    coalesce(rw.s, '') AS s, coalesce(rw.kept, 0) AS kept
+        |  FROM g LEFT JOIN rw USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(ntok) - sum(kept) AS BIGINT) AS removed_tokens,
+        |  md5(string_agg(s, '|' ORDER BY doc_id)) AS corpus_md5
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val g = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("ntok"),
+        shingles(col("toks"), SpanG).as("grams"))
+      .localCheckpoint() // occurrences + token rebuild both read it
+    val occ = g.select(col("doc_id"),
+      posexplode(col("grams")).as(Seq("pos", "gram")))
+    val wRank = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val wCnt = Window.partitionBy("gram")
+    val removable = occ
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .filter(col("cnt") > 1 && col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanG - 1)))
+          .as("rpos"))
+      .distinct()
+    val tp = g.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tp.join(removable,
+      tp("doc_id") === removable("doc_id") &&
+        tp("pos") === removable("rpos"), "left_anti")
+    val rw = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("s"),
+        count(lit(1)).as("kept"))
+    g.select("doc_id", "source", "ntok")
+      .join(rw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("ntok"),
+        coalesce(col("s"), lit("")).as("s"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("total_tokens"),
+        (sum("ntok") - sum("kept")).as("removed_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("s")))),
+          x => x.getField("s")), "|")).as("corpus_md5"))
+      .orderBy("source")
+  }
+
   // ---- streaming index maintenance (foreachBatch sink) --------------------
   // Each arriving micro-batch of documents is signed with the same
   // minhash kernels as the batch index and APPENDED to a parquet
@@ -566,5 +674,5 @@ object Dedup {
 
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
-      qEmbed, qWinnow, qSemantic, qStreamIndex)
+      qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex)
 }
