@@ -507,10 +507,12 @@ object TextAnalysis {
   private val qCmSketch = QuerySpec.of(
     "q_text_cm_tokens", {
       val toks = sql.toks
-      def pos(row: String) = graft.functions.HashFunctions
-        .sqlHash32(s"'$row' || '#' || t") + s" % $CmW"
+      // (row-expr, token-expr) → cell column; integer row exprs cast
+      // to the same '0'..'3' text the Spark side concatenates
+      def pos(rowE: String, tokE: String) = graft.functions.HashFunctions
+        .sqlHash32(s"($rowE) || '#' || ($tokE)") + s" % $CmW"
       val rowSel = (0 until CmD).map(r =>
-        s"SELECT $r AS row, ${pos(r.toString)} AS col, t FROM tok")
+        s"SELECT $r AS row, ${pos(r.toString, "t")} AS col, t FROM tok")
         .mkString("\nUNION ALL\n")
       s"""WITH tok AS (
         |  SELECT unnest($toks) AS t FROM documents),
@@ -524,8 +526,7 @@ object TextAnalysis {
         |  SELECT e.t, e.n, min(cells.c) AS est
         |  FROM exact e, (SELECT unnest(range(0, $CmD)) AS row) r
         |  JOIN cells ON cells.row = r.row
-        |   AND cells.col = ${pos("r.row").replace("|| t", "|| e.t")
-            .replace("'r.row'", "r.row")}
+        |   AND cells.col = ${pos("r.row", "e.t")}
         |  GROUP BY e.t, e.n)
         |SELECT t AS token, CAST(n AS BIGINT) AS n_exact,
         |  CAST(est AS BIGINT) AS n_est,
