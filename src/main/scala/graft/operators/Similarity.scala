@@ -909,6 +909,46 @@ object Similarity {
           .as("recall_bp"))
   }
 
+  // ---- hard-negative mining (contrastive training prep) -------------------
+  // For each query vector: the TOPK highest-cosine candidates whose
+  // label DIFFERS — the "hard negatives" a contrastive training
+  // pipeline mines (most-similar non-matches; random negatives are
+  // too easy to train on). Same broadcast-query scan shape as the
+  // exact baseline, one extra label predicate; at billion scale the
+  // scan side would be the ANN index probe instead, same semantics.
+  private val qHardNeg = QuerySpec.of(
+    "q_ann_hard_negatives",
+    s"""WITH $duckNorm,
+      |q AS (SELECT * FROM n WHERE vec_id < $NQUERIES),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, q.label AS q_label,
+      |    c.vec_id AS cand_id, c.label AS neg_label,
+      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |  FROM q JOIN n c ON c.label <> q.label),
+      |r AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM s)
+      |SELECT query_id, cand_id, neg_label, round(cos, 6) AS cosine, rk
+      |FROM r WHERE rk <= $TOPK
+      |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val n = normalized(Tables.embeddings(s, d))
+    val q = n.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("cand_id"),
+      col("label").as("neg_label"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("cos", round(dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn")), 9))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("query_id"), col("cand_id"), col("neg_label"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   // ---- IVF recall@k vs the exact scan -------------------------------------
   // Completes the recall matrix (sign-LSH and PQ-ADC rows exist):
   // overlap of the probe-then-exact-rescore IVF top-k with the
@@ -989,7 +1029,7 @@ object Similarity {
 
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
-      qPqAdc, qPqRecall, qIvfPq)
+      qPqAdc, qPqRecall, qIvfPq, qHardNeg)
 }
 
 
