@@ -432,7 +432,59 @@ object Corpus {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
 
+  // ---- sliding-window document chunking (RAG / context-window prep) ------
+  // Each document becomes overlapping CHUNK_TOKENS-token windows with
+  // stride CHUNK_STRIDE (8-token overlap) — the retrieval-corpus
+  // chunker: concatenate nothing, split each doc independently, keep
+  // provenance (doc_id, chunk_id, token range). The last window is
+  // allowed to be short; a doc never emits zero chunks unless it has
+  // zero tokens. The chunk content is pinned by an md5 of the joined
+  // token window, so the oracle proves byte-identical chunk text, not
+  // just counts. Shape: pure per-row explode — no shuffle at all
+  // before the final ORDER BY; at 100 TB this pipelines inside one
+  // codegen span per partition and scales linearly.
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  private val qChunkDocs = QuerySpec.of(
+    "q_chunk_documents", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      s"""WITH t AS (
+        |  SELECT doc_id, $toks AS toks FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    1 + greatest(0, n - $ChunkTokens + $ChunkStride - 1)
+        |      // $ChunkStride AS n_chunks, toks
+        |  FROM n)
+        |SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, u.chunk_id * $ChunkStride + 1,
+        |    u.chunk_id * $ChunkStride + $ChunkTokens)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(array_to_string(list_slice(toks,
+        |    u.chunk_id * $ChunkStride + 1,
+        |    u.chunk_id * $ChunkStride + $ChunkTokens), ' ')) AS chunk_md5
+        |FROM c, unnest(range(0, n_chunks)) AS u(chunk_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin
+    }) { (s, d) =>
+    Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        expr(s"CAST(greatest(0, n - $ChunkTokens + $ChunkStride - 1)" +
+          s" DIV $ChunkStride AS BIGINT)"))))
+      .withColumn("chunk",
+        slice(col("toks"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkTokens)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
     qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate,
-    qLenQuantiles, qSearchRank)
+    qLenQuantiles, qSearchRank, qChunkDocs)
 }

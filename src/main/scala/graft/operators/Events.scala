@@ -535,9 +535,51 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  // ---- event-type transition matrix (first-order Markov chain) -----------
+  // Per-user event streams → (prev_type → next_type) transition counts
+  // and row-normalized probabilities in exact integer basis points —
+  // the behavioral model behind next-action prediction and journey
+  // analysis. Shape: ONE shuffle on user_id (the lag window), then a
+  // |types|² rollup with map-side combine; the row-total join is a
+  // broadcast of ≤|types| rows. Identical shape at 100 TB — per-user
+  // histories partition cleanly and the matrix stays tiny.
+  private val qMarkov = QuerySpec.of(
+    "q_events_markov",
+    """WITH t AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |      AS prev_type
+      |  FROM t),
+      |p AS (
+      |  SELECT prev_type, next_type, count(*) AS n
+      |  FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+      |tot AS (
+      |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+      |  FROM p GROUP BY prev_type)
+      |SELECT p.prev_type, p.next_type, p.n, tot.row_total,
+      |  CAST(p.n * 10000 // tot.row_total AS BIGINT) AS prob_bp
+      |FROM p JOIN tot USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val p = eventsMs(s, d)
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = p.groupBy("prev_type").agg(sum("n").as("row_total"))
+    p.join(broadcast(tot), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),
+        expr("CAST(n * 10000 DIV row_total AS BIGINT)").as("prob_bp"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
-      qAttribution, qAnomaly, qEngagement, qHll, qStreamHourly,
+      qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert)
 }

@@ -558,7 +558,61 @@ object TextAnalysis {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  // ---- per-source distinctive terms (tf-idf-shaped, all-integer) ---------
+  // For each source, the 5 terms whose corpus occurrences concentrate
+  // most heavily in that source: share_bp = this source's share of the
+  // term's total occurrences (the un-logged idf analog — log() is not
+  // engine-stable), score = tf × share_bp. Every quantity is an exact
+  // integer, so ranking and ties (broken on the term) hash-match.
+  // Shape: explode → (source, term) partial agg (map-side combine),
+  // term totals keyed the same way (one exchange), and the top-k
+  // window partitions by source over the already-aggregated rows —
+  // no global sort, no corpus-sized window.
+  private val TfidfTopK = 5
+
+  private val qTfidf = QuerySpec.of(
+    "q_text_tfidf", {
+      val toks = sql.toks
+      s"""WITH tok AS (
+        |  SELECT source, unnest($toks) AS term FROM documents),
+        |st AS (
+        |  SELECT source, term, count(*) AS tf
+        |  FROM tok GROUP BY source, term),
+        |tt AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS tf_all
+        |  FROM st GROUP BY term),
+        |sc AS (
+        |  SELECT st.source, st.term, st.tf, tt.tf_all,
+        |    st.tf * 10000 // tt.tf_all AS share_bp,
+        |    st.tf * (st.tf * 10000 // tt.tf_all) AS score
+        |  FROM st JOIN tt USING (term)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, term) AS rn FROM sc)
+        |SELECT source, CAST(rn AS BIGINT) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, tf_all,
+        |  CAST(share_bp AS BIGINT) AS share_bp,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rn <= $TfidfTopK ORDER BY source, rank""".stripMargin
+    }) { (s, d) =>
+    val st = Tables.fanout(Tables.documents(s, d))
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val tt = st.groupBy("term").agg(sum("tf").as("tf_all"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("term"))
+    st.join(tt, "term")
+      .withColumn("share_bp", expr("CAST(tf * 10000 DIV tf_all AS BIGINT)"))
+      .withColumn("score", col("tf") * col("share_bp"))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= TfidfTopK)
+      .select(col("source"), col("rn").cast("long").as("rank"), col("term"),
+        col("tf"), col("tf_all"), col("share_bp"),
+        col("score").cast("long").as("score"))
+      .orderBy("source", "rank")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
-    qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch)
+    qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf)
 }

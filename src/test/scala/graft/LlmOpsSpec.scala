@@ -139,6 +139,76 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(7L) == ((1L, 2L)))
   }
 
+  test("markov: first event per user emits no transition; rows normalize") {
+    val dir = fixtureDir("markov")
+    val t0 = 1700000000000L
+    // user 1: view→click→view ; user 2: view→purchase. Transitions:
+    // view→click 1, click→view 1, view→purchase 1. The two users'
+    // first events contribute nothing.
+    Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 1000, 1L, "click"),
+      (3L, t0 + 2000, 1L, "view"),
+      (4L, t0, 2L, "view"), (5L, t0 + 1000, 2L, "purchase"))
+      .map { case (e, ms, u, ty) => (e, ms, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_events_markov")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"))
+        -> ((r.getAs[Long]("n"), r.getAs[Long]("prob_bp")))).toMap
+    assert(rows.size == 3)
+    // the view row splits 1/1 between click and purchase → 5000bp each
+    assert(rows(("view", "click")) == ((1L, 5000L)))
+    assert(rows(("view", "purchase")) == ((1L, 5000L)))
+    assert(rows(("click", "view")) == ((1L, 10000L)))
+  }
+
+  test("chunking: stride overlap, short tail, exact-boundary doc") {
+    val dir = fixtureDir("chunk")
+    val w = (1 to 33).map(i => s"w$i")
+    Seq(
+      (1L, w.take(32).mkString(" ")), // exactly CHUNK_TOKENS → 1 chunk
+      (2L, w.mkString(" ")),          // 33 tokens → 2 chunks
+      (3L, ""))                       // empty → 0 chunks
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_chunk_documents")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))
+        -> ((r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_md5"))))
+      .toMap
+    assert(rows.keySet == Set((1L, 0L), (2L, 0L), (2L, 1L)))
+    assert(rows((1L, 0L))._1 == 32L)
+    assert(rows((2L, 0L))._1 == 32L)
+    // second chunk starts at token 25 (stride 24) → tokens 25..33 = 9
+    assert(rows((2L, 1L))._1 == 9L)
+    // doc 2's first chunk is doc 1's whole text → identical chunk hash
+    assert(rows((1L, 0L))._2 == rows((2L, 0L))._2)
+  }
+
+  test("tfidf: single-source term concentrates at 10000bp and ranks first") {
+    val dir = fixtureDir("tfidf")
+    Seq(
+      (1L, "zebra zebra zebra common common", "en", "a"),
+      (2L, "common common common", "en", "b"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_text_tfidf")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("score")))).toMap
+    // source a: zebra appears only there → share 10000, score 3*10000
+    assert(rows(("a", 1L)) == (("zebra", 10000L, 30000L)))
+    // common: 2 of 5 occurrences in a → 4000bp, 3 of 5 in b → 6000bp
+    assert(rows(("a", 2L)) == (("common", 4000L, 8000L)))
+    assert(rows(("b", 1L)) == (("common", 6000L, 18000L)))
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
