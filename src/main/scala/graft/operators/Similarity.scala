@@ -1027,9 +1027,257 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ---- mutual-kNN graph ---------------------------------------------------
+  // The k-nearest-neighbor graph over a probe node set (every 4th
+  // vector), symmetrized to MUTUAL edges (i lists j AND j lists i) —
+  // the graph semantic clustering, manifold methods, and kNN-dedup
+  // build on. Per node: out-degree, mutual degree, nearest neighbor,
+  // max cosine. The node set is small by construction (a probe
+  // sample); at corpus scale the candidate pairs come from the LSH /
+  // IVF bucket join (q_ann_lsh) instead of the dense self-join, and
+  // the mutualization step — a self-join of the tiny edge list — is
+  // unchanged.
+  private val KnnK = 5
+
+  private val qKnnGraph = QuerySpec.of(
+    "q_ann_knn_graph",
+    s"""WITH $duckNorm,
+      |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+      |s AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+      |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
+      |ed AS (
+      |  SELECT src, dst, cos, rk FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM s)
+      |  WHERE rk <= $KnnK),
+      |md AS (
+      |  SELECT ed.src, count(*) AS mutual_deg
+      |  FROM ed JOIN ed r ON ed.src = r.dst AND ed.dst = r.src
+      |  GROUP BY ed.src),
+      |agg AS (
+      |  SELECT src, count(*) AS out_deg,
+      |    max(CASE WHEN rk = 1 THEN dst END) AS nn1,
+      |    round(max(cos), 6) AS max_cos
+      |  FROM ed GROUP BY src)
+      |SELECT a.src AS vec_id, CAST(a.out_deg AS BIGINT) AS out_deg,
+      |  CAST(coalesce(m.mutual_deg, 0) AS BIGINT) AS mutual_deg,
+      |  a.nn1, a.max_cos
+      |FROM agg a LEFT JOIN md m ON a.src = m.src
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val g = normalized(Tables.embeddings(s, d))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+    val a = g.select(col("vec_id").as("src"), col("v").as("av"),
+      col("nrm").as("an"))
+    val b = g.select(col("vec_id").as("dst"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val e = a.crossJoin(broadcast(b))
+      .filter(col("dst") =!= col("src"))
+      .withColumn("cos", round(dot(col("av"), col("bv"))
+        / (col("an") * col("bn")), 9))
+      .select(col("src"), col("dst"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .localCheckpoint() // read 3×: agg, and both sides of the mutual join
+    val md = e.select(col("src"), col("dst"))
+      .join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .groupBy("src").agg(count(lit(1)).as("mutual_deg"))
+    val agg = e.groupBy("src").agg(
+      count(lit(1)).as("out_deg"),
+      max(when(col("rk") === 1, col("dst"))).as("nn1"),
+      round(max("cos"), 6).as("max_cos"))
+    agg.join(md, Seq("src"), "left")
+      .select(col("src").as("vec_id"), col("out_deg"),
+        coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
+        col("nn1"), col("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  // ---- per-cluster outlier detection (off-topic / noise screening) --------
+  // SemDeDup's outlier half: after the same 3 Lloyd rounds as
+  // q_embed_kmeans, a vector is an outlier iff its squared distance to
+  // its centroid exceeds 2× the cluster's mean squared distance. All
+  // arithmetic is EXACT integers: with per-dim member sums S_d and
+  // member count n, n²·dist² = Σ_d (n·q_d − S_d)² is a bigint, the
+  // cluster total of those is a bigint, and the outlier test
+  // d2·n > 2·total multiplies exact integers — no float ever crosses
+  // rows, so the flagged set hash-matches the DuckDB replay.
+  // Shape: the kmeans passes (map-only broadcast argmin + K×DIM
+  // partial-sum exchanges), one broadcast of K (sums, n) rows back,
+  // and a K-group rollup.
+  private val qOutliers = QuerySpec.of(
+    "q_embed_outliers", {
+      val rounds = (1 to KmIters).map(kmOracleRound).mkString(",\n")
+      s"""WITH qv AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |    CAST(trunc(x * $DIM
+        |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |    list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $KmK)),
+        |$rounds,
+        |st AS (
+        |  SELECT cid, u.dim AS dim, CAST(sum(q[u.dim]) AS BIGINT) AS sm,
+        |    count(*) AS n
+        |  FROM a$KmIters, unnest(range(1, ${DIM + 1})) AS u(dim)
+        |  GROUP BY cid, dim),
+        |sv AS (
+        |  SELECT cid, list(sm ORDER BY dim) AS sv,
+        |    CAST(any_value(n) AS BIGINT) AS n
+        |  FROM st GROUP BY cid),
+        |dd AS (
+        |  SELECT a.vec_id, a.cid,
+        |    CAST(list_sum(list_transform(range(1, ${DIM + 1}), i ->
+        |      (s.n * a.q[i] - s.sv[i]) * (s.n * a.q[i] - s.sv[i])))
+        |      AS BIGINT) AS d2
+        |  FROM a$KmIters a JOIN sv s USING (cid)),
+        |tc AS (
+        |  SELECT cid, CAST(sum(d2) AS BIGINT) AS tot,
+        |    count(*) AS n_members
+        |  FROM dd GROUP BY cid),
+        |o AS (
+        |  SELECT dd.cid, dd.vec_id, dd.d2, tc.n_members,
+        |    CASE WHEN dd.d2 * tc.n_members > 2 * tc.tot THEN 1 ELSE 0 END
+        |      AS is_out,
+        |    row_number() OVER (PARTITION BY dd.cid
+        |      ORDER BY dd.d2 DESC, dd.vec_id) AS rk
+        |  FROM dd JOIN tc USING (cid))
+        |SELECT cid, CAST(any_value(n_members) AS BIGINT) AS n_members,
+        |  CAST(sum(is_out) AS BIGINT) AS n_outliers,
+        |  CAST(sum(is_out) * 10000 // any_value(n_members) AS BIGINT)
+        |    AS outlier_bp,
+        |  CAST(max(d2) AS BIGINT) AS max_d2,
+        |  max(CASE WHEN rk = 1 THEN vec_id END) AS far_id
+        |FROM o GROUP BY cid ORDER BY cid""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val qv = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => (x * DIM + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
+          .as("q"))
+      .localCheckpoint() // seed + 3 assignment passes read these blocks
+    var cents: Array[(Int, Array[Double])] =
+      qv.orderBy("vec_id").limit(KmK).collect().zipWithIndex.map {
+        case (r, i) => (i, r.getSeq[Long](1).map(_.toDouble).toArray)
+      }
+    var assigned: DataFrame = null
+    var raw: Array[(Int, Array[Long], Long)] = null
+    for (_ <- 1 to KmIters) {
+      assigned = kmAssign(qv, cents)
+      raw = kmUpdateRaw(assigned)
+      cents = kmCentroids(raw)
+    }
+    val sv = raw.toSeq.map { case (cid, sums, n) => (cid, sums.toSeq, n) }
+      .toDF("cid", "sv", "n")
+    val dd = assigned.join(broadcast(sv), "cid")
+      .withColumn("d2", aggregate(
+        zip_with(col("q"), col("sv"),
+          (a, b) => (col("n") * a - b) * (col("n") * a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"), col("cid"), col("d2"))
+      .localCheckpoint() // cluster totals + per-row test both read it
+    val tc = dd.groupBy("cid")
+      .agg(sum("d2").as("tot"), count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("cid").orderBy(col("d2").desc, col("vec_id"))
+    dd.join(broadcast(tc), "cid")
+      .withColumn("is_out",
+        when(col("d2") * col("n_members") > lit(2) * col("tot"), 1L)
+          .otherwise(0L))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cid")
+      .agg(max("n_members").as("n_members"),
+        sum("is_out").as("n_outliers"),
+        expr("CAST(sum(is_out) * 10000 DIV max(n_members) AS BIGINT)")
+          .as("outlier_bp"),
+        max("d2").as("max_d2"),
+        max(when(col("rk") === 1, col("vec_id"))).as("far_id"))
+      .orderBy("cid")
+  }
+
+  // ---- ±1 random projection (Johnson–Lindenstrauss sketch) ----------------
+  // Dimensionality reduction for cheap pre-filtering: project the
+  // integer-quantized vectors onto RpJ=16 deterministic ±1 directions
+  // (sign = parity of a portable md5 — an Achlioptas-style sparse JL
+  // matrix). Every projection is an exact bigint dot product, and the
+  // norm-preservation report — ‖Pv‖²/(J·‖v‖²) in basis points, the
+  // quantity JL says concentrates near 1 — is exact integer division,
+  // so the whole report hash-matches. Shape: map-only scan (the sign
+  // matrix is a literal), one |labels|-group rollup.
+  private val RpJ = 16
+
+  private def rpSign(j: Int, i: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    val hex = digest.take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  private val qRandProj = QuerySpec.of(
+    "q_embed_rp", {
+      def sqlSign(j: Int) =
+        s"(CASE WHEN CAST(('0x' || substr(md5('rp:$j:' ||" +
+          s" CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0" +
+          " THEN 1 ELSE -1 END)"
+      val projCols = (0 until RpJ).map(j =>
+        s"CAST(list_sum(list_transform(range(1, ${DIM + 1}), i -> " +
+          s"q[i] * ${sqlSign(j)})) AS BIGINT) AS p$j").mkString(",\n    ")
+      val proj2 = (0 until RpJ).map(j => s"p$j * p$j").mkString(" + ")
+      s"""WITH qv AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |      CAST(trunc(x * $DIM
+        |        + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, label,
+        |    $projCols,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm2
+        |  FROM qv),
+        |r AS (
+        |  SELECT label, ($proj2) * 10000 // ($RpJ * nrm2) AS ratio_bp
+        |  FROM p WHERE nrm2 > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(min(ratio_bp) AS BIGINT) AS min_ratio_bp,
+        |  CAST(max(ratio_bp) AS BIGINT) AS max_ratio_bp,
+        |  CAST(sum(ratio_bp) // count(*) AS BIGINT) AS mean_ratio_bp
+        |FROM r GROUP BY label ORDER BY label""".stripMargin
+    }) { (s, d) =>
+    val signRows: Seq[Seq[Long]] =
+      (0 until RpJ).map(j => (0 until DIM).map(i => rpSign(j, i)))
+    val qv = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => (x * DIM + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
+          .as("q"))
+    val projs = (0 until RpJ).map { j =>
+      aggregate(zip_with(col("q"), typedLit(signRows(j)), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"p$j")
+    }
+    qv.select(col("label") +: col("q") +: projs: _*)
+      .withColumn("nrm2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .filter(col("nrm2") > 0)
+      .withColumn("ratio_bp",
+        expr(s"CAST((${(0 until RpJ).map(j => s"p$j * p$j")
+          .mkString(" + ")}) * 10000 DIV ($RpJ * nrm2) AS BIGINT)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("ratio_bp").as("min_ratio_bp"),
+        max("ratio_bp").as("max_ratio_bp"),
+        expr("CAST(sum(ratio_bp) DIV count(*) AS BIGINT)")
+          .as("mean_ratio_bp"))
+      .orderBy("label")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
-      qPqAdc, qPqRecall, qIvfPq, qHardNeg)
+      qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj)
 }
 
 

@@ -209,6 +209,133 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(("b", 1L)) == (("common", 6000L, 18000L)))
   }
 
+  test("knn graph: probe-set filter, nearest neighbor, mutual symmetry") {
+    val dir = fixtureDir("knng")
+    val dim = 64
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    val s2 = (1.0 / math.sqrt(2.0)).toFloat
+    // nodes (vec_id % 4 == 0): A=0→e0, B=4→(e0+e1)/√2, C=8→e1.
+    // vec_id 1 duplicates A but is NOT a node — must be excluded.
+    Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(0 -> 1.0f), 0),
+      (4L, vec(0 -> s2, 1 -> s2), 0),
+      (8L, vec(1 -> 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q_ann_knn_graph")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("mutual_deg"),
+          r.getAs[Long]("nn1")))).toMap
+    assert(rows.keySet == Set(0L, 4L, 8L)) // the duplicate non-node is out
+    // 3 nodes, k=5 → complete digraph: out_deg 2, fully mutual
+    assert(rows(0L) == ((2L, 2L, 4L))) // A's nearest is B (cos .707 vs 0)
+    assert(rows(8L) == ((2L, 2L, 4L))) // C's nearest is B
+    // B ties A and C at cos .707 → lower vec_id wins
+    assert(rows(4L) == ((2L, 2L, 0L)))
+  }
+
+  test("outliers: differential vs an independent Lloyd replay") {
+    // 24 vectors in 8 well-separated groups; the query's flagged set
+    // must equal an independent scalar reimplementation of the same
+    // 3-round Lloyd + 2×mean-d² rule.
+    val dir = fixtureDir("outl")
+    val dim = 64
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // 8 tight 3-member groups + ONE far point joining group 0 (a
+    // 4-member cluster: with n members the strict 2×mean rule can only
+    // fire at n ≥ 4 — the extreme of a 3-member cluster lands exactly
+    // on the boundary).
+    val rows = (0 until 8).flatMap { g =>
+      Seq(
+        (g.toLong, vec(g -> 1.0f), g),             // seed member
+        (8L + g, vec(g -> 0.9f, 63 -> 0.05f), g),  // near member
+        (16L + g, vec(g -> 0.95f), g))             // near member
+    } :+ ((24L, vec(0 -> 0.45f), 0))               // planted outlier → g0
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // independent replay on quantized ints (all fixture values >= 0,
+    // so toLong's trunc matches the engine's trunc-after-+0.5)
+    val qs = rows.sortBy(_._1).map { case (id, v, _) =>
+      id -> v.map(x =>
+        (x * 64 + (if (x >= 0) 0.5 else -0.5)).toLong).toArray
+    }
+    var cents = qs.take(8).map(_._2.map(_.toDouble)).toArray
+    var asg: Map[Long, Int] = Map.empty
+    for (_ <- 1 to 3) {
+      asg = qs.map { case (id, q) =>
+        id -> cents.zipWithIndex.map { case (c, ci) =>
+          (q.zip(c).map { case (a, b) =>
+            (a - b) * (a - b) }.sum, ci)
+        }.min._2
+      }.toMap
+      cents = (0 until 8).map { ci =>
+        val mem = qs.filter(p => asg(p._1) == ci).map(_._2)
+        if (mem.isEmpty) cents(ci)
+        else (0 until dim).map(d =>
+          mem.map(_(d)).sum.toDouble / mem.size).toArray
+      }.toArray
+    }
+    val expected = {
+      val byC = qs.groupBy(p => asg(p._1))
+      byC.flatMap { case (ci, mem) =>
+        val n = mem.size.toLong
+        val sums = (0 until dim).map(d => mem.map(_._2(d)).sum).toArray
+        val d2 = mem.map { case (id, q) =>
+          id -> (0 until dim).map { d =>
+            val t = n * q(d) - sums(d); t * t }.sum
+        }
+        val tot = d2.map(_._2).sum
+        d2.filter { case (_, v) => v * n > 2 * tot }.map(_._1)
+      }.toSet
+    }
+    val got = SparkEntry.queries("q_embed_outliers")(spark, dir).collect()
+    val flagged = got.map(_.getAs[Long]("n_outliers")).sum
+    assert(flagged == expected.size.toLong)
+    assert(flagged >= 1L) // the planted far point actually fires
+    // the per-cluster far_id with outliers present must be expected
+    val farFlagged = got.filter(_.getAs[Long]("n_outliers") > 0)
+      .map(_.getAs[Long]("far_id")).toSet
+    assert(farFlagged.subsetOf(expected))
+  }
+
+  test("rp: axis vector preserves norm at exactly 10000bp") {
+    val dir = fixtureDir("rp")
+    val dim = 64
+    // label 0: single-axis vector — every ±1 projection is ±64, so
+    // ‖Pv‖² = 16·64² = J·‖v‖² exactly → 10000bp.
+    // label 1: two-axis vector — expected ratio computed from the
+    // same md5 parity the engine uses.
+    val v0 = Seq.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val v1 = Seq.tabulate(dim)(i => if (i <= 1) 1.0f else 0.0f)
+    Seq((0L, v0, 0), (1L, v1, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def sign(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val proj2v1 = (0 until 16).map { j =>
+      val p = 64L * sign(j, 0) + 64L * sign(j, 1); p * p
+    }.sum
+    val expect1 = proj2v1 * 10000L / (16L * (64L * 64 + 64L * 64))
+    val rows = SparkEntry.queries("q_embed_rp")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") ->
+        r.getAs[Long]("mean_ratio_bp")).toMap
+    assert(rows(0) == 10000L)
+    assert(rows(1) == expect1)
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
