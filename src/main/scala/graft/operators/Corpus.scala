@@ -484,7 +484,48 @@ object Corpus {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ---- embedding coverage audit -------------------------------------------
+  // Which documents actually have an embedding row (doc_id = vec_id)?
+  // The data-quality gate before any embedding-driven stage (ANN,
+  // semantic dedup, clustering) — a silent coverage gap poisons them
+  // all. Per source: doc count, embedded count, coverage in exact
+  // basis points, plus the embedded tokens share (how much of the
+  // source's TEXT mass is covered, not just how many rows).
+  // Shape: one equality left join on the id (bucketable/bucketed at
+  // warehouse scale), per-source rollup with map-side combine.
+  private val qEmbedCoverage = QuerySpec.of(
+    "q_embed_coverage", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      s"""WITH d AS (
+        |  SELECT doc_id, source, len($toks) AS ntok FROM documents),
+        |j AS (
+        |  SELECT d.source, d.ntok,
+        |    CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS emb
+        |  FROM d LEFT JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(emb) AS BIGINT) AS n_embedded,
+        |  CAST(sum(emb) * 10000 // count(*) AS BIGINT) AS coverage_bp,
+        |  CAST(sum(CASE WHEN emb = 1 THEN ntok ELSE 0 END) * 10000
+        |    // sum(ntok) AS BIGINT) AS token_coverage_bp
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("ntok"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"))
+    docs.join(emb, col("doc_id") === col("vec_id"), "left")
+      .withColumn("emb", when(col("vec_id").isNull, 0L).otherwise(1L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("emb").as("n_embedded"),
+        expr("CAST(sum(emb) * 10000 DIV count(*) AS BIGINT)")
+          .as("coverage_bp"),
+        expr("CAST(sum(CASE WHEN emb = 1 THEN ntok ELSE 0 END) * 10000" +
+          " DIV sum(ntok) AS BIGINT)").as("token_coverage_bp"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
     qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate,
-    qLenQuantiles, qSearchRank, qChunkDocs)
+    qLenQuantiles, qSearchRank, qChunkDocs, qEmbedCoverage)
 }

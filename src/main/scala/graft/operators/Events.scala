@@ -535,6 +535,26 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  // ---- streaming per-hour top-k trending types ----------------------------
+  // The windowed counts aggregate IN the stream (state-store agg);
+  // the rank-within-hour runs as a batch pass over the sink — see
+  // EventsStreaming.topkViaStream for why that split is the
+  // streaming-native shape.
+  private val TrendK = 3
+  private val qStreamTopk = QuerySpec.of(
+    "q_stream_events_topk",
+    s"""WITH h AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY hour, event_type),
+      |r AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY hour ORDER BY n DESC, event_type) AS rk FROM h)
+      |SELECT hour, event_type, n, rk FROM r WHERE rk <= $TrendK
+      |ORDER BY hour, rk""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.topkViaStream(s, d, TrendK)
+  }
+
   // ---- event-type transition matrix (first-order Markov chain) -----------
   // Per-user event streams → (prev_type → next_type) transition counts
   // and row-normalized probabilities in exact integer basis points —
@@ -581,5 +601,5 @@ object Events {
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
-      qStreamConvert)
+      qStreamConvert, qStreamTopk)
 }

@@ -612,7 +612,96 @@ object TextAnalysis {
       .orderBy("source", "rank")
   }
 
+  // ---- iterative BPE merge training ---------------------------------------
+  // The actual tokenizer-training loop, not just the first pair count
+  // (q_bpe_pairs): 3 rounds of count-pairs → take the top pair →
+  // merge it through the vocabulary → recount. Vocabulary words are
+  // space-joined symbol strings; merge application is defined as 4
+  // bounded left-to-right replace passes of ' a b '→' ab ' (both
+  // engines' replace() is the same non-overlapping scan, and the
+  // bounded pass count makes chained occurrences deterministic
+  // rather than engine-lucky). Reported per round: the merged pair,
+  // its count at merge time, and the total symbol mass after — the
+  // curve a tokenizer trainer monitors.
+  // Scale shape — the exact shape HF-style trainers use: ONE corpus
+  // exchange builds the (word, freq) vocabulary; every round after
+  // that is vocabulary-sized (pair explode + top-1 TakeOrdered,
+  // map-side replace), and driver state is one pair per round.
+  private val BpeRounds = 3
+
+  private val qBpeMerges = QuerySpec.of(
+    "q_bpe_merges", {
+      val toks = sql.toks
+      def roundCte(r: Int): String = {
+        val prev = s"w${r - 1}"
+        val rep = (1 to 4).foldLeft("s")((e, _) =>
+          s"replace($e, ' ' || (SELECT pair FROM t$r) || ' ', " +
+            s"' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ')")
+        s"""p$r AS (
+          |  SELECT syms[i] || ' ' || syms[i+1] AS pair,
+          |    CAST(sum(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '')
+          |      AS syms, freq FROM $prev),
+          |    unnest(range(1, len(syms))) AS u(i)
+          |  GROUP BY 1),
+          |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+          |w$r AS (SELECT $rep AS s, freq FROM $prev)""".stripMargin
+      }
+      val selects = (1 to BpeRounds).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS rank, (SELECT pair FROM t$r) AS pair,
+          |  (SELECT cnt FROM t$r) AS cnt,
+          |  (SELECT CAST(sum(freq * len(list_filter(string_split(s, ' '),
+          |    x -> x <> ''))) AS BIGINT) FROM w$r) AS symbols_after"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM documents, unnest($toks) AS u(w) GROUP BY w),
+        |w0 AS (
+        |  SELECT ' ' || array_to_string(string_split(word, ''), ' ')
+        |    || ' ' AS s, freq FROM words),
+        |${(1 to BpeRounds).map(roundCte).mkString(",\n")}
+        |$selects
+        |ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    var words = Tables.fanout(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        concat_ws(" ", array_remove(split(col("word"), ""), "")),
+        lit(" ")).as("s"), col("freq"))
+      .localCheckpoint() // each round's recount reads the current vocab
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    for (r <- 1 to BpeRounds) {
+      val syms = array_remove(split(col("s"), " "), "")
+      // size>=2 guard: Spark's sequence(1, 0) DESCENDS instead of
+      // being empty (the oracle's range(1, 1) is empty)
+      val top = words.withColumn("syms", syms)
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => concat(element_at(col("syms"), i), lit(" "),
+              element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect().head
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      // pairs are alphanumeric+space by construction — safe to inline
+      val merged = pair.replace(" ", "")
+      val rep = (1 to 4).foldLeft("s")((e, _) =>
+        s"replace($e, ' $pair ', ' $merged ')")
+      words = words.select(expr(rep).as("s"), col("freq"))
+        .localCheckpoint() // next round + the mass count read it
+      val symbolsAfter = words
+        .agg(sum(col("freq") * size(array_remove(split(col("s"), " "), ""))))
+        .collect().head.getLong(0)
+      out += ((r.toLong, pair, cnt, symbolsAfter))
+    }
+    out.toSeq.toDF("rank", "pair", "cnt", "symbols_after").orderBy("rank")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
-    qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf)
+    qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf,
+    qBpeMerges)
 }

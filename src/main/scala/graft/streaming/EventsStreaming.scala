@@ -297,4 +297,46 @@ object EventsStreaming {
     finally q.stop()
     spark.table(name).orderBy("hour", "event_type")
   }
+
+  /** Per-hour top-k trending event types from a stream: the windowed
+    * count aggregation runs IN the stream (watermarked state-store
+    * agg, complete mode), and the rank-within-hour runs as a batch
+    * query over the sink table — the standard split for streaming
+    * top-k, because rank-over-window isn't an incremental streaming
+    * operator but the counts it ranks are. On a live source the sink
+    * would be a Delta/parquet table and this exact batch ranking runs
+    * on whatever prefix has landed.
+    */
+  def topkViaStream(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_topk_${counter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ms",
+        graft.operators.Events.msFromTs(schema("ts").dataType))
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(
+        date_format(timestamp_millis(col("ms") - col("ms") % 3600000L),
+          "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val w = Window.partitionBy("hour")
+      .orderBy(col("n").desc, col("event_type"))
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("hour", "rk")
+  }
 }

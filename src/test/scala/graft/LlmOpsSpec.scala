@@ -336,6 +336,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(1) == expect1)
   }
 
+  test("bpe merges: hand-replayed 3-round trace on a crafted vocab") {
+    val dir = fixtureDir("bpe")
+    // words: abab ×2, cd ×1. Round 1: pair 'a b' (cnt 4; two per word
+    // occurrence) → 'ab'; round 2: 'ab ab' (cnt 2) → 'abab';
+    // round 3: 'c d' (cnt 1).
+    Seq((1L, "abab abab cd", "en", "src"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("symbols_after")))
+    assert(rows.toSeq == Seq(
+      (1L, "a b", 4L, 6L),    // ' a b a b ' → ' ab ab ' (4+2 symbols)
+      (2L, "ab ab", 2L, 4L),
+      (3L, "c d", 1L, 3L)))
+  }
+
+  test("embed coverage: row and token coverage split per source") {
+    val dir = fixtureDir("cov")
+    Seq(
+      (0L, "one two three four", "en", "a"), // embedded, 4 toks
+      (1L, "five six", "en", "a"),           // not embedded, 2 toks
+      (2L, "seven", "en", "b"))              // embedded, 1 tok
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v = Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    Seq((0L, v, 0), (2L, v, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q_embed_coverage")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_embedded"),
+          r.getAs[Long]("coverage_bp"),
+          r.getAs[Long]("token_coverage_bp")))).toMap
+    assert(rows("a") == ((2L, 1L, 5000L, 6666L))) // 4 of 6 tokens covered
+    assert(rows("b") == ((1L, 1L, 10000L, 10000L)))
+  }
+
+  test("stream topk: ranks within the hour, count desc then type asc") {
+    val dir = fixtureDir("topk")
+    val t0 = 1700000000000L - (1700000000000L % 3600000L)
+    val evs = Seq.fill(3)("view") ++ Seq.fill(2)("click") ++
+      Seq.fill(2)("buy") ++ Seq("zzz")
+    evs.zipWithIndex.map { case (ty, i) =>
+      (i.toLong, t0 + i * 1000L, 1L, ty, 1.0, "{}")
+    }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_stream_events_topk")(spark, dir)
+      .collect().map(r => r.getAs[Long]("rk") ->
+        ((r.getAs[String]("event_type"), r.getAs[Long]("n")))).toMap
+    assert(rows.size == 3) // k=3: 'zzz' (count 1) never appears
+    assert(rows(1L) == (("view", 3L)))
+    assert(rows(2L) == (("buy", 2L))) // count tie with click → type asc
+    assert(rows(3L) == (("click", 2L)))
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
