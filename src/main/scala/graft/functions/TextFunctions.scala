@@ -134,5 +134,18 @@ object TextFunctions {
         s"i -> array_to_string(list_slice($toksExpr, i + 1, i + $n), ' ')) END"
     val fingerprint =
       s"md5(array_to_string(list_sort(list_distinct($toks)), ' '))"
+    /** Self-contained DuckDB twin of [[qualityScore]] over `text`. */
+    val quality: String =
+      s"round(least(1.0, CAST(len($toks) AS DOUBLE) / 50.0) * 0.4" +
+        s" + least(1.0, (CASE WHEN len($toks) = 0 THEN 0.0 ELSE" +
+        s" CAST(len(list_filter($toks, t -> t IN" +
+        " ('the','a','an','and','of','to','in','is','it','that')))" +
+        s" AS DOUBLE) / len($toks) END) * 4.0) * 0.4" +
+        " + (1.0 - least(1.0, ((CASE WHEN length(text) = 0 THEN 0.0 ELSE" +
+        " CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))" +
+        " AS DOUBLE) / length(text) END)" +
+        " + (CASE WHEN length(text) = 0 THEN 0.0 ELSE" +
+        " CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))" +
+        " AS DOUBLE) / length(text) END)) * 5.0)) * 0.2, 6)"
   }
 }

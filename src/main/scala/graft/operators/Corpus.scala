@@ -525,7 +525,71 @@ object Corpus {
       .orderBy("source")
   }
 
+  // ---- curriculum phase assignment ----------------------------------------
+  // Quality-ordered training curriculum: documents split into 3 phases
+  // (cleanest first) by quality-score CUTOFF VALUES, not global ranks —
+  // the cutoffs are the scores at ranks ceil(N/3) and ceil(2N/3) of
+  // the descending order (two TakeOrdered jobs, never a global
+  // row-number window — a rank column would serialize the corpus into
+  // one task). Value ties all land in the earlier phase, so phase
+  // membership is a pure function of the score — deterministic under
+  // any partitioning, which is what makes the curriculum reproducible
+  // across reruns. Per phase: doc/token mass and exact share.
+  private val CurrPhases = 3
+
+  private val qCurriculum = QuerySpec.of(
+    "q_pack_curriculum", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      val q = graft.functions.TextFunctions.sql.quality
+      s"""WITH t AS (
+        |  SELECT doc_id, $q AS q, len($toks) AS ntok FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c1 AS (
+        |  SELECT min(q) AS c FROM (
+        |    SELECT q FROM t ORDER BY q DESC, doc_id
+        |    LIMIT (SELECT (n + 2) // 3 FROM n))),
+        |c2 AS (
+        |  SELECT min(q) AS c FROM (
+        |    SELECT q FROM t ORDER BY q DESC, doc_id
+        |    LIMIT (SELECT (2 * n + 2) // 3 FROM n))),
+        |p AS (
+        |  SELECT CASE WHEN q >= (SELECT c FROM c1) THEN 0
+        |    WHEN q >= (SELECT c FROM c2) THEN 1 ELSE 2 END AS phase,
+        |    q, ntok
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS tt FROM p)
+        |SELECT phase, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ntok) * 10000 // (SELECT tt FROM tot) AS BIGINT)
+        |    AS token_share_bp,
+        |  min(q) AS min_q, max(q) AS max_q
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.TextFunctions.qualityScore
+    val t = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), qualityScore(col("text")).as("q"),
+        size(tokens(col("text"))).as("ntok"))
+      .localCheckpoint() // cutoff probes + the phase pass read it
+    val n = t.count()
+    def cutoff(k: Long): Double =
+      t.orderBy(col("q").desc, col("doc_id")).limit(k.toInt)
+        .agg(min("q")).collect().head.getDouble(0)
+    val c1 = cutoff((n + 2) / 3)
+    val c2 = cutoff((2 * n + 2) / 3)
+    val p = t.withColumn("phase",
+      when(col("q") >= c1, 0).otherwise(
+        when(col("q") >= c2, 1).otherwise(2)))
+    val tot = p.agg(sum("ntok")).collect().head.getLong(0)
+    p.groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        expr(s"CAST(sum(ntok) * 10000 DIV $tot AS BIGINT)")
+          .as("token_share_bp"),
+        min("q").as("min_q"), max("q").as("max_q"))
+      .orderBy("phase")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
     qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate,
-    qLenQuantiles, qSearchRank, qChunkDocs, qEmbedCoverage)
+    qLenQuantiles, qSearchRank, qChunkDocs, qEmbedCoverage, qCurriculum)
 }

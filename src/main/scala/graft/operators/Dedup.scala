@@ -79,11 +79,10 @@ object Dedup {
     */
   private val MAX_BUCKET = 200
 
-  /** Shared oracle-SQL prelude producing near-dup `cand` pairs
-    * (doc_a, doc_b, n_match ≥ K/2) — the LSH candidate + signature
-    * refine stage both minhash queries build on.
+  /** Oracle-SQL prelude building the signature index CTEs
+    * (t → sh → sig → bands) every minhash-family oracle shares.
     */
-  private val duckMinhashPairs: String =
+  private val duckSigBands: String =
     s"""t AS (
       |  SELECT doc_id, $duckToks AS toks FROM documents),
       |sh AS (
@@ -100,7 +99,14 @@ object Dedup {
       |bands AS (
       |  SELECT doc_id, b,
       |    md5(array_to_string(list_slice(sig, b * $ROWS + 1, b * $ROWS + $ROWS), ',')) AS bh
-      |  FROM sig, unnest(range(0, $BANDS)) AS u(b)),
+      |  FROM sig, unnest(range(0, $BANDS)) AS u(b))""".stripMargin
+
+  /** Shared oracle-SQL prelude producing near-dup `cand` pairs
+    * (doc_a, doc_b, n_match ≥ K/2) — the LSH candidate + signature
+    * refine stage both minhash queries build on.
+    */
+  private val duckMinhashPairs: String =
+    s"""$duckSigBands,
       |small AS (
       |  SELECT b, bh FROM bands GROUP BY b, bh
       |  HAVING count(*) BETWEEN 2 AND $MAX_BUCKET),
@@ -123,16 +129,21 @@ object Dedup {
     * signature index: banded bucket join (skew-capped), narrow pair
     * shuffle, signatures re-attached after pair dedupe.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
-    // bands carry only (doc_id, b, bh): the pair join shuffles narrow
-    // rows; signatures re-attach after pair dedupe.
-    val bands = sig.select(col("doc_id"),
+  /** (doc_id, b, bh) band rows from a signature table — narrow on
+    * purpose so the bucket joins shuffle 3 small columns; signatures
+    * re-attach after pair dedupe.
+    */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(BANDS - 1)), b =>
           struct(b.as("b"),
             md5(concat_ws(",", slice(col("sig"), b * ROWS + 1, lit(ROWS))))
               .as("bh")))).as("band"))
       .select(col("doc_id"), col("band.b"), col("band.bh"))
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val bands = bandsOf(sig)
     val small = bands.groupBy("b", "bh").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, MAX_BUCKET))
       .select("b", "bh")
@@ -672,7 +683,80 @@ object Dedup {
       .orderBy("label")
   }
 
+  // ---- incremental ingest dedup: new batch vs the standing index ----------
+  // The ingest-time query every fuzzy-dedup index exists to answer:
+  // given a NEW batch of documents (here: doc_id % 7 == 3 plays the
+  // incoming slice), which ones near-duplicate something ALREADY IN
+  // the index (everything else)? Candidates come from the same banded
+  // buckets as the batch dedup — but the join is one-sided (incoming
+  // bands probe index bands), the skew cap applies to INDEX buckets
+  // (a hot boilerplate bucket must not absorb every new doc), and each
+  // incoming doc reports only its best match. Signatures come from the
+  // SAME persisted scaffold the batch build wrote — the index is
+  // built once and probed per batch, which is the whole point.
+  private val qIncremental = QuerySpec.of(
+    "q_dedup_incremental",
+    s"""WITH $duckSigBands,
+      |inc AS (SELECT * FROM bands WHERE doc_id % 7 = 3),
+      |idxb AS (SELECT * FROM bands WHERE doc_id % 7 <> 3),
+      |okb AS (
+      |  SELECT b, bh FROM idxb GROUP BY b, bh
+      |  HAVING count(*) <= $MAX_BUCKET),
+      |pairs AS (
+      |  SELECT DISTINCT i.doc_id AS inc_id, x.doc_id AS idx_id
+      |  FROM (SELECT inc.* FROM inc JOIN okb USING (b, bh)) i
+      |  JOIN (SELECT idxb.* FROM idxb JOIN okb USING (b, bh)) x
+      |    ON i.b = x.b AND i.bh = x.bh),
+      |est AS (
+      |  SELECT inc_id, idx_id,
+      |    CAST(len(list_filter(range(0, $MINHASH_K),
+      |      i -> sa.sig[i + 1] = sb.sig[i + 1])) AS BIGINT) AS n_match
+      |  FROM pairs JOIN sig sa ON inc_id = sa.doc_id
+      |    JOIN sig sb ON idx_id = sb.doc_id),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY inc_id
+      |    ORDER BY n_match DESC, idx_id) AS rn
+      |  FROM est WHERE n_match >= ${MINHASH_K / 2})
+      |SELECT inc_id, idx_id AS match_id, n_match,
+      |  round(CAST(n_match AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
+      |FROM best WHERE rn = 1
+      |ORDER BY inc_id""".stripMargin) { (s, d) =>
+    // scaffold-backed parquet — re-reads are scans, no checkpoint needed
+    val sig = signatures(s, d)
+    val bands = bandsOf(sig)
+    val isInc = pmod(col("doc_id"), lit(7)) === 3
+    val inc = bands.filter(isInc)
+    val idxb = bands.filter(!isInc)
+    val okb = idxb.groupBy("b", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= MAX_BUCKET).select("b", "bh")
+    val pairs = inc.join(okb, Seq("b", "bh"))
+      .select(col("doc_id").as("inc_id"), col("b"), col("bh"))
+      .join(idxb.join(okb, Seq("b", "bh"))
+        .select(col("doc_id").as("idx_id"), col("b"), col("bh")),
+        Seq("b", "bh"))
+      .select("inc_id", "idx_id").distinct()
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("inc_id")
+      .orderBy(col("n_match").desc, col("idx_id"))
+    pairs
+      .join(sig.select(col("doc_id").as("inc_id"), col("sig").as("sig_a")),
+        Seq("inc_id"))
+      .join(sig.select(col("doc_id").as("idx_id"), col("sig").as("sig_b")),
+        Seq("idx_id"))
+      .withColumn("n_match", matches)
+      .filter(col("n_match") >= MINHASH_K / 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("inc_id"), col("idx_id").as("match_id"), col("n_match"),
+        round(col("n_match").cast("double") / MINHASH_K, 6)
+          .as("est_jaccard"))
+      .orderBy("inc_id")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
-      qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex)
+      qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex, qIncremental)
 }

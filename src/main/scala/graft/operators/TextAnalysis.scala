@@ -700,8 +700,55 @@ object TextAnalysis {
     out.toSeq.toDF("rank", "pair", "cnt", "symbols_after").orderBy("rank")
   }
 
+  // ---- lexical diversity (Simpson concentration, all-integer) -------------
+  // Per-source vocabulary concentration without entropy's ln() (not
+  // engine-stable): Simpson's index Σp² as Σc²·10⁴ DIV n² (exact —
+  // the probability a random token pair repeats), its inverse (the
+  // "effective vocabulary" size), and the top token's share. The
+  // diversity signal repetitive/templated sources fail.
+  // Shape: one (source, token) partial agg, then a |sources| rollup;
+  // the top-token pick is a window over already-aggregated rows.
+  private val qDiversity = QuerySpec.of(
+    "q_text_diversity", {
+      val toks = sql.toks
+      s"""WITH tok AS (
+        |  SELECT source, unnest($toks) AS t FROM documents),
+        |c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, t) AS rk FROM c)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(c * c) * 10000 // (sum(c) * sum(c)) AS BIGINT)
+        |    AS simpson_bp,
+        |  CAST(sum(c) * sum(c) // sum(c * c) AS BIGINT) AS inv_simpson,
+        |  max(CASE WHEN rk = 1 THEN t END) AS top_token,
+        |  CAST(max(CASE WHEN rk = 1 THEN c END) * 10000 // sum(c)
+        |    AS BIGINT) AS top_share_bp
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val c = Tables.fanout(Tables.documents(s, d))
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("t"))
+    c.withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        expr("CAST(sum(c * c) * 10000 DIV (sum(c) * sum(c)) AS BIGINT)")
+          .as("simpson_bp"),
+        expr("CAST(sum(c) * sum(c) DIV sum(c * c) AS BIGINT)")
+          .as("inv_simpson"),
+        max(when(col("rk") === 1, col("t"))).as("top_token"),
+        expr("CAST(max(CASE WHEN rk = 1 THEN c END) * 10000 DIV sum(c)" +
+          " AS BIGINT)").as("top_share_bp"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
     qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf,
-    qBpeMerges)
+    qBpeMerges, qDiversity)
 }

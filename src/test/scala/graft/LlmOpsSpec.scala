@@ -397,6 +397,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(3L) == (("click", 2L)))
   }
 
+  test("incremental dedup: incoming dup hits the index, fresh doc misses") {
+    val dir = fixtureDir("incdedup")
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val fresh = "one two three four five six seven eight nine"
+    val other = "red green blue cyan magenta yellow black white"
+    Seq(
+      (0L, dup),    // index (0 % 7 != 3)
+      (1L, other),  // index
+      (3L, dup),    // incoming (3 % 7 == 3) — exact dup of doc 0
+      (10L, fresh)) // incoming (10 % 7 == 3) — novel
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .collect().map(r => r.getAs[Long]("inc_id") ->
+        ((r.getAs[Long]("match_id"), r.getAs[Long]("n_match")))).toMap
+    assert(rows.keySet == Set(3L)) // only the dup reports a match
+    assert(rows(3L) == ((0L, 12L))) // identical text → all 12 hashes agree
+  }
+
+  test("curriculum: value-cutoff phases, ties fall into the earlier phase") {
+    val dir = fixtureDir("curr")
+    // 6 docs: 2 long/stopwordy (high q), 2 medium, 2 short noisy (low q)
+    val hi = ("the and of to in is it that " * 8).trim
+    val mid = "plain words only here simple text going on"
+    val lo = "x1!"
+    Seq((0L, hi), (1L, hi), (2L, mid), (3L, mid), (4L, lo), (5L, lo))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_pack_curriculum")(spark, dir)
+      .collect().map(r => r.getAs[Int]("phase") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_share_bp"))))
+      .toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    assert(rows(0)._1 == 2L && rows(1)._1 == 2L && rows(2)._1 == 2L)
+    // token shares sum to <= 10000 (integer floor division)
+    assert(rows.values.map(_._2).sum <= 10000L)
+    assert(rows(0)._2 > rows(2)._2) // clean docs carry the token mass
+  }
+
+  test("diversity: uniform source maxes inv_simpson; repetitive collapses") {
+    val dir = fixtureDir("divers")
+    Seq(
+      (0L, "a b c d", "en", "uniform"),   // 4 types × 1 → simpson 1/4
+      (1L, "spam spam spam spam", "en", "spammy")) // 1 type → simpson 1
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_text_diversity")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("simpson_bp"), r.getAs[Long]("inv_simpson"),
+          r.getAs[String]("top_token"), r.getAs[Long]("top_share_bp"))))
+      .toMap
+    assert(rows("uniform") == ((2500L, 4L, "a", 2500L)))
+    assert(rows("spammy") == ((10000L, 1L, "spam", 10000L)))
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
