@@ -555,6 +555,60 @@ object Events {
     graft.streaming.EventsStreaming.topkViaStream(s, d, TrendK)
   }
 
+  // ---- session-duration histogram -----------------------------------------
+  // Distribution of session lengths on a power-of-two scale: bucket =
+  // bit-length of the duration in seconds (the same length(bin(x))
+  // device the HLL sketch uses — exact integers in both engines, no
+  // log2()). Per bucket: session count, duration bounds, and mean
+  // events per session in exact centi-events. Builds on the
+  // sessionize shuffle; the histogram itself is a ≤64-group rollup.
+  private val qSessionStats = QuerySpec.of(
+    "q_events_session_stats",
+    s"""WITH t AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (
+      |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+      |  FROM t),
+      |f AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > $SESSION_GAP_MS
+      |    THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f),
+      |g AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    max(ms) - min(ms) AS dur_ms
+      |  FROM s GROUP BY user_id, session_id),
+      |h AS (
+      |  SELECT length(bin(dur_ms // 1000)) AS bucket, n_events, dur_ms
+      |  FROM g)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_sessions,
+      |  min(dur_ms) AS min_ms, max(dur_ms) AS max_ms,
+      |  CAST(sum(n_events) * 100 // count(*) AS BIGINT)
+      |    AS mean_events_c
+      |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    eventsMs(s, d)
+      .select(col("user_id"), col("event_id"), col("ms"))
+      .withColumn("prev", lag("ms", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ms") - col("prev") > SESSION_GAP_MS, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ms") - min("ms")).as("dur_ms"))
+      .select(length(bin(expr("dur_ms DIV 1000"))).cast("long").as("bucket"),
+        col("n_events"), col("dur_ms"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+        min("dur_ms").as("min_ms"), max("dur_ms").as("max_ms"),
+        expr("CAST(sum(n_events) * 100 DIV count(*) AS BIGINT)")
+          .as("mean_events_c"))
+      .orderBy("bucket")
+  }
+
   // ---- event-type transition matrix (first-order Markov chain) -----------
   // Per-user event streams → (prev_type → next_type) transition counts
   // and row-normalized probabilities in exact integer basis points —
@@ -601,5 +655,5 @@ object Events {
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
-      qStreamConvert, qStreamTopk)
+      qStreamConvert, qStreamTopk, qSessionStats)
 }

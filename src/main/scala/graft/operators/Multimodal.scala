@@ -366,6 +366,80 @@ object Multimodal {
       .orderBy("timescale")
   }
 
+  // ---- cross-modal A/V alignment audit ------------------------------------
+  // The sync check a multimodal training pipeline runs before pairing
+  // streams: per document, decode the audio container's duration and
+  // the video container's duration THROUGH THE REAL HEADER PARSERS
+  // (RIFF chunk walk, ISO BMFF box walk), join the two modalities on
+  // the document key, and report per-source drift — pair count, which
+  // side runs longer, worst and total absolute drift, all exact
+  // integer milliseconds. Shape: two map-only decode scans and one
+  // equality join on the id (bucketable at warehouse scale), then a
+  // |sources| rollup.
+  private val qAvSync = QuerySpec.of(
+    "q_multimodal_av_sync",
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    (n_chars * 100) * 1000
+      |      // ((8000 + (n_chars % 80) * 100) * (doc_id % 2 + 1) * 2)
+      |      AS a_ms,
+      |    (n_chars * 123) * 1000 // (600 + (n_chars % 10) * 60) AS v_ms
+      |  FROM documents)
+      |SELECT source, count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN a_ms > v_ms THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_audio_longer,
+      |  CAST(max(abs(a_ms - v_ms)) AS BIGINT) AS max_abs_drift_ms,
+      |  CAST(sum(abs(a_ms - v_ms)) AS BIGINT) AS sum_abs_drift_ms
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    def be32h(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16h(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def le32h(c: org.apache.spark.sql.Column) = {
+      val b = be32h(c)
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16h(c: org.apache.spark.sql.Column) = {
+      val b = be16h(c)
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    val docs = Tables.fanout(Tables.documents(s, d))
+    // audio side: RIFF synth → AudioMetaExpr parse-back
+    val channels = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val rate = (lit(8000) + pmod(col("n_chars"), lit(80)) * 100).cast("int")
+    val dataLen = (col("n_chars") * 100).cast("long")
+    val byteRate = (rate * channels * 2).cast("long")
+    val wavHex = concat(
+      lit("52494646"), le32h((dataLen + 36).cast("int")), lit("57415645"),
+      lit("666D7420"), le32h(lit(16)), le16h(lit(1)), le16h(channels),
+      le32h(rate), le32h(byteRate.cast("int")), le16h(channels * 2),
+      le16h(lit(16)),
+      lit("64617461"), le32h(dataLen.cast("int")))
+    val audio = docs.select(col("doc_id"), col("source"),
+        graft.functions.AudioMetaExpr.audioMeta(unhex(wavHex)).as("a"))
+      .select(col("doc_id"), col("source"),
+        col("a.duration_ms").as("a_ms"))
+    // video side: ISO BMFF synth → VideoMetaExpr parse-back
+    val ts = (lit(600) + pmod(col("n_chars"), lit(10)) * 60).cast("int")
+    val dur = (col("n_chars") * 123).cast("long")
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"),
+      lit("00000024" + "6D6F6F76"),
+      lit("0000001C" + "6D766864" + "00" + "000000" +
+        "00000000" + "00000000"),
+      be32h(ts), be32h(dur.cast("int")))
+    val video = docs.select(col("doc_id"),
+        graft.functions.VideoMetaExpr.videoMeta(unhex(mp4Hex)).as("v"))
+      .select(col("doc_id"), col("v.duration_ms").as("v_ms"))
+    audio.join(video, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a_ms") > col("v_ms"), 1L).otherwise(0L))
+          .as("n_audio_longer"),
+        max(abs(col("a_ms") - col("v_ms"))).as("max_abs_drift_ms"),
+        sum(abs(col("a_ms") - col("v_ms"))).as("sum_abs_drift_ms"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qFeatures, qFrames, qResize, qDims, qAudio, qVideo)
+    Seq(qFeatures, qFrames, qResize, qDims, qAudio, qVideo, qAvSync)
 }

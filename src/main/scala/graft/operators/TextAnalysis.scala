@@ -747,8 +747,57 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- split balance audit -------------------------------------------------
+  // Is each split's language mix representative of the corpus? For
+  // every (split, lang): the split-internal share and its signed
+  // deviation from the lang's corpus-wide share, in exact basis
+  // points — the stratification check run before trusting a held-out
+  // set. Shape: two tiny rollups ((split, lang) and lang) and
+  // broadcast joins back; the split is the same pure doc_id hash as
+  // q_split_hash, so it audits exactly the split users get.
+  private val qSplitBalance = QuerySpec.of(
+    "q_split_balance", {
+      val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
+      s"""WITH b AS (
+        |  SELECT lang, CASE WHEN ($bk) % 100 < 80 THEN 'train'
+        |    WHEN ($bk) % 100 < 90 THEN 'validation' ELSE 'test' END
+        |    AS split
+        |  FROM documents),
+        |sl AS (SELECT split, lang, count(*) AS n FROM b GROUP BY split, lang),
+        |st AS (SELECT split, CAST(sum(n) AS BIGINT) AS sn FROM sl GROUP BY split),
+        |lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS ln FROM sl GROUP BY lang),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM b)
+        |SELECT sl.split, sl.lang, sl.n,
+        |  CAST(sl.n * 10000 // st.sn AS BIGINT) AS split_share_bp,
+        |  CAST(lt.ln * 10000 // tot.t AS BIGINT) AS corpus_share_bp,
+        |  CAST(sl.n * 10000 // st.sn
+        |    - lt.ln * 10000 // tot.t AS BIGINT) AS skew_bp
+        |FROM sl JOIN st USING (split) JOIN lt USING (lang), tot
+        |ORDER BY split, lang""".stripMargin
+    }) { (s, d) =>
+    val bk = pmod(graft.functions.HashFunctions.hash32(col("doc_id")),
+      lit(100))
+    val b = Tables.documents(s, d)
+      .select(col("lang"),
+        when(bk < 80, "train").when(bk < 90, "validation")
+          .otherwise("test").as("split"))
+    val sl = b.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // split totals + lang totals + output read it
+    val st = sl.groupBy("split").agg(sum("n").as("sn"))
+    val lt = sl.groupBy("lang").agg(sum("n").as("ln"))
+    val tot = sl.agg(sum("n").as("t"))
+    sl.join(broadcast(st), "split").join(broadcast(lt), "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("lang"), col("n"),
+        expr("CAST(n * 10000 DIV sn AS BIGINT)").as("split_share_bp"),
+        expr("CAST(ln * 10000 DIV t AS BIGINT)").as("corpus_share_bp"),
+        expr("CAST(n * 10000 DIV sn - ln * 10000 DIV t AS BIGINT)")
+          .as("skew_bp"))
+      .orderBy("split", "lang")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
     qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf,
-    qBpeMerges, qDiversity)
+    qBpeMerges, qDiversity, qSplitBalance)
 }

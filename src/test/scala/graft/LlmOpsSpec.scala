@@ -455,6 +455,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows("spammy") == ((10000L, 1L, "spam", 10000L)))
   }
 
+  test("split balance: shares and skew replayed from the same hash") {
+    val dir = fixtureDir("splitbal")
+    val docs = (0L until 40L).map(id =>
+      (id, "some text", if (id % 3 == 0) "en" else "de", "src", 9L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 100).toInt
+    }
+    def split(id: Long): String = {
+      val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val byKey = docs.groupBy(d => (split(d._1), d._3))
+      .map { case (k, v) => k -> v.size.toLong }
+    val splitN = docs.groupBy(d => split(d._1)).map { case (k, v) => k -> v.size.toLong }
+    val langN = docs.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val rows = SparkEntry.queries("q_split_balance")(spark, dir)
+      .collect().map(r => (r.getAs[String]("split"), r.getAs[String]("lang"))
+        -> ((r.getAs[Long]("n"), r.getAs[Long]("split_share_bp"),
+          r.getAs[Long]("skew_bp")))).toMap
+    assert(rows.keySet == byKey.keySet)
+    rows.foreach { case ((sp, lg), (n, share, skew)) =>
+      assert(n == byKey((sp, lg)))
+      assert(share == n * 10000 / splitN(sp))
+      assert(skew == share - langN(lg) * 10000 / 40L)
+    }
+  }
+
+  test("session stats: bit-length buckets, zero-duration session in bucket 1") {
+    val dir = fixtureDir("sessstats")
+    val t0 = 1700000000000L
+    Seq(
+      (1L, t0, 1L), (2L, t0 + 90000L, 1L),       // session: dur 90s, 2 ev
+      (3L, t0 + 10 * 3600000L, 1L))              // lone event: dur 0
+      .map { case (e, ms, u) => (e, ms, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_events_session_stats")(spark, dir)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("max_ms"),
+          r.getAs[Long]("mean_events_c")))).toMap
+    // bin(0) = "0" → bucket 1; bin(90) = 7 bits → bucket 7
+    assert(rows.keySet == Set(1L, 7L))
+    assert(rows(1L) == ((1L, 0L, 100L)))
+    assert(rows(7L) == ((1L, 90000L, 200L)))
+  }
+
+  test("av sync: drift equals the metadata-derived exact durations") {
+    val dir = fixtureDir("avsync")
+    val text = "x" * 50 // n_chars drives both synthetic containers
+    Seq((2L, text))     // doc_id 2 → 1 audio channel
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nChars = 50L
+    val aMs = (nChars * 100) * 1000 /
+      ((8000 + (nChars % 80) * 100) * ((2 % 2) + 1) * 2)
+    val vMs = (nChars * 123) * 1000 / (600 + (nChars % 10) * 60)
+    val r = SparkEntry.queries("q_multimodal_av_sync")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Long]("max_abs_drift_ms") == math.abs(aMs - vMs))
+    assert(r.getAs[Long]("n_audio_longer") == (if (aMs > vMs) 1L else 0L))
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
