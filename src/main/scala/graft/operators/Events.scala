@@ -644,6 +644,9 @@ object Events {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|² rows; row totals + output both read
+                         // it — without the barrier each consumer
+                         // re-runs the corpus scan + window shuffle
     val tot = p.groupBy("prev_type").agg(sum("n").as("row_total"))
     p.join(broadcast(tot), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),

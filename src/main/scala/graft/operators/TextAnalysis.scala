@@ -598,6 +598,8 @@ object TextAnalysis {
     val st = Tables.fanout(Tables.documents(s, d))
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // vocab-sized; term totals + the ranked join
+                         // both read it — one corpus explode, not two
     val tt = st.groupBy("term").agg(sum("tf").as("tf_all"))
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("score").desc, col("term"))
