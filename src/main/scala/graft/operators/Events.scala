@@ -497,8 +497,7 @@ object Events {
   // cross-row float accumulation), so the flagged set and z-scores
   // hash-match. Shape: two partial-agg exchanges (day-counts, then
   // per-type moments — ~|types| rows, broadcast back).
-  private val qAnomaly = QuerySpec.of(
-    "q_events_anomaly",
+  private[graft] val anomalyOracle: String =
     """WITH d AS (
       |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
       |    AS day, count(*) AS n
@@ -514,12 +513,24 @@ object Events {
       |  round((CAST(d.n AS DOUBLE) - mu) / sd, 6) AS z
       |FROM d JOIN s USING (event_type)
       |WHERE sd > 0 AND CAST(d.n AS DOUBLE) > mu + 2 * sd
-      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      |ORDER BY event_type, day""".stripMargin
+
+  private val qAnomaly = QuerySpec.of(
+    "q_events_anomaly",
+    anomalyOracle) { (s, d) =>
     val days = eventsMs(s, d)
       .groupBy(col("event_type"),
         date_format(timestamp_millis(col("ms") - col("ms") % 86400000L),
           "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"))
+    anomalyFromDaily(days)
+  }
+
+  /** mean+2σ daily-volume outlier flagging over an (event_type, day,
+    * n) table — shared by the batch query and the streaming monitor
+    * (which produces `days` from the state store instead).
+    */
+  private[graft] def anomalyFromDaily(days: DataFrame): DataFrame = {
     val mu = col("sn").cast("double") / col("n_days")
     val stats = days.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum("n").as("sn"),
@@ -553,6 +564,69 @@ object Events {
       |SELECT hour, event_type, n, rk FROM r WHERE rk <= $TrendK
       |ORDER BY hour, rk""".stripMargin) { (s, d) =>
     graft.streaming.EventsStreaming.topkViaStream(s, d, TrendK)
+  }
+
+  // ---- A/B experiment analysis --------------------------------------------
+  // Deterministic hash bucketing into two variants (the assignment is
+  // a pure function of 'experiment:user', so every system — batch,
+  // stream, serving — agrees on a user's arm with no assignment
+  // table), conversion = any purchase, per-arm rates and the lift in
+  // exact signed basis points. One user_id rollup, then a single
+  // conditional aggregate — no per-variant self-join.
+  private val qAbTest = QuerySpec.of(
+    "q_events_ab_test", {
+      val h = graft.functions.HashFunctions
+        .sqlHash32("'exp1:' || CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (
+        |  SELECT user_id, ($h) % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, conv_a * 10000 // n_a AS conv_a_bp,
+        |  n_b, conv_b, conv_b * 10000 // n_b AS conv_b_bp,
+        |  conv_b * 10000 // n_b - conv_a * 10000 // n_a AS lift_bp
+        |FROM v""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions.hash32
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+      .withColumn("variant",
+        pmod(hash32(concat(lit("exp1:"), col("user_id").cast("string"))),
+          lit(2)))
+    u.agg(
+        count(when(col("variant") === 0, 1)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0))
+          .cast("long").as("conv_a"),
+        count(when(col("variant") === 1, 1)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0))
+          .cast("long").as("conv_b"))
+      .select(col("n_a"), col("conv_a"),
+        expr("conv_a * 10000 DIV n_a").as("conv_a_bp"),
+        col("n_b"), col("conv_b"),
+        expr("conv_b * 10000 DIV n_b").as("conv_b_bp"),
+        expr("conv_b * 10000 DIV n_b - conv_a * 10000 DIV n_a")
+          .as("lift_bp"))
+  }
+
+  // ---- streaming daily-volume anomaly monitor -----------------------------
+  // The data-quality monitor run ON the ingest stream: (event_type,
+  // day) counts aggregate in the state store; the mean+2σ flagging
+  // — which needs each type's full daily series — runs as a batch
+  // pass over the sink via the SAME anomalyFromDaily kernel as the
+  // batch query, so the two paths provably coincide.
+  private val qStreamAnomaly = QuerySpec.of(
+    "q_stream_events_anomaly", anomalyOracle) { (s, d) =>
+    graft.streaming.EventsStreaming.anomalyViaStream(s, d)
   }
 
   // ---- session-duration histogram -----------------------------------------
@@ -658,5 +732,5 @@ object Events {
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
-      qStreamConvert, qStreamTopk, qSessionStats)
+      qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly)
 }

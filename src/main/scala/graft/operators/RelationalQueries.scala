@@ -297,6 +297,46 @@ object RelationalQueries {
       .limit(20)
   }
 
+  // Promotion revenue share (TPC-H Q14 shape), in EXACT integers:
+  // prices and discounts are 2-decimal, so revenue×10⁴ =
+  // price_cents·(100 − discount_cents) is an exact bigint per row and
+  // the promo share is integer basis points — no cross-row float sum
+  // for either engine to disagree on. Fact side filters on the
+  // pushed-down shipdate range; the part dim broadcasts.
+  private val q14 = QuerySpec.of(
+    "q14_promo_revenue",
+    """WITH j AS (
+      |  SELECT p_type,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
+      |SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+      |    AS BIGINT) AS promo_rev_e4,
+      |  CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+      |    * 10000 // sum(rev_e4) AS BIGINT) AS promo_share_bp
+      |FROM j""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          * (lit(100) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("rev_e4"))
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L))
+          .as("promo_rev_e4"),
+        sum("rev_e4").as("total_rev_e4"),
+        expr("CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)" +
+          " * 10000 DIV sum(rev_e4) AS BIGINT)").as("promo_share_bp"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(q1, q3, q4, q5, q6, qAnti, qWindow, qSegment, qSetOps, qTopCustomers)
+    Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
+      qTopCustomers)
 }

@@ -339,4 +339,40 @@ object EventsStreaming {
       .filter(col("rk") <= k)
       .orderBy("hour", "rk")
   }
+
+  /** Streaming daily-volume anomaly monitor: the (event_type, day)
+    * counts aggregate in the stream's state store; the mean+2σ
+    * flagging — which needs each type's complete daily series — runs
+    * as a batch pass over the sink through the same
+    * [[graft.operators.Events.anomalyFromDaily]] kernel as the batch
+    * query.
+    */
+  def anomalyViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_anomaly_${counter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ms",
+        graft.operators.Events.msFromTs(schema("ts").dataType))
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("event_type"),
+        date_format(timestamp_millis(col("ms") - col("ms") % 86400000L),
+          "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    // localCheckpoint: anomalyFromDaily self-joins its input (stats
+    // branch), and two references to the memory-sink relation fail
+    // attribute dedup — the materialized RDD plan dedups fine
+    graft.operators.Events.anomalyFromDaily(
+      spark.table(name).localCheckpoint())
+  }
 }

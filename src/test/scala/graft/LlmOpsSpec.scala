@@ -526,6 +526,85 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_audio_longer") == (if (aMs > vMs) 1L else 0L))
   }
 
+  test("q14: promo share from exact integer cents") {
+    val dir = fixtureDir("q14")
+    val ship = java.sql.Timestamp.valueOf("1996-03-01 00:00:00")
+    val out = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    // rows: promo 100.00 @ 10% → 900000 e4; other 50.00 @ 0% → 500000;
+    // one out-of-window promo row must be excluded by the date filter
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", ship),
+      (2L, 2L, 1L, 1, 1.0, 50.00, 0.00, 0.0, "N", "O", ship),
+      (3L, 1L, 1L, 1, 1.0, 999.00, 0.00, 0.0, "N", "O", out))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "promo part", "B", "PROMO", 1, 1.0),
+      (2L, "plain part", "B", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = SparkEntry.queries("q14_promo_revenue")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("promo_rev_e4") == 900000L)
+    assert(r.getAs[Long]("total_rev_e4") == 1400000L)
+    assert(r.getAs[Long]("promo_share_bp") == 6428L)
+  }
+
+  test("ab test: hash arms and conversion replayed independently") {
+    val dir = fixtureDir("abtest")
+    val users = (1L to 30L)
+    val evs = users.flatMap { u =>
+      val purchase = u % 3 == 0
+      Seq((u * 10, u, "view")) ++
+        (if (purchase) Seq((u * 10 + 1, u, "purchase")) else Nil)
+    }
+    evs.zipWithIndex.map { case ((e, u, ty), i) =>
+      (e, 1700000000000L + i * 1000L, u, ty, 1.0, "{}")
+    }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def arm(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    val nA = users.count(arm(_) == 0).toLong
+    val convA = users.count(u => arm(u) == 0 && u % 3 == 0).toLong
+    val nB = users.size - nA
+    val convB = users.count(_ % 3 == 0) - convA
+    val r = SparkEntry.queries("q_events_ab_test")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == nA && r.getAs[Long]("conv_a") == convA)
+    assert(r.getAs[Long]("n_b") == nB && r.getAs[Long]("conv_b") == convB)
+    assert(r.getAs[Long]("lift_bp") ==
+      convB * 10000 / nB - convA * 10000 / nA)
+  }
+
+  test("stream anomaly: coincides with the batch twin on a planted spike") {
+    val dir = fixtureDir("sanom")
+    val day = 86400000L
+    val t0 = 1700006400000L - (1700006400000L % day)
+    // 6 quiet days of 1 view + one day of 10 → clear mean+2σ outlier
+    val evs = (0 until 6).map(dd => (dd.toLong, t0 + dd * day, 1L)) ++
+      (0 until 10).map(i => (100L + i, t0 + 6 * day + i * 1000L, 1L))
+    evs.zipWithIndex.map { case ((e, ms, u), _) => (e, ms, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("q_events_anomaly")(spark, dir)
+      .collect().map(_.toSeq)
+    val stream = SparkEntry.queries("q_stream_events_anomaly")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(batch.nonEmpty)        // the spike actually fires
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
