@@ -566,6 +566,74 @@ object Events {
     graft.streaming.EventsStreaming.topkViaStream(s, d, TrendK)
   }
 
+  // ---- strictly-ordered multi-step funnel ---------------------------------
+  // view → click → purchase with first-touch ordering: each step
+  // counts only if it happens strictly AFTER the user's first
+  // qualifying previous step (the 2-step q_events_funnel ignores
+  // ordering beyond the pair). Per-step user counts and step-to-step
+  // conversion in exact basis points. Shape: every exchange keys on
+  // user_id — a per-user min, a co-partitioned join back, and a
+  // second min over the constrained events; no window over the raw
+  // corpus.
+  private val qFunnelOrdered = QuerySpec.of(
+    "q_events_funnel_ordered",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |s1 AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ms END) AS t1
+      |  FROM e GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(s1.t1) AS t1,
+      |    min(CASE WHEN event_type = 'click' AND ms > s1.t1 THEN ms END)
+      |      AS t2
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE s1.t1 IS NOT NULL GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(s2.t1) AS t1, min(s2.t2) AS t2,
+      |    min(CASE WHEN event_type = 'purchase' AND ms > s2.t2 THEN ms END)
+      |      AS t3
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE s2.t2 IS NOT NULL GROUP BY e.user_id),
+      |f AS (
+      |  SELECT (SELECT count(*) FROM s1) AS n_users,
+      |    (SELECT count(t1) FROM s1) AS n_viewed,
+      |    (SELECT count(t2) FROM s2) AS n_clicked,
+      |    (SELECT count(t3) FROM s3) AS n_purchased)
+      |SELECT n_users, n_viewed, n_clicked, n_purchased,
+      |  CASE WHEN n_viewed = 0 THEN 0
+      |    ELSE n_clicked * 10000 // n_viewed END AS conv12_bp,
+      |  CASE WHEN n_clicked = 0 THEN 0
+      |    ELSE n_purchased * 10000 // n_clicked END AS conv23_bp
+      |FROM f""".stripMargin) { (s, d) =>
+    val e = eventsMs(s, d)
+      .select(col("user_id"), col("event_type"), col("ms"))
+      .localCheckpoint() // three per-step passes re-read the projection
+    val s1 = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ms"))).as("t1"))
+    val s2 = e.join(s1.filter(col("t1").isNotNull), "user_id")
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"),
+        min(when(col("event_type") === "click" && col("ms") > col("t1"),
+          col("ms"))).as("t2"))
+    val s3 = e.join(s2.filter(col("t2").isNotNull)
+        .select(col("user_id"), col("t2")), "user_id")
+      .groupBy("user_id")
+      .agg(min("t2").as("t2"),
+        min(when(col("event_type") === "purchase" && col("ms") > col("t2"),
+          col("ms"))).as("t3"))
+    val agg = s1.agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_viewed"))
+      .crossJoin(s2.agg(count(col("t2")).as("n_clicked")))
+      .crossJoin(s3.agg(count(col("t3")).as("n_purchased")))
+    agg.select(col("n_users"), col("n_viewed"), col("n_clicked"),
+      col("n_purchased"),
+      expr("CASE WHEN n_viewed = 0 THEN 0" +
+        " ELSE n_clicked * 10000 DIV n_viewed END").as("conv12_bp"),
+      expr("CASE WHEN n_clicked = 0 THEN 0" +
+        " ELSE n_purchased * 10000 DIV n_clicked END").as("conv23_bp"))
+  }
+
   // ---- A/B experiment analysis --------------------------------------------
   // Deterministic hash bucketing into two variants (the assignment is
   // a pure function of 'experiment:user', so every system — batch,
@@ -732,5 +800,6 @@ object Events {
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
-      qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly)
+      qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
+      qFunnelOrdered)
 }

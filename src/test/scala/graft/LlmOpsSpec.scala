@@ -605,6 +605,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("ordered funnel: out-of-order steps don't count") {
+    val dir = fixtureDir("ofunnel")
+    val t0 = 1700000000000L
+    val evs = Seq(
+      // user 1: full ordered path
+      (1L, t0, 1L, "view"), (2L, t0 + 1000, 1L, "click"),
+      (3L, t0 + 2000, 1L, "purchase"),
+      // user 2: click BEFORE first view → click must not count
+      (4L, t0, 2L, "click"), (5L, t0 + 1000, 2L, "view"),
+      // user 3: purchase before click → purchase must not count
+      (6L, t0, 3L, "view"), (7L, t0 + 1000, 3L, "purchase"),
+      (8L, t0 + 2000, 3L, "click"),
+      // user 4: no view at all
+      (9L, t0, 4L, "click"))
+    evs.zipWithIndex.map { case ((e, ms, u, ty), _) => (e, ms, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_events_funnel_ordered")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_viewed") == 3L)    // users 1, 2, 3
+    assert(r.getAs[Long]("n_clicked") == 2L)   // 1; 3's post-view click
+    assert(r.getAs[Long]("n_purchased") == 1L) // only user 1 ordered
+    assert(r.getAs[Long]("conv12_bp") == 6666L)
+    assert(r.getAs[Long]("conv23_bp") == 5000L)
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
