@@ -1275,9 +1275,120 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---- PCA top component (power iteration, bit-reproducible) --------------
+  // The principal direction of the embedding cloud — anisotropy
+  // diagnostics, whitening prep, the first step of any spectral
+  // look at an embedding store. Made oracle-exact the same way the
+  // kmeans family is: the Gram matrix Σ qqᵀ accumulates EXACT BIGINT
+  // products of the integer-quantized vectors (the only corpus-sized
+  // reduction — 64×64 groups with map-side combine), and the 3 power
+  // iterations run on the driver over that 64×64 matrix with strict
+  // ascending-index folds — the identical IEEE op sequence DuckDB's
+  // list_sum(list_transform(...)) replays, so loadings, the Rayleigh
+  // quotient, and the explained-variance share are all bit-identical.
+  private val PcaIters = 3
+
+  private val qPca = QuerySpec.of(
+    "q_embed_pca", {
+      val mul =
+        s"list_transform(range(1, ${DIM + 1}), i -> " +
+          s"list_sum(list_transform(range(1, ${DIM + 1}), j -> " +
+          s"m[(i - 1) * $DIM + j] * pv.v[j])))"
+      def norm(w: String): String =
+        s"sqrt(list_sum(list_transform($w, x -> x * x)))"
+      val iters = (1 to PcaIters).map { t =>
+        s"""w$t AS (SELECT $mul AS w FROM al, v${t - 1} pv),
+          |v$t AS (SELECT list_transform(w, x ->
+          |  x / ${norm("w")}) AS v FROM w$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qv AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |    CAST(trunc(x * $DIM
+        |      + CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT u.i AS i, u2.j AS j,
+        |    CAST(sum(q[u.i] * q[u2.j]) AS BIGINT) AS a
+        |  FROM qv, unnest(range(1, ${DIM + 1})) AS u(i),
+        |    unnest(range(1, ${DIM + 1})) AS u2(j)
+        |  GROUP BY i, j),
+        |al AS (
+        |  SELECT list(CAST(a AS DOUBLE) ORDER BY i, j) AS m FROM g),
+        |tr AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS trace FROM g WHERE i = j),
+        |v0 AS (SELECT list_transform(range(1, ${DIM + 1}), x -> 1.0) AS v),
+        |$iters,
+        |lam AS (
+        |  SELECT list_sum(list_transform(range(1, ${DIM + 1}), i ->
+        |    v[i] * list_sum(list_transform(range(1, ${DIM + 1}), j ->
+        |      m[(i - 1) * $DIM + j] * v[j])))) AS lambda
+        |  FROM al, v$PcaIters)
+        |SELECT CAST(u.dim AS BIGINT) AS dim,
+        |  CAST(trunc(v[u.dim] * 1000000
+        |    + CASE WHEN v[u.dim] >= 0 THEN 0.5 ELSE -0.5 END) AS BIGINT)
+        |    AS loading_micro,
+        |  CAST(trunc(lambda * 10000 / trace + 0.5) AS BIGINT)
+        |    AS var_share_bp
+        |FROM v$PcaIters, lam, tr, unnest(range(1, ${DIM + 1})) AS u(dim)
+        |ORDER BY dim""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val qv = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => (x * DIM + when(x >= 0, 0.5).otherwise(-0.5)).cast("long"))
+          .as("q"))
+    // exact bigint Gram matrix: the one corpus-sized reduction
+    val gram = qv
+      .select(posexplode(col("q")).as(Seq("i0", "qi")), col("q"))
+      .select(col("i0"), col("qi"),
+        posexplode(col("q")).as(Seq("j0", "qj")))
+      .groupBy("i0", "j0")
+      .agg(sum(col("qi") * col("qj")).as("a"))
+      .collect()
+    val A = Array.ofDim[Double](DIM, DIM)
+    var trace = 0L
+    gram.foreach { r =>
+      val (i, j, a) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      A(i)(j) = a.toDouble
+      if (i == j) trace += a
+    }
+    // power iteration, strict ascending-index folds (the oracle's
+    // list_sum order) — identical IEEE sequence, bit-identical result
+    var v = Array.fill(DIM)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(DIM) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < DIM) { acc += A(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < DIM) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      v = w.map(_ / nrm)
+    }
+    var lambda = 0.0
+    for (i <- 0 until DIM) {
+      var acc = 0.0
+      var j = 0
+      while (j < DIM) { acc += A(i)(j) * v(j); j += 1 }
+      lambda += v(i) * acc
+    }
+    val shareBp = math.floor(lambda * 10000 / trace + 0.5).toLong
+    def micro(x: Double): Long =
+      (if (x >= 0) math.floor(x * 1000000 + 0.5)
+       else math.ceil(x * 1000000 - 0.5)).toLong
+    (1 to DIM).map(dim => (dim.toLong, micro(v(dim - 1)), shareBp))
+      .toDF("dim", "loading_micro", "var_share_bp")
+      .orderBy("dim")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
-      qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj)
+      qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj,
+      qPca)
 }
 
 

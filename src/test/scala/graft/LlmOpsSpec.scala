@@ -634,6 +634,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("conv23_bp") == 5000L)
   }
 
+  test("pca: planted dominant axis carries the loading and the variance") {
+    val dir = fixtureDir("pca")
+    val dim = 64
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // 8 unit vectors on axis 5 (A[5][5]=8·64²=32768) and 2 half
+    // vectors on axis 0 (A[0][0]=2·32²=2048); no cross terms. After 3
+    // diagonal power steps from all-ones, the off-axis residual is
+    // (2048/32768)³ = 1/4096 → axis-5 loading 1.000000, axis-0
+    // loading 0.000244; λ/trace = 32768/34816 → 9412 bp.
+    val rows = (0 until 8).map(i =>
+      (i.toLong, vec(5 -> (if (i % 2 == 0) 1.0f else -1.0f)), 0)) ++
+      Seq((8L, vec(0 -> 0.5f), 1), (9L, vec(0 -> -0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_pca")(spark, dir)
+      .collect().map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Long]("loading_micro"), r.getAs[Long]("var_share_bp"))))
+      .toMap
+    assert(out.size == 64)
+    assert(math.abs(out(6L)._1) == 1000000L) // axis 5 is 1-based dim 6
+    assert(math.abs(out(1L)._1) == 244L)
+    assert(out(2L)._1 == 0L)
+    assert(out(6L)._2 == 9412L)
+  }
+
   test("pii: redaction shortens exactly the matched spans") {
     val s = "Contact Customer#000000007 at user8@mail.example.com" +
       " or +1-555-0008 (acct 100000296)"
