@@ -796,10 +796,113 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  // ---- time-weighted per-user value -------------------------------------
+  // Each event's value holds until the user's next event; the user's
+  // time-weighted mean is Σ(value·Δt)/Σ(Δt) over consecutive pairs.
+  // All arithmetic is exact bigint (cents × ms; the quotient is
+  // emitted in value×10⁴ units via integer division — value ≥ 0 in
+  // this corpus, so trunc-vs-floor division cannot diverge between
+  // engines). One shuffle on user_id for the lead window; same
+  // exchange the sessionizer uses.
+  private val qTimeWeighted = QuerySpec.of(
+    "q_events_time_weighted",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (
+      |  SELECT *, lead(ms) OVER (PARTITION BY user_id
+      |    ORDER BY ms, event_id) AS nxt FROM t),
+      |w AS (
+      |  SELECT user_id, cents * (nxt - ms) AS num, nxt - ms AS dt
+      |  FROM l WHERE nxt IS NOT NULL)
+      |SELECT user_id,
+      |  CAST(sum(dt) AS BIGINT) AS span_ms,
+      |  CAST(sum(num) * 100 // sum(dt) AS BIGINT) AS tw_value_e4
+      |FROM w GROUP BY user_id HAVING sum(dt) > 0
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    eventsMs(s, d)
+      .select(col("user_id"), col("event_id"), col("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("nxt", lead("ms", 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"),
+        (col("cents") * (col("nxt") - col("ms"))).as("num"),
+        (col("nxt") - col("ms")).as("dt"))
+      .groupBy("user_id")
+      .agg(sum("dt").as("span_ms"),
+        expr("CAST(sum(num) * 100 DIV sum(dt) AS BIGINT)").as("tw_value_e4"))
+      .filter(col("span_ms") > 0)
+      .orderBy("user_id")
+  }
+
+  // ---- CUSUM changepoint score over the daily volume series --------------
+  // Two-sided cumulative-sum drift detector on daily total event
+  // counts: S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − μ), S⁻ mirrored — scaled by
+  // n_days so μ = total/n stays integer-exact (units: count·days).
+  // The recurrence is inherently sequential, but its input is the
+  // DAY-level aggregate — bounded by the calendar, not the data —
+  // so the corpus-sized work is one partial-agg shuffle and the fold
+  // runs over a ~30-element in-row array (sort_array + aggregate
+  // HOF), never a corpus-wide single-partition window. DuckDB
+  // replays the same fold as a RECURSIVE CTE.
+  private val qCusum = QuerySpec.of(
+    "q_events_cusum",
+    """WITH RECURSIVE d AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY day),
+      |i AS (SELECT day, n,
+      |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      |      FROM d),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+      |        CAST(sum(n) AS BIGINT) AS tot FROM d),
+      |c AS (
+      |  SELECT i.rn, i.day, i.n,
+      |    CAST(greatest(0, s.nd * i.n - s.tot) AS BIGINT) AS cusum_pos,
+      |    CAST(greatest(0, s.tot - s.nd * i.n) AS BIGINT) AS cusum_neg
+      |  FROM i, s WHERE i.rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.day, i.n,
+      |    CAST(greatest(0, c.cusum_pos + s.nd * i.n - s.tot) AS BIGINT),
+      |    CAST(greatest(0, c.cusum_neg + s.tot - s.nd * i.n) AS BIGINT)
+      |  FROM c, i, s WHERE i.rn = c.rn + 1)
+      |SELECT day, n, cusum_pos, cusum_neg FROM c ORDER BY day""".stripMargin) {
+    (s, d) =>
+    eventsMs(s, d)
+      .groupBy(date_format(
+        timestamp_millis(col("ms") - col("ms") % 86400000L),
+        "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
+      .select(col("ds"), size(col("ds")).cast("bigint").as("nd"),
+        expr("aggregate(ds, CAST(0 AS BIGINT), (a, x) -> a + x.n)").as("tot"))
+      .select(expr(
+        """aggregate(ds,
+          |  named_struct(
+          |    'sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<day: STRING, n: BIGINT,
+          |                   cusum_pos: BIGINT, cusum_neg: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'sp', greatest(CAST(0 AS BIGINT), acc.sp + nd * x.n - tot),
+          |    'sn', greatest(CAST(0 AS BIGINT), acc.sn + tot - nd * x.n),
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'n', x.n,
+          |      'cusum_pos', greatest(CAST(0 AS BIGINT), acc.sp + nd * x.n - tot),
+          |      'cusum_neg', greatest(CAST(0 AS BIGINT), acc.sn + tot - nd * x.n))))),
+          |  acc -> acc.out)""".stripMargin).as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.day").as("day"), col("r.n").as("n"),
+        col("r.cusum_pos").as("cusum_pos"), col("r.cusum_neg").as("cusum_neg"))
+      .orderBy("day")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qHourly, qSessionize, qFunnel, qDedup, qJson, qRetention,
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
-      qFunnelOrdered)
+      qFunnelOrdered, qTimeWeighted, qCusum)
 }

@@ -336,7 +336,117 @@ object RelationalQueries {
           " * 10000 DIV sum(rev_e4) AS BIGINT)").as("promo_share_bp"))
   }
 
+  // Hierarchical ROLLUP over (year, month): the OLAP drill-down
+  // surface — Spark's `rollup` and DuckDB's GROUP BY ROLLUP both emit
+  // the subtotal rows with NULL grouped columns; both are coalesced to
+  // -1 so the sorted-row compare never depends on engine NULL ordering.
+  // Money is summed as exact integer cents (see QuerySpec scaladoc).
+  private val qRollup = QuerySpec.of(
+    "q_rollup_revenue",
+    """SELECT coalesce(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS y,
+      |  coalesce(CAST(EXTRACT(month FROM o_orderdate) AS BIGINT), -1) AS m,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate),
+      |                 EXTRACT(month FROM o_orderdate))
+      |ORDER BY y, m""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        year(col("o_orderdate")).cast("bigint").as("y"),
+        month(col("o_orderdate")).cast("bigint").as("m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .rollup("y", "m")
+      .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("y"), lit(-1L)).as("y"),
+        coalesce(col("m"), lit(-1L)).as("m"),
+        col("revenue_cents"), col("n_orders"))
+      .orderBy("y", "m")
+  }
+
+  // RFM segmentation: per-customer recency/frequency/monetary quartiles
+  // via ntile windows PARTITIONED by market segment (a global ntile
+  // would be a global sort — partitioning by segment keeps each window
+  // a within-partition sort at warehouse scale), then a rollup of
+  // segment×RFM-cell populations. Ties inside each ntile ordering are
+  // broken by custkey so the bucket assignment is deterministic in both
+  // engines (ntile's floor/ceil bucket-size split is part of the SQL
+  // standard and identical in Spark and DuckDB).
+  private val qRfm = QuerySpec.of(
+    "q_customer_rfm",
+    """WITH m AS (
+      |  SELECT c_mktsegment AS segment, o_custkey AS custkey,
+      |    max(o_orderdate) AS last_order,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rfm AS (
+      |  SELECT segment,
+      |    ntile(4) OVER (PARTITION BY segment
+      |                   ORDER BY last_order DESC, custkey) AS r_q,
+      |    ntile(4) OVER (PARTITION BY segment
+      |                   ORDER BY frequency DESC, custkey) AS f_q,
+      |    ntile(4) OVER (PARTITION BY segment
+      |                   ORDER BY monetary_cents DESC, custkey) AS m_q,
+      |    monetary_cents
+      |  FROM m)
+      |SELECT segment, r_q, f_q, m_q, count(*) AS n_customers,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS cell_value_cents
+      |FROM rfm
+      |GROUP BY segment, r_q, f_q, m_q
+      |ORDER BY segment, r_q, f_q, m_q""".stripMargin) { (s, d) =>
+    val m = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_custkey").as("custkey"))
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("monetary_cents"))
+    def q(orderCol: String) = ntile(4).over(Window.partitionBy("segment")
+      .orderBy(col(orderCol).desc, col("custkey")))
+    m.select(col("segment"),
+        q("last_order").as("r_q"), q("frequency").as("f_q"),
+        q("monetary_cents").as("m_q"), col("monetary_cents"))
+      .groupBy("segment", "r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("monetary_cents").as("cell_value_cents"))
+      .orderBy("segment", "r_q", "f_q", "m_q")
+  }
+
+  // Market-basket pair mining: parts co-ordered in the same order,
+  // counted across orders, top 25. The pair space is generated by an
+  // equi-join on orderkey over the DISTINCT (order, part) set — per-
+  // order pair fan-out is bounded by order width (≤7 lines in TPC-H),
+  // so the join output is O(rows · width), never quadratic in the
+  // table; the top-k is TakeOrdered (no global sort materialized).
+  private val qBasket = QuerySpec.of(
+    "q_basket_pairs",
+    """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  count(*) AS n_orders
+      |FROM po a JOIN po b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY part_a, part_b
+      |ORDER BY n_orders DESC, part_a, part_b
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    val po = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = po.toDF("o", "part_a")
+    val b = po.toDF("o2", "part_b")
+    a.join(b, col("o") === col("o2") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
-      qTopCustomers)
+      qTopCustomers, qRollup, qRfm, qBasket)
 }
