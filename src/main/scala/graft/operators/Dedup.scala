@@ -756,7 +756,71 @@ object Dedup {
       .orderBy("inc_id")
   }
 
+  // ---- edit-distance near-dup refinement ---------------------------------
+  // Candidate pairs from the same (lang, length-band) blocking the
+  // Jaccard dedup uses, REFINED by exact Levenshtein distance — the
+  // character-level verifier that token-set measures (Jaccard,
+  // minhash) can't replicate: it sees transpositions, small in-word
+  // edits, and punctuation drift. Cost control at 100 TB: the DP is
+  // O(L²) per pair, so it runs on a fixed 240-char prefix (cap the L,
+  // not the pair count), and only pairs surviving the narrow band
+  // join reach it; the prefixes re-attach AFTER the pair-dedupe so
+  // the distinct never shuffles text. Levenshtein is uniquely
+  // defined, so Spark's and DuckDB's implementations agree exactly
+  // and the similarity is integer basis points.
+  private val EditPfx = 240
+  private val EditMax = 60
+
+  private val qEditDistance = QuerySpec.of(
+    "q_dedup_edit_distance",
+    s"""WITH k AS (
+      |  SELECT doc_id, lang, n_chars, (n_chars // 20) + o AS band
+      |  FROM documents, unnest(range(0, 2)) AS u(o)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM k a JOIN k b
+      |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |  WHERE abs(a.n_chars - b.n_chars) <= 20),
+      |p AS (SELECT doc_id, substr(text, 1, $EditPfx) AS pfx FROM documents),
+      |e AS (
+      |  SELECT doc_a, doc_b,
+      |    levenshtein(pa.pfx, pb.pfx) AS edit_dist,
+      |    greatest(len(pa.pfx), len(pb.pfx)) AS ml
+      |  FROM pairs JOIN p pa ON doc_a = pa.doc_id
+      |    JOIN p pb ON doc_b = pb.doc_id)
+      |SELECT doc_a, doc_b, edit_dist,
+      |  CAST((ml - edit_dist) * 10000 // ml AS BIGINT) AS sim_bp
+      |FROM e WHERE edit_dist <= $EditMax
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val keyed = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      explode(array((col("n_chars") / 20).cast("long"),
+        (col("n_chars") / 20).cast("long") + 1)).as("band"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
+      col("lang"), col("band"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
+      col("lang"), col("band"))
+    val pfx = docs.select(col("doc_id"),
+      substring(col("text"), 1, EditPfx).as("pfx"))
+    a.join(b, Seq("lang", "band"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 20)
+      .select("doc_a", "doc_b").distinct()
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")),
+        Seq("doc_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"),
+        greatest(length(col("pa")), length(col("pb"))).as("ml"))
+      .filter(col("edit_dist") <= EditMax)
+      .select(col("doc_a"), col("doc_b"),
+        col("edit_dist").cast("bigint").as("edit_dist"),
+        expr("CAST((ml - edit_dist) * 10000 DIV ml AS BIGINT)").as("sim_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
-      qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex, qIncremental)
+      qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex, qIncremental,
+      qEditDistance)
 }

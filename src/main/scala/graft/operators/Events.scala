@@ -796,6 +796,33 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  // ---- stream-stream LEFT OUTER interval join: abandoned views -----------
+  // Views with no purchase from the same user within 30 minutes —
+  // the null-padded outer rows only a watermark can license (see
+  // EventsStreaming.abandonViaStream for the eviction mechanics).
+  // Oracle: the same classification as a batch left join + EXISTS
+  // rollup; all-integer so the compare is hash-exact.
+  private val qStreamAbandon = QuerySpec.of(
+    "q_stream_events_abandon",
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, epoch_ms(ts) AS vms
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, epoch_ms(ts) AS pms
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT v.user_id, v.view_id, count(p.pms) AS nm
+      |  FROM v LEFT JOIN p ON p.user_id = v.user_id
+      |    AND p.pms >= v.vms AND p.pms <= v.vms + 1800000
+      |  GROUP BY 1, 2)
+      |SELECT user_id,
+      |  count(*) FILTER (nm = 0) AS n_abandoned,
+      |  count(*) FILTER (nm > 0) AS n_converted
+      |FROM j GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.abandonViaStream(s, d)
+  }
+
   // ---- time-weighted per-user value -------------------------------------
   // Each event's value holds until the user's next event; the user's
   // time-weighted mean is Σ(value·Δt)/Σ(Δt) over consecutive pairs.
@@ -904,5 +931,5 @@ object Events {
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
-      qFunnelOrdered, qTimeWeighted, qCusum)
+      qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon)
 }

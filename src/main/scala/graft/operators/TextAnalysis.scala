@@ -798,8 +798,66 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  // ---- text normalization -------------------------------------------------
+  // Unicode-light cleanup pass every ingest pipeline runs before
+  // hashing/dedup: lowercase, collapse all whitespace runs (spaces,
+  // tabs, newlines) to a single space, trim. The shipped corpus is
+  // already normalized, so — like q_text_pii — the query renders a
+  // deterministically MESSY variant from each document (doc_id mod 4
+  // selects uppercasing, doubled spaces, pad-with-blanks, or
+  // tab-for-space substitution), normalizes it back, and proves the
+  // round trip: every normalized string must equal the original text,
+  // and the per-source corpus md5 over the doc-ordered normalized
+  // output pins every character. Single scan, one partial-agg
+  // exchange on source; the normalize expression itself is
+  // whole-stage-codegen'd (lower/regexp_replace/trim builtins).
+  private val qNormalize = QuerySpec.of(
+    "q_text_normalize",
+    """WITH raw AS (
+      |  SELECT doc_id, source, text,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN upper(text)
+      |      WHEN 1 THEN replace(text, ' ', '  ')
+      |      WHEN 2 THEN '  ' || text || '  '
+      |      ELSE replace(text, ' ', chr(9)) END AS messy
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, source, text, messy,
+      |    trim(regexp_replace(lower(messy), '\s+', ' ', 'g')) AS norm
+      |  FROM raw)
+      |SELECT source, count(*) AS n_docs,
+      |  count(*) FILTER (messy <> norm) AS n_changed,
+      |  count(*) FILTER (norm = text) AS n_restored,
+      |  CAST(sum(len(messy)) AS BIGINT) AS chars_before,
+      |  CAST(sum(len(norm)) AS BIGINT) AS chars_after,
+      |  md5(string_agg(norm, '|' ORDER BY doc_id)) AS corpus_md5
+      |FROM n GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val messy = when(pmod(col("doc_id"), lit(4)) === 0, upper(col("text")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        regexp_replace(col("text"), " ", "  "))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("  "), col("text"), lit("  ")))
+      .otherwise(regexp_replace(col("text"), " ", "\t"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), messy.as("messy"))
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("messy")), "\\s+", " ")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("messy") =!= col("norm"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("norm") === col("text"), 1L).otherwise(0L))
+          .as("n_restored"),
+        sum(length(col("messy"))).cast("bigint").as("chars_before"),
+        sum(length(col("norm"))).cast("bigint").as("chars_after"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("norm")))),
+          x => x.getField("norm")), "|")).as("corpus_md5"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
     qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf,
-    qBpeMerges, qDiversity, qSplitBalance)
+    qBpeMerges, qDiversity, qSplitBalance, qNormalize)
 }

@@ -266,6 +266,112 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join: views that saw no
+    * purchase from the same user within 30 minutes are ABANDONED —
+    * the null-padded rows a streaming outer join emits only once the
+    * watermark proves no match can still arrive.
+    *
+    * Outer-row emission mechanics (the part inner joins don't have):
+    * a view's unmatched row leaves the state store only when the
+    * global watermark passes `v_time + 30 min + delay`, and the
+    * watermark itself only advances between micro-batches. Driven
+    * over a single static file everything lands in one batch and no
+    * outer row would ever emit. So the drive builds a scratch stream
+    * dir of the real file plus two far-future sentinel files (a
+    * view + purchase pair each, user_id −1), throttled to one file
+    * per micro-batch: sentinel 1 advances the watermark past every
+    * real view's eviction bound, and the batch reading sentinel 2
+    * flushes the evictions — no reliance on trailing no-data
+    * batches. Sentinels filter out of the result before the rollup.
+    * On an unbounded source the sentinels ARE the arriving traffic;
+    * only this harness needs them injected.
+    */
+  def abandonViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_abandon_${counter.incrementAndGet()}"
+    val maxMs = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
+      .head.getLong(0)
+    val dir = Files.createTempDirectory("graft_abandon_")
+    def tsLit(ms: Long) = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(ms * 1000000L)
+      case dt => timestamp_millis(lit(ms)).cast(dt)
+    }
+    def writeSentinel(fileName: String, ms: Long, idOff: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_abandon_w_")
+      spark.range(2).select(
+          (lit(-1L) - lit(idOff) * 2 - col("id")).as("event_id"),
+          tsLit(ms).as("ts"),
+          lit(-1L).as("user_id"),
+          when(col("id") === 0, "view").otherwise("purchase")
+            .as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, dir.resolve(fileName),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    try {
+      // the source table may be a bare file (driver testdata) or a
+      // Spark-written directory of part-files (specs) — stage either
+      val src = Paths.get(s"$sfDir/events.parquet")
+      val parts =
+        if (Files.isDirectory(src))
+          src.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.toPath).sortBy(_.toString).toSeq
+        else Seq(src)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val t = dir.resolve(f"e0_$i%03d_events.parquet")
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        t.toFile.setLastModified(1000000L + i)
+      }
+      writeSentinel("e1_sentinel.parquet", maxMs + 30L * 86400000L, 0)
+      writeSentinel("e2_sentinel.parquet", maxMs + 31L * 86400000L, 1)
+      // one file per micro-batch, oldest mtime first — pin the order
+      dir.resolve("e1_sentinel.parquet").toFile.setLastModified(2000000L)
+      dir.resolve("e2_sentinel.parquet").toFile.setLastModified(3000000L)
+      def side(tpe: String, prefix: String) = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/*.parquet")
+        .filter(col("event_type") === tpe)
+        .withColumn("ms",
+          graft.operators.Events.msFromTs(schema("ts").dataType))
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          timestamp_millis(col("ms")).as(s"${prefix}_time"))
+        .withWatermark(s"${prefix}_time", "10 minutes")
+      val joined = side("view", "v").join(side("purchase", "p"),
+        expr("""v_user = p_user
+          AND p_time >= v_time
+          AND p_time <= v_time + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name)
+        .filter(col("v_user") >= 0)
+        .groupBy(col("v_user"), col("v_id"))
+        .agg(max(when(col("p_id").isNotNull, 1).otherwise(0)).as("matched"))
+        .groupBy(col("v_user").as("user_id"))
+        .agg(sum(when(col("matched") === 0, 1L).otherwise(0L))
+            .as("n_abandoned"),
+          sum(when(col("matched") === 1, 1L).otherwise(0L))
+            .as("n_converted"))
+        .orderBy("user_id")
+        .localCheckpoint() // the scratch dir is deleted on return
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   /** Batch-equivalent streaming run of the hourly aggregation.
     * `ts` is floored to ms (schema-dispatched, see Events.msFromTs) and
     * projected to an event-time timestamp for the watermark.

@@ -672,4 +672,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(red == "Contact Customer#[ID] at [EMAIL]" +
       " or [PHONE] (acct [ID])")
   }
+
+  test("stream abandon: outer row only when no purchase within 30 min") {
+    val dir = fixtureDir("abandon")
+    val t0 = 1700000000000L
+    Seq(
+      // user 1: purchase exactly +30min → converted (boundary IN)
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, t0 + 1800000L, 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase +30min+1ms → abandoned (boundary OUT)
+      (3L, t0, 2L, "view", 1.0, "{}"),
+      (4L, t0 + 1800001L, 2L, "purchase", 1.0, "{}"),
+      // user 3: purchase BEFORE the view → abandoned
+      (5L, t0 + 1000L, 3L, "purchase", 1.0, "{}"),
+      (6L, t0 + 2000L, 3L, "view", 1.0, "{}"),
+      // user 4: two views share one purchase → both converted
+      (7L, t0, 4L, "view", 1.0, "{}"),
+      (8L, t0 + 60000L, 4L, "view", 1.0, "{}"),
+      (9L, t0 + 120000L, 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_stream_events_abandon")(spark, dir)
+      .collect().map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("n_abandoned"), x.getAs[Long]("n_converted"))))
+      .toMap
+    assert(r(1L) == ((0L, 1L)))
+    assert(r(2L) == ((1L, 0L)))
+    assert(r(3L) == ((1L, 0L)))
+    assert(r(4L) == ((0L, 2L)))
+    assert(!r.contains(-1L)) // sentinels filtered out
+  }
+
+  test("edit-distance dedup: banded candidates, exact Levenshtein") {
+    val dir = fixtureDir("editdist")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (0L, base, "en", "s1", base.length.toLong),
+      // one substitution → ed 1
+      (1L, base.replace("quick", "quack"), "en", "s1", base.length.toLong),
+      // same length but different language → never a candidate
+      (2L, base, "de", "s1", base.length.toLong),
+      // way outside the 20-char length band → blocked before the DP
+      (3L, base * 3, "en", "s1", (base * 3).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_edit_distance")(spark, dir)
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+        ((x.getAs[Long]("edit_dist"), x.getAs[Long]("sim_bp")))).toMap
+    assert(rows.keySet == Set((0L, 1L)))
+    val (ed, simBp) = rows((0L, 1L))
+    assert(ed == 1L)
+    assert(simBp == (base.length - 1L) * 10000L / base.length)
+  }
+
+  test("normalize: every messy variant restores to the original text") {
+    val dir = fixtureDir("normalize")
+    // doc_id mod 4 selects the messy rendering — cover all four
+    Seq(
+      (0L, "alpha beta gamma", "en", "s1", 16L),  // uppercased
+      (1L, "delta epsilon", "en", "s1", 13L),     // doubled spaces
+      (2L, "zeta eta theta", "en", "s1", 14L),    // padded with blanks
+      (3L, "iota kappa", "en", "s1", 10L))        // tabs for spaces
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_text_normalize")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 4L)
+    assert(r.head.getAs[Long]("n_changed") == 4L)   // every variant differs
+    assert(r.head.getAs[Long]("n_restored") == 4L)  // and normalizes back
+    assert(r.head.getAs[Long]("chars_before") >
+      r.head.getAs[Long]("chars_after"))
+  }
 }
