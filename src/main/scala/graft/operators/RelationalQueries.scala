@@ -446,7 +446,67 @@ object RelationalQueries {
       .limit(25)
   }
 
+  // Column profiler: per-column null count, exact distinct count, and
+  // canonical min/max over every lineitem column in ONE table scan —
+  // the data-quality summary an ingest pipeline emits per batch.
+  // Multiple exact COUNT(DISTINCT) in a single aggregate plans as one
+  // scan + Expand (×12 row fan-out before partial agg); at 100 TB the
+  // distinct counts would flip to HLL sketches (the portable-sketch
+  // path q_events_hll_users demonstrates) with everything else
+  // unchanged. Min/max canonicalize to strings type-faithfully:
+  // doubles as exact integer cents, timestamps as ISO seconds — no
+  // engine-specific float formatting anywhere.
+  private val profInts =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  private val profDbls =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val profStrs = Seq("l_returnflag", "l_linestatus")
+  private val profTss = Seq("l_shipdate")
+
+  private val qProfile = QuerySpec.of(
+    "q_profile_columns", {
+      def block(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $mn AS min_repr, $mx AS max_repr FROM lineitem""".stripMargin
+      val blocks =
+        profInts.map(c => block(c,
+          s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")) ++
+        profDbls.map(c => block(c,
+          s"CAST(CAST(round(min($c) * 100) AS BIGINT) AS VARCHAR)",
+          s"CAST(CAST(round(max($c) * 100) AS BIGINT) AS VARCHAR)")) ++
+        profStrs.map(c => block(c, s"min($c)", s"max($c)")) ++
+        profTss.map(c => block(c,
+          s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(max($c), '%Y-%m-%d %H:%M:%S')"))
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val all = profInts ++ profDbls ++ profStrs ++ profTss
+    val aggs = all.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"dst_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    def repr(c: String, side: String) =
+      if (profDbls.contains(c))
+        expr(s"CAST(CAST(round(${side}_$c * 100) AS BIGINT) AS STRING)")
+      else if (profTss.contains(c))
+        date_format(col(s"${side}_$c"), "yyyy-MM-dd HH:mm:ss")
+      else col(s"${side}_$c").cast("string")
+    val rows = all.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+        col(s"dst_$c").as("n_distinct"),
+        repr(c, "mn").as("min_repr"), repr(c, "mx").as("max_repr"))
+    }
+    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(inline(array(rows: _*)))
+      .orderBy("col_name")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
-      qTopCustomers, qRollup, qRfm, qBasket)
+      qTopCustomers, qRollup, qRfm, qBasket, qProfile)
 }

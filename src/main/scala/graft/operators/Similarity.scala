@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1039,6 +1039,30 @@ object Similarity {
   // unchanged.
   private val KnnK = 5
 
+  /** Directed kNN edge set over the vec_id%4 node subset:
+    * (src, dst, cos, rk ≤ KnnK), checkpointed — shared by the
+    * mutual-kNN graph rollup and the PageRank loop. At corpus scale
+    * the all-pairs scoring here is replaced by the LSH/IVF candidate
+    * paths; everything downstream is unchanged.
+    */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val g = normalized(Tables.embeddings(s, d))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+    val a = g.select(col("vec_id").as("src"), col("v").as("av"),
+      col("nrm").as("an"))
+    val b = g.select(col("vec_id").as("dst"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    a.crossJoin(broadcast(b))
+      .filter(col("dst") =!= col("src"))
+      .withColumn("cos", round(dot(col("av"), col("bv"))
+        / (col("an") * col("bn")), 9))
+      .select(col("src"), col("dst"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .localCheckpoint() // read 3×: agg, and both sides of the mutual join
+  }
+
   private val qKnnGraph = QuerySpec.of(
     "q_ann_knn_graph",
     s"""WITH $duckNorm,
@@ -1066,21 +1090,7 @@ object Similarity {
       |  a.nn1, a.max_cos
       |FROM agg a LEFT JOIN md m ON a.src = m.src
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val g = normalized(Tables.embeddings(s, d))
-      .filter(pmod(col("vec_id"), lit(4)) === 0)
-    val a = g.select(col("vec_id").as("src"), col("v").as("av"),
-      col("nrm").as("an"))
-    val b = g.select(col("vec_id").as("dst"), col("v").as("bv"),
-      col("nrm").as("bn"))
-    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    val e = a.crossJoin(broadcast(b))
-      .filter(col("dst") =!= col("src"))
-      .withColumn("cos", round(dot(col("av"), col("bv"))
-        / (col("an") * col("bn")), 9))
-      .select(col("src"), col("dst"), col("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnK)
-      .localCheckpoint() // read 3×: agg, and both sides of the mutual join
+    val e = knnEdges(s, d)
     val md = e.select(col("src"), col("dst"))
       .join(e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"))
@@ -1094,6 +1104,86 @@ object Similarity {
         coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
         col("nn1"), col("max_cos"))
       .orderBy("vec_id")
+  }
+
+  // ---- PageRank over the kNN graph ---------------------------------------
+  // Iterative link analysis on the same directed kNN edge set as
+  // q_ann_knn_graph — the centrality signal retrieval pipelines use
+  // to pick representative documents from a similarity graph. The
+  // per-node recurrence prᵢ₊₁(v) = 0.15 + 0.85·Σ prᵢ(u)/outdeg(u)
+  // runs entirely in integer 10⁻¹² units with a per-edge floor
+  // division, so all five iterations are bit-exact in both engines
+  // (no float mass accumulation to diverge). Shape per iteration:
+  // one shuffle join of the frontier against the checkpointed edge
+  // list + one partial agg on dst — the standard Pregel step; the
+  // driver loop only grows the plan, never collects data.
+  private val PrIters = 5
+  private val PrScale = 1000000000000L
+  private val PrTele = 150000000000L
+
+  private val qPageRank = QuerySpec.of(
+    "q_graph_pagerank", {
+      val iterBlocks = (1 to PrIters).map { i =>
+        s"""p$i AS (
+           |  SELECT n2.vec_id,
+           |    CAST($PrTele + coalesce(sum(p.pr * 85 // (e2.outdeg * 100)), 0)
+           |      AS BIGINT) AS pr
+           |  FROM nodes n2
+           |  LEFT JOIN e2 ON e2.dst = n2.vec_id
+           |  LEFT JOIN p${i - 1} p ON p.vec_id = e2.src
+           |  GROUP BY n2.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckNorm,
+        |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+        |s AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+        |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
+        |ed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM s)
+        |  WHERE rk <= $KnnK),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |        FROM ed GROUP BY src),
+        |e2 AS (SELECT ed.src, ed.dst, deg.outdeg
+        |       FROM ed JOIN deg USING (src)),
+        |nodes AS (SELECT vec_id FROM g),
+        |p0 AS (SELECT vec_id, CAST($PrScale AS BIGINT) AS pr FROM nodes),
+        |$iterBlocks,
+        |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg
+        |        FROM ed GROUP BY dst)
+        |SELECT n3.vec_id, p.pr AS pr_e12,
+        |  coalesce(ind.in_deg, 0) AS in_deg
+        |FROM nodes n3 JOIN p$PrIters p ON p.vec_id = n3.vec_id
+        |LEFT JOIN ind ON ind.dst = n3.vec_id
+        |ORDER BY pr_e12 DESC, n3.vec_id
+        |LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val e = knnEdges(s, d).select("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e2 = e.join(deg, "src").localCheckpoint() // read every iteration
+    val nodes = normalized(Tables.embeddings(s, d))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select("vec_id").localCheckpoint()
+    var pr = nodes.withColumn("pr", lit(PrScale))
+    for (_ <- 1 to PrIters) {
+      val contrib = e2
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst").as("vec_id"),
+          expr("pr * 85 DIV (outdeg * 100)").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("c"))
+      pr = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(PrTele) + coalesce(col("c"), lit(0L))).as("pr"))
+    }
+    val ind = e.groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    pr.join(ind, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pr").as("pr_e12"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("pr_e12").desc, col("vec_id"))
+      .limit(20)
   }
 
   // ---- per-cluster outlier detection (off-topic / noise screening) --------
@@ -1388,7 +1478,7 @@ object Similarity {
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
       qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj,
-      qPca)
+      qPca, qPageRank)
 }
 
 

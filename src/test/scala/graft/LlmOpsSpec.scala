@@ -727,6 +727,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(simBp == (base.length - 1L) * 10000L / base.length)
   }
 
+  test("pagerank: complete kNN graph converges to uniform mass") {
+    val dir = fixtureDir("pagerank")
+    val dim = 64
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // four nodes in the vec_id%4==0 subset, pairwise orthogonal →
+    // with K=5 every node links to all 3 others: a symmetric complete
+    // graph, so PageRank mass must stay uniform across iterations
+    // (same teleport + identical in-flows). vec_id 1 is outside the
+    // subset and must not appear.
+    Seq(
+      (0L, vec(0 -> 1.0f), 0), (4L, vec(1 -> 1.0f), 0),
+      (8L, vec(2 -> 1.0f), 0), (12L, vec(3 -> 1.0f), 0),
+      (1L, vec(4 -> 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q_graph_pagerank")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(0L, 4L, 8L, 12L))
+    assert(rows.map(_.getAs[Long]("pr_e12")).distinct.length == 1) // uniform
+    assert(rows.forall(_.getAs[Long]("in_deg") == 3L))
+    // mass stays within rounding of the initial 10^12 per node
+    val pr = rows.head.getAs[Long]("pr_e12")
+    assert(math.abs(pr - 1000000000000L) < 100L)
+  }
+
+  test("profiler: nulls, distincts, and canonical reprs per column") {
+    val dir = fixtureDir("profile")
+    Seq(
+      (1L, 10L, 100L, 1, 2.0, 10.50, 0.05, 0.01, "A", "F",
+        java.sql.Timestamp.valueOf("1997-03-01 00:00:00")),
+      (2L, 20L, 100L, 2, 4.0, 99.99, 0.00, 0.02, "R", "O",
+        java.sql.Timestamp.valueOf("1998-11-30 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_profile_columns")(spark, dir)
+      .collect().map(x => x.getAs[String]("col_name") ->
+        ((x.getAs[Long]("n_rows"), x.getAs[Long]("n_null"),
+          x.getAs[Long]("n_distinct"), x.getAs[String]("min_repr"),
+          x.getAs[String]("max_repr")))).toMap
+    assert(r.size == 11)
+    assert(r("l_suppkey") == ((2L, 0L, 1L, "100", "100")))
+    assert(r("l_extendedprice") == ((2L, 0L, 2L, "1050", "9999"))) // cents
+    assert(r("l_returnflag") == ((2L, 0L, 2L, "A", "R")))
+    assert(r("l_shipdate")._4 == "1997-03-01 00:00:00")
+    assert(r("l_shipdate")._5 == "1998-11-30 00:00:00")
+  }
+
   test("normalize: every messy variant restores to the original text") {
     val dir = fixtureDir("normalize")
     // doc_id mod 4 selects the messy rendering — cover all four
