@@ -492,6 +492,87 @@ object CorpusProfile {
       .orderBy("source")
   }
 
+  // ---- composed corpus-prep pipeline -------------------------------------
+  // The LLM-side end-to-end: quality filter → exact dedup → hash
+  // split → train-side n-gram decontamination → per-(split, source)
+  // rollup, composed exactly from the semantics the standalone
+  // queries pin (q_text_quality_by_source's score, q_dedup_exact's
+  // min-id survivor, q_split_hash's buckets, q_split_contamination's
+  // 8-gram leakage rule applied as a DROP of contaminated TRAIN
+  // docs). The member_md5 over the ordered surviving doc_id list
+  // makes the oracle compare prove per-document membership of every
+  // stage, not just counts. Shape: one corpus scan feeds everything
+  // (checkpointed after the split), the dedup is one md5-keyed
+  // partial agg, and decontamination only joins grams present on
+  // both sides — the same never-all-pairs shape as the standalone
+  // contamination query.
+  private val qCorpusPrep = QuerySpec.of(
+    "q_corpus_prep", {
+      val toks = sql.toks
+      val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
+      s"""WITH b AS (
+        |  SELECT doc_id, source, text, len($toks) AS ntok,
+        |    ${sql.quality} AS score
+        |  FROM documents),
+        |qf AS (SELECT * FROM b WHERE score >= 0.5),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY md5(text)),
+        |k AS (SELECT qf.* FROM qf JOIN dd USING (doc_id)),
+        |sp AS (
+        |  SELECT doc_id, source, text, ntok,
+        |    CASE WHEN ($bk) % 100 < 80 THEN 'train'
+        |      WHEN ($bk) % 100 < 90 THEN 'validation'
+        |      ELSE 'test' END AS split
+        |  FROM k),
+        |gr AS (
+        |  SELECT doc_id, split, unnest(${sql.shingles(toks, SpanGram)}) AS gram
+        |  FROM sp),
+        |teg AS (SELECT DISTINCT gram FROM gr WHERE split = 'test'),
+        |dr AS (
+        |  SELECT DISTINCT gr.doc_id FROM gr JOIN teg USING (gram)
+        |  WHERE gr.split = 'train'),
+        |fin AS (
+        |  SELECT sp.* FROM sp LEFT JOIN dr ON sp.doc_id = dr.doc_id
+        |  WHERE dr.doc_id IS NULL)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS member_md5
+        |FROM fin GROUP BY split, source
+        |ORDER BY split, source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions
+    val b = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("toks"),
+        qualityScore(col("text")).as("score"))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+    val qf = b.filter(col("score") >= 0.5)
+    val dd = qf.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val sp = qf.join(dd, "doc_id")
+      .withColumn("h", pmod(HashFunctions.hash32(col("doc_id")), lit(100)))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "validation")
+          .otherwise("test"))
+      .select("doc_id", "source", "ntok", "toks", "split")
+      .localCheckpoint() // grams + the anti join + rollup all read it
+    val gr = sp.select(col("doc_id"), col("split"),
+      explode(shingles(col("toks"), SpanGram)).as("gram"))
+    val teg = gr.filter(col("split") === "test").select("gram").distinct()
+    val dr = gr.filter(col("split") === "train")
+      .join(teg, "gram").select("doc_id").distinct()
+    sp.join(dr, Seq("doc_id"), "left_anti")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ","))
+          .as("member_md5"))
+      .orderBy("split", "source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qVocabCoverage, qSourceOverlap, qDupSpans,
-    qMixtureWeights, qQualityVsDup, qSplitContamination, qCorpusDiff, qHapax)
+    qMixtureWeights, qQualityVsDup, qSplitContamination, qCorpusDiff, qHapax,
+    qCorpusPrep)
 }

@@ -779,6 +779,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(r("l_shipdate")._5 == "1998-11-30 00:00:00")
   }
 
+  test("corpus prep: quality, dedup, and decontamination stages all fire") {
+    val dir = fixtureDir("corpusprep")
+    // find doc_ids landing in train (<80) and test (>=90) buckets
+    val buckets = spark.range(0, 400)
+      .select(col("id"), pmod(graft.functions.HashFunctions
+        .hash32(col("id")), lit(100)).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (0L until 400L).filter(buckets(_) < 80)
+    val testId = (0L until 400L).find(buckets(_) >= 90).get
+    val shared = "one two three four five six seven eight" // an 8-gram
+    val good = "the cat and the dog sat in the big warm house of it"
+    Seq(
+      // exact dup pair in train: min id survives
+      (trainIds(0), good, "en", "s1", good.length.toLong),
+      (trainIds(1), good, "en", "s1", good.length.toLong),
+      // clean train doc, no contamination
+      (trainIds(2), "it is a fine day and the sun is out here now",
+        "en", "s1", 44L),
+      // low-quality doc: few tokens, no stopwords → score < 0.5
+      (trainIds(3), "zz qq ww", "en", "s1", 8L),
+      // contaminated train doc: shares the 8-gram with the test doc
+      (trainIds(4), s"$shared and the rest of it is that fine too",
+        "en", "s1", 80L),
+      // the test doc carrying the 8-gram
+      (testId, s"$shared in the test set and it is that", "en", "s1", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_corpus_prep")(spark, dir)
+      .collect().map(r => r.getAs[String]("split") ->
+        r.getAs[Long]("n_docs")).toMap
+    // train: dup pair → 1, clean → 1; low-quality and contaminated drop
+    assert(rows("train") == 2L)
+    assert(rows("test") == 1L) // test docs are never dropped
+  }
+
   test("normalize: every messy variant restores to the original text") {
     val dir = fixtureDir("normalize")
     // doc_id mod 4 selects the messy rendering — cover all four
