@@ -823,6 +823,30 @@ object Events {
     graft.streaming.EventsStreaming.abandonViaStream(s, d)
   }
 
+  // ---- streaming late-data accounting ------------------------------------
+  // Hourly counts when half the corpus arrives a micro-batch late
+  // under a 10-minute watermark: odd-id rows whose hour window
+  // already closed (window end ≤ max-even-event-time − 10 min) are
+  // dropped by the streaming aggregation — the deterministic replay
+  // of Spark's late-row rule (see EventsStreaming.lateViaStream for
+  // the staging). The oracle recomputes the inclusion predicate
+  // directly.
+  private val qStreamLate = QuerySpec.of(
+    "q_stream_events_late",
+    """WITH me AS (
+      |  SELECT max(epoch_ms(ts)) - 600000 AS w
+      |  FROM events WHERE event_id % 2 = 0),
+      |inc AS (
+      |  SELECT e.* FROM events e, me
+      |  WHERE e.event_id % 2 = 0
+      |     OR ((epoch_ms(e.ts) // 3600000) + 1) * 3600000 > me.w)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |  event_type, count(*) AS n
+      |FROM inc GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.lateViaStream(s, d)
+  }
+
   // ---- time-weighted per-user value -------------------------------------
   // Each event's value holds until the user's next event; the user's
   // time-weighted mean is Σ(value·Δt)/Σ(Δt) over consecutive pairs.
@@ -931,5 +955,5 @@ object Events {
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
-      qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon)
+      qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate)
 }

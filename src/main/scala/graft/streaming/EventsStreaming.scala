@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -286,6 +286,46 @@ object EventsStreaming {
     * On an unbounded source the sentinels ARE the arriving traffic;
     * only this harness needs them injected.
     */
+  /** `ts` literal for epoch-ms `ms` matching the scanned dtype (raw
+    * nanos long under the legacy conf, or a timestamp cast).
+    */
+  private def tsLit(schema: org.apache.spark.sql.types.StructType,
+      ms: Long): Column = schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => lit(ms * 1000000L)
+    case dt => timestamp_millis(lit(ms)).cast(dt)
+  }
+
+  /** Writes one events-schema parquet FILE into `dir` (Spark writes a
+    * directory; the single part-file is moved into place so the file
+    * stream source sees a flat file list with controllable mtimes).
+    */
+  private def writeEventsFile(df: DataFrame, dir: java.nio.file.Path,
+      fileName: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_stage_w_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, dir.resolve(fileName),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  /** A far-future sentinel pair (view + purchase, user_id −1) whose
+    * event time advances the watermark past every real row.
+    */
+  private def sentinelDf(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, ms: Long,
+      idOff: Long): DataFrame =
+    spark.range(2).select(
+      (lit(-1L) - lit(idOff) * 2 - col("id")).as("event_id"),
+      tsLit(schema, ms).as("ts"),
+      lit(-1L).as("user_id"),
+      when(col("id") === 0, "view").otherwise("purchase")
+        .as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props"))
+
   def abandonViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -294,27 +334,8 @@ object EventsStreaming {
       .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
       .head.getLong(0)
     val dir = Files.createTempDirectory("graft_abandon_")
-    def tsLit(ms: Long) = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => lit(ms * 1000000L)
-      case dt => timestamp_millis(lit(ms)).cast(dt)
-    }
-    def writeSentinel(fileName: String, ms: Long, idOff: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_abandon_w_")
-      spark.range(2).select(
-          (lit(-1L) - lit(idOff) * 2 - col("id")).as("event_id"),
-          tsLit(ms).as("ts"),
-          lit(-1L).as("user_id"),
-          when(col("id") === 0, "view").otherwise("purchase")
-            .as("event_type"),
-          lit(0.0).as("value"),
-          lit("{}").as("props"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, dir.resolve(fileName),
-        StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-    }
+    def writeSentinel(fileName: String, ms: Long, idOff: Long): Unit =
+      writeEventsFile(sentinelDf(spark, schema, ms, idOff), dir, fileName)
     try {
       // the source table may be a bare file (driver testdata) or a
       // Spark-written directory of part-files (specs) — stage either
@@ -370,6 +391,83 @@ object EventsStreaming {
         .orderBy("user_id")
         .localCheckpoint() // the scratch dir is deleted on return
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** Late-data accounting: the hourly aggregation under a 10-minute
+    * watermark when HALF the corpus arrives late. The drive stages
+    * even-event_id rows as micro-batch 1 and odd rows as micro-batch
+    * 2 (plus the two sentinel flush files, one file per trigger), so
+    * batch 2 runs under watermark W = max(even event time) − 10 min
+    * and every odd row whose hour window has already closed
+    * (window.end ≤ W) is DROPPED by the aggregation — Spark's
+    * documented late-row rule, here made deterministic by pinning
+    * which rows are late. The result is the hourly count table
+    * MINUS exactly those dropped rows; the oracle recomputes the
+    * same inclusion predicate in SQL. Sentinels are excluded after
+    * the watermark node but before the aggregation, so they advance
+    * event time without ever counting.
+    */
+  def lateViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxMs = batch
+      .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
+      .head.getLong(0)
+    val dir = Files.createTempDirectory("graft_late_in_")
+    val outDir = Files.createTempDirectory("graft_late_out_")
+    val cpDir = Files.createTempDirectory("graft_late_cp_")
+    // Each run ingests exactly the files added since the previous run
+    // (the checkpoint remembers the rest) and STARTS from the
+    // watermark the previous run committed — restart-driven batch
+    // boundaries, deterministic on any filesystem, no reliance on
+    // per-trigger file throttling or filter-pushdown placement.
+    // Sentinels flow through the watermark operator INTO far-future
+    // window state that is never emitted (the watermark never passes
+    // them), so they advance event time without polluting output.
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/*.parquet")
+        .withColumn("ms",
+          graft.operators.Events.msFromTs(schema("ts").dataType))
+        .withColumn("event_time", timestamp_millis(col("ms")))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cpDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    try {
+      writeEventsFile(batch.filter(pmod(col("event_id"), lit(2)) === 0),
+        dir, "e0_even.parquet")
+      runOnce() // watermark commits at max(even) − 10 min
+      writeEventsFile(batch.filter(pmod(col("event_id"), lit(2)) === 1),
+        dir, "e1_odd.parquet")
+      runOnce() // odd rows in closed windows are DROPPED here
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 30L * 86400000L, 0),
+        dir, "e2_sentinel.parquet")
+      runOnce() // emits windows closed by the real-data watermark
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 31L * 86400000L, 1),
+        dir, "e3_sentinel.parquet")
+      runOnce() // sentinel-advanced watermark flushes every real window
+      spark.read.parquet(outDir.toString)
+        .filter(col("wstart") <= timestamp_millis(lit(maxMs))) // belt+braces
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"), col("n"))
+        .orderBy("hour", "event_type")
+        .localCheckpoint() // the scratch dirs are deleted on return
+    } finally Seq(dir, outDir, cpDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
   /** Batch-equivalent streaming run of the hourly aggregation.

@@ -814,6 +814,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows("test") == 1L) // test docs are never dropped
   }
 
+  test("stream late: drop boundary is window.end <= watermark, exactly") {
+    val dir = fixtureDir("late")
+    val h = 472223L * 3600000L // an exact hour boundary
+    // evens arrive first; max even = h + 10 min, so the batch-2
+    // watermark is EXACTLY h: the odd row in the window ending at h
+    // must drop (end <= W), the odd row in [h, h+1h) must survive.
+    Seq(
+      (2L, h - 7200000L + 100L, 1L, "view"),
+      (4L, h + 600000L, 1L, "view"),
+      (1L, h - 1800000L, 2L, "purchase"), // window end == watermark → drop
+      (3L, h + 1000L, 2L, "purchase"))    // window end > watermark → keep
+      .toDF("event_id", "ms", "user_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_stream_events_late")(spark, dir)
+      .collect().map(r => (r.getAs[String]("hour"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def hourOf(ms: Long) = fmt.format(new java.util.Date(ms))
+    assert(rows.size == 3)
+    assert(rows((hourOf(h - 7200000L), "view")) == 1L)
+    assert(rows((hourOf(h), "view")) == 1L)
+    assert(rows((hourOf(h), "purchase")) == 1L)     // late-but-open kept
+    assert(!rows.contains((hourOf(h - 1800000L), "purchase"))) // dropped
+  }
+
   test("normalize: every messy variant restores to the original text") {
     val dir = fixtureDir("normalize")
     // doc_id mod 4 selects the messy rendering — cover all four
