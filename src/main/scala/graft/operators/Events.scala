@@ -847,6 +847,95 @@ object Events {
     graft.streaming.EventsStreaming.lateViaStream(s, d)
   }
 
+  // ---- daily pivot matrix -------------------------------------------------
+  // Day × event-type count matrix via a true relational PIVOT with an
+  // EXPLICIT value list — Spark then plans ONE scan + one partial-agg
+  // exchange (an implicit pivot would need a distinct pre-pass over
+  // the key space first; at 100 TB that's a full extra scan). The
+  // oracle is the equivalent conditional aggregation.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val qPivot = QuerySpec.of(
+    "q_events_pivot", {
+      val cols = EventTypes.map(t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t")
+        .mkString(",\n      |  ")
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  $cols,
+        |  count(*) AS n_total
+        |FROM events GROUP BY day ORDER BY day""".stripMargin
+    }) { (s, d) =>
+    val pivoted = eventsMs(s, d)
+      .select(date_format(
+        timestamp_millis(col("ms") - col("ms") % 86400000L),
+        "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(pivoted) { (df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+      }
+      .withColumn("n_total",
+        EventTypes.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy("day")
+  }
+
+  // ---- robust (MAD) daily-volume anomaly ---------------------------------
+  // The median/MAD twin of q_events_anomaly: flag days whose count
+  // exceeds median + 3·MAD of that type's daily series — robust to
+  // the very outliers a mean+σ rule lets poison its own threshold.
+  // Median is the LOWER median (rank ⌈n/2⌉ of the ascending sort), so
+  // every quantity stays integer and the compare is hash-exact; the
+  // day series per type is calendar-bounded, so the rank windows run
+  // over tiny partitions after one corpus-sized partial agg.
+  private val qMadAnomaly = QuerySpec.of(
+    "q_events_robust_anomaly",
+    """WITH d AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+      |    AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY n, day) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+      |med AS (SELECT event_type, n AS med FROM r WHERE rk = (cnt + 1) // 2),
+      |ad AS (
+      |  SELECT d.event_type, d.day, d.n, med, abs(d.n - med) AS adev
+      |  FROM d JOIN med USING (event_type)),
+      |r2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY adev, day) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt FROM ad),
+      |mad AS (SELECT event_type, adev AS mad FROM r2
+      |        WHERE rk = (cnt + 1) // 2)
+      |SELECT ad.event_type, ad.day, ad.n, ad.med, mad.mad
+      |FROM ad JOIN mad USING (event_type)
+      |WHERE ad.n > ad.med + 3 * mad.mad
+      |ORDER BY ad.event_type, ad.day""".stripMargin) { (s, d) =>
+    val days = eventsMs(s, d)
+      .groupBy(col("event_type"),
+        date_format(timestamp_millis(col("ms") - col("ms") % 86400000L),
+          "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ranked twice + the final join read it
+    def lowerMedian(df: DataFrame, valueCol: String, out: String) = {
+      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("day"))
+      val wc = Window.partitionBy("event_type")
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rk") === expr("(cnt + 1) DIV 2")) // integer div — / is double
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(days, "n", "med")
+    val ad = days.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = lowerMedian(ad, "adev", "mad")
+    ad.join(broadcast(mad), "event_type")
+      .filter(col("n") > col("med") + lit(3) * col("mad"))
+      .select("event_type", "day", "n", "med", "mad")
+      .orderBy("event_type", "day")
+  }
+
   // ---- time-weighted per-user value -------------------------------------
   // Each event's value holds until the user's next event; the user's
   // time-weighted mean is Σ(value·Δt)/Σ(Δt) over consecutive pairs.
@@ -955,5 +1044,6 @@ object Events {
       qAttribution, qAnomaly, qEngagement, qHll, qMarkov, qStreamHourly,
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
-      qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate)
+      qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
+      qPivot, qMadAnomaly)
 }
