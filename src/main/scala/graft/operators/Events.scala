@@ -847,6 +847,51 @@ object Events {
     graft.streaming.EventsStreaming.lateViaStream(s, d)
   }
 
+  // ---- SCD-2 dimension construction --------------------------------------
+  // Slowly-changing-dimension type 2 built from the raw event stream:
+  // each user's derived tier (props.k mod 4) becomes a validity
+  // interval [valid_from_ms, valid_to_ms) opened at the event that
+  // changed it and closed by the next change (-1 = still current) —
+  // the change-data-capture → dimension-table transform every
+  // warehouse ingest runs. One shuffle on user_id feeds both windows
+  // (change detection and interval close share the same sort), so
+  // the whole build is a single exchange at any scale.
+  private val qScd = QuerySpec.of(
+    "q_events_scd",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS tier
+      |  FROM events),
+      |l AS (
+      |  SELECT *, lag(tier) OVER (PARTITION BY user_id
+      |    ORDER BY ms, event_id) AS prev_tier FROM e),
+      |ch AS (
+      |  SELECT user_id, event_id, ms, tier FROM l
+      |  WHERE prev_tier IS NULL OR tier <> prev_tier),
+      |iv AS (
+      |  SELECT user_id, tier, ms AS valid_from_ms,
+      |    coalesce(lead(ms) OVER (PARTITION BY user_id
+      |      ORDER BY ms, event_id), -1) AS valid_to_ms
+      |  FROM ch)
+      |SELECT user_id, tier, valid_from_ms, valid_to_ms
+      |FROM iv ORDER BY user_id, valid_from_ms""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    eventsMs(s, d)
+      .select(col("user_id"), col("event_id"), col("ms"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("tier"))
+      .withColumn("prev_tier", lag("tier", 1).over(byUser))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .select(col("user_id"), col("event_id"), col("tier"),
+        col("ms").as("valid_from_ms"))
+      .withColumn("valid_to_ms",
+        coalesce(lead("valid_from_ms", 1)
+          .over(Window.partitionBy("user_id")
+            .orderBy("valid_from_ms", "event_id")),
+          lit(-1L)))
+      .select("user_id", "tier", "valid_from_ms", "valid_to_ms")
+      .orderBy("user_id", "valid_from_ms")
+  }
+
   // ---- daily pivot matrix -------------------------------------------------
   // Day × event-type count matrix via a true relational PIVOT with an
   // EXPLICIT value list — Spark then plans ONE scan + one partial-agg
@@ -1045,5 +1090,5 @@ object Events {
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
-      qPivot, qMadAnomaly)
+      qPivot, qMadAnomaly, qScd)
 }
