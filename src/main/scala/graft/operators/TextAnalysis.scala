@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -856,8 +857,90 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- RAKE keyphrase extraction -----------------------------------------
+  // Rapid Automatic Keyword Extraction: candidate phrases are maximal
+  // stopword-free token runs (capped at 6 tokens — the skew guard for
+  // a pathological stopword-free document); each word scores
+  // degree/freq where freq counts its occurrences in candidates and
+  // degree sums the lengths of the phrases it occurs in; a phrase
+  // scores the sum of its word scores. Word scores are integer
+  // micro-units (degree·10⁶ DIV freq), so the ranking is hash-exact.
+  // Shape: one doc_id-partitioned window segments phrases, then two
+  // word-keyed partial aggs — corpus-linear, no joins wider than the
+  // word vocabulary.
+  private val RakeStops = Seq("the", "a", "an", "and", "of", "to", "in",
+    "is", "it", "that")
+  private val RakeMaxLen = 6
+  private val RakeK = 20
+
+  private val qKeyphrases = QuerySpec.of(
+    "q_text_keyphrases", {
+      val stops = RakeStops.map(w => s"'$w'").mkString("(", ",", ")")
+      s"""WITH t AS (SELECT doc_id, ${sql.toks} AS toks FROM documents),
+        |tp AS (
+        |  SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok
+        |  FROM t, unnest(range(0, len(toks))) AS u(i)),
+        |m AS (
+        |  SELECT *, CASE WHEN tok IN $stops THEN 1 ELSE 0 END AS is_stop
+        |  FROM tp),
+        |g AS (
+        |  SELECT *, sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+        |ph AS (
+        |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen
+        |  FROM g WHERE is_stop = 0 GROUP BY doc_id, grp
+        |  HAVING count(*) <= $RakeMaxLen),
+        |pw AS (
+        |  SELECT doc_id, grp, phrase, plen,
+        |    unnest(string_split(phrase, ' ')) AS w FROM ph),
+        |ws AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(plen) AS BIGINT) AS degree FROM pw GROUP BY w),
+        |sc AS (SELECT w, degree * 1000000 // freq AS score_e6 FROM ws),
+        |ps AS (
+        |  SELECT doc_id, grp, phrase,
+        |    CAST(sum(score_e6) AS BIGINT) AS score_e6
+        |  FROM pw JOIN sc USING (w) GROUP BY doc_id, grp, phrase)
+        |SELECT phrase, count(*) AS n_occ, max(score_e6) AS score_e6
+        |FROM ps GROUP BY phrase
+        |ORDER BY score_e6 DESC, phrase
+        |LIMIT $RakeK""".stripMargin
+    }) { (s, d) =>
+    val tp = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        when(col("tok").isInCollection(RakeStops), 1).otherwise(0))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ph = tp
+      .withColumn("grp", sum("is_stop").over(byDoc))
+      .filter(col("is_stop") === 0)
+      .groupBy("doc_id", "grp")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= RakeMaxLen)
+    val pw = ph.select(col("doc_id"), col("grp"), col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .localCheckpoint() // word stats + phrase scoring both read it
+    val sc = pw.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+      .select(col("w"),
+        expr("degree * 1000000 DIV freq").as("score_e6"))
+    pw.join(sc, "w")
+      .groupBy("doc_id", "grp", "phrase")
+      .agg(sum("score_e6").as("score_e6"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max("score_e6").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(RakeK)
+  }
+
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
     qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf,
-    qBpeMerges, qDiversity, qSplitBalance, qNormalize)
+    qBpeMerges, qDiversity, qSplitBalance, qNormalize, qKeyphrases)
 }
