@@ -667,10 +667,21 @@ object TextAnalysis {
         |ORDER BY rank""".stripMargin
     }) { (s, d) =>
     import s.implicits._
+    bpeTrain(s, d)._2
+      .toDF("rank", "pair", "cnt", "symbols_after").orderBy("rank")
+  }
+
+  /** Runs the [[qBpeMerges]] training loop, carrying the source `word`
+    * through every round: returns the final per-word symbol string
+    * (the ENCODING of each vocabulary word under the learned merges)
+    * plus the per-round (rank, pair, cnt, symbols_after) trace.
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Long, String, Long, Long)]) = {
     var words = Tables.fanout(Tables.documents(s, d))
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "),
+      .select(col("word"), concat(lit(" "),
         concat_ws(" ", array_remove(split(col("word"), ""), "")),
         lit(" ")).as("s"), col("freq"))
       .localCheckpoint() // each round's recount reads the current vocab
@@ -693,14 +704,14 @@ object TextAnalysis {
       val merged = pair.replace(" ", "")
       val rep = (1 to 4).foldLeft("s")((e, _) =>
         s"replace($e, ' $pair ', ' $merged ')")
-      words = words.select(expr(rep).as("s"), col("freq"))
+      words = words.select(col("word"), expr(rep).as("s"), col("freq"))
         .localCheckpoint() // next round + the mass count read it
       val symbolsAfter = words
         .agg(sum(col("freq") * size(array_remove(split(col("s"), " "), ""))))
         .collect().head.getLong(0)
       out += ((r.toLong, pair, cnt, symbolsAfter))
     }
-    out.toSeq.toDF("rank", "pair", "cnt", "symbols_after").orderBy("rank")
+    (words, out.toSeq)
   }
 
   // ---- lexical diversity (Simpson concentration, all-integer) -------------
@@ -857,6 +868,69 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- BPE encode-apply ---------------------------------------------------
+  // The other half of q_bpe_merges: ENCODE the corpus with the learned
+  // merge table. Training already produces each vocabulary word's
+  // final symbol decomposition (the merges applied in rank order,
+  // same 4-pass boundary-space replace rule both engines share), so
+  // encoding is a broadcast word→symbol-count join against the
+  // document token stream — exactly how a trained tokenizer deploys:
+  // the merge table is tiny and ships to every executor; the corpus
+  // scan never shuffles. Output is per-source token/char/symbol mass
+  // and the integer-bp compression the merges bought.
+  private val qBpeEncode = QuerySpec.of(
+    "q_bpe_encode", {
+      val toks = sql.toks
+      def roundCte(r: Int): String = {
+        val prev = s"w${r - 1}"
+        val rep = (1 to 4).foldLeft("s")((e, _) =>
+          s"replace($e, ' ' || (SELECT pair FROM t$r) || ' ', " +
+            s"' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ')")
+        s"""p$r AS (
+          |  SELECT syms[i] || ' ' || syms[i+1] AS pair,
+          |    CAST(sum(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '')
+          |      AS syms, freq FROM $prev),
+          |    unnest(range(1, len(syms))) AS u(i)
+          |  GROUP BY 1),
+          |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+          |w$r AS (SELECT word, $rep AS s, freq FROM $prev)""".stripMargin
+      }
+      s"""WITH words AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM documents, unnest($toks) AS u(w) GROUP BY w),
+        |w0 AS (
+        |  SELECT word, ' ' || array_to_string(string_split(word, ''), ' ')
+        |    || ' ' AS s, freq FROM words),
+        |${(1 to BpeRounds).map(roundCte).mkString(",\n")},
+        |venc AS (
+        |  SELECT word, CAST(len(list_filter(string_split(s, ' '),
+        |    x -> x <> '')) AS BIGINT) AS nsym FROM w$BpeRounds),
+        |dw AS (SELECT source, u.w AS word FROM documents,
+        |       unnest($toks) AS u(w))
+        |SELECT source, count(*) AS n_words,
+        |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+        |  CAST(sum(nsym) AS BIGINT) AS n_symbols,
+        |  CAST(sum(nsym) * 10000 // sum(len(word)) AS BIGINT)
+        |    AS compression_bp
+        |FROM dw JOIN venc USING (word)
+        |GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val venc = bpeTrain(s, d)._1
+      .select(col("word"),
+        size(array_remove(split(col("s"), " "), "")).cast("long").as("nsym"))
+    Tables.fanout(Tables.documents(s, d))
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(venc), "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("bigint").as("n_chars"),
+        sum("nsym").as("n_symbols"),
+        expr("CAST(sum(nsym) * 10000 DIV sum(length(word)) AS BIGINT)")
+          .as("compression_bp"))
+      .orderBy("source")
+  }
+
   // ---- RAKE keyphrase extraction -----------------------------------------
   // Rapid Automatic Keyword Extraction: candidate phrases are maximal
   // stopword-free token runs (capped at 6 tokens — the skew guard for
@@ -942,5 +1016,6 @@ object TextAnalysis {
   val specs: Seq[QuerySpec] = Seq(qTokenStats, qQuality, qLangId,
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
     qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf,
-    qBpeMerges, qDiversity, qSplitBalance, qNormalize, qKeyphrases)
+    qBpeMerges, qDiversity, qSplitBalance, qNormalize, qKeyphrases,
+    qBpeEncode)
 }
