@@ -802,17 +802,24 @@ object Dedup {
       col("lang"), col("band"))
     val pfx = docs.select(col("doc_id"),
       substring(col("text"), 1, EditPfx).as("pfx"))
-    a.join(b, Seq("lang", "band"))
-      .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 20)
-      .select("doc_a", "doc_b").distinct()
+    // fanout: the O(L²) DP is pure CPU on tiny rows — AQE would
+    // coalesce the byte-small pair set onto 1-2 tasks and serialize it
+    val pairs = graft.Tables.fanout(
+      a.join(b, Seq("lang", "band"))
+        .filter(col("doc_a") < col("doc_b")
+          && abs(col("ca") - col("cb")) <= 20)
+        .select("doc_a", "doc_b").distinct())
+    pairs
       .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")),
         Seq("doc_a"))
       .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pa"), col("pb")).as("edit_dist"),
+        // threshold-banded DP: O(L·k) instead of O(L²), returns -1
+        // past the bound — identical distances for every kept pair
+        levenshtein(col("pa"), col("pb"), EditMax).as("edit_dist"),
         greatest(length(col("pa")), length(col("pb"))).as("ml"))
-      .filter(col("edit_dist") <= EditMax)
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditMax)
       .select(col("doc_a"), col("doc_b"),
         col("edit_dist").cast("bigint").as("edit_dist"),
         expr("CAST((ml - edit_dist) * 10000 DIV ml AS BIGINT)").as("sim_bp"))

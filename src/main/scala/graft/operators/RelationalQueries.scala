@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -447,10 +448,13 @@ object RelationalQueries {
   }
 
   // Column profiler: per-column null count, exact distinct count, and
-  // canonical min/max over every lineitem column in ONE table scan —
-  // the data-quality summary an ingest pipeline emits per batch.
-  // Multiple exact COUNT(DISTINCT) in a single aggregate plans as one
-  // scan + Expand (×12 row fan-out before partial agg); at 100 TB the
+  // canonical min/max over every lineitem column — the data-quality
+  // summary an ingest pipeline emits per batch. One narrow
+  // column-pruned scan per column (parquet reads just that column's
+  // pages), each with its own partial-agg distinct — deliberately NOT
+  // a single 11-distinct aggregate, whose Expand would ship every
+  // full row ×12 through one exchange and sort-spill at scale; the
+  // per-column shape exchanges only (value) pairs. At 100 TB the
   // distinct counts would flip to HLL sketches (the portable-sketch
   // path q_events_hll_users demonstrates) with everything else
   // unchanged. Min/max canonicalize to strings type-faithfully:
@@ -484,26 +488,21 @@ object RelationalQueries {
     }) { (s, d) =>
     val li = Tables.lineitem(s, d)
     val all = profInts ++ profDbls ++ profStrs ++ profTss
-    val aggs = all.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
-        countDistinct(col(c)).as(s"dst_$c"),
-        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
-    }
     def repr(c: String, side: String) =
       if (profDbls.contains(c))
-        expr(s"CAST(CAST(round(${side}_$c * 100) AS BIGINT) AS STRING)")
+        expr(s"CAST(CAST(round($side * 100) AS BIGINT) AS STRING)")
       else if (profTss.contains(c))
-        date_format(col(s"${side}_$c"), "yyyy-MM-dd HH:mm:ss")
-      else col(s"${side}_$c").cast("string")
-    val rows = all.map { c =>
-      struct(lit(c).as("col_name"), col("n_rows"),
-        (col("n_rows") - col(s"cnt_$c")).as("n_null"),
-        col(s"dst_$c").as("n_distinct"),
-        repr(c, "mn").as("min_repr"), repr(c, "mx").as("max_repr"))
-    }
-    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .select(inline(array(rows: _*)))
-      .orderBy("col_name")
+        date_format(col(side), "yyyy-MM-dd HH:mm:ss")
+      else col(side).cast("string")
+    def colStats(c: String): DataFrame =
+      li.select(col(c))
+        .agg(count(lit(1)).as("n_rows"), count(col(c)).as("nn"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .select(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col("nn")).as("n_null"), col("n_distinct"),
+          repr(c, "mn").as("min_repr"), repr(c, "mx").as("max_repr"))
+    all.map(colStats).reduce(_.unionByName(_)).orderBy("col_name")
   }
 
   val specs: Seq[QuerySpec] =
