@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -505,7 +505,71 @@ object RelationalQueries {
     all.map(colStats).reduce(_.unionByName(_)).orderBy("col_name")
   }
 
+  // Bucketed co-located join: both sides are written bucketed by the
+  // join key (8 buckets, sorted within bucket), so the join planner
+  // reads bucket i against bucket i directly — NO exchange on either
+  // side of the join (BucketedJoinSpec pins that on the physical
+  // plan). This is the warehouse-scale mechanism every fact⋈fact
+  // scale note in this repo defers to: pay one shuffle at WRITE time,
+  // then every subsequent join on the bucket key is shuffle-free.
+  // The scratch tables live in a per-call temp dir (external tables,
+  // dropped and deleted after the result is checkpointed).
+  private val BucketN = 8
+
+  /** Registers `df` as an external bucketed table and returns it. */
+  private def writeBucketed(s: SparkSession, df: DataFrame, name: String,
+      key: String, dir: String): DataFrame = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.format("parquet")
+      .bucketBy(BucketN, key).sortBy(key)
+      .option("path", s"$dir/$name")
+      .mode("overwrite")
+      .saveAsTable(name)
+    s.table(name)
+  }
+
+  /** The bucketed orders⋈customer join, exposed for the plan spec. */
+  private[graft] def bucketedJoin(s: SparkSession, d: String,
+      dir: String): DataFrame = {
+    val o = writeBucketed(s, Tables.orders(s, d)
+        .select("o_custkey", "o_totalprice"),
+      "graft_bkt_orders", "o_custkey", dir)
+    val c = writeBucketed(s, Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment"),
+      "graft_bkt_customer", "c_custkey", dir)
+    // merge hint: at this SF the dim side would broadcast; the point
+    // is the fact⋈fact shape, where SMJ over co-bucketed sorted data
+    // needs neither exchange NOR sort
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+  }
+
+  private val qBucketed = QuerySpec.of(
+    "q_bucketed_join",
+    """SELECT c_mktsegment,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    try {
+      bucketedJoin(s, d, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+        .orderBy("c_mktsegment")
+        .localCheckpoint() // the scratch tables are dropped on return
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
-      qTopCustomers, qRollup, qRfm, qBasket, qProfile)
+      qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed)
 }
