@@ -92,6 +92,53 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ---- filtered (metadata-constrained) search ----------------------------
+  // Vector search under a metadata predicate — each query retrieves
+  // top-k only among candidates sharing its label, the
+  // filtered-search mode every production vector store exposes. This
+  // is PRE-filtering: the label equi-join restricts the candidate set
+  // BEFORE any distance math (a post-filter of an unconstrained top-k
+  // under-fills k whenever the filter is selective). At warehouse
+  // scale the corpus is partitioned by the filter column, so the join
+  // prunes partitions instead of scanning; the per-query work is the
+  // label's slice, not the corpus.
+  private val qFiltered = QuerySpec.of(
+    "q_ann_filtered",
+    s"""WITH $duckNorm,
+      |q AS (SELECT * FROM n WHERE vec_id < $NQUERIES),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |  FROM q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk,
+      |  count(*) OVER (PARTITION BY query_id) AS n_cands FROM s)
+      |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk,
+      |  CAST(n_cands AS BIGINT) AS n_cands
+      |FROM r WHERE rk <= $TOPK
+      |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val n = normalized(Tables.embeddings(s, d))
+    val q = n.filter(col("vec_id") < NQUERIES)
+      .select(col("label"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("label"), col("vec_id").as("cand_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val wc = Window.partitionBy("query_id")
+    c.join(broadcast(q), "label")
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn")), 9))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_cands", count(lit(1)).over(wc))
+      .filter(col("rk") <= TOPK)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"), col("n_cands"))
+      .orderBy("query_id", "rk")
+  }
+
   // ---- sign-LSH bucketed -------------------------------------------------
   // Scale design: the plane count derives from the corpus size
   // (log2(n / targetBucket) → buckets stay ~constant-sized at any scale
@@ -1478,7 +1525,7 @@ object Similarity {
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
       qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj,
-      qPca, qPageRank)
+      qPca, qPageRank, qFiltered)
 }
 
 
