@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-profiling operators for the training-data pipeline: the
@@ -238,6 +239,77 @@ object CorpusProfile {
         round(w, 6).as("w_alpha"),
         round(w * MixBudgetTokens / col("n_tokens"), 6)
           .as("epochs_at_budget"))
+      .orderBy("source")
+  }
+
+  // ---- token-budget mixture sampling -------------------------------------
+  // Executes the plan q_mixture_weights only reports: a total token
+  // budget (half the corpus, self-scaling) is split into per-source
+  // quotas by the α=0.5 temperature weights, then each source FILLS
+  // its quota deterministically — docs in hash32(doc_id) order, a
+  // per-source running token sum, keep while the cumulative count
+  // stays within quota. One corpus scan + one window per source; the
+  // hash order makes the selected set stable under any partitioning
+  // (no RAND(), no row-order dependence). sqrt is IEEE-exact and the
+  // quota floor runs on identical double expression trees in both
+  // engines, so the report is hash-exact.
+  private val qSampleBudget = QuerySpec.of(
+    "q_sample_budget", {
+      val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      t -> t <> '')) AS BIGINT) AS ntok,
+        |    $bk AS hk
+        |  FROM documents),
+        |c AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS src_tokens
+        |      FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) // 2 AS budget,
+        |        sum(sqrt(CAST(src_tokens AS DOUBLE))) AS z FROM c),
+        |q AS (
+        |  SELECT source, src_tokens,
+        |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) / z
+        |      * CAST(budget AS DOUBLE)) AS BIGINT) AS quota
+        |  FROM c, t),
+        |r AS (
+        |  SELECT d.source, d.ntok, q.quota,
+        |    sum(d.ntok) OVER (PARTITION BY d.source
+        |      ORDER BY d.hk, d.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d JOIN q USING (source))
+        |SELECT source, CAST(max(quota) AS BIGINT) AS quota_tokens,
+        |  CAST(count(*) FILTER (cum <= quota) AS BIGINT) AS n_selected,
+        |  CAST(coalesce(sum(ntok) FILTER (cum <= quota), 0) AS BIGINT)
+        |    AS tokens_selected,
+        |  CAST(coalesce(sum(ntok) FILTER (cum <= quota), 0) * 10000
+        |    // max(quota) AS BIGINT) AS fill_bp
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast("long").as("ntok"),
+        HashFunctions.hash32(col("doc_id")).as("hk"))
+    val c = docs.groupBy("source").agg(sum("ntok").as("src_tokens"))
+    val t = c.agg((sum("src_tokens") / lit(2)).cast("long").as("budget"),
+      sum(sqrt(col("src_tokens").cast("double"))).as("z"))
+    val q = c.crossJoin(broadcast(t))
+      .select(col("source"),
+        floor(sqrt(col("src_tokens").cast("double")) / col("z")
+          * col("budget").cast("double")).cast("long").as("quota"))
+    val w = Window.partitionBy("source").orderBy("hk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.join(broadcast(q), "source")
+      .withColumn("cum", sum("ntok").over(w))
+      .groupBy("source")
+      .agg(max("quota").as("quota_tokens"),
+        sum(when(col("cum") <= col("quota"), 1L).otherwise(0L))
+          .as("n_selected"),
+        sum(when(col("cum") <= col("quota"), col("ntok")).otherwise(0L))
+          .as("tokens_selected"))
+      .select(col("source"), col("quota_tokens"), col("n_selected"),
+        col("tokens_selected"),
+        expr("CAST(tokens_selected * 10000 DIV quota_tokens AS BIGINT)")
+          .as("fill_bp"))
       .orderBy("source")
   }
 
@@ -574,5 +646,5 @@ object CorpusProfile {
 
   val specs: Seq[QuerySpec] = Seq(qVocabCoverage, qSourceOverlap, qDupSpans,
     qMixtureWeights, qQualityVsDup, qSplitContamination, qCorpusDiff, qHapax,
-    qCorpusPrep)
+    qCorpusPrep, qSampleBudget)
 }

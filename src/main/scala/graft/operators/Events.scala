@@ -847,6 +847,63 @@ object Events {
     graft.streaming.EventsStreaming.lateViaStream(s, d)
   }
 
+  // ---- portable histogram quantiles --------------------------------------
+  // The fixed-bin histogram quantile sketch: per event type, `value`
+  // lands in 1000-cent-wide bins (50 bins over this corpus's [0,500)
+  // range); P50/P90/P99 are reported as the lower edge of the first
+  // bin whose cumulative count reaches ⌈q·n⌉, plus the exact
+  // per-bin-width error bound the method guarantees. Sketch state is
+  // |types|×50 integers at ANY corpus size — the mergeable
+  // fixed-memory shape (like the CM/HLL sketches) a 100 TB quantile
+  // pass actually uses; everything is integer, so cross-engine
+  // hash-exact where a t-digest never could be.
+  private val HistBinCents = 1000L
+
+  private val qValueHistogram = QuerySpec.of(
+    "q_events_value_histogram",
+    s"""WITH b AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) // $HistBinCents AS bin,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bin, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      |  FROM b)
+      |SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN bin END)
+      |    * $HistBinCents AS BIGINT) AS p50_lo_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN bin END)
+      |    * $HistBinCents AS BIGINT) AS p90_lo_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN bin END)
+      |    * $HistBinCents AS BIGINT) AS p99_lo_cents,
+      |  CAST($HistBinCents AS BIGINT) AS max_err_cents
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    val b = Tables.events(s, d)
+      .select(col("event_type"),
+        expr(s"CAST(round(value * 100) AS BIGINT) DIV $HistBinCents")
+          .as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("event_type")
+    def pAt(q: Int) = min(when(
+      col("cum") * 100 >= col("tot") * q, col("bin"))) * HistBinCents
+    b.withColumn("cum", sum("n").over(wCum))
+      .withColumn("tot", sum("n").over(wTot))
+      .groupBy("event_type")
+      .agg(max("tot").as("n"),
+        pAt(50).cast("long").as("p50_lo_cents"),
+        pAt(90).cast("long").as("p90_lo_cents"),
+        pAt(99).cast("long").as("p99_lo_cents"))
+      .withColumn("max_err_cents", lit(HistBinCents))
+      .orderBy("event_type")
+  }
+
   // ---- SCD-2 dimension construction --------------------------------------
   // Slowly-changing-dimension type 2 built from the raw event stream:
   // each user's derived tier (props.k mod 4) becomes a validity
@@ -1090,5 +1147,5 @@ object Events {
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
-      qPivot, qMadAnomaly, qScd)
+      qPivot, qMadAnomaly, qScd, qValueHistogram)
 }
