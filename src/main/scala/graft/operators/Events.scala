@@ -1038,6 +1038,39 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  // ---- stateful sessionization with event-time timeout -------------------
+  // The cross-batch sessionizer: per-user buffers merge across
+  // micro-batches, sessions emit only once the watermark proves them
+  // final, idle users flush via GroupState event-time timeout, and
+  // arrivals at or behind the watermark drop (the same ≤ rule the
+  // aggregation path uses) — see EventsStreaming
+  // .sessionTimeoutViaStream. With the even-then-odd staging the
+  // surviving set is deterministic, so the oracle is the batch
+  // sessionizer over exactly that set.
+  private val qStreamSessionTimeout = QuerySpec.of(
+    "q_stream_events_session_timeout",
+    s"""WITH me AS (
+      |  SELECT max(epoch_ms(ts)) - 600000 AS w
+      |  FROM events WHERE event_id % 2 = 0),
+      |t AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events, me
+      |  WHERE event_id % 2 = 0 OR epoch_ms(ts) > me.w),
+      |l AS (
+      |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+      |  FROM t),
+      |f AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > $SESSION_GAP_MS
+      |    THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ms) AS start_ms, max(ms) - min(ms) AS duration_ms
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.sessionTimeoutViaStream(s, d)
+  }
+
   // ---- time-weighted per-user value -------------------------------------
   // Each event's value holds until the user's next event; the user's
   // time-weighted mean is Σ(value·Δt)/Σ(Δt) over consecutive pairs.
@@ -1147,5 +1180,5 @@ object Events {
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
-      qPivot, qMadAnomaly, qScd, qValueHistogram)
+      qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout)
 }

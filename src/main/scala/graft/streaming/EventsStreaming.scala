@@ -93,6 +93,138 @@ object EventsStreaming {
     spark.table(name).orderBy("user_id", "session_id")
   }
 
+  /** Rows for the timeout sessionizer (event_time carries the
+    * watermark tag through the typed boundary).
+    */
+  case class SessEventT(user_id: Long, event_id: Long, ms: Long,
+      event_time: java.sql.Timestamp)
+
+  /** Cross-batch stateful sessionization with EVENT-TIME TIMEOUT —
+    * the production shape [[sessionizeViaStream]]'s single-batch
+    * contract sidesteps. Here the drive (restart-per-file, like
+    * [[lateViaStream]]) delivers even-id events, then odd-id events,
+    * then two watermark sentinels, so the operator actually
+    * exercises: (1) merging a micro-batch's arrivals into buffered
+    * per-user state, (2) emitting a session only once the watermark
+    * proves it can no longer grow (last event + gap ≤ watermark — a
+    * later event would have event time > watermark, hence > last +
+    * gap), (3) GroupState.setTimeoutTimestamp(last + gap) so users
+    * with no further traffic still flush when the watermark passes,
+    * and (4) an explicit late rule — arrivals with ms ≤ watermark
+    * are dropped, mirroring the ≤ eviction rule the aggregation path
+    * pins in LlmOpsSpec. Everything surviving is sessionized exactly
+    * like the batch twin, so the oracle is the batch sessionizer over
+    * the deterministic surviving set.
+    *
+    * Session NUMBERING is assigned after the fact, by start-time rank
+    * in the final read — never from streaming state. A timeout flush
+    * removes a user's state, and a late-surviving arrival in the same
+    * batch legitimately re-creates it (Spark runs the timeout and
+    * data invocations separately), so any counter carried in state
+    * would restart mid-stream; per-user sessions are time-disjoint,
+    * so the start-time rank reproduces the batch numbering exactly.
+    */
+  def sessionTimeoutViaStream(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import java.nio.file.Files
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxMs = batch
+      .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
+      .head.getLong(0)
+    val dir = Files.createTempDirectory("graft_sesst_in_")
+    val outDir = Files.createTempDirectory("graft_sesst_out_")
+    val cpDir = Files.createTempDirectory("graft_sesst_cp_")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/*.parquet")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          graft.operators.Events.msFromTs(schema("ts").dataType).as("ms"))
+        .withColumn("event_time", timestamp_millis(col("ms")))
+        .withWatermark("event_time", "10 minutes")
+        .as[SessEventT]
+      val sessions = stream
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessState, SessOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          case (user, it, state) =>
+            val wm = state.getCurrentWatermarkMs()
+            val prior = state.getOption.map(_.events).getOrElse(Seq.empty)
+            // late rule: ms ≤ watermark drops (watermark is ms-epoch)
+            val incoming = it.filter(_.ms > wm)
+              .map(e => (e.ms, e.event_id)).toSeq
+            val merged = (prior ++ incoming).sorted
+            if (merged.isEmpty) { state.remove(); Iterator.empty }
+            else {
+              // cut into gap-delimited sessions
+              val sessions = scala.collection.mutable
+                .ArrayBuffer[Seq[(Long, Long)]]()
+              var cur = scala.collection.mutable.ArrayBuffer(merged.head)
+              merged.tail.foreach { e =>
+                if (e._1 - cur.last._1 > SessionGapMs) {
+                  sessions += cur.toSeq
+                  cur = scala.collection.mutable.ArrayBuffer(e)
+                } else cur += e
+              }
+              sessions += cur.toSeq
+              // a session is final once the watermark proves no
+              // arrival can extend it; on timeout everything is
+              val closed =
+                if (state.hasTimedOut) sessions.toSeq
+                else sessions.toSeq.takeWhile(_.last._1 + SessionGapMs <= wm)
+              val out = closed.map { ss =>
+                SessOut(user, 0L, ss.size.toLong, // sid assigned post-hoc
+                  ss.head._1, ss.last._1 - ss.head._1)
+              }
+              val rest = sessions.drop(closed.size).flatten.toSeq
+              if (rest.isEmpty) state.remove()
+              else {
+                state.update(SessState(rest))
+                state.setTimeoutTimestamp(rest.last._1 + SessionGapMs)
+              }
+              out.iterator
+            }
+        }
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cpDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    try {
+      writeEventsFile(batch.filter(pmod(col("event_id"), lit(2)) === 0),
+        dir, "e0_even.parquet")
+      runOnce()
+      writeEventsFile(batch.filter(pmod(col("event_id"), lit(2)) === 1),
+        dir, "e1_odd.parquet")
+      runOnce()
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 30L * 86400000L, 0),
+        dir, "e2_sentinel.parquet")
+      runOnce()
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 31L * 86400000L, 1),
+        dir, "e3_sentinel.parquet")
+      runOnce()
+      spark.read.parquet(outDir.toString)
+        .filter(col("user_id") >= 0) // sentinels advance time, never count
+        .withColumn("session_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("start_ms")).cast("long"))
+        .select("user_id", "session_id", "n_events", "start_ms",
+          "duration_ms")
+        .orderBy("user_id", "session_id")
+        .localCheckpoint() // the scratch dirs are deleted on return
+    } finally Seq(dir, outDir, cpDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   /** Streaming duplicate collapse: `dropDuplicatesWithinWatermark` on
     * (user_id, event_type, minute) — the watermark bounds the dedupe
     * state exactly like the reference's bounded KV caches bound theirs.
