@@ -847,6 +847,81 @@ object Events {
     graft.streaming.EventsStreaming.lateViaStream(s, d)
   }
 
+  // ---- point-in-time SCD interval join ------------------------------------
+  // The lookup half of the SCD-2 build: purchases join the tier
+  // dimension AS OF their event time. Tier validity intervals come
+  // from signup events only (q_events_scd's construction restricted
+  // to the dimension-changing type), so the join is a genuine
+  // point-in-interval lookup, not a self-lookup; purchases before a
+  // user's first signup report tier −1. Join shape: equi-key on
+  // user_id with a bounded per-user interval list — the range
+  // predicate filters inside the hash match, so there is no
+  // range-join blowup at any scale.
+  private val qScdJoin = QuerySpec.of(
+    "q_events_scd_join",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS k
+      |  FROM events),
+      |l AS (
+      |  SELECT *, lag(k) OVER (PARTITION BY user_id
+      |    ORDER BY ms, event_id) AS prev
+      |  FROM e WHERE event_type = 'signup'),
+      |iv AS (
+      |  SELECT user_id, k AS tier, ms AS vfrom,
+      |    coalesce(lead(ms) OVER (PARTITION BY user_id
+      |      ORDER BY ms, event_id), -1) AS vto
+      |  FROM l WHERE prev IS NULL OR k <> prev),
+      |p AS (SELECT user_id, ms, cents FROM e
+      |      WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.user_id, p.cents, coalesce(iv.tier, -1) AS tier
+      |  FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+      |    AND p.ms >= iv.vfrom AND (iv.vto = -1 OR p.ms < iv.vto)),
+      |a AS (
+      |  SELECT tier, count(*) AS n_purchases,
+      |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |  FROM j GROUP BY tier),
+      |t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot FROM a)
+      |SELECT tier, n_purchases, revenue_cents,
+      |  CAST(revenue_cents * 10000 // tot AS BIGINT) AS share_bp
+      |FROM a, t ORDER BY tier""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val e = eventsMs(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("k"))
+      .localCheckpoint() // intervals + purchases both read it
+    val iv = e.filter(col("event_type") === "signup")
+      .withColumn("prev", lag("k", 1).over(byUser))
+      .filter(col("prev").isNull || col("k") =!= col("prev"))
+      .select(col("user_id"), col("k").as("tier"), col("ms").as("vfrom"),
+        col("event_id"))
+      .withColumn("vto",
+        coalesce(lead("vfrom", 1)
+          .over(Window.partitionBy("user_id").orderBy("vfrom", "event_id")),
+          lit(-1L)))
+      .drop("event_id")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), col("cents"))
+    val a = p.join(iv,
+        p("user_id") === iv("user_id") && p("ms") >= iv("vfrom")
+          && (iv("vto") === -1L || p("ms") < iv("vto")), "left")
+      .select(coalesce(col("tier"), lit(-1L)).as("tier"), col("cents"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("cents").as("revenue_cents"))
+      .localCheckpoint() // total + output read it
+    val t = a.agg(sum("revenue_cents").as("tot"))
+    a.crossJoin(broadcast(t))
+      .select(col("tier"), col("n_purchases"), col("revenue_cents"),
+        expr("CAST(revenue_cents * 10000 DIV tot AS BIGINT)")
+          .as("share_bp"))
+      .orderBy("tier")
+  }
+
   // ---- portable histogram quantiles --------------------------------------
   // The fixed-bin histogram quantile sketch: per event type, `value`
   // lands in 1000-cent-wide bins (50 bins over this corpus's [0,500)
@@ -1180,5 +1255,6 @@ object Events {
       qStreamSessions, qStreamSessionWindow, qStreamDedup, qStreamEnrich,
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
-      qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout)
+      qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
+      qScdJoin)
 }

@@ -569,7 +569,75 @@ object RelationalQueries {
     }
   }
 
+  // MERGE INTO (upsert/delete apply): a deterministic changeset —
+  // deletes, +10% price updates, and new-key inserts, each selected
+  // by an independent hash of the order key (like q_corpus_diff's
+  // simulated snapshot) — applied to orders with MERGE semantics:
+  // matched+delete → drop, matched+update → replace, not-matched →
+  // insert. Expressed Spark-first as anti-join the delete/update
+  // keys, union the rewritten and inserted rows — the shape a Delta
+  // MERGE compiles to, minus the transaction log. The per-status
+  // member_md5 over the ordered surviving key list proves the exact
+  // post-merge membership, not just counts. All joins key on
+  // o_orderkey; everything reduces with map-side partials.
+  private val qMergeUpsert = QuerySpec.of(
+    "q_merge_upsert", {
+      def h(tag: String) = graft.functions.HashFunctions
+        .sqlHash32(s"CAST(o_orderkey AS VARCHAR) || ':$tag'")
+      s"""WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (${h("d")}) % 20 = 0 AS is_del,
+        |    (${h("u")}) % 10 = 0 AS is_upd,
+        |    (${h("i")}) % 20 = 0 AS spawns_ins
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, cents
+        |  FROM base WHERE NOT is_del AND NOT is_upd
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, cents * 110 // 100
+        |  FROM base WHERE NOT is_del AND is_upd
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 'N', cents
+        |  FROM base WHERE spawns_ins)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |    ORDER BY o_orderkey)) AS member_md5
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions
+    def h(tag: String) = HashFunctions.hash32(
+      concat(col("o_orderkey").cast("string"), lit(s":$tag")))
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        (pmod(h("d"), lit(20)) === 0).as("is_del"),
+        (pmod(h("u"), lit(10)) === 0).as("is_upd"),
+        (pmod(h("i"), lit(20)) === 0).as("spawns_ins"))
+      .localCheckpoint() // three MERGE branches read it
+    val kept = base.filter(!col("is_del") && !col("is_upd"))
+      .select("o_orderkey", "o_orderstatus", "cents")
+    val updated = base.filter(!col("is_del") && col("is_upd"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("cents * 110 DIV 100").as("cents"))
+    val inserted = base.filter(col("spawns_ins"))
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("cents"))
+    kept.unionByName(updated).unionByName(inserted)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("o_orderkey")))),
+          x => x.getField("o_orderkey").cast("string")), ","))
+          .as("member_md5"))
+      .orderBy("o_orderstatus")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
-      qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed)
+      qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
+      qMergeUpsert)
 }
