@@ -922,6 +922,103 @@ object Events {
       .orderBy("tier")
   }
 
+  // ---- weekday seasonality profile ----------------------------------------
+  // Day-of-week traffic index: each weekday's mean daily volume as
+  // integer basis points of the overall mean — the seasonality
+  // fingerprint a forecast or anomaly baseline divides out. The bp
+  // index is computed as one exact integer expression
+  // (wd_total · n_days · 10⁴) DIV (total · wd_days), so no float mean
+  // ever materializes. One partial-agg exchange; the weekday rollup
+  // is 7 rows.
+  private val qWeekday = QuerySpec.of(
+    "q_events_weekday_profile",
+    """WITH d AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS wd,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT wd, CAST(count(*) AS BIGINT) AS wd_days,
+      |    CAST(sum(n) AS BIGINT) AS wd_total
+      |  FROM d GROUP BY wd),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(sum(n) AS BIGINT) AS total FROM d)
+      |SELECT wd, wd_days, wd_total,
+      |  CAST(wd_total * n_days * 10000 // (total * wd_days) AS BIGINT)
+      |    AS index_bp
+      |FROM w, t ORDER BY wd""".stripMargin) { (s, d) =>
+    // DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek:
+    // 1=Sunday..7 — align by subtracting 1
+    val days = eventsMs(s, d)
+      .groupBy(
+        date_format(timestamp_millis(col("ms") - col("ms") % 86400000L),
+          "yyyy-MM-dd").as("day"),
+        (dayofweek(timestamp_millis(col("ms") - col("ms") % 86400000L))
+          .cast("long") - 1).as("wd"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // weekday rollup + totals read it
+    val w = days.groupBy("wd")
+      .agg(count(lit(1)).as("wd_days"), sum("n").as("wd_total"))
+    val t = days.agg(count(lit(1)).as("n_days"), sum("n").as("total"))
+    w.crossJoin(broadcast(t))
+      .select(col("wd"), col("wd_days"), col("wd_total"),
+        expr("CAST(wd_total * n_days * 10000 DIV (total * wd_days)" +
+          " AS BIGINT)").as("index_bp"))
+      .orderBy("wd")
+  }
+
+  // ---- Theil–Sen robust trend ---------------------------------------------
+  // Median-of-pairwise-slopes trend over the daily volume series —
+  // the robust regression whose breakdown point (29%) shrugs off the
+  // very anomalies q_events_anomaly flags. Slopes are integer
+  // micro-units per day ((nⱼ−nᵢ)·10⁶ DIV Δdays), the median is the
+  // lower median (the same ⌈n/2⌉ rank rule as the MAD detector), so
+  // the result is hash-exact. The day series is calendar-bounded, so
+  // the O(days²) pair set is tiny at ANY corpus size — the corpus
+  // only pays one partial-agg scan.
+  private val qTrend = QuerySpec.of(
+    "q_events_trend",
+    """WITH d AS (
+      |  SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000
+      |    AS BIGINT) AS dayn, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT (b.n - a.n) * 1000000 // (b.dayn - a.dayn) AS slope_e6
+      |  FROM d a JOIN d b ON b.dayn > a.dayn),
+      |r AS (
+      |  SELECT slope_e6, row_number() OVER (ORDER BY slope_e6) AS rk,
+      |    count(*) OVER () AS cnt FROM p)
+      |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+      |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+      |  CAST((SELECT slope_e6 FROM r WHERE rk = (cnt + 1) // 2)
+      |    AS BIGINT) AS trend_slope_e6_per_day""".stripMargin) { (s, d) =>
+    val days = eventsMs(s, d)
+      .groupBy((col("ms") / lit(86400000L)).cast("long").as("dayn"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both sides of the pair join read it
+    val a = days.toDF("da", "na")
+    val b = days.toDF("db", "nb")
+    // FLOOR division, not DIV: slopes go negative, and Spark's DIV
+    // truncates toward zero while DuckDB's // floors. The double
+    // detour is exact here: |numerator| < 2^40 and Δdays ≤ the
+    // calendar span, so a true-integer quotient is hit exactly and a
+    // fractional one can't round across a whole number.
+    val slopes = a.join(b, col("db") > col("da"))
+      .select(expr("CAST(FLOOR(CAST((nb - na) * 1000000 AS DOUBLE)" +
+        " / (db - da)) AS BIGINT)").as("slope_e6"))
+    val ranked = slopes
+      .withColumn("rk", row_number().over(
+        Window.orderBy("slope_e6")))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy()))
+    val med = ranked.filter(col("rk") === expr("(cnt + 1) DIV 2"))
+      .select(col("slope_e6").as("trend_slope_e6_per_day"))
+    val nd = days.agg(count(lit(1)).as("n_days"))
+    val np = slopes.agg(count(lit(1)).as("n_pairs"))
+    nd.crossJoin(np).crossJoin(med)
+      .select("n_days", "n_pairs", "trend_slope_e6_per_day")
+  }
+
   // ---- portable histogram quantiles --------------------------------------
   // The fixed-bin histogram quantile sketch: per event type, `value`
   // lands in 1000-cent-wide bins (50 bins over this corpus's [0,500)
@@ -1256,5 +1353,5 @@ object Events {
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
-      qScdJoin)
+      qScdJoin, qWeekday, qTrend)
 }
