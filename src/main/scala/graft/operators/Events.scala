@@ -922,6 +922,22 @@ object Events {
       .orderBy("tier")
   }
 
+  // ---- streaming materialized view ----------------------------------------
+  // Continuously-maintained per-type totals: foreachBatch merges each
+  // micro-batch's partial aggregate into a versioned parquet view
+  // with pointer-flip publication and batch-id idempotence (see
+  // EventsStreaming.matviewViaStream). The final view must equal the
+  // one-shot batch aggregate — exactly this oracle.
+  private val qStreamMatview = QuerySpec.of(
+    "q_stream_events_matview",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.matviewViaStream(s, d)
+  }
+
   // ---- weekday seasonality profile ----------------------------------------
   // Day-of-week traffic index: each weekday's mean daily volume as
   // integer basis points of the overall mean — the seasonality
@@ -1353,5 +1369,5 @@ object Events {
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
-      qScdJoin, qWeekday, qTrend)
+      qScdJoin, qWeekday, qTrend, qStreamMatview)
 }

@@ -225,6 +225,90 @@ object EventsStreaming {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  /** Incrementally-maintained materialized view: `foreachBatch` MERGES
+    * each micro-batch's partial aggregate into a versioned parquet
+    * view — the streaming upsert twin of q_merge_upsert, and the
+    * mechanism behind every continuously-refreshed dashboard table.
+    * Per batch: aggregate the batch (map-side partials only — the
+    * batch is the small side), full-outer merge with the current view
+    * on the group key, write version v<batchId>, then flip a pointer
+    * file; a `_last_batch` marker makes re-delivered batches no-ops
+    * (foreachBatch is at-least-once — idempotence is the sink's job).
+    * The drive stages even-id then odd-id files as separate runs
+    * (same restart pattern as [[lateViaStream]]) so the merge path
+    * provably executes across micro-batches; the final view must
+    * equal the one-shot batch aggregate, which is the oracle.
+    */
+  def matviewViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = Files.createTempDirectory("graft_mv_in_")
+    val viewDir = Files.createTempDirectory("graft_mv_view_")
+    val cpDir = Files.createTempDirectory("graft_mv_cp_")
+    val pointer = viewDir.resolve("_CURRENT")
+    val marker = viewDir.resolve("_last_batch")
+    def currentView(): Option[DataFrame] =
+      if (Files.exists(pointer))
+        Some(spark.read.parquet(
+          viewDir.resolve("v" + Files.readString(pointer)).toString))
+      else None
+    def runOnce(): Unit = {
+      // explicit fn type — foreachBatch overloads on scala vs java fns
+      val mergeBatch: (DataFrame, Long) => Unit = { (df, batchId) =>
+          val last =
+            if (Files.exists(marker)) Files.readString(marker).toLong
+            else -1L
+          if (batchId > last) {
+            val b = df.groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(expr("CAST(round(value * 100) AS BIGINT)"))
+                  .as("cents"))
+            val merged = currentView() match {
+              case None => b
+              case Some(cur) =>
+                cur.select(col("event_type"), col("n").as("cn"),
+                    col("cents").as("cc"))
+                  .join(b, Seq("event_type"), "full_outer")
+                  .select(col("event_type"),
+                    (coalesce(col("cn"), lit(0L))
+                      + coalesce(col("n"), lit(0L))).as("n"),
+                    (coalesce(col("cc"), lit(0L))
+                      + coalesce(col("cents"), lit(0L))).as("cents"))
+            }
+            merged.coalesce(1).write.mode("overwrite")
+              .parquet(viewDir.resolve("v" + batchId).toString)
+            Files.writeString(pointer, batchId.toString)
+            Files.writeString(marker, batchId.toString)
+          }
+      }
+      val q = spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/*.parquet")
+        .writeStream
+        .foreachBatch(mergeBatch)
+        .option("checkpointLocation", cpDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    try {
+      writeEventsFile(batch.filter(pmod(col("event_id"), lit(2)) === 0),
+        dir, "e0_even.parquet")
+      runOnce() // view v0 = evens
+      writeEventsFile(batch.filter(pmod(col("event_id"), lit(2)) === 1),
+        dir, "e1_odd.parquet")
+      runOnce() // merge path: v1 = v0 ⊕ odds
+      currentView().get
+        .select(col("event_type"), col("n"),
+          col("cents").as("total_cents"))
+        .orderBy("event_type")
+        .localCheckpoint() // the scratch dirs are deleted on return
+    } finally Seq(dir, viewDir, cpDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   /** Streaming duplicate collapse: `dropDuplicatesWithinWatermark` on
     * (user_id, event_type, minute) — the watermark bounds the dedupe
     * state exactly like the reference's bounded KV caches bound theirs.
