@@ -440,6 +440,70 @@ object Multimodal {
       .orderBy("source")
   }
 
+  // ---- ingest validation: sniff + parse audit ----------------------------
+  // The media-ingest QA gate: every blob is TYPE-SNIFFED from its
+  // magic bytes (pure codegen hex-prefix compares — never trust a
+  // declared extension) and then actually parsed by the real header
+  // decoder; blobs whose magic survives but whose structure is
+  // truncated count as corrupt. The corpus deliberately truncates
+  // every 7th blob to its first 8 bytes, so the magic still
+  // identifies the format while [[graft.functions.ImageDimsExpr]]
+  // must reject the body (null struct) — the oracle predicts both
+  // outcomes from the construction, so the hash compare proves the
+  // sniffing AND the parser's malformed-input behavior, not just the
+  // happy path. One scan, one tiny rollup.
+  private val qValidate = QuerySpec.of(
+    "q_multimodal_validate",
+    """WITH m AS (
+      |  SELECT doc_id, doc_id % 3 AS fmt_i,
+      |    doc_id % 7 = 0 AS corrupt
+      |  FROM documents)
+      |SELECT CASE fmt_i WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |    ELSE 'jpeg' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS corrupt_bp
+      |FROM m GROUP BY format ORDER BY format""".stripMargin) { (s, d) =>
+    val w = (pmod(col("n_chars"), lit(640)) + 1).cast("int")
+    val h = (pmod(col("n_chars"), lit(480)) + 1).cast("int")
+    def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def le16(c: org.apache.spark.sql.Column) =
+      concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), be32(w), be32(h))
+    val gifHex = concat(lit("474946383961"), le16(w), le16(h))
+    val jpegHex = concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A4649460001010000480048" + "0000"
+        + "FFFE" + "0004" + "ABCD" + "FFC0" + "0011" + "08"),
+      be16(h), be16(w), lit("03" + "011100" + "021101" + "031101"))
+    val fullHex = when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+      .when(pmod(col("doc_id"), lit(3)) === 1, gifHex)
+      .otherwise(jpegHex)
+    // every 7th blob truncates to its first 8 bytes: magic intact,
+    // structure gone
+    val bytes = unhex(when(pmod(col("doc_id"), lit(7)) === 0,
+      substring(fullHex, 1, 16)).otherwise(fullHex))
+    val hx = hex(bytes)
+    val sniffed =
+      when(substring(hx, 1, 16) === "89504E470D0A1A0A", "png")
+        .when(substring(hx, 1, 12) === "474946383961", "gif")
+        .when(substring(hx, 1, 4) === "FFD8", "jpeg")
+        .otherwise("unknown")
+    val parsed = graft.functions.ImageDimsExpr.imageDims(bytes)
+    Tables.fanout(Tables.documents(s, d))
+      .select(sniffed.as("format"),
+        when(parsed.isNull, 1L).otherwise(0L).as("bad"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), sum("bad").as("n_corrupt"))
+      .select(col("format"), col("n"), col("n_corrupt"),
+        expr("CAST(n_corrupt * 10000 DIV n AS BIGINT)").as("corrupt_bp"))
+      .orderBy("format")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qFeatures, qFrames, qResize, qDims, qAudio, qVideo, qAvSync)
+    Seq(qFeatures, qFrames, qResize, qDims, qAudio, qVideo, qAvSync,
+      qValidate)
 }
