@@ -394,6 +394,30 @@ object Events {
   private val HllW = 54 // hash64 is 60-bit; 6 bits pick the register
   private val HllAlpha = 0.709 // alpha_64
 
+  /** Register rank of a 64-bit hash `hv`: position of the first set
+    * bit of the W-bit suffix (hv DIV m), W+1 if it is zero. bin() of
+    * a positive long never has leading zeros in Spark, but the
+    * expression keeps the term so it mirrors the oracle exactly.
+    */
+  private def hllRank: org.apache.spark.sql.Column = {
+    val rest = expr(s"hv DIV $HllM")
+    val binr = bin(rest)
+    when(rest === 0, lit(HllW + 1))
+      .otherwise(lit(HllW) - length(binr)
+        + when(substring(binr, 1, 1) === "0",
+            length(binr) - length(ltrim(binr, "0"))).otherwise(0)
+        + 1)
+  }
+
+  /** DuckDB twin of [[hllRank]] over a column expression `x = hv // m`. */
+  private def sqlHllRank(x: String): String =
+    s"""CASE WHEN $x = 0 THEN ${HllW + 1}
+       |  ELSE $HllW - length(bin($x))
+       |    + CASE WHEN substr(bin($x), 1, 1) = '0'
+       |        THEN length(bin($x)) - length(ltrim(bin($x), '0'))
+       |        ELSE 0 END
+       |    + 1 END""".stripMargin
+
   private val qHll = QuerySpec.of(
     "q_events_hll_users", {
       val h = graft.functions.HashFunctions.sqlHash64("user_id")
@@ -431,17 +455,8 @@ object Events {
     import graft.functions.HashFunctions.hash64
     val hv = Tables.events(s, d)
       .select(hash64(col("user_id")).as("hv")).distinct()
-    // rank of the W-bit suffix: W - floor(log2(x)) via length(bin(x)),
-    // minus bin()'s leading zeros (Spark's bin() of a positive long
-    // never has them, but the expression mirrors the oracle exactly)
-    val rest = expr(s"hv DIV $HllM")
-    val binr = bin(rest)
-    val rank = when(rest === 0, lit(HllW + 1))
-      .otherwise(lit(HllW) - length(binr)
-        + when(substring(binr, 1, 1) === "0",
-            length(binr) - length(ltrim(binr, "0"))).otherwise(0)
-        + 1)
-    val mx = hv.select(pmod(col("hv"), lit(HllM)).as("reg"), rank.as("rank"))
+    val mx = hv.select(pmod(col("hv"), lit(HllM)).as("reg"),
+        hllRank.as("rank"))
       .groupBy("reg").agg(max("rank").as("mr"))
     val regs = s.range(0, HllM).select(col("id").as("reg"))
       .join(mx, Seq("reg"), "left")
@@ -459,6 +474,110 @@ object Events {
       .select(col("n_exact"), col("estimate"), col("zero_regs"),
         expr("CAST(abs(CAST(round(estimate) AS BIGINT) - n_exact)" +
           " * 10000 DIV n_exact AS BIGINT)").as("err_bp"))
+  }
+
+  // ---- HLL mergeability: per-day sketches vs direct build -----------------
+  // The property that makes a sketch a 100 TB tool: per-partition
+  // (here per-day) register vectors MERGE by register-wise max into
+  // exactly the sketch a direct one-pass build produces. Both paths
+  // run end to end — per-day sketches → max-merge → estimate, and the
+  // global build → estimate — and the query reports their bit
+  // equality as a column, plus the union estimate against the sum of
+  // daily exact counts (what naive per-day addition overstates).
+  // Sketch state is days × m registers; every rollup is a partial
+  // agg.
+  private val qHllMerge = QuerySpec.of(
+    "q_events_hll_merge", {
+      val h = graft.functions.HashFunctions.sqlHash64("user_id")
+      s"""WITH b AS (
+        |  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')
+        |    AS day, $h AS hv FROM events),
+        |rr AS (
+        |  SELECT day, hv % $HllM AS reg,
+        |    ${sqlHllRank(s"hv // $HllM")} AS rank
+        |  FROM b),
+        |dm AS (SELECT day, reg, max(rank) AS mr FROM rr
+        |       GROUP BY day, reg),
+        |merged AS (SELECT reg, max(mr) AS mr FROM dm GROUP BY reg),
+        |g AS (SELECT DISTINCT $h AS hv FROM events),
+        |gr AS (
+        |  SELECT hv % $HllM AS reg,
+        |    ${sqlHllRank(s"hv // $HllM")} AS rank
+        |  FROM g),
+        |direct AS (SELECT reg, max(rank) AS mr FROM gr GROUP BY reg),
+        |rm AS (
+        |  SELECT r.reg, coalesce(m.mr, 0) AS mm, coalesce(d.mr, 0) AS dm
+        |  FROM (SELECT unnest(range(0, $HllM)) AS reg) r
+        |  LEFT JOIN merged m ON r.reg = m.reg
+        |  LEFT JOIN direct d ON r.reg = d.reg),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(1.0 / CAST((CAST(1 AS BIGINT) << mm) AS DOUBLE))
+        |      AS DOUBLE) AS smm,
+        |    CAST(sum(1.0 / CAST((CAST(1 AS BIGINT) << dm) AS DOUBLE))
+        |      AS DOUBLE) AS smd,
+        |    CAST(sum(CASE WHEN mm <> dm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS reg_diffs
+        |  FROM rm),
+        |x AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |    CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+        |      AS n_days FROM events),
+        |sd AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS sum_daily_exact FROM (
+        |    SELECT count(DISTINCT user_id) AS cnt FROM events
+        |    GROUP BY date_trunc('day', ts)))
+        |SELECT x.n_days, sd.sum_daily_exact, x.n_exact,
+        |  round($HllAlpha * $HllM * $HllM / s.smm, 6) AS est_merged,
+        |  round($HllAlpha * $HllM * $HllM / s.smd, 6) AS est_direct,
+        |  s.reg_diffs,
+        |  abs(CAST(round($HllAlpha * $HllM * $HllM / s.smm) AS BIGINT)
+        |    - x.n_exact) * 10000 // x.n_exact AS err_bp
+        |FROM s, x, sd""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions.hash64
+    val ev = Tables.events(s, d)
+    val b = eventsMs(s, d)
+      .select(date_format(timestamp_millis(
+          col("ms") - col("ms") % 86400000L), "yyyy-MM-dd").as("day"),
+        hash64(col("user_id")).as("hv")).distinct()
+    val dm = b.select(col("day"), pmod(col("hv"), lit(HllM)).as("reg"),
+        hllRank.as("rank"))
+      .groupBy("day", "reg").agg(max("rank").as("mr"))
+    val merged = dm.groupBy("reg").agg(max("mr").as("mm"))
+    val direct = ev.select(hash64(col("user_id")).as("hv")).distinct()
+      .select(pmod(col("hv"), lit(HllM)).as("reg"), hllRank.as("rank"))
+      .groupBy("reg").agg(max("rank").as("dm"))
+    val rm = s.range(0, HllM).select(col("id").as("reg"))
+      .join(merged, Seq("reg"), "left")
+      .join(direct, Seq("reg"), "left")
+      .select(coalesce(col("mm"), lit(0)).as("mm"),
+        coalesce(col("dm"), lit(0)).as("dm"))
+    val agg = rm.agg(
+      sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT)," +
+        " CAST(mm AS INT)) AS DOUBLE)")).as("smm"),
+      sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT)," +
+        " CAST(dm AS INT)) AS DOUBLE)")).as("smd"),
+      sum(when(col("mm") =!= col("dm"), 1L).otherwise(0L))
+        .as("reg_diffs"))
+    val x = ev.agg(countDistinct("user_id").as("n_exact"))
+    val nd = eventsMs(s, d)
+      .agg(countDistinct(
+        (col("ms") - col("ms") % 86400000L)).as("n_days"))
+    val sd = eventsMs(s, d)
+      .groupBy((col("ms") - col("ms") % 86400000L).as("dms"))
+      .agg(countDistinct("user_id").as("cnt"))
+      .agg(sum("cnt").as("sum_daily_exact"))
+    agg.crossJoin(x).crossJoin(nd).crossJoin(sd)
+      .select(col("n_days"), col("sum_daily_exact"), col("n_exact"),
+        round(lit(HllAlpha) * HllM * HllM / col("smm"), 6)
+          .as("est_merged"),
+        round(lit(HllAlpha) * HllM * HllM / col("smd"), 6)
+          .as("est_direct"),
+        col("reg_diffs"),
+        expr(s"CAST(abs(CAST(round($HllAlpha * $HllM * $HllM / smm)" +
+          " AS BIGINT) - n_exact) * 10000 DIV n_exact AS BIGINT)")
+          .as("err_bp"))
   }
 
   // ---- stream-stream interval join: view→purchase conversions ------------
@@ -1369,5 +1488,5 @@ object Events {
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
-      qScdJoin, qWeekday, qTrend, qStreamMatview)
+      qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge)
 }
