@@ -3,6 +3,7 @@ package graft.operators
 import graft.QuerySpec
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ski-domain operator queries (SURVEY §2): run formatting P1/P7-P10,
@@ -209,6 +210,71 @@ object SkiQueries {
       .groupBy("area_id")
       .agg(count(lit(1)).as("n_runs"))
       .orderBy("area_id")
+  }
+
+  // ---- spatial kNN: nearest runs per anchor ------------------------------
+  // Per-anchor k-nearest-neighbor search bounded by the same 500 m
+  // grid (a kNN without a radius bound is a global problem; bounding
+  // by the join radius keeps it a per-cell one — the standard
+  // production compromise). Candidates come from the shared
+  // distanceJoin kernel; the top-3 per anchor ranks on the rounded
+  // metre distance with way_id tiebreak, so the hash compare is
+  // stable. Anchors with fewer than 3 runs in range report what they
+  // have; anchors with none don't appear (same contract as the grid
+  // join).
+  private val KnnPerAnchor = 3
+
+  private val qSkiKnn = QuerySpec.of(
+    "q_ski_knn", {
+      val hav = GeoFunctions.sqlHaversineM("a.alon", "a.alat",
+        "r.lon0", "r.lat0")
+      s"""WITH $oraclePrelude,
+        |areas AS (
+        |  SELECT o_orderkey AS area_id,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS alon,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS alat
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |acells AS (
+        |  SELECT area_id, alon, alat,
+        |    CAST(floor(alon / $CellDeg) AS BIGINT) + i AS cx,
+        |    CAST(floor(alat / $CellDeg) AS BIGINT) + j AS cy
+        |  FROM areas, unnest([-1, 0, 1]) AS ui(i), unnest([-1, 0, 1]) AS uj(j)),
+        |rcells AS (
+        |  SELECT way_id, lon0, lat0,
+        |    CAST(floor(lon0 / $CellDeg) AS BIGINT) AS cx,
+        |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
+        |  FROM kept),
+        |pairs AS (
+        |  SELECT area_id, way_id, round($hav, 3) AS dist_m
+        |  FROM acells a JOIN rcells r ON a.cx = r.cx AND a.cy = r.cy
+        |  WHERE $hav <= $RadiusM),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY area_id
+        |    ORDER BY dist_m, way_id) AS rk FROM pairs)
+        |SELECT area_id, rk, way_id, dist_m
+        |FROM ranked WHERE rk <= $KnnPerAnchor
+        |ORDER BY area_id, rk""".stripMargin
+    }) { (s, d) =>
+    val areas = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("lon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double")
+          / 1000.0 - 60.0).as("lat"))
+    val runs = formatted(s, d).filter(col("kept"))
+      .select(col("way_id"),
+        element_at(element_at(col("coords"), 1), 1).as("lon"),
+        element_at(element_at(col("coords"), 1), 2).as("lat"))
+    val w = Window.partitionBy("area_id").orderBy("dist_m", "way_id")
+    Clustering.distanceJoin(areas, runs, RadiusM, CellDeg)
+      .select(col("area_id"), col("way_id"),
+        round(GeoFunctions.haversineM(col("l_lon"), col("l_lat"),
+          col("lon"), col("lat")), 3).as("dist_m"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnPerAnchor)
+      .select("area_id", "rk", "way_id", "dist_m")
+      .orderBy("area_id", "rk")
   }
 
   // ---- J3: distance-to-GEOMETRY join -------------------------------------
@@ -990,6 +1056,6 @@ object SkiQueries {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(qFormat, qLength, qStats, qGridJoin, qLineJoin, qViirs, qNormalize,
+    Seq(qFormat, qLength, qStats, qGridJoin, qSkiKnn, qLineJoin, qViirs, qNormalize,
       qNormalizeProps, qPolygonAssign, qAreaGen, qCluster, qLifts, qSpots)
 }
