@@ -139,6 +139,64 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ---- per-label centroid drift matrix -----------------------------------
+  // Embedding-space drift detection: each label's centroid in EXACT
+  // integer micro-units (per-dim sums of round(v·10⁶) — the same
+  // bigint-signature trick the kmeans/PCA queries use, so no float
+  // accumulation order exists), then the pairwise centroid distance
+  // matrix. The corpus pays one explode + one (label, dim) partial
+  // agg; the pair join runs over |labels|² centroid rows — nothing
+  // corpus-sized is ever joined.
+  private val qSourceShift = QuerySpec.of(
+    "q_embed_centroid_drift",
+    s"""WITH e AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (
+      |  SELECT label, u.i AS dim,
+      |    CAST(round(v[u.i + 1] * 1000000) AS BIGINT) AS q
+      |  FROM e, unnest(range(0, len(v))) AS u(i)),
+      |c AS (
+      |  SELECT label, dim,
+      |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS cq,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM x GROUP BY label, dim),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    max(a.n) AS n_a, max(b.n) AS n_b,
+      |    CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS ssq
+      |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY a.label, b.label)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  round(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6) AS centroid_dist
+      |FROM p ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
+    val x = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        expr("CAST(round(v * 1000000) AS BIGINT)").as("q"))
+    // FLOOR division, not DIV: per-dim sums go negative and the two
+    // engines' integer divisions disagree on sign; the double detour
+    // is exact (|sum| < 2^44, fraction ≥ 1/n — see q_events_trend)
+    val c = x.groupBy("label", "dim")
+      .agg(expr("CAST(floor(CAST(sum(q) AS DOUBLE) / count(*))" +
+        " AS BIGINT)").as("cq"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // both sides of the pair join read it
+    val a = c.toDF("label_a", "dim", "cqa", "na")
+    val b = c.toDF("label_b", "dim", "cqb", "nb")
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum((col("cqa") - col("cqb")) * (col("cqa") - col("cqb")))
+          .as("ssq"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(sqrt(col("ssq").cast("double")) / 1000000.0, 6)
+          .as("centroid_dist"))
+      .orderBy("label_a", "label_b")
+  }
+
   // ---- sign-LSH bucketed -------------------------------------------------
   // Scale design: the plane count derives from the corpus size
   // (log2(n / targetBucket) → buckets stay ~constant-sized at any scale
@@ -1525,7 +1583,7 @@ object Similarity {
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
       qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj,
-      qPca, qPageRank, qFiltered)
+      qPca, qPageRank, qFiltered, qSourceShift)
 }
 
 
