@@ -756,6 +756,90 @@ object Dedup {
       .orderBy("inc_id")
   }
 
+  // ---- containment (asymmetric Jaccard) ----------------------------------
+  // The sub-document duplication relation symmetric measures miss: doc
+  // A is CONTAINED in doc B when |A∩B|/|A| is high even though
+  // |A∩B|/|A∪B| is low (a paragraph lifted into a longer article).
+  // Candidates block on shared RARE 3-grams (df ≤ ContainMaxDf — the
+  // skew guard that keeps boilerplate grams from going quadratic;
+  // binds only at scale) and must share ≥ ContainMinShared of them
+  // before the exact set intersection runs. Both directional
+  // containments report in integer bp; pairs where either side ≥ 80%
+  // survive. Gram arrays re-attach after the narrow candidate agg —
+  // the wide ops never carry arrays.
+  private val ContainMaxDf = 10
+  private val ContainMinShared = 3
+  private val ContainMinBp = 8000
+
+  private val qContainment = QuerySpec.of(
+    "q_dedup_containment",
+    s"""WITH t AS (
+      |  SELECT doc_id, $duckToks AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, len(toks) - ${SHINGLE_N - 1}),
+      |      i -> array_to_string(list_slice(toks, i + 1, i + $SHINGLE_N), ' ')))
+      |      AS grams
+      |  FROM t WHERE len(toks) >= $SHINGLE_N),
+      |f AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |df AS (SELECT gram, count(*) AS df FROM f GROUP BY gram),
+      |rare AS (SELECT f.doc_id, f.gram FROM f JOIN df USING (gram)
+      |         WHERE df.df <= $ContainMaxDf),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b
+      |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= $ContainMinShared),
+      |ref AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+      |      AS inter,
+      |    len(ga.grams) AS la, len(gb.grams) AS lb
+      |  FROM pairs JOIN g ga ON doc_a = ga.doc_id
+      |    JOIN g gb ON doc_b = gb.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter * 10000 // la AS BIGINT) AS contain_a_bp,
+      |  CAST(inter * 10000 // lb AS BIGINT) AS contain_b_bp
+      |FROM ref
+      |WHERE greatest(inter * 10000 // la, inter * 10000 // lb)
+      |  >= $ContainMinBp
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val g = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SHINGLE_N)
+      .select(col("doc_id"),
+        array_distinct(shingles(col("toks"), SHINGLE_N)).as("grams"))
+      .localCheckpoint() // gram stream + both refine sides read it
+    val f = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val rare = f.join(
+      f.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainMaxDf).select("gram"),
+      "gram")
+    val pairs = rare.toDF("gram", "doc_a")
+      .join(rare.toDF("gram", "doc_b"), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContainMinShared)
+      .select("doc_a", "doc_b")
+    pairs
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
+        Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long")
+          .as("inter"),
+        size(col("ga")).cast("long").as("la"),
+        size(col("gb")).cast("long").as("lb"))
+      .filter(greatest(expr("inter * 10000 DIV la"),
+        expr("inter * 10000 DIV lb")) >= ContainMinBp)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(inter * 10000 DIV la AS BIGINT)").as("contain_a_bp"),
+        expr("CAST(inter * 10000 DIV lb AS BIGINT)").as("contain_b_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- edit-distance near-dup refinement ---------------------------------
   // Candidate pairs from the same (lang, length-band) blocking the
   // Jaccard dedup uses, REFINED by exact Levenshtein distance — the
@@ -829,5 +913,5 @@ object Dedup {
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
       qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex, qIncremental,
-      qEditDistance)
+      qEditDistance, qContainment)
 }
