@@ -636,8 +636,49 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  // Join-key skew profiler: for each lineitem join key, the numbers a
+  // planner (or an engineer choosing a salting factor) needs before a
+  // 100 TB shuffle — key cardinality, the hottest key's row count and
+  // integer-bp share, and max/mean as an integer percent. Per-key
+  // narrow scans like q_profile_columns; the per-key rollup is one
+  // partial agg + a 1-row top-key reduction.
+  private val profJoinKeys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  private val qJoinKeys = QuerySpec.of(
+    "q_profile_join_keys", {
+      def block(c: String) =
+        s"""SELECT '$c' AS key_col,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_keys,
+           |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           |  CAST(max(cnt) * 10000 // count(*) AS BIGINT)
+           |    AS top_share_bp,
+           |  CAST(max(cnt) * count(DISTINCT $c) * 100 // count(*)
+           |    AS BIGINT) AS max_over_mean_pct
+           |FROM (SELECT $c, count(*) OVER (PARTITION BY $c) AS cnt
+           |      FROM lineitem) t""".stripMargin
+      profJoinKeys.map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+    }) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def keyStats(c: String): DataFrame = {
+      val per = li.select(col(c)).groupBy(col(c))
+        .agg(count(lit(1)).as("cnt"))
+      per.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("cnt").as("max_key_rows"))
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          expr("CAST(max_key_rows * 10000 DIV n_rows AS BIGINT)")
+            .as("top_share_bp"),
+          expr("CAST(max_key_rows * n_keys * 100 DIV n_rows AS BIGINT)")
+            .as("max_over_mean_pct"))
+    }
+    profJoinKeys.map(keyStats).reduce(_.unionByName(_))
+      .orderBy("key_col")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
       qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
-      qMergeUpsert)
+      qMergeUpsert, qJoinKeys)
 }
