@@ -1291,6 +1291,78 @@ object Similarity {
       .limit(20)
   }
 
+  // ---- label-propagation communities -------------------------------------
+  // Community detection over the undirected kNN graph: each round,
+  // every node takes the MODE of its neighbors' labels (ties broken
+  // by smallest label — the determinism rule that makes synchronous
+  // LP replayable anywhere), starting from label = vec_id; three
+  // synchronous rounds, then community sizes. Per round: one join of
+  // the label frontier against the checkpointed edge list + a
+  // (node, label) partial agg + an argmax window over per-node
+  // candidate labels (bounded by degree ≤ 2K) — the same
+  // Pregel-step shape as PageRank with a vote instead of a sum.
+  private val LpIters = 3
+
+  private val qLabelProp = QuerySpec.of(
+    "q_graph_label_prop", {
+      val rounds = (1 to LpIters).map { r =>
+        s"""v$r AS (
+           |  SELECT e.dst AS vec_id, l.lbl, count(*) AS c
+           |  FROM und e JOIN l${r - 1} l ON l.vec_id = e.src
+           |  GROUP BY e.dst, l.lbl),
+           |l$r AS (
+           |  SELECT vec_id, lbl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY c DESC, lbl) AS rk FROM v$r)
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckNorm,
+        |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+        |s AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+        |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
+        |ed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM s)
+        |  WHERE rk <= $KnnK),
+        |und AS (
+        |  SELECT src, dst FROM ed
+        |  UNION SELECT dst AS src, src AS dst FROM ed),
+        |l0 AS (SELECT vec_id, vec_id AS lbl FROM g),
+        |$rounds
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size,
+        |  min(vec_id) AS min_member
+        |FROM l$LpIters GROUP BY lbl
+        |ORDER BY size DESC, community
+        |LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val ed = knnEdges(s, d).select("src", "dst")
+    val und = ed.union(ed.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().localCheckpoint() // read every round
+    val nodes = normalized(Tables.embeddings(s, d))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select("vec_id").localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to LpIters) {
+      labels = und
+        .join(labels.select(col("vec_id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("vec_id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("vec_id", "lbl")
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"), min("vec_id").as("min_member"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+  }
+
   // ---- per-cluster outlier detection (off-topic / noise screening) --------
   // SemDeDup's outlier half: after the same 3 Lloyd rounds as
   // q_embed_kmeans, a vector is an outlier iff its squared distance to
@@ -1583,7 +1655,7 @@ object Similarity {
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
       qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj,
-      qPca, qPageRank, qFiltered, qSourceShift)
+      qPca, qPageRank, qFiltered, qSourceShift, qLabelProp)
 }
 
 
