@@ -1057,6 +1057,66 @@ object Events {
     graft.streaming.EventsStreaming.matviewViaStream(s, d)
   }
 
+  // ---- dyadic exponential smoothing forecast ------------------------------
+  // One-step-ahead forecasting of the daily volume series with α = ½
+  // exponential smoothing computed ENTIRELY in integers: the state
+  // recurrence sᵢ = (sᵢ₋₁ + xᵢ) DIV 2 (dyadic halving — the one
+  // smoothing constant whose fixpoint math is exact), forecast for
+  // day i+1 = sᵢ, scored by integer absolute error. Same
+  // calendar-bounded fold shape as q_events_cusum (in-row array
+  // aggregate; corpus pays one partial-agg scan); DuckDB replays the
+  // recurrence as a RECURSIVE CTE. Output: per-day forecast vs
+  // actual with the integer absolute error (−1 marks the unforecast
+  // first day).
+  private val qSmooth = QuerySpec.of(
+    "q_events_smooth",
+    """WITH RECURSIVE d AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY day),
+      |i AS (SELECT day, n,
+      |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      |      FROM d),
+      |c AS (
+      |  SELECT rn, day, n, n AS s, CAST(-1 AS BIGINT) AS forecast
+      |  FROM i WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.day, i.n,
+      |    CAST((c.s + i.n) // 2 AS BIGINT), c.s
+      |  FROM c, i WHERE i.rn = c.rn + 1)
+      |SELECT day, n, forecast,
+      |  CASE WHEN forecast < 0 THEN -1 ELSE abs(n - forecast) END
+      |    AS abs_err
+      |FROM c ORDER BY day""".stripMargin) { (s, d) =>
+    eventsMs(s, d)
+      .groupBy(date_format(
+        timestamp_millis(col("ms") - col("ms") % 86400000L),
+        "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
+      .select(expr(
+        """aggregate(ds,
+          |  named_struct(
+          |    's', CAST(-1 AS BIGINT),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<day: STRING, n: BIGINT,
+          |                   forecast: BIGINT, abs_err: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    's', CASE WHEN acc.s < 0 THEN x.n
+          |              ELSE (acc.s + x.n) DIV 2 END,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'n', x.n,
+          |      'forecast', CASE WHEN acc.s < 0
+          |        THEN CAST(-1 AS BIGINT) ELSE acc.s END,
+          |      'abs_err', CASE WHEN acc.s < 0 THEN CAST(-1 AS BIGINT)
+          |        ELSE abs(x.n - acc.s) END)))),
+          |  acc -> acc.out)""".stripMargin).as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.day").as("day"), col("r.n").as("n"),
+        col("r.forecast").as("forecast"), col("r.abs_err").as("abs_err"))
+      .orderBy("day")
+  }
+
   // ---- weekday seasonality profile ----------------------------------------
   // Day-of-week traffic index: each weekday's mean daily volume as
   // integer basis points of the overall mean — the seasonality
@@ -1488,5 +1548,5 @@ object Events {
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
-      qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge)
+      qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge, qSmooth)
 }

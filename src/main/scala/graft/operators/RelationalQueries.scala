@@ -677,8 +677,76 @@ object RelationalQueries {
       .orderBy("key_col")
   }
 
+  // Revenue concentration (Pareto/Lorenz): customers ranked by spend,
+  // revenue share per spend decile in exact integer cents, and the
+  // Gini coefficient via the closed form G = (2·Σi·xᵢ − (n+1)·Σx) /
+  // (n·Σx) — computed over FLOORED DOLLARS, because the ×10⁴ bp
+  // scaling of the cents-level numerator overflows int64 at sf0.1
+  // (DuckDB silently promotes to HUGEINT; Spark must not depend on
+  // that). The rank window runs over the PER-CUSTOMER aggregate
+  // (|customers| ≪ |orders|); ties rank by custkey so both engines
+  // walk the Lorenz curve identically.
+  private val qPareto = QuerySpec.of(
+    "q_customer_pareto",
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT cents, cents // 100 AS dollars,
+      |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+      |      AS rk,
+      |    CAST(count(*) OVER () AS BIGINT) AS n,
+      |    CAST(sum(cents) OVER () AS BIGINT) AS tot
+      |  FROM c),
+      |g AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n,
+      |    CAST(sum(dollars) AS BIGINT) AS totd,
+      |    CAST(sum(rk * dollars) AS BIGINT) AS sic
+      |  FROM r),
+      |dec AS (
+      |  SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(cents) AS BIGINT) AS cents,
+      |    CAST(max(tot) AS BIGINT) AS tot
+      |  FROM r GROUP BY 1)
+      |SELECT dec.decile, dec.n_customers, dec.cents,
+      |  CAST(dec.cents * 10000 // dec.tot AS BIGINT) AS share_bp,
+      |  CAST((2 * g.sic - (g.n + 1) * g.totd) * 10000
+      |    // (g.n * g.totd) AS BIGINT) AS gini_bp
+      |FROM dec, g ORDER BY dec.decile""".stripMargin) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    // rank window over the per-customer aggregate — single-partition,
+    // but over |customers| rows, not |orders|; at warehouse scale
+    // this flips to the two-level bucket-cumsum the packer uses
+    val r = c
+      .withColumn("dollars", expr("cents DIV 100"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy("cents", "o_custkey"))
+          .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot", sum("cents").over(Window.partitionBy()))
+      .localCheckpoint() // gini scalar + decile rollup read it
+    val g = r.agg(max("n").as("n"), sum("dollars").as("totd"),
+      sum(col("rk") * col("dollars")).as("sic"))
+    val dec = r.groupBy(expr("CAST((rk - 1) * 10 DIV n AS BIGINT)")
+        .as("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"),
+        max("tot").as("tot"))
+    dec.crossJoin(broadcast(g))
+      .select(col("decile"), col("n_customers"), col("cents"),
+        expr("CAST(cents * 10000 DIV tot AS BIGINT)").as("share_bp"),
+        expr("CAST((2 * sic - (n + 1) * totd) * 10000 DIV (n * totd)" +
+          " AS BIGINT)").as("gini_bp"))
+      .orderBy("decile")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
       qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
-      qMergeUpsert, qJoinKeys)
+      qMergeUpsert, qJoinKeys, qPareto)
 }
