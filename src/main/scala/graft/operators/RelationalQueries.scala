@@ -745,8 +745,207 @@ object RelationalQueries {
       .orderBy("decile")
   }
 
+  // Declarative data-quality constraint suite (the Deequ shape): each
+  // constraint is one declarative count over the fact tables —
+  // referential integrity as an anti-join, domain ranges and
+  // positivity as filters, key uniqueness as a grouped-multiplicity
+  // count — unioned into a violations report. One scan per involved
+  // table; every check reduces with map-side partials. A constraint
+  // passes iff its violation count is zero, so the report doubles as
+  // the ingest gate.
+  private val qConstraints = QuerySpec.of(
+    "q_quality_constraints",
+    """SELECT 'lineitem_orderkey_fk' AS constraint_name,
+      |  CAST((SELECT count(*) FROM lineitem
+      |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |    AS BIGINT) AS n_violations
+      |UNION ALL
+      |SELECT 'orders_custkey_fk',
+      |  CAST((SELECT count(*) FROM orders
+      |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |    AS BIGINT)
+      |UNION ALL
+      |SELECT 'lineitem_quantity_range',
+      |  CAST((SELECT count(*) FROM lineitem
+      |    WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+      |UNION ALL
+      |SELECT 'lineitem_discount_range',
+      |  CAST((SELECT count(*) FROM lineitem
+      |    WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_totalprice_positive',
+      |  CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+      |    AS BIGINT)
+      |UNION ALL
+      |SELECT 'lineitem_pk_unique',
+      |  CAST((SELECT coalesce(sum(c - 1), 0) FROM (
+      |    SELECT count(*) AS c FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber) t WHERE c > 1) AS BIGINT)
+      |ORDER BY constraint_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    def report(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("constraint_name"),
+        col(n.columns.head).cast("bigint").as("n_violations"))
+    val checks = Seq(
+      report("lineitem_orderkey_fk",
+        li.select("l_orderkey")
+          .join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)))),
+      report("orders_custkey_fk",
+        o.select("o_custkey")
+          .join(cust.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)))),
+      report("lineitem_quantity_range",
+        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+          .agg(count(lit(1)))),
+      report("lineitem_discount_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 0.1)
+          .agg(count(lit(1)))),
+      report("orders_totalprice_positive",
+        o.filter(col("o_totalprice") <= 0).agg(count(lit(1)))),
+      report("lineitem_pk_unique",
+        li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)))))
+    checks.reduce(_.unionByName(_)).orderBy("constraint_name")
+  }
+
+  // Cumulative user growth: first-seen day per customer (via orders),
+  // new-per-day + running total + day-over-day growth in integer bp.
+  // Per-customer min is the only corpus-sized exchange; the day-level
+  // cumsum runs over the calendar-bounded series.
+  private val qGrowth = QuerySpec.of(
+    "q_customer_growth",
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |    min(strftime(o_orderdate, '%Y-%m')) AS first_month
+      |  FROM orders GROUP BY o_custkey),
+      |m AS (
+      |  SELECT first_month AS month, CAST(count(*) AS BIGINT) AS new_customers
+      |  FROM f GROUP BY first_month),
+      |c AS (
+      |  SELECT month, new_customers,
+      |    CAST(sum(new_customers) OVER (ORDER BY month
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+      |  FROM m)
+      |SELECT month, new_customers, cum_customers,
+      |  CAST(new_customers * 10000
+      |    // (cum_customers - new_customers + 1) AS BIGINT) AS growth_bp
+      |FROM c ORDER BY month""".stripMargin) { (s, d) =>
+    val m = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM"))
+        .as("first_month"))
+      .groupBy(col("first_month").as("month"))
+      .agg(count(lit(1)).as("new_customers"))
+    m.withColumn("cum_customers",
+        sum("new_customers").over(Window.orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("month"), col("new_customers"), col("cum_customers"),
+        expr("CAST(new_customers * 10000" +
+          " DIV (cum_customers - new_customers + 1) AS BIGINT)")
+          .as("growth_bp"))
+      .orderBy("month")
+  }
+
+  // Large-volume orders (TPC-H Q18 shape): nested aggregate HAVING —
+  // orders whose line quantities sum past a threshold, re-joined to
+  // the customer. The HAVING runs on the orderkey-grouped partial
+  // aggregate; only qualifying keys rejoin.
+  private val q18 = QuerySpec.of(
+    "q18_large_orders",
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name, o_orderkey
+      |HAVING sum(l_quantity) > 210
+      |ORDER BY sum_qty DESC, o_orderkey""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 210)
+    big.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  // Top supplier(s) by revenue (TPC-H Q15 shape): aggregate, take the
+  // max of the aggregate, and keep every supplier achieving it —
+  // the max-of-aggregate pattern (a 1-row broadcast back, never a
+  // global sort).
+  private val q15 = QuerySpec.of(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey),
+      |mx AS (SELECT max(rev_cents) AS m FROM rev)
+      |SELECT s_suppkey, s_name, rev_cents
+      |FROM rev, mx, supplier
+      |WHERE l_suppkey = s_suppkey AND rev_cents = mx.m
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount)" +
+        " * 100) AS BIGINT)")).as("rev_cents"))
+      .localCheckpoint() // max + output read it
+    val mx = rev.agg(max("rev_cents").as("m"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_cents") === col("m"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "rev_cents")
+      .orderBy("s_suppkey")
+  }
+
+  // Correlated scalar subqueries, executed through the spark.sql()
+  // surface: orders priced ≥ 1.5× their own customer's average —
+  // proving the SQL front-end decorrelates (Catalyst rewrites the
+  // correlated aggregates into joins) rather than re-expressing them
+  // with window functions by hand. The comparison is cross-multiplied
+  // into exact integer cents (2·price·countᵢ ≥ 3·Σcentsᵢ), so no
+  // float mean with engine-dependent summation order sits on the
+  // threshold. Temp views register per-call; the oracle is the
+  // IDENTICAL statement.
+  private val correlatedSql =
+    """SELECT o_custkey, count(*) AS n_big_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS big_cents
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 * (
+      |    SELECT count(*) FROM orders i
+      |    WHERE i.o_custkey = o.o_custkey)
+      |  >= 3 * (
+      |    SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  private val qCorrelated = QuerySpec.of(
+    "q_sql_correlated", correlatedSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(correlatedSql)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
       qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
-      qMergeUpsert, qJoinKeys, qPareto)
+      qMergeUpsert, qJoinKeys, qPareto, qConstraints, qGrowth, q18, q15,
+      qCorrelated)
 }
