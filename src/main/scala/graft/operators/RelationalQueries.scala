@@ -943,9 +943,46 @@ object RelationalQueries {
     s.sql(correlatedSql)
   }
 
+  // Dormant high-balance customers (TPC-H Q22 shape): above the
+  // average positive balance AND no orders — a global scalar
+  // aggregate (broadcast back, cross-multiplied into exact cents so
+  // no float mean sits on the threshold) composed with an anti-join,
+  // rolled up per nation.
+  private val q22 = QuerySpec.of(
+    "q22_dormant_balances",
+    """WITH pos AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+      |  FROM customer WHERE c_acctbal > 0),
+      |el AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer, pos
+      |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |                    WHERE o_custkey = c_custkey))
+      |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |  count(*) AS n_customers,
+      |  CAST(sum(bal) AS BIGINT) AS total_bal_cents
+      |FROM el GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+    val pos = cust.filter(col("bal") > 0)
+      .agg(count(lit(1)).as("n"), sum("bal").as("s"))
+    cust.crossJoin(broadcast(pos))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("bigint").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("bal").as("total_bal_cents"))
+      .orderBy("nation")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
       qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
       qMergeUpsert, qJoinKeys, qPareto, qConstraints, qGrowth, q18, q15,
-      qCorrelated)
+      qCorrelated, q22)
 }

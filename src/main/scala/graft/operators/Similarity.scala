@@ -1363,6 +1363,78 @@ object Similarity {
       .limit(20)
   }
 
+  // ---- kNN label-prediction probe ----------------------------------------
+  // The standard embedding-quality probe: predict each node's label
+  // by the MODE of its K nearest neighbors' TRUE labels (tie →
+  // smallest label) and score against the node's own label — if the
+  // embedding space is any good, neighbors vote the right class.
+  // Reuses the checkpointed kNN edges; one (node, label) partial agg
+  // + a degree-bounded argmax window; per-class and overall accuracy
+  // in integer bp.
+  private val qKnnEval = QuerySpec.of(
+    "q_embed_knn_eval",
+    s"""WITH $duckNorm,
+      |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+      |s AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+      |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
+      |ed AS (
+      |  SELECT src, dst FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM s)
+      |  WHERE rk <= $KnnK),
+      |votes AS (
+      |  SELECT ed.src, gl.label AS lbl, count(*) AS c
+      |  FROM ed JOIN g gl ON gl.vec_id = ed.dst
+      |  GROUP BY ed.src, gl.label),
+      |pred AS (
+      |  SELECT src, lbl FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src
+      |      ORDER BY c DESC, lbl) AS rk FROM votes)
+      |  WHERE rk = 1),
+      |sc AS (
+      |  SELECT g.label AS actual,
+      |    CASE WHEN p.lbl = g.label THEN 1 ELSE 0 END AS ok
+      |  FROM pred p JOIN g ON g.vec_id = p.src),
+      |per AS (
+      |  SELECT CAST(actual AS BIGINT) AS label,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(ok) AS BIGINT) AS n_correct
+      |  FROM sc GROUP BY actual)
+      |SELECT label, n, n_correct,
+      |  CAST(n_correct * 10000 // n AS BIGINT) AS acc_bp FROM per
+      |UNION ALL
+      |SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_correct) AS BIGINT),
+      |  CAST(sum(n_correct) * 10000 // sum(n) AS BIGINT) FROM per
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val nodes = normalized(Tables.embeddings(s, d))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), col("label")).localCheckpoint()
+    val ed = knnEdges(s, d).select("src", "dst")
+    val w = Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))
+    val pred = ed
+      .join(nodes.select(col("vec_id").as("dst"),
+        col("label").as("lbl")), "dst")
+      .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("src").as("vec_id"), col("lbl"))
+    val per = pred.join(nodes, "vec_id")
+      .select(col("label").cast("long").as("label"),
+        when(col("lbl") === col("label"), 1L).otherwise(0L).as("ok"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"))
+      .localCheckpoint() // per-class rows + the overall rollup read it
+    val overall = per.agg(sum("n").as("n"),
+        sum("n_correct").as("n_correct"))
+      .select(lit(-1L).as("label"), col("n"), col("n_correct"))
+    per.select("label", "n", "n_correct").unionByName(overall)
+      .withColumn("acc_bp",
+        expr("CAST(n_correct * 10000 DIV n AS BIGINT)"))
+      .orderBy("label")
+  }
+
   // ---- per-cluster outlier detection (off-topic / noise screening) --------
   // SemDeDup's outlier half: after the same 3 Lloyd rounds as
   // q_embed_kmeans, a vector is an outlier iff its squared distance to
@@ -1655,7 +1727,7 @@ object Similarity {
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
       qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj,
-      qPca, qPageRank, qFiltered, qSourceShift, qLabelProp)
+      qPca, qPageRank, qFiltered, qSourceShift, qLabelProp, qKnnEval)
 }
 
 
