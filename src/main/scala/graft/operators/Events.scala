@@ -1438,6 +1438,21 @@ object Events {
     graft.streaming.EventsStreaming.sessionTimeoutViaStream(s, d)
   }
 
+  // ---- exactly-once resume proof ------------------------------------------
+  // The hourly aggregation driven through five restarts against one
+  // checkpoint, including two EMPTY restarts (see EventsStreaming
+  // .reprocessViaStream): any re-ingestion or re-emission across a
+  // resume would double counts, so matching the plain batch aggregate
+  // IS the exactly-once evidence.
+  private val qStreamReprocess = QuerySpec.of(
+    "q_stream_events_reprocess",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.reprocessViaStream(s, d)
+  }
+
   // ---- time-weighted per-user value -------------------------------------
   // Each event's value holds until the user's next event; the user's
   // time-weighted mean is Σ(value·Δt)/Σ(Δt) over consecutive pairs.
@@ -1548,5 +1563,6 @@ object Events {
       qStreamConvert, qStreamTopk, qSessionStats, qAbTest, qStreamAnomaly,
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
-      qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge, qSmooth)
+      qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge, qSmooth,
+      qStreamReprocess)
 }

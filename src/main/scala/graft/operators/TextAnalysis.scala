@@ -931,6 +931,74 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- greedy bigram decode -----------------------------------------------
+  // Deterministic text generation from the corpus bigram model: start
+  // at the most frequent token (ties → smallest) and take GenSteps
+  // greedy argmax steps over the bigram transition counts (ties →
+  // smallest successor). The per-token argmax successor table is one
+  // window pass over the transition counts; the walk itself joins a
+  // 1-row frontier GenSteps times — the corpus pays one scan, the
+  // decode costs nothing at any scale. DuckDB replays the walk as a
+  // RECURSIVE CTE over the same argmax table. Repetition is expected
+  // (greedy decoding loops); the point is both engines loop
+  // IDENTICALLY.
+  private val GenSteps = 12
+
+  private val qGenerate = QuerySpec.of(
+    "q_text_generate", {
+      val toks = sql.toks
+      val grams = graft.functions.TextFunctions.sql.shingles("toks", 2)
+      s"""WITH RECURSIVE t AS (
+        |  SELECT $toks AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |uf AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+        |start AS (SELECT tok FROM uf ORDER BY c DESC, tok LIMIT 1),
+        |bg AS (
+        |  SELECT string_split(g, ' ')[1] AS prev,
+        |    string_split(g, ' ')[2] AS next, count(*) AS c
+        |  FROM (SELECT unnest($grams) AS g FROM t)
+        |  GROUP BY 1, 2),
+        |nx AS (
+        |  SELECT prev, next FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prev
+        |      ORDER BY c DESC, next) AS rk FROM bg)
+        |  WHERE rk = 1),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS step, tok FROM start
+        |  UNION ALL
+        |  SELECT w.step + 1, nx.next
+        |  FROM walk w JOIN nx ON nx.prev = w.tok
+        |  WHERE w.step < $GenSteps)
+        |SELECT step, tok FROM walk ORDER BY step""".stripMargin
+    }) { (s, d) =>
+    val t = Tables.fanout(Tables.documents(s, d))
+      .select(tokens(col("text")).as("toks"))
+      .localCheckpoint() // unigram + bigram passes read it
+    val start = t.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(1)
+      .select(lit(0L).as("step"), col("tok"))
+    val bg = t.select(explode(shingles(col("toks"), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("prev"),
+        split(col("g"), " ").getItem(1).as("next"))
+      .groupBy("prev", "next").agg(count(lit(1)).as("c"))
+    val nx = bg
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("prev").orderBy(col("c").desc, col("next"))))
+      .filter(col("rk") === 1)
+      .select("prev", "next")
+      .localCheckpoint() // read every walk step
+    var out = start
+    var frontier = start
+    for (i <- 1 to GenSteps) {
+      frontier = frontier
+        .join(nx, frontier("tok") === nx("prev"))
+        .select(lit(i.toLong).as("step"), col("next").as("tok"))
+      out = out.unionByName(frontier)
+    }
+    out.orderBy("step")
+  }
+
   // ---- RAKE keyphrase extraction -----------------------------------------
   // Rapid Automatic Keyword Extraction: candidate phrases are maximal
   // stopword-free token runs (capped at 6 tokens — the skew guard for
@@ -1017,5 +1085,5 @@ object TextAnalysis {
     qFingerprint, qSplit, qTopNgrams, qContamination, qDedupRate,
     qPostings, qBloomScreen, qBpePairs, qLmScore, qCmSketch, qTfidf,
     qBpeMerges, qDiversity, qSplitBalance, qNormalize, qKeyphrases,
-    qBpeEncode)
+    qBpeEncode, qGenerate)
 }

@@ -686,6 +686,70 @@ object EventsStreaming {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  /** Exactly-once resume proof: the hourly aggregation run as FIVE
+    * consecutive AvailableNow queries against one checkpoint — data,
+    * then an EMPTY restart (no new files), then the two sentinel
+    * flush files, then another empty restart after completion. A
+    * file-source + file-sink pipeline that re-ingested or re-emitted
+    * anything across those restarts would double its counts; the
+    * oracle is the plain batch aggregate, so the hash compare IS the
+    * exactly-once check. (The empty restarts are the interesting
+    * part: offsets come from the checkpoint's commit log, and the
+    * sink's _spark_metadata dedupes replayed batch ids.)
+    */
+  def reprocessViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxMs = batch
+      .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
+      .head.getLong(0)
+    val dir = Files.createTempDirectory("graft_rp_in_")
+    val outDir = Files.createTempDirectory("graft_rp_out_")
+    val cpDir = Files.createTempDirectory("graft_rp_cp_")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/*.parquet")
+        .withColumn("ms",
+          graft.operators.Events.msFromTs(schema("ts").dataType))
+        .withColumn("event_time", timestamp_millis(col("ms")))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cpDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    try {
+      writeEventsFile(batch, dir, "e0_all.parquet")
+      runOnce() // ingest everything (watermark still 0 — nothing emits)
+      runOnce() // EMPTY restart: must be a no-op
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 30L * 86400000L, 0),
+        dir, "e1_sentinel.parquet")
+      runOnce() // watermark jumps; windows flush on the next run
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 31L * 86400000L, 1),
+        dir, "e2_sentinel.parquet")
+      runOnce() // flush every real window
+      runOnce() // EMPTY restart after completion: must emit nothing
+      spark.read.parquet(outDir.toString)
+        .filter(col("wstart") <= timestamp_millis(lit(maxMs)))
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"), col("n"))
+        .orderBy("hour", "event_type")
+        .localCheckpoint() // the scratch dirs are deleted on return
+    } finally Seq(dir, outDir, cpDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   /** Batch-equivalent streaming run of the hourly aggregation.
     * `ts` is floored to ms (schema-dispatched, see Events.msFromTs) and
     * projected to an event-time timestamp for the watermark.
