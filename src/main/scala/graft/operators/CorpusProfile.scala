@@ -579,7 +579,7 @@ object CorpusProfile {
   // both sides — the same never-all-pairs shape as the standalone
   // contamination query.
   private val qCorpusPrep = QuerySpec.of(
-    "q_corpus_prep", {
+    "q_corpus_prep", headline = true, oracle = {
       val toks = sql.toks
       val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
       s"""WITH b AS (
