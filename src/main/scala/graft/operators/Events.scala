@@ -1117,6 +1117,65 @@ object Events {
       .orderBy("day")
   }
 
+  // ---- cohort LTV triangle ------------------------------------------------
+  // The lifetime-value triangle: users grouped by first-seen month,
+  // purchase revenue accumulated by whole-month age, reported as
+  // exact cents plus cumulative per-user value in 10⁻⁴-dollar units
+  // (cum_cents·100 DIV cohort_size — one integer division at the
+  // end). Month index is pure integer calendar math (year·12+month),
+  // so ages are exact; two user-keyed exchanges (first-seen, rollup)
+  // and a calendar-bounded cumsum window per cohort.
+  private val qCohortLtv = QuerySpec.of(
+    "q_events_cohort_ltv",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts) - 1
+      |      AS BIGINT) AS midx,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      |  FROM events),
+      |f AS (SELECT user_id, min(midx) AS cohort FROM e GROUP BY user_id),
+      |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      |       FROM f GROUP BY cohort),
+      |j AS (
+      |  SELECT f.cohort, e.midx - f.cohort AS age,
+      |    CAST(sum(e.cents) AS BIGINT) AS cents
+      |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort, age, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM j)
+      |SELECT c.cohort, c.age, cs.cohort_size, c.cents, c.cum_cents,
+      |  CAST(c.cum_cents * 100 // cs.cohort_size AS BIGINT)
+      |    AS ltv_per_user_e4
+      |FROM c JOIN cs USING (cohort)
+      |ORDER BY c.cohort, c.age""".stripMargin) { (s, d) =>
+    val e = eventsMs(s, d)
+      .select(col("user_id"),
+        (year(timestamp_millis(col("ms"))) * 12
+          + month(timestamp_millis(col("ms"))) - 1).cast("long")
+          .as("midx"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)
+          .as("cents"))
+      .localCheckpoint() // first-seen + rollup read it
+    val f = e.groupBy("user_id").agg(min("midx").as("cohort"))
+    val cs = f.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val j = e.join(f, "user_id")
+      .groupBy(col("cohort"), (col("midx") - col("cohort")).as("age"))
+      .agg(sum("cents").as("cents"))
+    j.withColumn("cum_cents",
+        sum("cents").over(Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(cs), "cohort")
+      .select(col("cohort"), col("age"), col("cohort_size"), col("cents"),
+        col("cum_cents"),
+        expr("CAST(cum_cents * 100 DIV cohort_size AS BIGINT)")
+          .as("ltv_per_user_e4"))
+      .orderBy("cohort", "age")
+  }
+
   // ---- weekday seasonality profile ----------------------------------------
   // Day-of-week traffic index: each weekday's mean daily volume as
   // integer basis points of the overall mean — the seasonality
@@ -1564,5 +1623,5 @@ object Events {
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
       qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge, qSmooth,
-      qStreamReprocess)
+      qStreamReprocess, qCohortLtv)
 }
