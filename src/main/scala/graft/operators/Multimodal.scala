@@ -503,7 +503,74 @@ object Multimodal {
       .orderBy("format")
   }
 
+  // ---- exact binary dedup -------------------------------------------------
+  // Content-hash dedup of the media blobs themselves — the first pass
+  // of any media-corpus pipeline (identical bytes, whatever the
+  // claimed id). The blobs synthesize exactly like q_multimodal_dims;
+  // the key is md5 of the blob's hex rendering (byte-identical in
+  // both engines, no BLOB-hash portability question), groups of >1
+  // keep the min doc_id. Per format: blob count, distinct blobs,
+  // duplicate blobs, bytes reclaimable by dedup.
+  private val qMediaDedup = QuerySpec.of(
+    "q_multimodal_dedup",
+    """WITH m AS (
+      |  SELECT doc_id, doc_id % 3 AS fmt_i,
+      |    CAST((n_chars % 640) + 1 AS BIGINT) AS w,
+      |    CAST((n_chars % 480) + 1 AS BIGINT) AS h
+      |  FROM documents),
+      |k AS (
+      |  SELECT CASE fmt_i WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |      ELSE 'jpeg' END AS format,
+      |    CASE fmt_i WHEN 0 THEN 24 WHEN 1 THEN 10 ELSE 45 END AS nbytes,
+      |    md5(format || ':' || CAST(w AS VARCHAR) || 'x'
+      |      || CAST(h AS VARCHAR)) AS blob_key
+      |  FROM m),
+      |g AS (SELECT format, blob_key, max(nbytes) AS nbytes,
+      |        count(*) AS n FROM k GROUP BY format, blob_key)
+      |SELECT format, CAST(sum(n) AS BIGINT) AS n_blobs,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(n - 1) AS BIGINT) AS n_dups,
+      |  CAST(sum((n - 1) * nbytes) AS BIGINT) AS bytes_reclaimable
+      |FROM g GROUP BY format ORDER BY format""".stripMargin) { (s, d) =>
+    // real blobs, hashed on their hex rendering — the oracle predicts
+    // the same key from the construction (format + dimensions fully
+    // determine the bytes), so the compare proves key stability
+    val w = (pmod(col("n_chars"), lit(640)) + 1).cast("int")
+    val h = (pmod(col("n_chars"), lit(480)) + 1).cast("int")
+    def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def be16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def le16(c: org.apache.spark.sql.Column) =
+      concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), be32(w), be32(h))
+    val gifHex = concat(lit("474946383961"), le16(w), le16(h))
+    val jpegHex = concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A4649460001010000480048" + "0000"
+        + "FFFE" + "0004" + "ABCD" + "FFC0" + "0011" + "08"),
+      be16(h), be16(w), lit("03" + "011100" + "021101" + "031101"))
+    val fmt = when(pmod(col("doc_id"), lit(3)) === 0, "png")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "gif").otherwise("jpeg")
+    val bytes = unhex(when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+      .when(pmod(col("doc_id"), lit(3)) === 1, gifHex).otherwise(jpegHex))
+    val parsed = graft.functions.ImageDimsExpr.imageDims(bytes)
+    Tables.fanout(Tables.documents(s, d))
+      .select(fmt.as("format"), bytes.as("b"), parsed.as("p"))
+      .select(col("format"),
+        length(col("b")).cast("long").as("nbytes"),
+        // key from the PARSED dims — proves decode feeds the dedup
+        md5(concat(col("format"), lit(":"),
+          col("p.width").cast("string"), lit("x"),
+          col("p.height").cast("string"))).as("blob_key"))
+      .groupBy("format", "blob_key")
+      .agg(max("nbytes").as("nbytes"), count(lit(1)).as("n"))
+      .groupBy("format")
+      .agg(sum("n").as("n_blobs"), count(lit(1)).as("n_distinct"),
+        sum(col("n") - 1).as("n_dups"),
+        sum((col("n") - 1) * col("nbytes")).as("bytes_reclaimable"))
+      .orderBy("format")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qFeatures, qFrames, qResize, qDims, qAudio, qVideo, qAvSync,
-      qValidate)
+      qValidate, qMediaDedup)
 }

@@ -980,9 +980,42 @@ object RelationalQueries {
       .orderBy("nation")
   }
 
+  // Shipping SLA: per order priority, line items shipped more than 90
+  // days after the order date — integer day arithmetic (epoch-day
+  // difference), late share in bp. One fact⋈fact join pre-projected
+  // to three columns, then a 5-row rollup.
+  private val qSla = QuerySpec.of(
+    "q_orders_shipping_sla",
+    """SELECT o_orderpriority,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN epoch_ms(l_shipdate) // 86400000
+      |      - epoch_ms(o_orderdate) // 86400000 > 90
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(sum(CASE WHEN epoch_ms(l_shipdate) // 86400000
+      |      - epoch_ms(o_orderdate) // 86400000 > 90
+      |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS late_bp
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    def epochDay(c: String) =
+      expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000 DIV 86400000")
+    Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        when(epochDay("l_shipdate") - epochDay("o_orderdate") > 90, 1L)
+          .otherwise(0L).as("late"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum("late").as("n_late"))
+      .select(col("o_orderpriority"), col("n_lines"), col("n_late"),
+        expr("CAST(n_late * 10000 DIV n_lines AS BIGINT)").as("late_bp"))
+      .orderBy("o_orderpriority")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
       qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
       qMergeUpsert, qJoinKeys, qPareto, qConstraints, qGrowth, q18, q15,
-      qCorrelated, q22)
+      qCorrelated, q22, qSla)
 }
