@@ -756,6 +756,97 @@ object Dedup {
       .orderBy("inc_id")
   }
 
+  // ---- minhash estimation accuracy ---------------------------------------
+  // The honest number behind every minhash decision: how close the
+  // K-component signature agreement is to the TRUE Jaccard, measured
+  // over the same length-band candidate pairs the Jaccard dedup
+  // refines — similar and dissimilar pairs alike, not just LSH
+  // survivors. Reported as a calibration curve per true-Jaccard
+  // decile (count, mean |estimate − truth| in bp, worst error) — the
+  // table that tells a curator what a 0.5 signature threshold
+  // actually means. All-integer: agreements × 10⁴ DIV K vs
+  // |A∩B| × 10⁴ DIV |A∪B|.
+  private val qMinhashAccuracy = QuerySpec.of(
+    "q_dedup_minhash_accuracy",
+    s"""WITH $duckSigBands,
+      |g AS (
+      |  SELECT t.doc_id, d.lang, d.n_chars,
+      |    list_distinct(sh.sh) AS grams
+      |  FROM t JOIN sh USING (doc_id) JOIN documents d ON d.doc_id = t.doc_id),
+      |k AS (
+      |  SELECT doc_id, lang, n_chars, (n_chars // 20) + o AS band
+      |  FROM g, unnest(range(0, 2)) AS u(o)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM k a JOIN k b
+      |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |  WHERE abs(a.n_chars - b.n_chars) <= 20),
+      |e AS (
+      |  SELECT doc_a, doc_b,
+      |    list_sum(list_transform(range(1, $MINHASH_K + 1), j ->
+      |      CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END))
+      |      * 10000 // $MINHASH_K AS est_bp,
+      |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+      |      AS inter,
+      |    len(ga.grams) + len(gb.grams) AS tot
+      |  FROM pairs
+      |    JOIN sig sa ON doc_a = sa.doc_id
+      |    JOIN sig sb ON doc_b = sb.doc_id
+      |    JOIN g ga ON doc_a = ga.doc_id
+      |    JOIN g gb ON doc_b = gb.doc_id),
+      |x AS (
+      |  SELECT CAST(inter * 10000 // (tot - inter) AS BIGINT) AS true_bp,
+      |    CAST(est_bp AS BIGINT) AS est_bp
+      |  FROM e WHERE tot - inter > 0)
+      |SELECT CAST(true_bp // 1000 AS BIGINT) AS true_decile,
+      |  count(*) AS n_pairs,
+      |  CAST(sum(abs(est_bp - true_bp)) // count(*) AS BIGINT) AS mae_bp,
+      |  CAST(max(abs(est_bp - true_bp)) AS BIGINT) AS worst_bp
+      |FROM x GROUP BY 1 ORDER BY true_decile""".stripMargin) { (s, d) =>
+    val g = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SHINGLE_N)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(shingles(col("toks"), SHINGLE_N)).as("grams"))
+      .localCheckpoint() // band keys + both refine sides read it
+    val sig = signatures(s, d)
+    val keyed = g.select(col("doc_id"), col("lang"), col("n_chars"),
+      explode(array((col("n_chars") / 20).cast("long"),
+        (col("n_chars") / 20).cast("long") + 1)).as("band"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("n_chars").as("ca"),
+      col("lang"), col("band"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
+      col("lang"), col("band"))
+    val est = expr(s"size(filter(zip_with(sa, sb, (x, y) -> x = y)," +
+      s" v -> v)) * 10000 DIV $MINHASH_K")
+    val x = a.join(b, Seq("lang", "band"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 20)
+      .select("doc_a", "doc_b").distinct()
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        Seq("doc_b"))
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
+        Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
+        Seq("doc_b"))
+      .select(est.as("est_bp"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long")
+          .as("inter"),
+        (size(col("ga")) + size(col("gb"))).cast("long").as("tot"))
+      .filter(col("tot") - col("inter") > 0)
+      .select(col("est_bp").cast("long").as("est_bp"),
+        expr("CAST(inter * 10000 DIV (tot - inter) AS BIGINT)")
+          .as("true_bp"))
+    x.groupBy(expr("CAST(true_bp DIV 1000 AS BIGINT)").as("true_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(abs(est_bp - true_bp)) DIV count(*) AS BIGINT)")
+          .as("mae_bp"),
+        max(abs(col("est_bp") - col("true_bp"))).as("worst_bp"))
+      .orderBy("true_decile")
+  }
+
   // ---- containment (asymmetric Jaccard) ----------------------------------
   // The sub-document duplication relation symmetric measures miss: doc
   // A is CONTAINED in doc B when |A∩B|/|A| is high even though
@@ -913,5 +1004,5 @@ object Dedup {
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
       qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex, qIncremental,
-      qEditDistance, qContainment)
+      qEditDistance, qContainment, qMinhashAccuracy)
 }
