@@ -4,8 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StringType}
-import graft.functions.{DotProductExpr, GramHashExpr, LineLengthMExpr,
-  MinHashSigExpr, RollingMinExpr, STDWithinExpr, ShinglesExpr, SimHash32Expr}
+import graft.functions.{AudioMetaExpr, DotProductExpr, GramHashExpr,
+  ImageDimsExpr, LineLengthMExpr, MinHashSigExpr, RollingMinExpr,
+  STDWithinExpr, ShinglesExpr, SimHash32Expr, VideoMetaExpr}
 import graft.plans.DistanceJoinRule
 
 /** SQL surface for the library's native Catalyst expressions.
@@ -146,6 +147,20 @@ object GraftExtensions {
           graft.operators.Pii.PhoneRe, "[PHONE]"),
           graft.operators.Pii.IdRe, "[ID]")
       })),
+    // the real media-container header decoders — dashboards can audit
+    // a binary column from pure SQL
+    (FunctionIdentifier("graft_image_dims"),
+      new ExpressionInfo(classOf[ImageDimsExpr].getName,
+        "graft_image_dims"),
+      oneArg("graft_image_dims", ImageDimsExpr)),
+    (FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[AudioMetaExpr].getName,
+        "graft_audio_meta"),
+      oneArg("graft_audio_meta", AudioMetaExpr)),
+    (FunctionIdentifier("graft_video_meta"),
+      new ExpressionInfo(classOf[VideoMetaExpr].getName,
+        "graft_video_meta"),
+      oneArg("graft_video_meta", VideoMetaExpr)),
     (FunctionIdentifier("graft_st_dwithin"),
       new ExpressionInfo(classOf[STDWithinExpr].getName, "graft_st_dwithin"),
       { args =>

@@ -106,15 +106,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.take(3) == Seq(0L, 1L, 2L)) // x→even bit, y→odd bit
   }
 
+  test("media decoders answer from pure SQL") {
+    GraftExtensions.register(spark)
+    // the real 1×1 PNG ImageDimsSpec uses, via SQL only
+    val png = "89504E470D0A1A0A0000000D4948445200000001000000010802000000"
+    val r = spark.sql(
+      s"SELECT graft_image_dims(unhex('$png')) AS d").collect().head
+      .getStruct(0)
+    assert(r.getString(0) == "png" && r.getInt(1) == 1 && r.getInt(2) == 1)
+    // a minimal WAV header: RIFF + fmt chunk, 1ch 8000Hz 8-bit, no data
+    val wav = "52494646" + "24000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "401F0000" + "0100" + "0800" + "64617461" + "00000000"
+    val a = spark.sql(
+      s"SELECT graft_audio_meta(unhex('$wav')) AS m").collect().head
+      .getStruct(0)
+    assert(a.getInt(0) == 1 && a.getInt(1) == 8000)
+  }
+
   test("extensions class wires the same descriptions as register()") {
     val ext = new GraftExtensions
     // applying to a fresh SparkSessionExtensions must accept every
     // description without throwing (the builder-time injection path)
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("graft_gram_hashes", "graft_hash32", "graft_hash64",
-        "graft_line_length_m", "graft_minhash_sig", "graft_morton_z",
-        "graft_pii_redact", "graft_rolling_min", "graft_shingles",
-        "graft_simhash32", "graft_st_dwithin", "graft_vec_dot"))
+      Seq("graft_audio_meta", "graft_gram_hashes", "graft_hash32",
+        "graft_hash64", "graft_image_dims", "graft_line_length_m",
+        "graft_minhash_sig", "graft_morton_z", "graft_pii_redact",
+        "graft_rolling_min", "graft_shingles", "graft_simhash32",
+        "graft_st_dwithin", "graft_vec_dot", "graft_video_meta"))
   }
 }
