@@ -249,6 +249,13 @@ object Dedup {
       |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    simhashPairs(s, d).orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_a, doc_b, hamming ≤ 2) simhash near-dup pairs — the chunked
+    * candidate + XOR refine pipeline, shared by the standalone query
+    * and the ensemble Venn. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // the native one-pass SimHash kernel consumes the hash array ONCE
     // (SimHash32Expr), so hashing fuses into the same projection — no
     // barrier needed between hashing and the bit votes (the former
@@ -282,7 +289,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= 2)
-      .orderBy("doc_a", "doc_b")
   }
 
   // ---- n-gram Jaccard with length-band blocking --------------------------
@@ -315,6 +321,13 @@ object Dedup {
       |  round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
       |FROM j WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    jaccardPairs(s, d).orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_a, doc_b, jaccard ≥ 0.5) n-gram Jaccard near-dup pairs —
+    * the length-band candidate + exact set-overlap refine pipeline,
+    * shared by the standalone query and the ensemble Venn. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         tokens(col("text")).as("toks"))
@@ -346,7 +359,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("tot") - col("inter")), 6)
           .as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // ---- embedding cosine near-dup (exact, label-blocked) ------------------
@@ -756,6 +768,86 @@ object Dedup {
       .orderBy("inc_id")
   }
 
+  // ---- detector ensemble Venn ---------------------------------------------
+  // Which near-dup detector catches what the others miss: the pair
+  // sets of the three text detectors (minhash-LSH n_match ≥ K/2,
+  // simhash hamming ≤ 2, n-gram Jaccard ≥ 0.5) unioned and rolled up
+  // by METHOD COMBINATION — the Venn table a curator reads before
+  // deciding which detectors to pay for at corpus scale. Pure
+  // composition of the three shared pair pipelines (each already
+  // candidate-bounded); the rollup joins only pair keys.
+  private val qEnsemble = QuerySpec.of(
+    "q_dedup_ensemble",
+    s"""WITH $duckMinhashPairs,
+      |sx AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN list_sum(list_transform(toks, tok ->
+      |        CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) >> b) & 1 = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS sim
+      |  FROM t WHERE len(toks) > 0),
+      |sx_chunks AS (
+      |  SELECT doc_id, sim, c, (sim >> (c * 8)) & 255 AS chunk
+      |  FROM sx, unnest(range(0, 4)) AS u(c)),
+      |sx_small AS (
+      |  SELECT c, chunk FROM sx_chunks GROUP BY c, chunk
+      |  HAVING count(*) BETWEEN 2 AND 200),
+      |sx_cf AS (SELECT sx_chunks.* FROM sx_chunks
+      |          JOIN sx_small USING (c, chunk)),
+      |sx_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sx_cf a JOIN sx_cf b
+      |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sim, b.sim)) <= 2),
+      |jc_g AS (
+      |  SELECT t.doc_id, d.lang, d.n_chars,
+      |    list_distinct(list_transform(range(0, len(toks) - ${SHINGLE_N - 1}),
+      |      i -> array_to_string(list_slice(toks, i + 1, i + $SHINGLE_N), ' '))) AS grams
+      |  FROM t JOIN documents d ON d.doc_id = t.doc_id
+      |  WHERE len(toks) >= $SHINGLE_N),
+      |jc_k AS (
+      |  SELECT doc_id, lang, n_chars, (n_chars // 20) + o AS band
+      |  FROM jc_g, unnest(range(0, 2)) AS u(o)),
+      |jc_cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM jc_k a JOIN jc_k b
+      |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |  WHERE abs(a.n_chars - b.n_chars) <= 20),
+      |jc_pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+      |        AS inter,
+      |      len(ga.grams) + len(gb.grams) AS tot
+      |    FROM jc_cand JOIN jc_g ga ON doc_a = ga.doc_id
+      |      JOIN jc_g gb ON doc_b = gb.doc_id)
+      |  WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5),
+      |u AS (
+      |  SELECT doc_a, doc_b, 'minhash' AS meth FROM cand
+      |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sx_pairs
+      |  UNION ALL SELECT doc_a, doc_b, 'jaccard' FROM jc_pairs),
+      |v AS (
+      |  SELECT doc_a, doc_b,
+      |    string_agg(DISTINCT meth, '+' ORDER BY meth) AS methods
+      |  FROM u GROUP BY doc_a, doc_b)
+      |SELECT methods, count(*) AS n_pairs
+      |FROM v GROUP BY methods ORDER BY methods""".stripMargin) { (s, d) =>
+    val m = minhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit("minhash").as("meth"))
+    val sx = simhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit("simhash").as("meth"))
+    val jc = jaccardPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit("jaccard").as("meth"))
+    m.unionByName(sx).unionByName(jc)
+      .groupBy("doc_a", "doc_b")
+      .agg(array_join(array_sort(collect_set(col("meth"))), "+")
+        .as("methods"))
+      .groupBy("methods")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("methods")
+  }
+
   // ---- minhash estimation accuracy ---------------------------------------
   // The honest number behind every minhash decision: how close the
   // K-component signature agreement is to the TRUE Jaccard, measured
@@ -1004,5 +1096,5 @@ object Dedup {
   val specs: Seq[QuerySpec] =
     Seq(qExact, qMinhash, qMinhashClusters, qSimhash, qNgramJaccard,
       qEmbed, qWinnow, qSemantic, qSpanRewrite, qStreamIndex, qIncremental,
-      qEditDistance, qContainment, qMinhashAccuracy)
+      qEditDistance, qContainment, qMinhashAccuracy, qEnsemble)
 }
