@@ -1117,6 +1117,37 @@ object Events {
       .orderBy("day")
   }
 
+  // ---- weekday × hour traffic heatmap -------------------------------------
+  // The operational traffic fingerprint: counts per (day-of-week,
+  // hour-of-day) cell with each cell's share of its weekday row in
+  // integer bp — one partial-agg scan to a 7×24 rollup.
+  private val qDowHour = QuerySpec.of(
+    "q_events_dow_hour",
+    """WITH c AS (
+      |  SELECT CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS wd,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT wd, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY wd)
+      |SELECT c.wd, c.hh, c.n,
+      |  CAST(c.n * 10000 // r.row_n AS BIGINT) AS row_share_bp
+      |FROM c JOIN r USING (wd)
+      |ORDER BY c.wd, c.hh""".stripMargin) { (s, d) =>
+    // Spark dayofweek is 1..7 (Sun=1); DuckDB 0..6 (Sun=0) — align
+    val c = eventsMs(s, d)
+      .groupBy(
+        (dayofweek(timestamp_millis(col("ms") - col("ms") % 86400000L))
+          .cast("long") - 1).as("wd"),
+        expr("CAST(ms DIV 3600000 % 24 AS BIGINT)").as("hh"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // row totals + output read it
+    val r = c.groupBy("wd").agg(sum("n").as("row_n"))
+    c.join(broadcast(r), "wd")
+      .select(col("wd"), col("hh"), col("n"),
+        expr("CAST(n * 10000 DIV row_n AS BIGINT)").as("row_share_bp"))
+      .orderBy("wd", "hh")
+  }
+
   // ---- cohort LTV triangle ------------------------------------------------
   // The lifetime-value triangle: users grouped by first-seen month,
   // purchase revenue accumulated by whole-month age, reported as
@@ -1623,5 +1654,5 @@ object Events {
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
       qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge, qSmooth,
-      qStreamReprocess, qCohortLtv)
+      qStreamReprocess, qCohortLtv, qDowHour)
 }
