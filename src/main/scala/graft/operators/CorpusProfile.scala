@@ -250,9 +250,13 @@ object CorpusProfile {
   // per-source running token sum, keep while the cumulative count
   // stays within quota. One corpus scan + one window per source; the
   // hash order makes the selected set stable under any partitioning
-  // (no RAND(), no row-order dependence). sqrt is IEEE-exact and the
-  // quota floor runs on identical double expression trees in both
-  // engines, so the report is hash-exact.
+  // (no RAND(), no row-order dependence). The sqrt weights are
+  // quantized to integer micro-units (round(sqrt(x)*1e6) AS BIGINT)
+  // BEFORE summing, so the weight total z is an exact integer — a
+  // raw double SUM would be partitioning-order-dependent and could
+  // flip a quota floor between engines. The remaining quota floor is
+  // a single division+multiplication over exact integers, identical
+  // in both engines, so the report is hash-exact.
   private val qSampleBudget = QuerySpec.of(
     "q_sample_budget", {
       val bk = graft.functions.HashFunctions.sqlHash32("doc_id")
@@ -262,13 +266,15 @@ object CorpusProfile {
         |      t -> t <> '')) AS BIGINT) AS ntok,
         |    $bk AS hk
         |  FROM documents),
-        |c AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS src_tokens
+        |c AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS src_tokens,
+        |        CAST(round(sqrt(CAST(sum(ntok) AS DOUBLE)) * 1e6)
+        |          AS BIGINT) AS wq
         |      FROM d GROUP BY source),
         |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) // 2 AS budget,
-        |        sum(sqrt(CAST(src_tokens AS DOUBLE))) AS z FROM c),
+        |        CAST(sum(wq) AS BIGINT) AS z FROM c),
         |q AS (
         |  SELECT source, src_tokens,
-        |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) / z
+        |    CAST(floor(CAST(wq AS DOUBLE) / CAST(z AS DOUBLE)
         |      * CAST(budget AS DOUBLE)) AS BIGINT) AS quota
         |  FROM c, t),
         |r AS (
@@ -281,7 +287,7 @@ object CorpusProfile {
         |  CAST(coalesce(sum(ntok) FILTER (cum <= quota), 0) AS BIGINT)
         |    AS tokens_selected,
         |  CAST(coalesce(sum(ntok) FILTER (cum <= quota), 0) * 10000
-        |    // max(quota) AS BIGINT) AS fill_bp
+        |    // nullif(max(quota), 0) AS BIGINT) AS fill_bp
         |FROM r GROUP BY source ORDER BY source""".stripMargin
     }) { (s, d) =>
     import graft.functions.HashFunctions
@@ -289,12 +295,14 @@ object CorpusProfile {
       .select(col("doc_id"), col("source"),
         wsTokenCount(col("text")).cast("long").as("ntok"),
         HashFunctions.hash32(col("doc_id")).as("hk"))
-    val c = docs.groupBy("source").agg(sum("ntok").as("src_tokens"))
+    val c = docs.groupBy("source").agg(sum("ntok").as("src_tokens"),
+      round(sqrt(sum("ntok").cast("double")) * lit(1e6)).cast("long")
+        .as("wq"))
     val t = c.agg((sum("src_tokens") / lit(2)).cast("long").as("budget"),
-      sum(sqrt(col("src_tokens").cast("double"))).as("z"))
+      sum("wq").cast("long").as("z"))
     val q = c.crossJoin(broadcast(t))
       .select(col("source"),
-        floor(sqrt(col("src_tokens").cast("double")) / col("z")
+        floor(col("wq").cast("double") / col("z").cast("double")
           * col("budget").cast("double")).cast("long").as("quota"))
     val w = Window.partitionBy("source").orderBy("hk", "doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -308,7 +316,8 @@ object CorpusProfile {
           .as("tokens_selected"))
       .select(col("source"), col("quota_tokens"), col("n_selected"),
         col("tokens_selected"),
-        expr("CAST(tokens_selected * 10000 DIV quota_tokens AS BIGINT)")
+        expr("CAST(tokens_selected * 10000 DIV nullif(quota_tokens, 0)" +
+            " AS BIGINT)")
           .as("fill_bp"))
       .orderBy("source")
   }

@@ -1056,7 +1056,7 @@ object Dedup {
       |  FROM pairs JOIN p pa ON doc_a = pa.doc_id
       |    JOIN p pb ON doc_b = pb.doc_id)
       |SELECT doc_a, doc_b, edit_dist,
-      |  CAST((ml - edit_dist) * 10000 // ml AS BIGINT) AS sim_bp
+      |  CAST((ml - edit_dist) * 10000 // nullif(ml, 0) AS BIGINT) AS sim_bp
       |FROM e WHERE edit_dist <= $EditMax
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -1089,7 +1089,10 @@ object Dedup {
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditMax)
       .select(col("doc_a"), col("doc_b"),
         col("edit_dist").cast("bigint").as("edit_dist"),
-        expr("CAST((ml - edit_dist) * 10000 DIV ml AS BIGINT)").as("sim_bp"))
+        // nullif guard: two empty-text docs in the same band give ml=0,
+        // where DuckDB // would raise div-by-zero while Spark DIV nulls
+        expr("CAST((ml - edit_dist) * 10000 DIV nullif(ml, 0) AS BIGINT)")
+          .as("sim_bp"))
       .orderBy("doc_a", "doc_b")
   }
 

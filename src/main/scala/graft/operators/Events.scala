@@ -1424,18 +1424,30 @@ object Events {
         |  count(*) AS n_total
         |FROM events GROUP BY day ORDER BY day""".stripMargin
     }) { (s, d) =>
-    val pivoted = eventsMs(s, d)
+    // ONE corpus-sized aggregation to (day, event_type, n) — days ×
+    // types rows — then pivot and total over that tiny intermediate.
+    // n_total sums EVERY type (not just the explicit pivot list), so
+    // it stays equal to the oracle's count(*) even if the corpus
+    // gains an event_type outside EventTypes. localCheckpoint pins
+    // the intermediate so the two consumers don't re-scan the corpus.
+    val perType = eventsMs(s, d)
       .select(date_format(
         timestamp_millis(col("ms") - col("ms") % 86400000L),
         "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pivoted = perType
       .groupBy("day")
       .pivot("event_type", EventTypes)
-      .agg(count(lit(1)))
+      .agg(sum("n"))
+    val totals = perType.groupBy("day").agg(sum("n").as("n_total"))
     EventTypes.foldLeft(pivoted) { (df, t) =>
         df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
       }
-      .withColumn("n_total",
-        EventTypes.map(t => col(s"n_$t")).reduce(_ + _))
+      .join(totals, "day")
+      .select(Seq(col("day")) ++ EventTypes.map(t => col(s"n_$t")) :+
+        col("n_total"): _*)
       .orderBy("day")
   }
 

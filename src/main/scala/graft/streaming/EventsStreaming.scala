@@ -554,18 +554,29 @@ object EventsStreaming {
       writeEventsFile(sentinelDf(spark, schema, ms, idOff), dir, fileName)
     try {
       // the source table may be a bare file (driver testdata) or a
-      // Spark-written directory of part-files (specs) — stage either
+      // Spark-written directory of part-files (specs). ALL real rows
+      // must land in ONE micro-batch: with maxFilesPerTrigger=1 each
+      // staged file is its own batch, and the 10-minute join watermark
+      // advances between batches — if parts were not time-ordered,
+      // rows behind the watermark would be silently dropped from the
+      // stream-stream join. Staging a single merged file makes the
+      // result independent of part-file time ordering; only the two
+      // sentinel files ride in later batches (to flush state).
       val src = Paths.get(s"$sfDir/events.parquet")
-      val parts =
-        if (Files.isDirectory(src))
-          src.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(_.toPath).sortBy(_.toString).toSeq
-        else Seq(src)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val t = dir.resolve(f"e0_$i%03d_events.parquet")
-        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-        t.toFile.setLastModified(1000000L + i)
+      if (Files.isDirectory(src) &&
+          src.toFile.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+        writeEventsFile(spark.read.parquet(src.toString), dir,
+          "e0_events.parquet")
+      else {
+        val one =
+          if (Files.isDirectory(src))
+            src.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+              .head.toPath
+          else src
+        Files.copy(one, dir.resolve("e0_events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
       }
+      dir.resolve("e0_events.parquet").toFile.setLastModified(1000000L)
       writeSentinel("e1_sentinel.parquet", maxMs + 30L * 86400000L, 0)
       writeSentinel("e2_sentinel.parquet", maxMs + 31L * 86400000L, 1)
       // one file per micro-batch, oldest mtime first — pin the order
