@@ -34,6 +34,7 @@ object SparkEntry {
       operators.PipelineE2E.specs ++
       operators.SpatialLayout.specs ++
       operators.GeoPackage.specs ++
+      operators.MvtTiles.specs ++
       operators.Validity.specs ++
       operators.ViewportHint.specs
 

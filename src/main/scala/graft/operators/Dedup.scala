@@ -77,7 +77,21 @@ object Dedup {
     * is the standard skew guard and keeps the pair join from exploding
     * quadratically. Deterministic, and mirrored in the oracle.
     */
+  /** Shard-size target for hot LSH buckets. Buckets above this are NOT
+    * skipped (that would drop candidates exactly where boilerplate dup
+    * density is highest); they are SALTED — split into deterministic
+    * shards and self-joined over the triangular shard grid, so the
+    * inherent O(n²) candidate work of a hot bucket spreads over
+    * m(m+1)/2 tasks instead of serializing on one. See
+    * [[bucketAllPairs]].
+    */
   private val MAX_BUCKET = 200
+
+  /** Replication cap: a bucket of n docs costs O(n·m) replicated rows
+    * and O((n/m)²) work per grid cell; m = min(ceil(n/MAX_BUCKET), 64)
+    * bounds the replication factor on pathological buckets.
+    */
+  private val MAX_SALT = 64
 
   /** Oracle-SQL prelude building the signature index CTEs
     * (t → sh → sig → bands) every minhash-family oracle shares.
@@ -109,7 +123,7 @@ object Dedup {
     s"""$duckSigBands,
       |small AS (
       |  SELECT b, bh FROM bands GROUP BY b, bh
-      |  HAVING count(*) BETWEEN 2 AND $MAX_BUCKET),
+      |  HAVING count(*) >= 2),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM (SELECT bands.* FROM bands JOIN small USING (b, bh)) a
@@ -125,10 +139,6 @@ object Dedup {
       |  SELECT doc_a, doc_b, n_match FROM est
       |  WHERE n_match >= ${MINHASH_K / 2})""".stripMargin
 
-  /** Near-dup pairs (doc_a < doc_b, n_match ≥ K/2) from the persisted
-    * signature index: banded bucket join (skew-capped), narrow pair
-    * shuffle, signatures re-attached after pair dedupe.
-    */
   /** (doc_id, b, bh) band rows from a signature table — narrow on
     * purpose so the bucket joins shuffle 3 small columns; signatures
     * re-attach after pair dedupe.
@@ -141,18 +151,47 @@ object Dedup {
               .as("bh")))).as("band"))
       .select(col("doc_id"), col("band.b"), col("band.bh"))
 
+  /** All within-bucket candidate pairs (doc_a < doc_b), salt-sharded:
+    * every doc in a bucket of n gets shard s = hash(doc_id) mod m with
+    * m = min(ceil(n / MAX_BUCKET), MAX_SALT); the bucket's all-pairs
+    * self-join runs over the triangular shard grid — a doc in shard s
+    * probes cells (s, j≥s) on the left and (i≤s, s) on the right, so
+    * every cross-shard pair lands in exactly the cell (min, max) of
+    * its two shards and within-shard pairs in the diagonal cell. Hot
+    * boilerplate buckets keep FULL recall (nothing is skipped, unlike
+    * the pre-round-12 cap that dropped over-hot buckets) while their
+    * inherent O(n²) candidate work spreads over m(m+1)/2 shuffle keys
+    * instead of serializing on one task. Small buckets take the same
+    * code path with m = 1 (zero extra replication). HotBucketSpec
+    * proves pairs the old skip path dropped are found, across shards.
+    */
+  private[graft] def bucketAllPairs(bands: DataFrame): DataFrame = {
+    val counts = bands.groupBy("b", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val sharded = bands.join(counts, Seq("b", "bh"))
+      .withColumn("m",
+        least(ceil(col("n").cast("double") / MAX_BUCKET), lit(MAX_SALT))
+          .cast("int"))
+      .withColumn("s",
+        pmod(graft.functions.HashFunctions.hash32(col("doc_id")), col("m")))
+    val left = sharded
+      .withColumn("j", explode(sequence(col("s"), col("m") - 1)))
+      .select(col("doc_id").as("doc_a"), col("b"), col("bh"),
+        col("s").as("i"), col("j"))
+    val right = sharded
+      .withColumn("i", explode(sequence(lit(0), col("s"))))
+      .select(col("doc_id").as("doc_b"), col("b"), col("bh"),
+        col("i"), col("s").as("j"))
+    left.join(right, Seq("b", "bh", "i", "j"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+  }
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
-    val bands = bandsOf(sig)
-    val small = bands.groupBy("b", "bh").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, MAX_BUCKET))
-      .select("b", "bh")
-    val inSmall = bands.join(small, Seq("b", "bh"))
-    val pairs = inSmall.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
-      .join(inSmall.select(col("doc_id").as("doc_b"), col("b"), col("bh")),
-        Seq("b", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val pairs = bucketAllPairs(bandsOf(sig))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),

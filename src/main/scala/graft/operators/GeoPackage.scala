@@ -506,5 +506,122 @@ object GeoPackage {
       .orderBy("file")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qLayers, qMerge, qMergeMulti)
+  // ---- S7 depth: GeoPackage geometry BLOBs --------------------------------
+  // The binary geometry column itself (GP header + envelope + WKB,
+  // encoded by GpkgGeomExpr) over six layers: runs/lifts LineStrings,
+  // spots Points, ski-area hexagon Polygons, the reference's ski-area
+  // `_point` centroid layer (GeoPackageWriter.ts:536-556), and the
+  // MultiPart 2-part MultiPolygon fixture. Every output column except
+  // (layer, fid) is derived from the ENCODER's own result row —
+  // n_points and the envelope doubles are the values written into the
+  // header bytes and blob_len measures the real blob — while the
+  // oracle recomputes them relationally (count/min/max + the wire-size
+  // arithmetic per WKB type), so a byte-layout regression flips the
+  // hash. GpkgSpec parses the blobs back byte-by-byte.
+  private val qBlobs = QuerySpec.of(
+    "q_gpkg_blobs", {
+      def vertRows(shape: Seq[(Int, Int)], part: Int): String =
+        shape.map { case (vx, vy) =>
+          s"{'part': $part, 'vx': CAST($vx AS DOUBLE), 'vy': CAST($vy AS DOUBLE)}"
+        }.mkString(",\n        |        ")
+      val u = MultiPart.U
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |${MvtTiles.oracleFeatPtsCtes},
+        |gfeat AS (
+        |  SELECT layer, fid, gtype, CAST(count(*) AS BIGINT) AS n_points,
+        |    min(lon) AS env_minx, max(lon) AS env_maxx,
+        |    min(lat) AS env_miny, max(lat) AS env_maxy
+        |  FROM feat_pts GROUP BY 1, 2, 3),
+        |gsingle AS (
+        |  SELECT layer, fid, gtype AS wkb_type, n_points,
+        |    CAST(40 + CASE gtype WHEN 1 THEN 21
+        |      WHEN 2 THEN 9 + 16 * n_points
+        |      WHEN 3 THEN 13 + 16 * (n_points + 1) END AS BIGINT)
+        |      AS blob_len,
+        |    env_minx, env_maxx, env_miny, env_maxy
+        |  FROM gfeat),
+        |apoints AS (
+        |  SELECT 'skiareas_point' AS layer, o_orderkey AS fid,
+        |    1 AS wkb_type, CAST(1 AS BIGINT) AS n_points,
+        |    CAST(61 AS BIGINT) AS blob_len,
+        |    CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0
+        |      AS ax,
+        |    CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0
+        |      AS ay
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |mverts AS (
+        |  SELECT o_orderkey AS fid, (p).part AS part,
+        |    (CAST((o_orderkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0)
+        |      + (p).vx * $u AS x,
+        |    (CAST((o_orderkey * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0)
+        |      + (p).vy * $u AS y
+        |  FROM orders, unnest(CASE WHEN o_orderkey % 2 = 0
+        |    THEN [${vertRows(MultiPart.RectXY, 0)},
+        |        ${vertRows(MultiPart.Rect2XY, 1)}]
+        |    ELSE [${vertRows(MultiPart.CXY, 0)},
+        |        ${vertRows(MultiPart.Rect2XY, 1)}]
+        |    END) AS u(p)
+        |  WHERE o_orderkey % 37 = 0),
+        |mpartn AS (
+        |  SELECT fid, part, count(*) AS n FROM mverts GROUP BY 1, 2),
+        |mrows AS (
+        |  SELECT v.fid, CAST(count(*) AS BIGINT) AS n_points,
+        |    min(v.x) AS env_minx, max(v.x) AS env_maxx,
+        |    min(v.y) AS env_miny, max(v.y) AS env_maxy
+        |  FROM mverts v GROUP BY 1),
+        |msize AS (
+        |  SELECT fid, CAST(49 + sum(13 + 16 * (n + 1)) AS BIGINT)
+        |    AS blob_len
+        |  FROM mpartn GROUP BY 1),
+        |unioned AS (
+        |  SELECT * FROM gsingle
+        |  UNION ALL
+        |  SELECT layer, fid, wkb_type, n_points, blob_len,
+        |    ax, ax, ay, ay FROM apoints
+        |  UNION ALL
+        |  SELECT 'skiareas_multi', r.fid, 6, r.n_points, s.blob_len,
+        |    r.env_minx, r.env_maxx, r.env_miny, r.env_maxy
+        |  FROM mrows r JOIN msize s ON r.fid = s.fid)
+        |SELECT layer, fid, wkb_type, n_points, blob_len,
+        |  env_minx, env_maxx, env_miny, env_maxy
+        |FROM unioned ORDER BY layer, fid""".stripMargin
+    }) { (s, d) =>
+    gpkgGeoms(s, d)
+      .select(col("layer"), col("fid"), col("wkb_type"),
+        col("g")("n_points").cast("long").as("n_points"),
+        length(col("g")("blob")).cast("long").as("blob_len"),
+        col("g")("minx").as("env_minx"), col("g")("maxx").as("env_maxx"),
+        col("g")("miny").as("env_miny"), col("g")("maxy").as("env_maxy"))
+      .orderBy("layer", "fid")
+  }
+
+  /** (layer, fid, wkb_type, g struct<blob, n_points, env…>) — the
+    * encoded geometry surface; also the spec's parse input.
+    */
+  private[graft] def gpkgGeoms(s: SparkSession, d: String): DataFrame = {
+    val single = MvtTiles.features(s, d)
+      .select(col("layer"), col("fid"), col("gtype").as("wkb_type"),
+        array(array(col("pts"))).as("parts"))
+    val apoints = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(lit("skiareas_point").as("layer"),
+        col("o_orderkey").as("fid"), lit(1).as("wkb_type"),
+        array(array(array(struct(
+          (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double")
+            / 1000.0 - 180.0).as("lon"),
+          (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double")
+            / 1000.0 - 60.0).as("lat"))))).as("parts"))
+    val multi = MultiPart.multiAreas(s, d)
+      .select(lit("skiareas_multi").as("layer"),
+        col("area_id").as("fid"), lit(6).as("wkb_type"),
+        transform(col("parts"), ring => array(transform(ring, xy =>
+          struct(element_at(xy, 1).as("lon"), element_at(xy, 2).as("lat")))))
+          .as("parts"))
+    single.unionByName(apoints).unionByName(multi)
+      .withColumn("g",
+        graft.functions.GpkgGeomExpr.gpkgGeom(col("wkb_type"), col("parts")))
+      .drop("parts")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qLayers, qMerge, qMergeMulti, qBlobs)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QuerySpec
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-part geometry operators: hole-aware containment over
@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
 object MultiPart {
 
   private val CellDeg = SkiQueries.CellDeg
-  private val U = 0.001
+  private[operators] val U = 0.001
 
   /** (ring_no, vertex list in 0.001° units). */
   private val RingDefs: Seq[Seq[(Double, Double)]] = Seq(
@@ -142,10 +142,33 @@ object MultiPart {
   // rect (even ids) or C-shape (odd ids, centroid in the notch → snap
   // to boundary), part 1 a small convex rect — so the per-part
   // independence is visible: part 0 may snap while part 1 never does.
-  private val RectXY = Seq((0, 0), (3, 0), (3, 3), (0, 3))
-  private val CXY =
+  private[operators] val RectXY = Seq((0, 0), (3, 0), (3, 3), (0, 3))
+  private[operators] val CXY =
     Seq((0, 0), (3, 0), (3, 1), (1, 1), (1, 2), (3, 2), (3, 4), (0, 4))
-  private val Rect2XY = Seq((5, 0), (7, 0), (7, 2), (5, 2))
+  private[operators] val Rect2XY = Seq((5, 0), (7, 0), (7, 2), (5, 2))
+
+  /** The 2-part MultiPolygon area fixture — (area_id, convex, alon,
+    * alat, parts array<ring array<[lon,lat]>>); shared with the
+    * GeoPackage MultiPolygon BLOB layer.
+    */
+  private[operators] def multiAreas(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    def ring(pts: Seq[(Int, Int)]): Column = array(pts.map { case (vx, vy) =>
+      array(col("alon") + lit(vx.toDouble) * U,
+        col("alat") + lit(vy.toDouble) * U)
+    }: _*)
+    graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey").as("area_id"),
+        (pmod(col("o_orderkey"), lit(2)) === 0).as("convex"),
+        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
+          - 180.0).as("alon"),
+        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
+          - 60.0).as("alat"))
+      .withColumn("parts",
+        when(col("convex"), array(ring(RectXY), ring(Rect2XY)))
+          .otherwise(array(ring(CXY), ring(Rect2XY))))
+  }
 
   private val qCentralMulti = QuerySpec.of(
     "q_ski_central_multi", {
@@ -221,21 +244,7 @@ object MultiPart {
         |LEFT JOIN snapped s ON c.area_id = s.area_id AND c.part = s.part
         |ORDER BY c.area_id, part_no""".stripMargin
     }) { (s, d) =>
-    def ring(pts: Seq[(Int, Int)]): Column = array(pts.map { case (vx, vy) =>
-      array(col("alon") + lit(vx.toDouble) * U,
-        col("alat") + lit(vy.toDouble) * U)
-    }: _*)
-    val areas = graft.Tables.orders(s, d)
-      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
-      .select(col("o_orderkey").as("area_id"),
-        (pmod(col("o_orderkey"), lit(2)) === 0).as("convex"),
-        (pmod(col("o_orderkey") * 7919, lit(360000)).cast("double") / 1000.0
-          - 180.0).as("alon"),
-        (pmod(col("o_orderkey") * 104729, lit(120000)).cast("double") / 1000.0
-          - 60.0).as("alat"))
-      .withColumn("parts",
-        when(col("convex"), array(ring(RectXY), ring(Rect2XY)))
-          .otherwise(array(ring(CXY), ring(Rect2XY))))
+    val areas = multiAreas(s, d)
     val perPart = areas.select(col("area_id"),
       posexplode(col("parts")).as(Seq("part_no", "ring")))
     val c = GeoFunctions.centroid(col("ring"))
