@@ -113,6 +113,12 @@ object GpkgKernel {
     b.i32(t)
     t match {
       case 1 =>
+        // a Point part carries exactly one vertex — a multi-vertex
+        // ring here would make n_points/envelope (computed over every
+        // supplied vertex) silently disagree with the WKB payload
+        require(rings.length == 1 && rings(0).length == 1,
+          s"POINT part must have exactly 1 vertex, got " +
+            s"${rings.map(_.length).mkString("/")}")
         val (x, y) = rings(0)(0)
         b.f64(x); b.f64(y)
       case 2 =>

@@ -125,11 +125,17 @@ object MvtKernel {
       case 1 =>
         buf += command(1, 1); emitPoint(0)
       case 2 =>
+        // vector-tile-spec 2.1: LineTo count MUST be > 0 — a 1-point
+        // line would encode an invalid command stream, so fail loudly
+        require(xs.length >= 2,
+          s"LINESTRING needs >= 2 points, got ${xs.length}")
         buf += command(1, 1); emitPoint(0)
         buf += command(2, xs.length - 1)
         var i = 1
         while (i < xs.length) { emitPoint(i); i += 1 }
       case 3 =>
+        require(xs.length >= 3,
+          s"POLYGON ring needs >= 3 points, got ${xs.length}")
         buf += command(1, 1); emitPoint(0)
         buf += command(2, xs.length - 1)
         var i = 1

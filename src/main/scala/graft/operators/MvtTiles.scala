@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *  1. tile assignment — per feature and zoom, the slippy tiles its
   *     lon/lat bbox intersects (Web-Mercator, the TerrainTiles
   *     operation order, so both engines compute identical doubles);
-  *     `explode(sequence(...))` keeps it narrow — NO shuffle until
-  *     the final per-tile aggregation;
+  *     `explode(sequence(...))` keeps the fan-out itself narrow.
+  *     Two small shuffles precede it: the `Tables.fanout` repartition
+  *     that spreads the feature tables, and the runs layer's
+  *     groupBy(way_id) dedup in `features()` — both over the
+  *     un-exploded feature rows, so they are tiny relative to the
+  *     post-explosion volume;
   *  2. tile-local quantization — world integer pixel at a 4096
   *     extent, minus tile origin; coordinates of a multi-tile feature
   *     may leave [0,4096) (valid MVT — renderers clip; buffer=0,

@@ -571,7 +571,9 @@ object EventsStreaming {
         val one =
           if (Files.isDirectory(src))
             src.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
-              .head.toPath
+              .headOption.getOrElse(sys.error(
+                s"no .parquet part files under $src — cannot stage events"))
+              .toPath
           else src
         Files.copy(one, dir.resolve("e0_events.parquet"),
           StandardCopyOption.REPLACE_EXISTING)

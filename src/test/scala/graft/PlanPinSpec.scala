@@ -2,15 +2,28 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions.broadcast
 
 /** Plan pins for the two hottest pipelines: the physical plans of
   * q_ski_normalize and q_pipeline_e2e must stay free of
-  * CartesianProduct / BroadcastNestedLoopJoin and keep their exchange
-  * counts bounded — a future change that silently introduces an extra
-  * shuffle or degrades a join to a nested loop fails here, not in a
-  * bench regression three rounds later.
+  * CartesianProduct / non-scalar BroadcastNestedLoopJoin and keep
+  * their exchange counts bounded — a future change that silently
+  * introduces an extra shuffle or degrades a join to a nested loop
+  * fails here, not in a bench regression three rounds later.
+  *
+  * The BNLJ ban exempts the scalar-summary pattern (a crossJoin of
+  * two single-row aggregates, which Spark always plans as a 1×1-row
+  * BroadcastNestedLoopJoin): ~20 queries deliberately fold their
+  * one-row summary this way (e.g. SkiQueries.scala q_ski_normalize's
+  * `dup.agg(...).crossJoin(rendered.agg(...))`), and a nested loop
+  * over two single rows is not a plan hazard. A BNLJ is flagged only
+  * when at least one side is NOT a global (grouping-free) aggregate —
+  * the genuinely quadratic shape the pin exists to catch; the
+  * negative test below proves the pin still fires on one.
   *
   * Exchange budgets are asserted as ceilings (measured count at pin
   * time, see each test), not exact equalities, so plan improvements
@@ -20,25 +33,46 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   */
 class PlanPinSpec extends SparkSpec {
 
-  /** All plan nodes incl. inside AQE wrappers and reused subtrees. */
+  /** All plan nodes, descending into AQE wrappers, materialized query
+    * stages, and reused-exchange subtrees — so a settled adaptive plan
+    * is fully counted instead of stopping at stage boundaries.
+    */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val self = p match {
+    val within = p match {
       case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case other => Seq(other)
+      case q: QueryStageExec => nodes(q.plan)
+      case r: ReusedExchangeExec => nodes(r.child)
+      case _ => Seq.empty
     }
-    self ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+    Seq(p) ++ within ++ p.children.flatMap(nodes) ++
+      p.subqueries.flatMap(nodes)
   }
 
-  private def audit(df: DataFrame): (Int, String) = {
-    // force execution so AQE settles on the final plan
-    df.count()
+  /** True when the subtree is a global single-row aggregate: its
+    * topmost aggregate node (looking through stages/exchanges/projects)
+    * has no grouping expressions.
+    */
+  private def scalarAggSide(p: SparkPlan): Boolean =
+    nodes(p).collectFirst { case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty
+    }.getOrElse(false)
+
+  private[graft] def audit(df: DataFrame): (Int, String) = {
+    // Execute THIS QueryExecution (not a derived count() one) so the
+    // AdaptiveSparkPlanExec instance we inspect settles on its final
+    // adaptive plan before the assertions read it.
+    df.queryExecution.toRdd.count()
     val plan = df.queryExecution.executedPlan
     val all = nodes(plan)
     val s = plan.toString
-    assert(!s.contains("CartesianProduct"),
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
       s"cartesian product leaked into:\n$s")
-    assert(!s.contains("BroadcastNestedLoopJoin"),
-      s"nested-loop join leaked into:\n$s")
+    val badBnlj = all.collect {
+      case j: BroadcastNestedLoopJoinExec
+          if !(scalarAggSide(j.left) && scalarAggSide(j.right)) => j
+    }
+    assert(badBnlj.isEmpty,
+      s"non-scalar nested-loop join leaked into:\n$s")
     (all.count(_.isInstanceOf[ShuffleExchangeExec]), s)
   }
 
@@ -56,5 +90,34 @@ class PlanPinSpec extends SparkSpec {
     val (exchanges, plan) = audit(df)
     assert(exchanges <= 10,
       s"q_pipeline_e2e grew to $exchanges exchanges:\n$plan")
+  }
+
+  test("audit still fires on a genuine non-scalar BNLJ and a cartesian") {
+    import spark.implicits._
+    val l = spark.range(50).toDF("a")
+    val r = spark.range(50).toDF("b")
+    val bnlj = l.join(broadcast(r), $"a" < $"b")
+    val e1 = intercept[org.scalatest.exceptions.TestFailedException] {
+      audit(bnlj)
+    }
+    assert(e1.getMessage.contains("nested-loop"))
+    // force the true CartesianProductExec shape (with broadcast
+    // allowed Spark plans a small cross join as a BNLJ instead)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = l.crossJoin(r)
+      val e2 = intercept[org.scalatest.exceptions.TestFailedException] {
+        audit(cart)
+      }
+      assert(e2.getMessage.contains("cartesian"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("audit accepts the scalar-summary cross join pattern") {
+    import org.apache.spark.sql.functions._
+    val l = spark.range(100).agg(count(lit(1)).as("n"))
+    val r = spark.range(100).agg(sum(col("id")).as("s"))
+    audit(l.crossJoin(r)) // must NOT throw: both sides single-row aggs
   }
 }
