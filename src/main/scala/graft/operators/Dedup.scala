@@ -189,6 +189,36 @@ object Dedup {
       .distinct()
   }
 
+  /** One-sided salted probe for ingest-time dedup: every candidate
+    * (inc_id, idx_id) pair where an incoming band row shares a bucket
+    * with an index band row — FULL recall, including hot boilerplate
+    * buckets (which is exactly where ingest dedup matters most). The
+    * index side of a bucket of n rows shards into
+    * m = min(ceil(n / MAX_BUCKET), MAX_SALT) deterministic salt
+    * shards; each incoming row replicates to all m shards of its
+    * bucket, so a hot bucket's probe work spreads over m shuffle keys
+    * instead of serializing on one task, at replication cost m per
+    * incoming row (m = 1 for ordinary buckets — zero overhead).
+    * Salting is pure plan shape: the pair set is identical to the
+    * unsalted join, so the oracle mirrors the plain bucket join.
+    */
+  private[graft] def bucketProbePairs(inc: DataFrame,
+      idx: DataFrame): DataFrame = {
+    val cnt = idx.groupBy("b", "bh").agg(count(lit(1)).as("n"))
+    def shardCount(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(ceil(n.cast("double") / MAX_BUCKET), lit(MAX_SALT)).cast("int")
+    val idxSharded = idx.join(cnt, Seq("b", "bh"))
+      .withColumn("s",
+        pmod(graft.functions.HashFunctions.hash32(col("doc_id")),
+          shardCount(col("n"))))
+      .select(col("doc_id").as("idx_id"), col("b"), col("bh"), col("s"))
+    val incSharded = inc.join(cnt, Seq("b", "bh"))
+      .withColumn("s", explode(sequence(lit(0), shardCount(col("n")) - 1)))
+      .select(col("doc_id").as("inc_id"), col("b"), col("bh"), col("s"))
+    incSharded.join(idxSharded, Seq("b", "bh", "s"))
+      .select("inc_id", "idx_id").distinct()
+  }
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
     val pairs = bucketAllPairs(bandsOf(sig))
@@ -740,8 +770,9 @@ object Dedup {
   // incoming slice), which ones near-duplicate something ALREADY IN
   // the index (everything else)? Candidates come from the same banded
   // buckets as the batch dedup — but the join is one-sided (incoming
-  // bands probe index bands), the skew cap applies to INDEX buckets
-  // (a hot boilerplate bucket must not absorb every new doc), and each
+  // bands probe index bands, salted over hot index buckets via
+  // [[bucketProbePairs]] so a boilerplate bucket spreads over salt
+  // shards instead of serializing — FULL recall, no skip), and each
   // incoming doc reports only its best match. Signatures come from the
   // SAME persisted scaffold the batch build wrote — the index is
   // built once and probed per batch, which is the whole point.
@@ -750,14 +781,9 @@ object Dedup {
     s"""WITH $duckSigBands,
       |inc AS (SELECT * FROM bands WHERE doc_id % 7 = 3),
       |idxb AS (SELECT * FROM bands WHERE doc_id % 7 <> 3),
-      |okb AS (
-      |  SELECT b, bh FROM idxb GROUP BY b, bh
-      |  HAVING count(*) <= $MAX_BUCKET),
       |pairs AS (
       |  SELECT DISTINCT i.doc_id AS inc_id, x.doc_id AS idx_id
-      |  FROM (SELECT inc.* FROM inc JOIN okb USING (b, bh)) i
-      |  JOIN (SELECT idxb.* FROM idxb JOIN okb USING (b, bh)) x
-      |    ON i.b = x.b AND i.bh = x.bh),
+      |  FROM inc i JOIN idxb x ON i.b = x.b AND i.bh = x.bh),
       |est AS (
       |  SELECT inc_id, idx_id,
       |    CAST(len(list_filter(range(0, $MINHASH_K),
@@ -778,14 +804,7 @@ object Dedup {
     val isInc = pmod(col("doc_id"), lit(7)) === 3
     val inc = bands.filter(isInc)
     val idxb = bands.filter(!isInc)
-    val okb = idxb.groupBy("b", "bh").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= MAX_BUCKET).select("b", "bh")
-    val pairs = inc.join(okb, Seq("b", "bh"))
-      .select(col("doc_id").as("inc_id"), col("b"), col("bh"))
-      .join(idxb.join(okb, Seq("b", "bh"))
-        .select(col("doc_id").as("idx_id"), col("b"), col("bh")),
-        Seq("b", "bh"))
-      .select("inc_id", "idx_id").distinct()
+    val pairs = bucketProbePairs(inc, idxb)
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1L).otherwise(0L)),

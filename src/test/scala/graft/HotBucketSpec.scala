@@ -54,6 +54,24 @@ class HotBucketSpec extends SparkSpec {
     assert(pairs.length === N * (N - 1) / 2)
   }
 
+  test("incremental probe finds matches inside a hot index bucket") {
+    import spark.implicits._
+    // index: a hot boilerplate bucket of N docs (>> MAX_BUCKET → 3
+    // salt shards) plus a small control bucket; incoming: one doc
+    // landing in the hot bucket, one in the control bucket, one in a
+    // bucket the index has never seen.
+    val idx = ((0L until N).map(i => (i, 0, "hotbucket")) :+
+      (1000L, 0, "ctrl")).toDF("doc_id", "b", "bh")
+    val inc = Seq((9001L, 0, "hotbucket"), (9002L, 0, "ctrl"),
+      (9003L, 0, "fresh")).toDF("doc_id", "b", "bh")
+    val got = operators.Dedup.bucketProbePairs(inc, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until N).map(i => (9001L, i)).toSet + ((9002L, 1000L))
+    // the pre-round-13 skip path dropped ALL 9001 pairs (hot bucket);
+    // the salted probe must return every one, and nothing for 9003
+    assert(got === expected)
+  }
+
   test("small buckets ride the same path with no replication blowup") {
     import spark.implicits._
     val df = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 1, "y"), (4L, 1, "y"),
