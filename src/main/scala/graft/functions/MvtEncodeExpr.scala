@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   *
   * Input: the layer name plus one tile-layer's features as
   * `array<struct<fid bigint, gtype int,
-  *               pts array<struct<pidx int, px bigint, py bigint>>,
+  *               parts array<array<struct<px bigint, py bigint>>>,
   *               pkeys array<string>, pvals array<string>>>`
-  * (points already quantized to tile-local integer coordinates at the
-  * 4096 extent, sorted by pidx; features sorted by fid upstream so the
-  * bytes are deterministic under any shuffle order).
+  * (parts already quantized/simplified/clipped to tile-local integer
+  * coordinates at the 4096 extent by MvtPrepExpr; features sorted by
+  * fid upstream so the bytes are deterministic under any shuffle
+  * order — part/point order inside a feature is fixed per row before
+  * aggregation).
   *
   * Output: the complete length-delimited `Tile.layers` frame (field 3)
   * holding one `Layer` message per the public vector-tile-spec 2.1
@@ -106,41 +108,50 @@ object MvtKernel {
   private def command(id: Int, count: Int): Long =
     ((count.toLong << 3) | id.toLong) & 0xffffffffL
 
-  /** Geometry command stream for one feature's sorted points.
-    * gtype: 1=POINT (first point only), 2=LINESTRING, 3=POLYGON
-    * (single ring, implicit ClosePath — the ring's first vertex is
-    * NOT repeated in the input).
+  /** Geometry command stream for one feature's prepared parts.
+    * gtype: 1=POINT (one single-point part), 2=LINESTRING (each part
+    * a MoveTo+LineTo run — multi-part = MultiLineString), 3=POLYGON
+    * (each part a ring with implicit ClosePath — the ring's first
+    * vertex is NOT repeated in the input). The cursor carries across
+    * parts per the MVT spec.
     */
-  def geometryCmds(gtype: Int, xs: Array[Long], ys: Array[Long])
+  def geometryCmds(gtype: Int, parts: Array[Array[(Long, Long)]])
       : Array[Long] = {
     val buf = scala.collection.mutable.ArrayBuffer[Long]()
     var cx = 0L
     var cy = 0L
-    def emitPoint(i: Int): Unit = {
-      buf += zigzag(xs(i) - cx)
-      buf += zigzag(ys(i) - cy)
-      cx = xs(i); cy = ys(i)
+    def emitPoint(p: (Long, Long)): Unit = {
+      buf += zigzag(p._1 - cx)
+      buf += zigzag(p._2 - cy)
+      cx = p._1; cy = p._2
     }
+    require(parts.nonEmpty, "empty geometry")
     gtype match {
       case 1 =>
-        buf += command(1, 1); emitPoint(0)
+        require(parts.length == 1 && parts(0).length == 1,
+          s"POINT must be one single-point part")
+        buf += command(1, 1); emitPoint(parts(0)(0))
       case 2 =>
-        // vector-tile-spec 2.1: LineTo count MUST be > 0 — a 1-point
-        // line would encode an invalid command stream, so fail loudly
-        require(xs.length >= 2,
-          s"LINESTRING needs >= 2 points, got ${xs.length}")
-        buf += command(1, 1); emitPoint(0)
-        buf += command(2, xs.length - 1)
-        var i = 1
-        while (i < xs.length) { emitPoint(i); i += 1 }
+        parts.foreach { part =>
+          // vector-tile-spec 2.1: LineTo count MUST be > 0 — a 1-point
+          // line would encode an invalid command stream, fail loudly
+          require(part.length >= 2,
+            s"LINESTRING part needs >= 2 points, got ${part.length}")
+          buf += command(1, 1); emitPoint(part(0))
+          buf += command(2, part.length - 1)
+          var i = 1
+          while (i < part.length) { emitPoint(part(i)); i += 1 }
+        }
       case 3 =>
-        require(xs.length >= 3,
-          s"POLYGON ring needs >= 3 points, got ${xs.length}")
-        buf += command(1, 1); emitPoint(0)
-        buf += command(2, xs.length - 1)
-        var i = 1
-        while (i < xs.length) { emitPoint(i); i += 1 }
-        buf += command(7, 1)
+        parts.foreach { ring =>
+          require(ring.length >= 3,
+            s"POLYGON ring needs >= 3 points, got ${ring.length}")
+          buf += command(1, 1); emitPoint(ring(0))
+          buf += command(2, ring.length - 1)
+          var i = 1
+          while (i < ring.length) { emitPoint(ring(i)); i += 1 }
+          buf += command(7, 1)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown gtype $other")
     }
@@ -162,7 +173,7 @@ object MvtKernel {
   }
 
   /** Encode one tile-layer. `feats` rows:
-    * (fid long, gtype int, pts array<(pidx int, px long, py long)>,
+    * (fid long, gtype int, parts array<array<(px long, py long)>>,
     *  pkeys array<string>, pvals array<string>).
     */
   def encodeLayer(name: String, feats: ArrayData): Array[Byte] = {
@@ -174,16 +185,13 @@ object MvtKernel {
       val f = feats.getStruct(i, 5)
       val fid = f.getLong(0)
       val gtype = f.getInt(1)
-      val pts = f.getArray(2)
-      val n = pts.numElements()
-      val xs = new Array[Long](n)
-      val ys = new Array[Long](n)
-      var j = 0
-      while (j < n) {
-        val p = pts.getStruct(j, 3)
-        xs(j) = p.getLong(1)
-        ys(j) = p.getLong(2)
-        j += 1
+      val partsArr = f.getArray(2)
+      val parts = Array.tabulate(partsArr.numElements()) { pi =>
+        val part = partsArr.getArray(pi)
+        Array.tabulate(part.numElements()) { j =>
+          val p = part.getStruct(j, 2)
+          (p.getLong(0), p.getLong(1))
+        }
       }
       val pkeys = f.getArray(3)
       val pvals = f.getArray(4)
@@ -204,7 +212,7 @@ object MvtKernel {
       tag(fb, 1, 0); varint(fb, fid)
       if (tags.nonEmpty) packed(fb, 2, tags.toArray)
       tag(fb, 3, 0); varint(fb, gtype.toLong)
-      packed(fb, 4, geometryCmds(gtype, xs, ys))
+      packed(fb, 4, geometryCmds(gtype, parts))
       lenDelimited(featureFrames, 2, fb.toByteArray)
       i += 1
     }

@@ -1,54 +1,86 @@
 package graft.operators
 
 import graft.QuerySpec
-import graft.functions.MvtLayerEncodeExpr
+import graft.functions.{MvtLayerEncodeExpr, MvtPrepExpr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-engine Mapbox Vector Tile generation (SURVEY S8 depth) — the
   * reference shells out to tippecanoe with per-layer zoom ranges
   * (`/root/reference/src/transforms/TilesGenerator.ts:15-97`: ski
-  * areas Z0-15, lifts Z5-15, runs Z9-15, spots Z9-15) and merges the
-  * per-layer tilesets with tile-join. Here the whole path is Spark
-  * DataFrame algebra plus one byte kernel:
+  * areas Z0-15 `-B 0`, lifts Z5-15, runs Z9-15, spots Z9-15 `-B 10`,
+  * all with `--drop-densest-as-needed`, the line layers with
+  * `--simplify-only-low-zooms`) and merges the per-layer tilesets
+  * with tile-join. Here the whole path is Spark DataFrame algebra
+  * plus three byte/geometry kernels:
   *
   *  1. tile assignment — per feature and zoom, the slippy tiles its
-  *     lon/lat bbox intersects (Web-Mercator, the TerrainTiles
-  *     operation order, so both engines compute identical doubles);
-  *     `explode(sequence(...))` keeps the fan-out itself narrow.
-  *     Two small shuffles precede it: the `Tables.fanout` repartition
-  *     that spreads the feature tables, and the runs layer's
-  *     groupBy(way_id) dedup in `features()` — both over the
-  *     un-exploded feature rows, so they are tiny relative to the
-  *     post-explosion volume;
-  *  2. tile-local quantization — world integer pixel at a 4096
-  *     extent, minus tile origin; coordinates of a multi-tile feature
-  *     may leave [0,4096) (valid MVT — renderers clip; buffer=0,
-  *     unclipped, and unwrapped at the antimeridian, documented
-  *     divergences from tippecanoe's defaults);
-  *  3. encoding — [[graft.functions.MvtKernel]] builds each layer's
+  *     lon/lat bbox intersects EXPANDED BY THE LAYER BUFFER
+  *     (Web-Mercator, the TerrainTiles operation order, so both
+  *     engines compute identical doubles; tile indices clamped to
+  *     [0, 2^z-1], no antimeridian wrap). `explode(sequence(...))`
+  *     keeps the fan-out itself narrow. Two small shuffles precede
+  *     it: the `Tables.fanout` repartition and the runs layer's
+  *     groupBy(way_id) dedup in `features()` — both over un-exploded
+  *     feature rows, tiny relative to the post-explosion volume;
+  *  2. density cap — the deterministic `--drop-densest-as-needed`
+  *     analog: per (z, tx, ty, layer) only the K(z) features with the
+  *     smallest stable hash rank survive (64 at z0-4, 512 at z5-8,
+  *     uncapped at z9+ where tiles shard the world geographically).
+  *     Implemented as a salted two-level top-K (row_number within 64
+  *     hash salts, then within the tile) so even the z0 "every ski
+  *     area on earth" group never serializes one task on raw volume;
+  *  3. geometry prep — tile-local quantization at the 4096 extent,
+  *     then [[graft.functions.MvtPrepKernel]]: Douglas-Peucker
+  *     simplification at low zooms (`--simplify-only-low-zooms` for
+  *     lines/spots = below MaxZoom; ski areas at every zoom, matching
+  *     their flagless tippecanoe invocation) with the tiny-polygon
+  *     placeholder square, and clipping to the buffered tile square
+  *     (Liang-Barsky segments with multi-part merge, 4-pass
+  *     Sutherland-Hodgman rings) — all per-row expressions;
+  *  4. encoding — [[graft.functions.MvtKernel]] builds each layer's
   *     protobuf frame after a per-(tile,layer) collect; a tile is the
   *     concatenation of its layer frames, so assembly is plain
   *     `concat` — no driver round-trip, no external binary.
   *
-  * Scale shape: steps 1-2 are per-row expressions over the feature
-  * tables (runs/lifts/areas/spots), step 3 shuffles once on
-  * (z, tx, ty, layer) — exactly the key the output is partitioned by,
-  * so a 1000-executor run writes tiles straight out of the agg. The
-  * per-tile group is bounded by tippecanoe-style zoom gating (low
-  * zooms hold many features per tile but there are few such tiles;
-  * high zooms shard the world).
+  * Scale shape: steps 1-3 are per-row expressions over the feature
+  * tables; the only wide exchanges are the two bounded cap windows
+  * over the z≤8 slice and one shuffle on (z, tx, ty, layer) — the
+  * partition key a tile server wants, so a 1000-executor run writes
+  * tiles straight out of the agg, and the cap guarantees every
+  * low-zoom group is bounded by K(z) before any collect happens.
   *
   * Correctness: `q_tiles_mvt` is the DuckDB-oracled stats row
-  * (per-tile/zoom/layer feature counts + an order-weighted integer
-  * checksum over the quantized coordinates); `q_tiles_mvt_bytes` is
-  * the encoded-tile surface (rows-only driver check; MvtTilesSpec
-  * decodes the protobuf back and round-trips geometry and tags).
+  * (per-tile/zoom/layer feature/part/point counts + an order-weighted
+  * integer checksum over the final prepared coordinates — the oracle
+  * CTEs replay assignment, cap, quantization, DP closure, placeholder
+  * and both clippers arithmetic-identically); `q_tiles_mvt_bytes`
+  * decodes the engine's own protobuf tiles back to those SAME stats
+  * columns, against the SAME oracle SQL — so the byte encoding
+  * round-trips per tile under the driver's hash gate, with
+  * MvtTilesSpec's structural protobuf checks on top.
   */
 object MvtTiles {
 
   val Extent = 4096
   val MaxZoom = 15
+
+  /** DP tolerance in extent px — tippecanoe's `-S` default scale. */
+  val SimplifyTol = 1L
+
+  /** Per-layer clip buffer in extent units: tippecanoe's `-B` is in
+    * 256-px screen tiles, ×16 at the 4096 extent (default 5 → 80;
+    * spots `-B 10` → 160; ski areas `-B 0` → 0).
+    */
+  private def bufferOf(layer: Column): Column =
+    when(layer === "skiareas", 0).when(layer === "spots", 160).otherwise(80)
+
+  /** Density-cap K at low zooms; z9+ uncapped (geographic sharding
+    * bounds groups there — one tile is 1/4^9 of the world).
+    */
+  private val CapLowZ = 64L // z0-4
+  private val CapMidZ = 512L // z5-8
 
   // --- Web-Mercator world-pixel columns (TerrainTiles operation order,
   //     extent units; exact SQL twins below) -------------------------------
@@ -205,67 +237,283 @@ object MvtTiles {
       |  FROM events)""".stripMargin
   }
 
-  private val oracleFeatureCtes: String = {
-    s"""$oracleFeatPtsCtes,
-      |feat_bbox AS (
+  // ======================= oracle CTE generation ==========================
+  // The relational replay of assignment→cap→quantize→simplify→clip,
+  // arithmetic-identical to the Spark pipeline. Generated from Scala
+  // templates so the DP closure steps and the four Sutherland-Hodgman
+  // passes stay mechanically in sync with MvtPrepKernel.
+
+  private val Tol2 = SimplifyTol * SimplifyTol
+
+  /** One Douglas-Peucker closure step over sorted keep-list column
+    * `kept` and quantized point list `q` (1-indexed lists, 0-based
+    * point indices): for every adjacent kept pair, add the argmax-
+    * distance interior vertex when it exceeds tolerance. Unrolled 4×
+    * (features here have ≤ 6 vertices → ≤ 4 interior adds) this
+    * reaches the DP fixpoint, which equals the recursive DP kept set.
+    */
+  private def sqlDpStep(kept: String, q: String): String = {
+    val a = s"$kept[jj]"
+    val b = s"$kept[jj + 1]"
+    val ax = s"$q[$a + 1].x"; val ay = s"$q[$a + 1].y"
+    val bx = s"$q[$b + 1].x"; val by = s"$q[$b + 1].y"
+    val len2 = s"(($bx - $ax) * ($bx - $ax) + ($by - $ay) * ($by - $ay))"
+    val cross = s"(($bx - $ax) * ($q[k + 1].y - $ay)" +
+      s" - ($by - $ay) * ($q[k + 1].x - $ax))"
+    val pd2 = s"(($q[k + 1].x - $ax) * ($q[k + 1].x - $ax)" +
+      s" + ($q[k + 1].y - $ay) * ($q[k + 1].y - $ay))"
+    val mvals = s"list_transform(range($a + 1, $b), k -> " +
+      s"CASE WHEN $len2 = 0 THEN $pd2 ELSE $cross * $cross END)"
+    val mmax = s"list_aggregate($mvals, 'max')"
+    s"""list_sort(list_distinct($kept || flatten(
+      |list_transform(range(1, len($kept)), jj ->
+      |  CASE WHEN $b - $a < 2 THEN []
+      |       WHEN (CASE WHEN $len2 = 0 THEN $mmax > $Tol2
+      |             ELSE $mmax > $Tol2 * $len2 END)
+      |       THEN [$a + list_position($mvals, $mmax)]
+      |       ELSE [] END))))""".stripMargin
+  }
+
+  /** One Sutherland-Hodgman half-plane pass over double-point list
+    * column `r`: keep side is `coord >= bound` when `keepGe` else
+    * `<= bound`; intersections stay doubles, formula order matches
+    * MvtPrepKernel.shPass.
+    */
+  private def sqlShPass(r: String, axisX: Boolean, keepGe: Boolean,
+      bound: String): String = {
+    val c = if (axisX) "x" else "y"
+    val cur = s"$r[i]"
+    val prev = s"$r[CASE WHEN i = 1 THEN len($r) ELSE i - 1 END]"
+    def in(p: String) =
+      if (keepGe) s"$p.$c >= $bound" else s"$p.$c <= $bound"
+    val t = s"(($bound) - $prev.$c) / ($cur.$c - $prev.$c)"
+    val inter =
+      if (axisX)
+        s"struct_pack(x := CAST($bound AS DOUBLE), " +
+          s"y := $prev.y + $t * ($cur.y - $prev.y))"
+      else
+        s"struct_pack(x := $prev.x + $t * ($cur.x - $prev.x), " +
+          s"y := CAST($bound AS DOUBLE))"
+    s"""flatten(list_transform(range(1, len($r) + 1), i ->
+      |  CASE WHEN (${in(prev)}) AND (${in(cur)}) THEN [$cur]
+      |       WHEN (${in(prev)}) AND NOT (${in(cur)}) THEN [$inter]
+      |       WHEN NOT (${in(prev)}) AND (${in(cur)}) THEN [$inter, $cur]
+      |       ELSE [] END))""".stripMargin
+  }
+
+  /** Full oracle chain from `feat_pts` to `tile_stats` — the relational
+    * twin of featureTiles→capped→prepped→stats.
+    */
+  private[operators] val oraclePrepCtes: String = {
+    val lo = "CAST(-buf AS DOUBLE)"
+    val hi = "CAST(4096 + buf AS DOUBLE)"
+    s"""feat_geom AS (
       |  SELECT layer, fid, gtype, minz,
       |    min(lon) AS lonmin, max(lon) AS lonmax,
-      |    min(lat) AS latmin, max(lat) AS latmax
+      |    min(lat) AS latmin, max(lat) AS latmax,
+      |    list(struct_pack(lon := lon, lat := lat) ORDER BY pidx) AS pts
       |  FROM feat_pts GROUP BY 1, 2, 3, 4),
       |feat_z AS (
-      |  SELECT b.*, z, CAST(1::BIGINT << z AS DOUBLE) AS s2z
-      |  FROM feat_bbox b, unnest(generate_series(b.minz, $MaxZoom)) AS uz(z)),
+      |  SELECT g.*, z, CAST(1::BIGINT << z AS DOUBLE) AS s2z,
+      |    (1::BIGINT << z) * 4096 - 1 AS wmax,
+      |    CASE WHEN layer = 'skiareas' THEN 0
+      |         WHEN layer = 'spots' THEN 160 ELSE 80 END AS buf,
+      |    CASE WHEN layer = 'skiareas' THEN TRUE
+      |         ELSE z < $MaxZoom END AS simp
+      |  FROM feat_geom g, unnest(generate_series(g.minz, $MaxZoom)) AS uz(z)),
       |feat_rng AS (
-      |  SELECT layer, fid, gtype, z, s2z,
-      |    CAST(floor((${sqlXw("lonmin")}) * s2z) AS BIGINT) // 4096 AS txlo,
-      |    CAST(floor((${sqlXw("lonmax")}) * s2z) AS BIGINT) // 4096 AS txhi,
-      |    CAST(floor((${sqlYw("latmax")}) * s2z) AS BIGINT) // 4096 AS tylo,
-      |    CAST(floor((${sqlYw("latmin")}) * s2z) AS BIGINT) // 4096 AS tyhi
+      |  SELECT *,
+      |    GREATEST(CAST(floor((${sqlXw("lonmin")}) * s2z) AS BIGINT)
+      |      - buf, 0) // 4096 AS txlo,
+      |    LEAST(CAST(floor((${sqlXw("lonmax")}) * s2z) AS BIGINT)
+      |      + buf, wmax) // 4096 AS txhi,
+      |    GREATEST(CAST(floor((${sqlYw("latmax")}) * s2z) AS BIGINT)
+      |      - buf, 0) // 4096 AS tylo,
+      |    LEAST(CAST(floor((${sqlYw("latmin")}) * s2z) AS BIGINT)
+      |      + buf, wmax) // 4096 AS tyhi
       |  FROM feat_z),
-      |feat_tiles AS (
-      |  SELECT r.layer, r.fid, r.gtype, r.z, r.s2z, tx, ty
+      |feat_tiles AS MATERIALIZED (
+      |  SELECT r.*, tx, ty
       |  FROM feat_rng r,
       |    unnest(generate_series(r.txlo, r.txhi)) AS ux(tx),
       |    unnest(generate_series(r.tylo, r.tyhi)) AS uy(ty)),
-      |assigned AS (
-      |  SELECT t.layer, t.fid, t.gtype, t.z, t.tx, t.ty, p.pidx,
-      |    CAST(floor((${sqlXw("p.lon")}) * t.s2z) AS BIGINT)
-      |      - t.tx * 4096 AS px,
-      |    CAST(floor((${sqlYw("p.lat")}) * t.s2z) AS BIGINT)
-      |      - t.ty * 4096 AS py
-      |  FROM feat_tiles t JOIN feat_pts p
-      |    ON p.layer = t.layer AND p.fid = t.fid)""".stripMargin
+      |capped AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT t.*,
+      |      CASE WHEN z <= 4 THEN $CapLowZ
+      |           WHEN z <= 8 THEN $CapMidZ ELSE NULL END AS kcap,
+      |      row_number() OVER (PARTITION BY z, tx, ty, layer
+      |        ORDER BY ((fid % 1000000007) * 2654435761) % 1000000007,
+      |          fid) AS rnk
+      |    FROM feat_tiles t)
+      |  WHERE kcap IS NULL OR rnk <= kcap),
+      |quant AS MATERIALIZED (
+      |  SELECT layer, fid, gtype, z, tx, ty, buf, simp,
+      |    list_transform(pts, p -> struct_pack(
+      |      x := CAST(floor((${sqlXw("p.lon")}) * s2z) AS BIGINT)
+      |        - tx * 4096,
+      |      y := CAST(floor((${sqlYw("p.lat")}) * s2z) AS BIGINT)
+      |        - ty * 4096)) AS q
+      |  FROM capped),
+      |dp0 AS MATERIALIZED (
+      |  SELECT *, CASE WHEN simp AND gtype >= 2
+      |    THEN [0, len(q) - 1] ELSE NULL END AS kept FROM quant),
+      |dp1 AS MATERIALIZED (SELECT * REPLACE (CASE WHEN kept IS NULL THEN NULL
+      |  ELSE ${sqlDpStep("kept", "q")} END AS kept) FROM dp0),
+      |dp2 AS MATERIALIZED (SELECT * REPLACE (CASE WHEN kept IS NULL THEN NULL
+      |  ELSE ${sqlDpStep("kept", "q")} END AS kept) FROM dp1),
+      |dp3 AS MATERIALIZED (SELECT * REPLACE (CASE WHEN kept IS NULL THEN NULL
+      |  ELSE ${sqlDpStep("kept", "q")} END AS kept) FROM dp2),
+      |dp4 AS MATERIALIZED (SELECT * REPLACE (CASE WHEN kept IS NULL THEN NULL
+      |  ELSE ${sqlDpStep("kept", "q")} END AS kept) FROM dp3),
+      |simplified AS MATERIALIZED (
+      |  SELECT layer, fid, gtype, z, tx, ty, buf,
+      |    CASE
+      |      WHEN kept IS NULL THEN q
+      |      WHEN gtype = 3 AND len(kept) < 3 THEN [
+      |        struct_pack(x := xmn, y := ymn),
+      |        struct_pack(x := GREATEST(xmx, xmn + 1), y := ymn),
+      |        struct_pack(x := GREATEST(xmx, xmn + 1),
+      |                    y := GREATEST(ymx, ymn + 1)),
+      |        struct_pack(x := xmn, y := GREATEST(ymx, ymn + 1))]
+      |      ELSE list_transform(kept, i -> q[i + 1])
+      |    END AS sq
+      |  FROM (SELECT *,
+      |    list_aggregate(list_transform(q, p -> p.x), 'min') AS xmn,
+      |    list_aggregate(list_transform(q, p -> p.x), 'max') AS xmx,
+      |    list_aggregate(list_transform(q, p -> p.y), 'min') AS ymn,
+      |    list_aggregate(list_transform(q, p -> p.y), 'max') AS ymx
+      |   FROM dp4)),
+      |pts_point AS (
+      |  SELECT layer, fid, z, tx, ty, 1 AS part_id, 1 AS ord,
+      |    sq[1].x AS px, sq[1].y AS py
+      |  FROM simplified
+      |  WHERE gtype = 1 AND sq[1].x >= -buf AND sq[1].x <= 4096 + buf
+      |    AND sq[1].y >= -buf AND sq[1].y <= 4096 + buf),
+      |segs AS MATERIALIZED (
+      |  SELECT layer, fid, z, tx, ty, buf, si,
+      |    sq[si].x AS x1, sq[si].y AS y1,
+      |    sq[si + 1].x AS x2, sq[si + 1].y AS y2,
+      |    CAST(sq[si + 1].x - sq[si].x AS DOUBLE) AS dx,
+      |    CAST(sq[si + 1].y - sq[si].y AS DOUBLE) AS dy
+      |  FROM simplified, unnest(range(1, len(sq))) AS us(si)
+      |  WHERE gtype = 2),
+      |segt AS MATERIALIZED (
+      |  SELECT *,
+      |    GREATEST(0.0,
+      |      CASE WHEN dx > 0 THEN ($lo - x1) / dx
+      |           WHEN dx < 0 THEN ($hi - x1) / dx ELSE 0.0 END,
+      |      CASE WHEN dy > 0 THEN ($lo - y1) / dy
+      |           WHEN dy < 0 THEN ($hi - y1) / dy ELSE 0.0 END) AS t0,
+      |    LEAST(1.0,
+      |      CASE WHEN dx > 0 THEN ($hi - x1) / dx
+      |           WHEN dx < 0 THEN ($lo - x1) / dx ELSE 1.0 END,
+      |      CASE WHEN dy > 0 THEN ($hi - y1) / dy
+      |           WHEN dy < 0 THEN ($lo - y1) / dy ELSE 1.0 END) AS t1
+      |  FROM segs
+      |  WHERE NOT (dx = 0 AND (x1 < $lo OR x1 > $hi))
+      |    AND NOT (dy = 0 AND (y1 < $lo OR y1 > $hi))),
+      |segkeep AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT *,
+      |      CAST(floor(x1 + t0 * dx + 0.5) AS BIGINT) AS axp,
+      |      CAST(floor(y1 + t0 * dy + 0.5) AS BIGINT) AS ayp,
+      |      CAST(floor(x1 + t1 * dx + 0.5) AS BIGINT) AS bxp,
+      |      CAST(floor(y1 + t1 * dy + 0.5) AS BIGINT) AS byp
+      |    FROM segt WHERE t0 <= t1)
+      |  WHERE NOT (axp = bxp AND ayp = byp)),
+      |segparts AS MATERIALIZED (
+      |  SELECT *, sum(newpart) OVER (PARTITION BY layer, fid, z, tx, ty
+      |      ORDER BY si ROWS UNBOUNDED PRECEDING) AS part_id
+      |  FROM (
+      |    SELECT *, CASE WHEN lag(si) OVER w IS NULL THEN 1
+      |      WHEN si != lag(si) OVER w + 1 THEN 1
+      |      WHEN NOT (lag(t1) OVER w = 1.0 AND t0 = 0.0) THEN 1
+      |      ELSE 0 END AS newpart,
+      |      CASE WHEN lag(si) OVER w IS NULL THEN 1
+      |        WHEN si != lag(si) OVER w + 1 THEN 1
+      |        WHEN NOT (lag(t1) OVER w = 1.0 AND t0 = 0.0) THEN 1
+      |        ELSE 0 END AS is_first
+      |    FROM segkeep
+      |    WINDOW w AS (PARTITION BY layer, fid, z, tx, ty ORDER BY si))),
+      |pts_line AS (
+      |  SELECT layer, fid, z, tx, ty, part_id, si * 2 + pi AS ord,
+      |    CASE WHEN pi = 0 THEN axp ELSE bxp END AS px,
+      |    CASE WHEN pi = 0 THEN ayp ELSE byp END AS py
+      |  FROM segparts, unnest([0, 1]) AS up(pi)
+      |  WHERE pi = 1 OR is_first = 1),
+      |ring0 AS MATERIALIZED (
+      |  SELECT layer, fid, z, tx, ty, buf,
+      |    list_transform(sq, p -> struct_pack(
+      |      x := CAST(p.x AS DOUBLE), y := CAST(p.y AS DOUBLE))) AS r
+      |  FROM simplified WHERE gtype = 3),
+      |ring1 AS MATERIALIZED (SELECT * REPLACE (
+      |  ${sqlShPass("r", axisX = true, keepGe = true, "$$LO$$")} AS r)
+      |  FROM ring0),
+      |ring2 AS MATERIALIZED (SELECT * REPLACE (
+      |  ${sqlShPass("r", axisX = true, keepGe = false, "$$HI$$")} AS r)
+      |  FROM ring1),
+      |ring3 AS MATERIALIZED (SELECT * REPLACE (
+      |  ${sqlShPass("r", axisX = false, keepGe = true, "$$LO$$")} AS r)
+      |  FROM ring2),
+      |ring4 AS MATERIALIZED (SELECT * REPLACE (
+      |  ${sqlShPass("r", axisX = false, keepGe = false, "$$HI$$")} AS r)
+      |  FROM ring3),
+      |ringr AS MATERIALIZED (
+      |  SELECT layer, fid, z, tx, ty,
+      |    CASE WHEN len(dd) > 1 AND dd[1] = dd[len(dd)]
+      |      THEN list_slice(dd, 1, len(dd) - 1) ELSE dd END AS ring
+      |  FROM (
+      |    SELECT *, list_filter(
+      |      list_transform(range(1, len(rr) + 1), i ->
+      |        CASE WHEN i = 1 OR rr[i] != rr[i - 1]
+      |          THEN rr[i] ELSE NULL END),
+      |      p -> p IS NOT NULL) AS dd
+      |    FROM (SELECT *, list_transform(r, p -> struct_pack(
+      |        x := CAST(floor(p.x + 0.5) AS BIGINT),
+      |        y := CAST(floor(p.y + 0.5) AS BIGINT))) AS rr
+      |      FROM ring4))),
+      |pts_ring AS (
+      |  SELECT layer, fid, z, tx, ty, 1 AS part_id, i AS ord,
+      |    ring[i].x AS px, ring[i].y AS py
+      |  FROM ringr, unnest(range(1, len(ring) + 1)) AS ui(i)
+      |  WHERE len(ring) >= 3),
+      |final_pts AS MATERIALIZED (
+      |  SELECT * FROM pts_point
+      |  UNION ALL SELECT * FROM pts_line
+      |  UNION ALL SELECT * FROM pts_ring),
+      |per_feat AS (
+      |  SELECT layer, fid, z, tx, ty,
+      |    CAST(max(part_id) AS BIGINT) AS n_parts,
+      |    count(*) AS n_pts,
+      |    sum(rn * (px * 8191 + py)) AS chk
+      |  FROM (SELECT *, CAST(row_number()
+      |      OVER (PARTITION BY layer, fid, z, tx, ty
+      |            ORDER BY part_id, ord) AS BIGINT) AS rn
+      |    FROM final_pts)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |tile_stats AS (
+      |  SELECT CAST(z AS INT) AS zoom, tx AS tile_x, ty AS tile_y, layer,
+      |    CAST(count(*) AS BIGINT) AS n_features,
+      |    CAST(sum(n_parts) AS BIGINT) AS n_parts,
+      |    CAST(sum(n_pts) AS BIGINT) AS n_points,
+      |    CAST(sum(chk) AS BIGINT) AS coord_checksum
+      |  FROM per_feat GROUP BY 1, 2, 3, 4)"""
+      .stripMargin
+      .replace("$$LO$$", "CAST(-buf AS DOUBLE)")
+      .replace("$$HI$$", "CAST(4096 + buf AS DOUBLE)")
   }
 
-  /** Tile-assigned quantized points:
-    * (layer, fid, gtype, z, tx, ty, pidx, px, py, pk, pv).
-    * Pure narrow expressions — explodes, no shuffle.
-    */
-  private[operators] def assigned(s: SparkSession, d: String): DataFrame = {
-    val s2z = expr("CAST(shiftleft(CAST(1 AS BIGINT), z) AS DOUBLE)")
-    def pxw(c: Column): Column = floor(xWorld(c) * s2z).cast("long")
-    def pyw(c: Column): Column = floor(yWorld(c) * s2z).cast("long")
-    graft.Tables.fanout(features(s, d))
-      .withColumn("lonmin", array_min(transform(col("pts"), _("lon"))))
-      .withColumn("lonmax", array_max(transform(col("pts"), _("lon"))))
-      .withColumn("latmin", array_min(transform(col("pts"), _("lat"))))
-      .withColumn("latmax", array_max(transform(col("pts"), _("lat"))))
-      .withColumn("z", explode(sequence(col("minz"), lit(MaxZoom))))
-      // mercator y grows southward: ty range comes from latmax..latmin
-      .withColumn("tx",
-        explode(sequence(expr(s"${dv("lonmin", true)} DIV 4096"),
-          expr(s"${dv("lonmax", true)} DIV 4096"))))
-      .withColumn("ty",
-        explode(sequence(expr(s"${dv("latmax", false)} DIV 4096"),
-          expr(s"${dv("latmin", false)} DIV 4096"))))
-      .select(col("layer"), col("fid"), col("gtype"), col("z"),
-        col("tx"), col("ty"), col("pk"), col("pv"),
-        posexplode(col("pts")).as(Seq("pidx", "p")))
-      .select(col("layer"), col("fid"), col("gtype"), col("z"),
-        col("tx"), col("ty"), col("pidx"), col("pk"), col("pv"),
-        (pxw(col("p")("lon")) - col("tx") * 4096).as("px"),
-        (pyw(col("p")("lat")) - col("ty") * 4096).as("py"))
-  }
+  private val oracleStatsSelect: String =
+    """SELECT zoom, tile_x, tile_y, layer, n_features, n_parts,
+      |  n_points, coord_checksum
+      |FROM tile_stats
+      |ORDER BY zoom, tile_x, tile_y, layer""".stripMargin
+
+  // ========================= Spark pipeline ===============================
+
+  private def s2zCol: Column =
+    expr("CAST(shiftleft(CAST(1 AS BIGINT), z) AS DOUBLE)")
 
   /** World-pixel SQL fragment for the Spark side (expr text so the
     * shift-by-column works; the Scala `shiftleft` wrapper only takes a
@@ -277,36 +525,117 @@ object MvtTiles {
     s"CAST(floor(($w) * CAST(shiftleft(CAST(1 AS BIGINT), z) AS DOUBLE)) AS BIGINT)"
   }
 
+  /** Feature-level tile fan-out with the layer buffer and world clamp:
+    * (layer, fid, gtype, z, tx, ty, buf, pts, pk, pv). Pure narrow
+    * expressions — explodes, no shuffle.
+    */
+  private def featureTiles(s: SparkSession, d: String): DataFrame = {
+    val wmaxSql = "shiftleft(CAST(1 AS BIGINT), z) * 4096 - 1"
+    graft.Tables.fanout(features(s, d))
+      .withColumn("lonmin", array_min(transform(col("pts"), _("lon"))))
+      .withColumn("lonmax", array_max(transform(col("pts"), _("lon"))))
+      .withColumn("latmin", array_min(transform(col("pts"), _("lat"))))
+      .withColumn("latmax", array_max(transform(col("pts"), _("lat"))))
+      .withColumn("buf", bufferOf(col("layer")))
+      .withColumn("z", explode(sequence(col("minz"), lit(MaxZoom))))
+      // mercator y grows southward: ty range comes from latmax..latmin
+      .withColumn("tx", explode(sequence(
+        expr(s"GREATEST(${dv("lonmin", true)} - buf, CAST(0 AS BIGINT))" +
+          " DIV 4096"),
+        expr(s"LEAST(${dv("lonmax", true)} + buf, $wmaxSql) DIV 4096"))))
+      .withColumn("ty", explode(sequence(
+        expr(s"GREATEST(${dv("latmax", false)} - buf, CAST(0 AS BIGINT))" +
+          " DIV 4096"),
+        expr(s"LEAST(${dv("latmin", false)} + buf, $wmaxSql) DIV 4096"))))
+      .select(col("layer"), col("fid"), col("gtype"), col("z"),
+        col("tx"), col("ty"), col("buf"), col("pts"), col("pk"), col("pv"))
+  }
+
+  /** Deterministic drop-densest cap: per (z, tx, ty, layer) keep the
+    * K(z) features with the smallest stable hash rank. Two-level
+    * top-K — row_number within 64 hash salts first, then within the
+    * tile — so the selection is identical to a single global top-K
+    * (each salt keeps a superset of its global-survivor slice) while
+    * the first window bounds any single task at K·64 rows. Applies
+    * only to the z≤8 slice; z9+ passes through untouched (geographic
+    * sharding bounds those groups).
+    */
+  private def capped(s: SparkSession, d: String): DataFrame = {
+    val ft = featureTiles(s, d)
+    val kcap = when(col("z") <= 4, lit(CapLowZ)).otherwise(lit(CapMidZ))
+    val rh = pmod(pmod(col("fid"), lit(1000000007L)) * 2654435761L,
+      lit(1000000007L))
+    val low = ft.filter(col("z") <= 8)
+      .withColumn("rh", rh)
+      .withColumn("salt",
+        pmod(graft.functions.HashFunctions.hash32(col("fid")), lit(64)))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy("z", "tx", "ty", "layer", "salt")
+          .orderBy("rh", "fid")))
+      .filter(col("r1") <= kcap)
+      .withColumn("r2", row_number().over(
+        Window.partitionBy("z", "tx", "ty", "layer").orderBy("rh", "fid")))
+      .filter(col("r2") <= kcap)
+      .drop("rh", "salt", "r1", "r2")
+    low.unionByName(ft.filter(col("z") >= 9))
+  }
+
+  /** Tile-assigned, capped, quantized, simplified, clipped features:
+    * (layer, fid, gtype, z, tx, ty, parts, pk, pv) with
+    * `parts: array<array<struct<px,py>>>` — the final per-tile
+    * geometry the stats and byte paths share.
+    */
+  private[operators] def prepped(s: SparkSession, d: String): DataFrame = {
+    capped(s, d)
+      .withColumn("qpts", transform(col("pts"), p => struct(
+        (floor(xWorld(p("lon")) * s2zCol).cast("long") - col("tx") * 4096)
+          .as("px"),
+        (floor(yWorld(p("lat")) * s2zCol).cast("long") - col("ty") * 4096)
+          .as("py"))))
+      .withColumn("simp",
+        when(col("layer") === "skiareas", lit(true))
+          .otherwise(col("z") < MaxZoom))
+      .withColumn("parts", MvtPrepExpr.mvtPrep(col("gtype"), col("qpts"),
+        col("simp"), col("buf"), SimplifyTol))
+      .filter(size(col("parts")) > 0)
+      .select(col("layer"), col("fid"), col("gtype"), col("z"),
+        col("tx"), col("ty"), col("parts"), col("pk"), col("pv"))
+  }
+
   // ---- per-tile/zoom/layer stats (the DuckDB-oracled row) ----------------
-  // Two-stage aggregation: per-feature point count + order-weighted
-  // integer checksum (map-side combinable), then the per-tile rollup.
-  // The checksum weights each point by (pidx+1) so vertex order
-  // matters, and sums across features so the total is shuffle-order
-  // independent — all BIGINT, hash-exact across engines.
+  // Per-feature stats are pure array expressions (no point explosion):
+  // the order-weighted integer checksum walks the flattened parts with
+  // a fold carrying (index, sum), so the only exchange left is the
+  // final (z, tx, ty, layer) rollup — map-side combinable, BIGINT,
+  // hash-exact across engines.
   private val qStats = QuerySpec.of(
     "q_tiles_mvt", {
       s"""WITH ${SkiQueries.oraclePrelude},
-        |$oracleFeatureCtes,
-        |per_feat AS (
-        |  SELECT layer, fid, z, tx, ty,
-        |    count(*) AS n_pts,
-        |    sum(CAST(pidx + 1 AS BIGINT) * (px * 8191 + py)) AS chk
-        |  FROM assigned GROUP BY 1, 2, 3, 4, 5)
-        |SELECT CAST(z AS INT) AS zoom, tx AS tile_x, ty AS tile_y, layer,
-        |  CAST(count(*) AS BIGINT) AS n_features,
-        |  CAST(sum(n_pts) AS BIGINT) AS n_points,
-        |  CAST(sum(chk) AS BIGINT) AS coord_checksum
-        |FROM per_feat GROUP BY 1, 2, 3, 4
-        |ORDER BY zoom, tile_x, tile_y, layer""".stripMargin
+        |$oracleFeatPtsCtes,
+        |$oraclePrepCtes
+        |$oracleStatsSelect""".stripMargin
     }) { (s, d) =>
-    assigned(s, d)
-      .groupBy("layer", "fid", "z", "tx", "ty")
-      .agg(count(lit(1)).as("n_pts"),
-        sum((col("pidx") + 1).cast("long")
-          * (col("px") * 8191 + col("py"))).as("chk"))
+    statsOf(prepped(s, d))
+  }
+
+  /** (zoom, tile_x, tile_y, layer, n_features, n_parts, n_points,
+    * coord_checksum) rollup from prepared parts.
+    */
+  private def statsOf(prep: DataFrame): DataFrame = {
+    val flat = flatten(col("parts"))
+    val chk = aggregate(flat,
+      struct(lit(0L).as("i"), lit(0L).as("s")),
+      (acc, p) => struct((acc("i") + 1L).as("i"),
+        (acc("s") + (acc("i") + 1L) * (p("px") * 8191L + p("py"))).as("s")),
+      acc => acc("s"))
+    prep
+      .select(col("layer"), col("z"), col("tx"), col("ty"),
+        size(col("parts")).cast("long").as("n_parts"),
+        size(flat).cast("long").as("n_pts"), chk.as("chk"))
       .groupBy(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
         col("ty").as("tile_y"), col("layer"))
       .agg(count(lit(1)).as("n_features"),
+        sum("n_parts").as("n_parts"),
         sum("n_pts").as("n_points"),
         sum("chk").as("coord_checksum"))
       .orderBy("zoom", "tile_x", "tile_y", "layer")
@@ -316,19 +645,12 @@ object MvtTiles {
   // The full MVT surface: per-(tile,layer) feature collect (sorted by
   // fid so the bytes are shuffle-order independent), the protobuf
   // layer frame from the byte kernel, then tiles as concatenated layer
-  // frames in layer-name order. Rows-only driver check — the protobuf
-  // wire format isn't SQL-expressible — with the decode round-trip in
-  // MvtTilesSpec standing in as the strong check.
+  // frames in layer-name order.
   def tileBytes(s: SparkSession, d: String): DataFrame = {
-    val featRows = assigned(s, d)
-      .groupBy("z", "tx", "ty", "layer", "fid", "gtype")
-      .agg(
-        sort_array(collect_list(struct(col("pidx"), col("px"), col("py"))))
-          .as("pts0"),
-        first("pk").as("pkeys"), first("pv").as("pvals"))
+    val featRows = prepped(s, d)
       .select(col("z"), col("tx"), col("ty"), col("layer"),
-        struct(col("fid"), col("gtype"), col("pts0").as("pts"),
-          col("pkeys"), col("pvals")).as("feat"))
+        struct(col("fid"), col("gtype"), col("parts"),
+          col("pk").as("pkeys"), col("pv").as("pvals")).as("feat"))
     val layerRows = featRows
       .groupBy("z", "tx", "ty", "layer")
       .agg(sort_array(collect_list(col("feat"))).as("feats"))
@@ -345,12 +667,29 @@ object MvtTiles {
           (acc, x) => concat(acc, x("layer_bytes"))).as("tile"))
   }
 
-  private val qBytes = QuerySpec.noOracle("q_tiles_mvt_bytes") { (s, d) =>
+  // The decode-round-trip gate: the engine's own protobuf tile bytes,
+  // decoded back to per-layer stats by MvtDecodeExpr, must hash-match
+  // the SAME relational oracle as q_tiles_mvt — so the byte encoding
+  // itself sits under the driver's DuckDB gate, not only under
+  // MvtTilesSpec's structural checks.
+  private val qBytes = QuerySpec.of(
+    "q_tiles_mvt_bytes", {
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |$oracleFeatPtsCtes,
+        |$oraclePrepCtes
+        |$oracleStatsSelect""".stripMargin
+    }) { (s, d) =>
     tileBytes(s, d)
-      .select(col("zoom"), col("tile_x"), col("tile_y"), col("n_layers"),
-        length(col("tile")).cast("long").as("tile_len"),
-        crc32(col("tile")).as("tile_crc"))
-      .orderBy("zoom", "tile_x", "tile_y")
+      .select(col("zoom"), col("tile_x"), col("tile_y"),
+        explode(graft.functions.MvtDecodeExpr.mvtDecode(col("tile")))
+          .as("lstat"))
+      .select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("lstat.layer").as("layer"),
+        col("lstat.n_features").as("n_features"),
+        col("lstat.n_parts").as("n_parts"),
+        col("lstat.n_points").as("n_points"),
+        col("lstat.coord_checksum").as("coord_checksum"))
+      .orderBy("zoom", "tile_x", "tile_y", "layer")
   }
 
   val specs: Seq[QuerySpec] = Seq(qStats, qBytes)

@@ -153,15 +153,24 @@ class MvtTilesSpec extends SparkSpec {
   }
 
   test("geometry command stream: linestring grammar and deltas") {
-    val cmds = MvtKernel.geometryCmds(2, Array(10L, 14L, 14L),
-      Array(20L, 20L, 26L))
+    val cmds = MvtKernel.geometryCmds(2,
+      Array(Array((10L, 20L), (14L, 20L), (14L, 26L))))
     assert((cmds(0) & 7) === 1 && (cmds(0) >> 3) === 1)
     assert(decodeGeom(2, cmds) === Seq((10L, 20L), (14L, 20L), (14L, 26L)))
   }
 
+  test("geometry command stream: multi-part line carries the cursor") {
+    val cmds = MvtKernel.geometryCmds(2, Array(
+      Array((0L, 0L), (10L, 0L)), Array((20L, 5L), (30L, 5L))))
+    assert(decodeGeom(2, cmds) ===
+      Seq((0L, 0L), (10L, 0L), (20L, 5L), (30L, 5L)))
+    // two MoveTo commands = two parts
+    assert(cmds.count(c => (c & 7) == 1) === 2)
+  }
+
   test("geometry command stream: polygon closes") {
     val cmds = MvtKernel.geometryCmds(3,
-      Array(0L, 100L, 50L), Array(0L, 0L, 80L))
+      Array(Array((0L, 0L), (100L, 0L), (50L, 80L))))
     assert(decodeGeom(3, cmds) === Seq((0L, 0L), (100L, 0L), (50L, 80L)))
   }
 
@@ -174,7 +183,7 @@ class MvtTilesSpec extends SparkSpec {
       .filter(col("zoom") === 12)
       .collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getString(3)) ->
-        (r.getLong(4), r.getLong(5), r.getLong(6)))
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
       .toMap
 
     val rows = tiles.collect()
@@ -195,6 +204,7 @@ class MvtTilesSpec extends SparkSpec {
         assert(l.feats.map(_.id) === l.feats.map(_.id).sorted)
         var chk = 0L
         var npts = 0L
+        var nparts = 0L
         for (f <- l.feats) {
           val pts = decodeGeom(f.gtype, f.geom)
           assert(f.tags.length % 2 === 0)
@@ -205,9 +215,20 @@ class MvtTilesSpec extends SparkSpec {
             chk += (idx + 1L) * (px * 8191 + py)
           }
           npts += pts.length
+          // MoveTo commands = parts; walk the grammar (params are raw
+          // longs in f.geom, so a flat scan would miscount)
+          var i = 0
+          while (i < f.geom.length) {
+            val id = (f.geom(i) & 7).toInt
+            val count = (f.geom(i) >> 3).toInt
+            i += 1
+            if (id == 1 || id == 2) i += count * 2
+            if (id == 1) nparts += count
+          }
         }
-        val (nFeat, nPts, checksum) = stats((tx, ty, l.name))
+        val (nFeat, nParts, nPts, checksum) = stats((tx, ty, l.name))
         assert(l.feats.size.toLong === nFeat, s"layer ${l.name}@$tx/$ty")
+        assert(nparts === nParts)
         assert(npts === nPts)
         assert(chk === checksum)
         checkedLayers += 1
@@ -216,6 +237,21 @@ class MvtTilesSpec extends SparkSpec {
     assert(checkedLayers > 0)
     // every stats row at this zoom appears in some decoded tile
     assert(checkedLayers === stats.size)
+  }
+
+  test("density cap bounds every low-zoom tile-layer group") {
+    // the drop-densest analog: no (z≤4) group may exceed 64 features,
+    // no (z5-8) group 512 — the z0 "whole world in one tile" group is
+    // bounded BEFORE the per-tile collect, so the byte path never
+    // aggregates an unbounded list at low zoom
+    val stats = SparkEntry.queries("q_tiles_mvt")(spark, sf)
+      .select(col("zoom"), col("n_features")).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (z, n) = (r.getInt(0), r.getLong(1))
+      if (z <= 4) assert(n <= 64L, s"z$z group has $n features")
+      else if (z <= 8) assert(n <= 512L, s"z$z group has $n features")
+    }
   }
 
   test("runs layer carries name/difficulty tags with dedup'd tables") {
