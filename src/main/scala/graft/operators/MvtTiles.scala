@@ -678,7 +678,8 @@ object MvtTiles {
         |$oracleFeatPtsCtes,
         |$oraclePrepCtes
         |$oracleStatsSelect""".stripMargin
-    }) { (s, d) =>
+    },
+    headline = true) { (s, d) =>
     tileBytes(s, d)
       .select(col("zoom"), col("tile_x"), col("tile_y"),
         explode(graft.functions.MvtDecodeExpr.mvtDecode(col("tile")))
