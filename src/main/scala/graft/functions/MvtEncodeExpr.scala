@@ -7,71 +7,66 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Mapbox Vector Tile (MVT) layer encoder — the in-engine replacement
-  * for the reference's tippecanoe shell-out
+/** Mapbox Vector Tile (MVT) encoder — the in-engine replacement for
+  * the reference's tippecanoe shell-out
   * (`/root/reference/src/transforms/TilesGenerator.ts:15-97`), as a
   * native Catalyst expression over per-tile grouped features.
   *
-  * Input: the layer name plus one tile-layer's features as
-  * `array<struct<fid bigint, gtype int,
+  * Input: ONE tile's features across all layers as
+  * `array<struct<layer string, fid bigint, gtype int,
   *               parts array<array<struct<px bigint, py bigint>>>,
   *               pkeys array<string>, pvals array<string>>>`
-  * (parts already quantized/simplified/clipped to tile-local integer
-  * coordinates at the 4096 extent by MvtPrepExpr; features sorted by
-  * fid upstream so the bytes are deterministic under any shuffle
-  * order — part/point order inside a feature is fixed per row before
-  * aggregation).
+  * sorted by (layer, fid) — `sort_array(collect_list(...))` upstream
+  * makes the bytes deterministic under any shuffle order (parts
+  * already quantized/simplified/clipped to tile-local integer
+  * coordinates at the 4096 extent by MvtPrepExpr; part/point order
+  * inside a feature is fixed per row before aggregation).
   *
-  * Output: the complete length-delimited `Tile.layers` frame (field 3)
-  * holding one `Layer` message per the public vector-tile-spec 2.1
-  * wire format: name(1), features(2), keys(3), values(4), extent(5),
-  * version(15)=2; `Feature` = id(1), packed tags(2), type(3), packed
-  * command-encoded geometry(4); params zigzag-encoded, MoveTo/LineTo/
-  * ClosePath command integers, cursor carried across commands. A full
-  * tile blob is then just the concatenation of its layer frames —
-  * pure byte algebra, so tiles assemble with `concat` after a single
-  * per-tile aggregation and no driver round-trip.
+  * Output: the complete tile blob — a length-delimited `Tile.layers`
+  * frame (field 3) per layer run, concatenated in layer-name order,
+  * per the public vector-tile-spec 2.1 wire format: name(1),
+  * features(2), keys(3), values(4), extent(5), version(15)=2;
+  * `Feature` = id(1), packed tags(2), type(3), packed command-encoded
+  * geometry(4); params zigzag-encoded, MoveTo/LineTo/ClosePath
+  * command integers, cursor carried across commands. Encoding the
+  * whole tile in one call means ONE wide exchange on (z, tx, ty)
+  * builds final tiles — no second shuffle of per-layer frames.
   *
-  * This runs once per (tile, layer) row AFTER aggregation — not on the
-  * per-feature hot path — so interpreted eval with a codegen passthrough
-  * (same kernel call emitted into generated code) is the right shape.
+  * This runs once per tile AFTER aggregation — not on the per-feature
+  * hot path — so interpreted eval with a codegen passthrough (same
+  * kernel call emitted into generated code) is the right shape.
   */
-case class MvtLayerEncodeExpr(layerName: Expression, features: Expression)
-    extends BinaryExpression {
-  override def left: Expression = layerName
-  override def right: Expression = features
+case class MvtTileEncodeExpr(features: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def child: Expression = features
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (layerName.dataType, features.dataType) match {
-      case (StringType, ArrayType(_: StructType, _)) =>
+    features.dataType match {
+      case ArrayType(_: StructType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_mvt_layer expects (string, array<struct>), got $other")
+          s"graft_mvt_tile expects array<struct>, got $other")
     }
 
-  override protected def nullSafeEval(name: Any, feats: Any): Any =
-    MvtKernel.encodeLayer(name.toString,
-      feats.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(feats: Any): Any =
+    MvtKernel.encodeTile(feats.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (n, f) =>
-      s"${ev.value} = graft.functions.MvtKernel.encodeLayer(" +
-        s"$n.toString(), $f);")
+    defineCodeGen(ctx, ev,
+      f => s"graft.functions.MvtKernel.encodeTile($f)")
 
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): MvtLayerEncodeExpr =
-    copy(layerName = newLeft, features = newRight)
+  override protected def withNewChildInternal(
+      newChild: Expression): MvtTileEncodeExpr = copy(features = newChild)
 }
 
-object MvtLayerEncodeExpr {
-  def mvtLayer(layerName: Column, features: Column): Column =
-    GraftExpressionBridge.column(MvtLayerEncodeExpr(
-      GraftExpressionBridge.expression(layerName),
+object MvtTileEncodeExpr {
+  def mvtTile(features: Column): Column =
+    GraftExpressionBridge.column(MvtTileEncodeExpr(
       GraftExpressionBridge.expression(features)))
 }
 
@@ -172,20 +167,41 @@ object MvtKernel {
     out.toByteArray
   }
 
-  /** Encode one tile-layer. `feats` rows:
-    * (fid long, gtype int, parts array<array<(px long, py long)>>,
+  /** Encode one whole tile: `feats` rows sorted by (layer, fid), each
+    * (layer string, fid long, gtype int,
+    *  parts array<array<(px long, py long)>>,
     *  pkeys array<string>, pvals array<string>).
+    * Consecutive same-layer runs become one layer frame each; the tile
+    * is their concatenation (layer-name order follows from the sort).
     */
-  def encodeLayer(name: String, feats: ArrayData): Array[Byte] = {
+  def encodeTile(feats: ArrayData): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = feats.numElements()
+    var from = 0
+    while (from < n) {
+      val name = feats.getStruct(from, 6).getUTF8String(0).toString
+      var until = from + 1
+      while (until < n &&
+        feats.getStruct(until, 6).getUTF8String(0).toString == name)
+        until += 1
+      out.write(encodeLayerSlice(name, feats, from, until))
+      from = until
+    }
+    out.toByteArray
+  }
+
+  /** One layer frame from the [from, until) slice of tile features. */
+  private def encodeLayerSlice(name: String, feats: ArrayData,
+      from: Int, until: Int): Array[Byte] = {
     val keyIdx = new java.util.LinkedHashMap[String, Integer]()
     val valIdx = new java.util.LinkedHashMap[String, Integer]()
     val featureFrames = new java.io.ByteArrayOutputStream()
-    var i = 0
-    while (i < feats.numElements()) {
-      val f = feats.getStruct(i, 5)
-      val fid = f.getLong(0)
-      val gtype = f.getInt(1)
-      val partsArr = f.getArray(2)
+    var i = from
+    while (i < until) {
+      val f = feats.getStruct(i, 6)
+      val fid = f.getLong(1)
+      val gtype = f.getInt(2)
+      val partsArr = f.getArray(3)
       val parts = Array.tabulate(partsArr.numElements()) { pi =>
         val part = partsArr.getArray(pi)
         Array.tabulate(part.numElements()) { j =>
@@ -193,8 +209,8 @@ object MvtKernel {
           (p.getLong(0), p.getLong(1))
         }
       }
-      val pkeys = f.getArray(3)
-      val pvals = f.getArray(4)
+      val pkeys = f.getArray(4)
+      val pvals = f.getArray(5)
       val tags = scala.collection.mutable.ArrayBuffer[Long]()
       var k = 0
       while (k < pkeys.numElements()) {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QuerySpec
-import graft.functions.{MvtLayerEncodeExpr, MvtPrepExpr}
+import graft.functions.MvtPrepExpr
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -642,29 +642,24 @@ object MvtTiles {
   }
 
   // ---- encoded tile blobs -------------------------------------------------
-  // The full MVT surface: per-(tile,layer) feature collect (sorted by
-  // fid so the bytes are shuffle-order independent), the protobuf
-  // layer frame from the byte kernel, then tiles as concatenated layer
-  // frames in layer-name order.
+  // The full MVT surface: ONE wide exchange on (z, tx, ty) collects a
+  // tile's features across all layers, sorted by (layer, fid) so the
+  // bytes are shuffle-order independent, and the kernel emits the
+  // whole multi-layer tile in a single call — no second shuffle of
+  // per-layer frames. Group sizes are bounded by the density cap at
+  // low zooms and geographic sharding at z9+.
   def tileBytes(s: SparkSession, d: String): DataFrame = {
-    val featRows = prepped(s, d)
-      .select(col("z"), col("tx"), col("ty"), col("layer"),
-        struct(col("fid"), col("gtype"), col("parts"),
+    prepped(s, d)
+      .select(col("z"), col("tx"), col("ty"),
+        struct(col("layer"), col("fid"), col("gtype"), col("parts"),
           col("pk").as("pkeys"), col("pv").as("pvals")).as("feat"))
-    val layerRows = featRows
-      .groupBy("z", "tx", "ty", "layer")
-      .agg(sort_array(collect_list(col("feat"))).as("feats"))
-      .select(col("z"), col("tx"), col("ty"), col("layer"),
-        MvtLayerEncodeExpr.mvtLayer(col("layer"), col("feats"))
-          .as("layer_bytes"))
-    layerRows
       .groupBy("z", "tx", "ty")
-      .agg(sort_array(collect_list(struct(col("layer"),
-        col("layer_bytes")))).as("ls"))
+      .agg(sort_array(collect_list(col("feat"))).as("feats"))
       .select(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
-        col("ty").as("tile_y"), size(col("ls")).as("n_layers"),
-        aggregate(col("ls"), lit(Array.empty[Byte]),
-          (acc, x) => concat(acc, x("layer_bytes"))).as("tile"))
+        col("ty").as("tile_y"),
+        size(array_distinct(transform(col("feats"), _("layer"))))
+          .as("n_layers"),
+        graft.functions.MvtTileEncodeExpr.mvtTile(col("feats")).as("tile"))
   }
 
   // The decode-round-trip gate: the engine's own protobuf tile bytes,
