@@ -531,7 +531,12 @@ object MvtTiles {
     */
   private def featureTiles(s: SparkSession, d: String): DataFrame = {
     val wmaxSql = "shiftleft(CAST(1 AS BIGINT), z) * 4096 - 1"
-    graft.Tables.fanout(features(s, d))
+    // lazy checkpoint: the cap splits the pipeline into a z<=8 and a
+    // z>=9 branch, and without a barrier each branch would recompute
+    // the feature synthesis (runs dedup shuffle + fanout repartition).
+    // Feature rows are small (one per feature, pre-explosion), so
+    // materializing them once is far cheaper than twice the lineage.
+    graft.Tables.fanout(features(s, d)).localCheckpoint(false)
       .withColumn("lonmin", array_min(transform(col("pts"), _("lon"))))
       .withColumn("lonmax", array_max(transform(col("pts"), _("lon"))))
       .withColumn("latmin", array_min(transform(col("pts"), _("lat"))))
@@ -539,14 +544,25 @@ object MvtTiles {
       .withColumn("buf", bufferOf(col("layer")))
       .withColumn("z", explode(sequence(col("minz"), lit(MaxZoom))))
       // mercator y grows southward: ty range comes from latmax..latmin
-      .withColumn("tx", explode(sequence(
+      .withColumn("txlo",
         expr(s"GREATEST(${dv("lonmin", true)} - buf, CAST(0 AS BIGINT))" +
-          " DIV 4096"),
-        expr(s"LEAST(${dv("lonmax", true)} + buf, $wmaxSql) DIV 4096"))))
-      .withColumn("ty", explode(sequence(
+          " DIV 4096"))
+      .withColumn("txhi",
+        expr(s"LEAST(${dv("lonmax", true)} + buf, $wmaxSql) DIV 4096"))
+      .withColumn("tylo",
         expr(s"GREATEST(${dv("latmax", false)} - buf, CAST(0 AS BIGINT))" +
-          " DIV 4096"),
-        expr(s"LEAST(${dv("latmin", false)} + buf, $wmaxSql) DIV 4096"))))
+          " DIV 4096"))
+      .withColumn("tyhi",
+        expr(s"LEAST(${dv("latmin", false)} + buf, $wmaxSql) DIV 4096"))
+      // a feature entirely beyond the clamped world (lon past ±180 —
+      // synthesized runs can overshoot by a few millidegrees) inverts
+      // its range; Spark's sequence() would walk it DESCENDING and
+      // fabricate an out-of-world tile, where DuckDB's generate_series
+      // is empty — filter explicitly so both engines drop it (the
+      // documented no-antimeridian-wrap divergence)
+      .filter(col("txlo") <= col("txhi") && col("tylo") <= col("tyhi"))
+      .withColumn("tx", explode(sequence(col("txlo"), col("txhi"))))
+      .withColumn("ty", explode(sequence(col("tylo"), col("tyhi"))))
       .select(col("layer"), col("fid"), col("gtype"), col("z"),
         col("tx"), col("ty"), col("buf"), col("pts"), col("pk"), col("pv"))
   }

@@ -92,6 +92,19 @@ class PlanPinSpec extends SparkSpec {
       s"q_pipeline_e2e grew to $exchanges exchanges:\n$plan")
   }
 
+  test("q_tiles_mvt_bytes plans lean: no cartesian/BNLJ, bounded exchanges") {
+    val df = SparkEntry.queries("q_tiles_mvt_bytes")(spark, sf)
+    val (exchanges, plan) = audit(df)
+    // pinned at measured count 8: fanout repartition + runs-layer
+    // dedup recomputed in each cap-split union branch (4, all over
+    // small un-exploded feature rows), the two density-cap windows
+    // over the z<=8 slice, the single (z,tx,ty) tile collect, and the
+    // output orderBy range exchange - a second shuffle of encoded
+    // frames or a cap window leaking onto the z>=9 bulk fails here
+    assert(exchanges <= 8,
+      s"q_tiles_mvt_bytes grew to $exchanges exchanges:\n$plan")
+  }
+
   test("audit still fires on a genuine non-scalar BNLJ and a cartesian") {
     import spark.implicits._
     val l = spark.range(50).toDF("a")
