@@ -136,8 +136,11 @@ object Bench {
         .map(m => m.group(1) ->
           m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)
         .toMap
+    // '-' must be in the class body: Double.toString of a sub-ms median
+    // is "1.0E-4", and a class without '-' would truncate the match and
+    // crash toDouble after all queries already ran
     val prevMedians: Map[String, Double] =
-      """"([^"]+)":(-?[0-9.eE+]+)""".r
+      """"([^"]+)":([0-9.eE+\-]+)""".r
         .findAllMatchIn(jsonObjBody(prevText, "queries"))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     results.foreach { case (name, t) =>

@@ -179,12 +179,14 @@ object MvtKernel {
     val n = feats.numElements()
     var from = 0
     while (from < n) {
-      val name = feats.getStruct(from, 6).getUTF8String(0).toString
+      // compare UTF8String directly — converting every row's layer to
+      // a java String would allocate per feature in the tile kernel
+      val name = feats.getStruct(from, 6).getUTF8String(0)
       var until = from + 1
       while (until < n &&
-        feats.getStruct(until, 6).getUTF8String(0).toString == name)
+        feats.getStruct(until, 6).getUTF8String(0).equals(name))
         until += 1
-      out.write(encodeLayerSlice(name, feats, from, until))
+      out.write(encodeLayerSlice(name.toString, feats, from, until))
       from = until
     }
     out.toByteArray

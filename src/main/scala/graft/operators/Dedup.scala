@@ -165,13 +165,18 @@ object Dedup {
     * code path with m = 1 (zero extra replication). HotBucketSpec
     * proves pairs the old skip path dropped are found, across shards.
     */
+  /** Salt shard count for a bucket of `n` band rows — the ONE policy
+    * both the batch self-join and the incremental probe shard by.
+    */
+  private def shardCount(n: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    least(ceil(n.cast("double") / MAX_BUCKET), lit(MAX_SALT)).cast("int")
+
   private[graft] def bucketAllPairs(bands: DataFrame): DataFrame = {
     val counts = bands.groupBy("b", "bh").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
     val sharded = bands.join(counts, Seq("b", "bh"))
-      .withColumn("m",
-        least(ceil(col("n").cast("double") / MAX_BUCKET), lit(MAX_SALT))
-          .cast("int"))
+      .withColumn("m", shardCount(col("n")))
       .withColumn("s",
         pmod(graft.functions.HashFunctions.hash32(col("doc_id")), col("m")))
     val left = sharded
@@ -205,8 +210,6 @@ object Dedup {
   private[graft] def bucketProbePairs(inc: DataFrame,
       idx: DataFrame): DataFrame = {
     val cnt = idx.groupBy("b", "bh").agg(count(lit(1)).as("n"))
-    def shardCount(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      least(ceil(n.cast("double") / MAX_BUCKET), lit(MAX_SALT)).cast("int")
     val idxSharded = idx.join(cnt, Seq("b", "bh"))
       .withColumn("s",
         pmod(graft.functions.HashFunctions.hash32(col("doc_id")),

@@ -536,6 +536,11 @@ object MvtTiles {
     // the feature synthesis (runs dedup shuffle + fanout repartition).
     // Feature rows are small (one per feature, pre-explosion), so
     // materializing them once is far cheaper than twice the lineage.
+    // Known tradeoff (same as the engine's other localCheckpoint
+    // barriers): blocks are executor-local and unreplicated, so on a
+    // real cluster an executor loss fails the job instead of
+    // recomputing — acceptable for a rerunnable batch tile build; use
+    // reliable checkpointing if tiles ever run under tight SLAs.
     graft.Tables.fanout(features(s, d)).localCheckpoint(false)
       .withColumn("lonmin", array_min(transform(col("pts"), _("lon"))))
       .withColumn("lonmax", array_max(transform(col("pts"), _("lon"))))
@@ -638,16 +643,18 @@ object MvtTiles {
     * coord_checksum) rollup from prepared parts.
     */
   private def statsOf(prep: DataFrame): DataFrame = {
-    val flat = flatten(col("parts"))
-    val chk = aggregate(flat,
+    // one fold over one flatten: the accumulator's final index IS the
+    // point count, so the flattened array is materialized once per row
+    val fold = aggregate(flatten(col("parts")),
       struct(lit(0L).as("i"), lit(0L).as("s")),
       (acc, p) => struct((acc("i") + 1L).as("i"),
-        (acc("s") + (acc("i") + 1L) * (p("px") * 8191L + p("py"))).as("s")),
-      acc => acc("s"))
+        (acc("s") + (acc("i") + 1L) * (p("px") * 8191L + p("py"))).as("s")))
     prep
       .select(col("layer"), col("z"), col("tx"), col("ty"),
-        size(col("parts")).cast("long").as("n_parts"),
-        size(flat).cast("long").as("n_pts"), chk.as("chk"))
+        size(col("parts")).cast("long").as("n_parts"), fold.as("fold"))
+      .select(col("layer"), col("z"), col("tx"), col("ty"),
+        col("n_parts"), col("fold")("i").as("n_pts"),
+        col("fold")("s").as("chk"))
       .groupBy(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
         col("ty").as("tile_y"), col("layer"))
       .agg(count(lit(1)).as("n_features"),

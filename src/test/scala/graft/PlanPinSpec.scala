@@ -73,7 +73,18 @@ class PlanPinSpec extends SparkSpec {
     }
     assert(badBnlj.isEmpty,
       s"non-scalar nested-loop join leaked into:\n$s")
-    (all.count(_.isInstanceOf[ShuffleExchangeExec]), s)
+    // count exchanges by INSTANCE: nodes() descends into
+    // ReusedExchangeExec.child so the ban scans see reused subtrees,
+    // but a shared shuffle must count once — exchange reuse is a plan
+    // improvement, not a regression, and structural equality would
+    // also merge genuinely distinct but identical-shaped exchanges
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[ShuffleExchangeExec, java.lang.Boolean]())
+    all.foreach {
+      case e: ShuffleExchangeExec => seen.add(e)
+      case _ =>
+    }
+    (seen.size, s)
   }
 
   test("q_ski_normalize plans lean: no cartesian/BNLJ, bounded exchanges") {
@@ -95,13 +106,16 @@ class PlanPinSpec extends SparkSpec {
   test("q_tiles_mvt_bytes plans lean: no cartesian/BNLJ, bounded exchanges") {
     val df = SparkEntry.queries("q_tiles_mvt_bytes")(spark, sf)
     val (exchanges, plan) = audit(df)
-    // pinned at measured count 8: fanout repartition + runs-layer
-    // dedup recomputed in each cap-split union branch (4, all over
-    // small un-exploded feature rows), the two density-cap windows
-    // over the z<=8 slice, the single (z,tx,ty) tile collect, and the
-    // output orderBy range exchange - a second shuffle of encoded
-    // frames or a cap window leaking onto the z>=9 bulk fails here
-    assert(exchanges <= 8,
+    // The visible plan starts at featureTiles' lazy localCheckpoint
+    // (a LogicalRDD scan), so this pin covers the post-checkpoint DAG
+    // only: the two density-cap windows over the z<=8 slice, the
+    // single (z,tx,ty) tile collect, and the output orderBy range
+    // exchange. A second shuffle of encoded frames or a cap window
+    // leaking onto the z>=9 bulk fails here; the feature-synthesis
+    // subtree upstream of the checkpoint is NOT audited by this test
+    // (its shape is covered by q_ski_normalize's pin over the shared
+    // formatted() lineage).
+    assert(exchanges <= 4,
       s"q_tiles_mvt_bytes grew to $exchanges exchanges:\n$plan")
   }
 
