@@ -79,15 +79,26 @@ object MvtDecodeKernel {
       } while ((b & 0x80) != 0)
       v
     }
+    /** Length prefix, validated against the enclosing frame — a
+      * malformed/negative length must fail loudly, not walk backwards
+      * or escape the buffer.
+      */
+    def len(): Int = {
+      val n = varint()
+      require(n >= 0 && pos + n <= end, s"bad length $n at $pos/$end")
+      n.toInt
+    }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 2 => val n = varint().toInt; pos += n
+      // NB: must bind n BEFORE `pos +=` — `pos += len()` reads the old
+      // pos before len() advances it past the length varint
+      case 2 => val n = len(); pos += n
       case 5 => pos += 4
       case 1 => pos += 8
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
     def sub(): Reader = {
-      val n = varint().toInt
+      val n = len()
       val r = new Reader(buf, pos, pos + n)
       pos += n
       r
@@ -139,7 +150,7 @@ object MvtDecodeKernel {
         val wire = (t & 7L).toInt
         field match {
           case 1 =>
-            val n = layer.varint().toInt
+            val n = layer.len()
             name = new String(layer.buf, layer.pos, n, "UTF-8")
             layer.pos += n
           case 2 =>
