@@ -288,7 +288,24 @@ object MvtPrepKernel {
         }
         if (dedup.length > 1 && dedup.head == dedup.last)
           dedup.remove(dedup.length - 1)
-        if (dedup.length < 3) Array.empty else Array(dedup.toArray)
+        if (dedup.length < 3) Array.empty
+        else {
+          // vector-tile-spec 2.1 §4.3.3.3: an exterior ring must have
+          // POSITIVE surveyor's-formula area in tile (y-down) coords.
+          // Synthesized features happen to arrive correctly wound; an
+          // arbitrary input ring must be reversed, not emitted wrong.
+          var out = dedup.toArray
+          var area2 = 0L
+          var i = 0
+          while (i < out.length) {
+            val (x1, y1) = out(i)
+            val (x2, y2) = out(if (i + 1 == out.length) 0 else i + 1)
+            area2 += x1 * y2 - x2 * y1
+            i += 1
+          }
+          if (area2 < 0L) out = out.reverse
+          Array(out)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown gtype $other")
     }

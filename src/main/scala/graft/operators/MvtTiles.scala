@@ -459,7 +459,7 @@ object MvtTiles {
       |ring4 AS MATERIALIZED (SELECT * REPLACE (
       |  ${sqlShPass("r", axisX = false, keepGe = false, "$$HI$$")} AS r)
       |  FROM ring3),
-      |ringr AS MATERIALIZED (
+      |ringdd AS MATERIALIZED (
       |  SELECT layer, fid, z, tx, ty,
       |    CASE WHEN len(dd) > 1 AND dd[1] = dd[len(dd)]
       |      THEN list_slice(dd, 1, len(dd) - 1) ELSE dd END AS ring
@@ -473,6 +473,16 @@ object MvtTiles {
       |        x := CAST(floor(p.x + 0.5) AS BIGINT),
       |        y := CAST(floor(p.y + 0.5) AS BIGINT))) AS rr
       |      FROM ring4))),
+      |ringr AS MATERIALIZED (
+      |  SELECT layer, fid, z, tx, ty,
+      |    CASE WHEN area2 < 0 THEN list_reverse(ring) ELSE ring END AS ring
+      |  FROM (
+      |    SELECT *, list_sum(list_transform(range(1, len(ring) + 1), i ->
+      |      ring[i].x
+      |        * ring[CASE WHEN i = len(ring) THEN 1 ELSE i + 1 END].y
+      |      - ring[CASE WHEN i = len(ring) THEN 1 ELSE i + 1 END].x
+      |        * ring[i].y)) AS area2
+      |    FROM ringdd)),
       |pts_ring AS (
       |  SELECT layer, fid, z, tx, ty, 1 AS part_id, i AS ord,
       |    ring[i].x AS px, ring[i].y AS py

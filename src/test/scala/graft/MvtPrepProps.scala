@@ -64,6 +64,19 @@ object MvtPrepProps extends Properties("MvtPrepKernel") {
         }
     }
 
+  property("ring output always has non-negative surveyor area") =
+    Prop.forAll(ptsGen(3, 9), bufGen, tolGen, boolGen) {
+      (pts, buf, tol, simp) =>
+        prep(3, pts, simp, tol, buf).forall { ring =>
+          val area2 = ring.indices.map { i =>
+            val (x1, y1) = ring(i)
+            val (x2, y2) = ring((i + 1) % ring.length)
+            x1 * y2 - x2 * y1
+          }.sum
+          area2 >= 0L // vector-tile-spec 2.1: exterior ring positive
+        }
+    }
+
   property("DP kept set is a closure fixpoint (dropped within tol)") =
     Prop.forAll(ptsGen(2, 12), tolGen) { (pts, tol) =>
       val xs = pts.map(_._1).toArray

@@ -141,6 +141,15 @@ class MvtPrepSpec extends AnyFunSuite {
     assert(got(0).length >= 4) // interior vertices survive tol 2
   }
 
+  test("a wrong-wound ring is reversed to positive surveyor area") {
+    // square given counter-clockwise in screen (y-down) coords →
+    // negative area → must come out reversed, same vertex set
+    val ccw = Seq((10L, 10L), (10L, 110L), (110L, 110L), (110L, 10L))
+    val got = prep(3, ccw, simplify = false)
+    assert(got === Seq(Seq((110L, 10L), (110L, 110L), (10L, 110L),
+      (10L, 10L))))
+  }
+
   test("clip intersection rounding stays within the buffered square") {
     // steep segment crossing the corner region
     val got = prep(2, Seq((-37L, 13L), (91L, -22L)), simplify = false)
