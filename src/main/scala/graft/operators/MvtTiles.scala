@@ -522,25 +522,31 @@ object MvtTiles {
 
   // ========================= Spark pipeline ===============================
 
-  private def s2zCol: Column =
-    expr("CAST(shiftleft(CAST(1 AS BIGINT), z) AS DOUBLE)")
-
-  /** World-pixel SQL fragment for the Spark side (expr text so the
-    * shift-by-column works; the Scala `shiftleft` wrapper only takes a
-    * literal shift).
-    */
-  private def dv(c: String, isX: Boolean): String = {
-    val w = if (isX) sqlXw(c)
-      else sqlYw(c)
-    s"CAST(floor(($w) * CAST(shiftleft(CAST(1 AS BIGINT), z) AS DOUBLE)) AS BIGINT)"
-  }
+  /** 2^MaxZoom — the world-pixel scale every zoom derives from. */
+  private val S15 = (1L << MaxZoom).toDouble
 
   /** Feature-level tile fan-out with the layer buffer and world clamp:
-    * (layer, fid, gtype, z, tx, ty, buf, pts, pk, pv). Pure narrow
-    * expressions — explodes, no shuffle.
+    * (layer, fid, gtype, z, tx, ty, buf, wpts, pk, pv) where `wpts`
+    * are world-pixel coordinates at MaxZoom. Pure narrow expressions —
+    * explodes, no shuffle.
+    *
+    * The Web-Mercator trig (sin/ln per coordinate) is hoisted ABOVE
+    * the zoom × tile explosion: world pixels are computed ONCE per
+    * point at z = MaxZoom, and every other zoom derives by arithmetic
+    * shift. This is bit-exact with the oracle's per-zoom
+    * `floor(w * 2^z)` because (a) scaling a double by a power of two
+    * only changes the exponent — `w * 2^15` and `w * 2^z` are the
+    * same real number scaled exactly — and (b) for any real y and
+    * integer k ≥ 0, `floor(floor(y) / 2^k) = floor(y / 2^k)`, and an
+    * arithmetic right shift IS floor division by 2^k (including for
+    * the slightly-negative world pixels of features overshooting
+    * lon ±180). So `shiftright(floor(w·2^15), 15-z) = floor(w·2^z)`
+    * exactly, and the DuckDB oracle keeps its direct per-zoom formula.
     */
   private def featureTiles(s: SparkSession, d: String): DataFrame = {
     val wmaxSql = "shiftleft(CAST(1 AS BIGINT), z) * 4096 - 1"
+    def w15(c: Column, isX: Boolean): Column =
+      floor((if (isX) xWorld(c) else yWorld(c)) * S15).cast("long")
     // lazy checkpoint: the cap splits the pipeline into a z<=8 and a
     // z>=9 branch, and without a barrier each branch would recompute
     // the feature synthesis (runs dedup shuffle + fanout repartition).
@@ -552,23 +558,35 @@ object MvtTiles {
     // recomputing — acceptable for a rerunnable batch tile build; use
     // reliable checkpointing if tiles ever run under tight SLAs.
     graft.Tables.fanout(features(s, d)).localCheckpoint(false)
-      .withColumn("lonmin", array_min(transform(col("pts"), _("lon"))))
-      .withColumn("lonmax", array_max(transform(col("pts"), _("lon"))))
-      .withColumn("latmin", array_min(transform(col("pts"), _("lat"))))
-      .withColumn("latmax", array_max(transform(col("pts"), _("lat"))))
+      .withColumn("wpts", transform(col("pts"), p => struct(
+        w15(p("lon"), isX = true).as("wx"),
+        w15(p("lat"), isX = false).as("wy"))))
+      // bbox world pixels at MaxZoom, from the raw lon/lat extremes
+      // (exactly the oracle's feat_rng arguments, hoisted pre-explode)
+      .withColumn("bxlo",
+        w15(array_min(transform(col("pts"), _("lon"))), isX = true))
+      .withColumn("bxhi",
+        w15(array_max(transform(col("pts"), _("lon"))), isX = true))
+      // mercator y grows southward: ty range comes from latmax..latmin
+      .withColumn("bylo",
+        w15(array_max(transform(col("pts"), _("lat"))), isX = false))
+      .withColumn("byhi",
+        w15(array_min(transform(col("pts"), _("lat"))), isX = false))
+      .drop("pts")
       .withColumn("buf", bufferOf(col("layer")))
       .withColumn("z", explode(sequence(col("minz"), lit(MaxZoom))))
-      // mercator y grows southward: ty range comes from latmax..latmin
       .withColumn("txlo",
-        expr(s"GREATEST(${dv("lonmin", true)} - buf, CAST(0 AS BIGINT))" +
-          " DIV 4096"))
+        expr(s"GREATEST(shiftright(bxlo, $MaxZoom - z) - buf," +
+          " CAST(0 AS BIGINT)) DIV 4096"))
       .withColumn("txhi",
-        expr(s"LEAST(${dv("lonmax", true)} + buf, $wmaxSql) DIV 4096"))
-      .withColumn("tylo",
-        expr(s"GREATEST(${dv("latmax", false)} - buf, CAST(0 AS BIGINT))" +
+        expr(s"LEAST(shiftright(bxhi, $MaxZoom - z) + buf, $wmaxSql)" +
           " DIV 4096"))
+      .withColumn("tylo",
+        expr(s"GREATEST(shiftright(bylo, $MaxZoom - z) - buf," +
+          " CAST(0 AS BIGINT)) DIV 4096"))
       .withColumn("tyhi",
-        expr(s"LEAST(${dv("latmin", false)} + buf, $wmaxSql) DIV 4096"))
+        expr(s"LEAST(shiftright(byhi, $MaxZoom - z) + buf, $wmaxSql)" +
+          " DIV 4096"))
       // a feature entirely beyond the clamped world (lon past ±180 —
       // synthesized runs can overshoot by a few millidegrees) inverts
       // its range; Spark's sequence() would walk it DESCENDING and
@@ -579,7 +597,7 @@ object MvtTiles {
       .withColumn("tx", explode(sequence(col("txlo"), col("txhi"))))
       .withColumn("ty", explode(sequence(col("tylo"), col("tyhi"))))
       .select(col("layer"), col("fid"), col("gtype"), col("z"),
-        col("tx"), col("ty"), col("buf"), col("pts"), col("pk"), col("pv"))
+        col("tx"), col("ty"), col("buf"), col("wpts"), col("pk"), col("pv"))
   }
 
   /** Deterministic drop-densest cap: per (z, tx, ty, layer) keep the
@@ -618,11 +636,11 @@ object MvtTiles {
     */
   private[operators] def prepped(s: SparkSession, d: String): DataFrame = {
     capped(s, d)
-      .withColumn("qpts", transform(col("pts"), p => struct(
-        (floor(xWorld(p("lon")) * s2zCol).cast("long") - col("tx") * 4096)
-          .as("px"),
-        (floor(yWorld(p("lat")) * s2zCol).cast("long") - col("ty") * 4096)
-          .as("py"))))
+      // tile-local quantization by shift from the MaxZoom world pixels
+      // (bit-exact with the oracle's floor(w * 2^z); see featureTiles)
+      .withColumn("qpts", expr(s"transform(wpts, w -> struct(" +
+        s"shiftright(w.wx, $MaxZoom - z) - tx * 4096 AS px, " +
+        s"shiftright(w.wy, $MaxZoom - z) - ty * 4096 AS py))"))
       .withColumn("simp",
         when(col("layer") === "skiareas", lit(true))
           .otherwise(col("z") < MaxZoom))
