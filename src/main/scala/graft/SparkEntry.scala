@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.specs ++
       operators.Corpus.specs ++
       operators.CorpusProfile.specs ++
+      operators.QualityModel.specs ++
       operators.Similarity.specs ++
       operators.Events.specs ++
       operators.SkiQueries.specs ++

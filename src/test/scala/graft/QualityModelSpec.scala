@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The integer-exact quality-classifier trainers (QualityModel):
+  * perceptron trajectory semantics on hand-checkable fixtures, and the
+  * exact least-squares (normal equations + BigInt Cramer) path.
+  */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A linearly separable fixture: y = sign(x1 - 5) with x = (1, x1).
+  // Padded to Dim=4 with zero features so the production loop runs
+  // unchanged.
+  private def sepFeats(n: Int) = {
+    val rows = (1 to n).map { i =>
+      val x1 = i % 11L // 0..10
+      val y = if (x1 > 5) 1L else -1L
+      (i.toLong, "s", y, 1L, x1 - 5L, 0L, 0L)
+    }
+    rows.toDF("doc_id", "source", "y", "x0", "x1", "x2", "x3")
+  }
+
+  test("perceptron drives misclassifications down on separable data") {
+    val traj = operators.QualityModel.train(sepFeats(400))
+    assert(traj.length == operators.QualityModel.Epochs)
+    val first = traj.head._1
+    val last = traj.last._1
+    assert(first == 400L, "epoch 1 starts from w=0: everything misses")
+    assert(last < first / 4,
+      s"separable fixture should mostly converge, got $last of $first")
+    // learned direction: positive weight on the informative feature
+    assert(traj.last._2(1) > 0)
+  }
+
+  test("epoch updates are the truncated-mean gradient") {
+    // n = 8 rows, lr = n/4 = 2; epoch 1 misses everything (w = 0), so
+    // g = sum(y * x) over ALL rows and w1 = g1 / 2 exactly.
+    val rows = Seq(
+      (1L, "s", 1L, 1L, 3L, 0L, 0L), (2L, "s", 1L, 1L, 4L, 0L, 0L),
+      (3L, "s", 1L, 1L, 5L, 0L, 0L), (4L, "s", 1L, 1L, 6L, 0L, 0L),
+      (5L, "s", -1L, 1L, -3L, 0L, 0L), (6L, "s", -1L, 1L, -4L, 0L, 0L),
+      (7L, "s", -1L, 1L, -5L, 0L, 0L), (8L, "s", -1L, 1L, -7L, 0L, 0L))
+      .toDF("doc_id", "source", "y", "x0", "x1", "x2", "x3")
+    val (nMiss, w) = operators.QualityModel.train(rows).head
+    assert(nMiss == 8L)
+    assert(w(0) == 0L) // Σ y·1 = 0
+    assert(w(1) == (3L + 4 + 5 + 6 + 3 + 4 + 5 + 7) / 2) // 37/2 = 18
+    assert(w(2) == 0L && w(3) == 0L)
+  }
+
+  test("trajectory query is deterministic and epoch-complete") {
+    val a = SparkEntry.queries("q_quality_train")(spark, sf).collect()
+    val b = SparkEntry.queries("q_quality_train")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == operators.QualityModel.Epochs)
+    assert(a.head.getLong(1) > a.last.getLong(1),
+      "training should reduce misclassifications from the w=0 start")
+  }
+
+  test("lsc agrees with an independently computed exact solve") {
+    val row = SparkEntry.queries("q_quality_lsc")(spark, sf).head()
+    val nDocs = row.getLong(5)
+    val nAgree = row.getLong(4)
+    assert(nDocs > 0)
+    // the linear model approximates the held-out nonlinear gold rule:
+    // well above the base rate, below perfection
+    assert(nAgree.toDouble / nDocs > 0.7 && nAgree < nDocs,
+      s"lsc agreement $nAgree/$nDocs out of expected band")
+    // weight scale: bp weights are |w| < 10 in feature units -> < 1e5
+    (0 to 3).foreach(j => assert(math.abs(row.getLong(j)) < 100000L))
+  }
+
+  test("apply keeps the gold-rule agreement above the base rate") {
+    val df = SparkEntry.queries("q_quality_apply")(spark, sf)
+    val tot = df.agg(sum("n_docs"), sum("n_agree")).head()
+    val n = tot.getLong(0)
+    val agree = tot.getLong(1)
+    assert(n > 0 && agree.toDouble / n > 0.7,
+      s"perceptron agreement $agree/$n below expected band")
+  }
+}
