@@ -174,18 +174,25 @@ object MvtTiles {
         }: _*).as("pts"),
         array(lit("kind")).as("pk"), array(lit("skiarea")).as("pv"))
 
-    val spots = graft.Tables.events(s, d)
+    runs.unionByName(lifts).unionByName(areas)
+      .unionByName(spotFeatures(graft.Tables.events(s, d)))
+  }
+
+  /** Spot features from any events-schema frame — shared by the batch
+    * build above and the streaming tile-refresh's micro-batches (the
+    * formulas must stay identical or the incremental store would
+    * diverge from the batch oracle).
+    */
+  private[graft] def spotFeatures(events: DataFrame): DataFrame =
+    events
       .select(lit("spots").as("layer"), col("event_id").as("fid"),
         lit(1).as("gtype"), lit(9).as("minz"),
-        array(pt(
-          pmod(col("event_id") * 7919, lit(360000)).cast("double")
-            / 1000.0 - 180.0,
-          pmod(col("event_id") * 104729, lit(120000)).cast("double")
-            / 1000.0 - 60.0)).as("pts"),
+        array(struct(
+          (pmod(col("event_id") * 7919, lit(360000)).cast("double")
+            / 1000.0 - 180.0).as("lon"),
+          (pmod(col("event_id") * 104729, lit(120000)).cast("double")
+            / 1000.0 - 60.0).as("lat"))).as("pts"),
         array(lit("kind")).as("pk"), array(lit("spot")).as("pv"))
-
-    runs.unionByName(lifts).unionByName(areas).unionByName(spots)
-  }
 
   // one row per (layer, fid, pidx, lon, lat) + per-feature meta;
   // shared with the GeoPackage BLOB oracle
@@ -543,10 +550,7 @@ object MvtTiles {
     * lon ±180). So `shiftright(floor(w·2^15), 15-z) = floor(w·2^z)`
     * exactly, and the DuckDB oracle keeps its direct per-zoom formula.
     */
-  private def featureTiles(s: SparkSession, d: String): DataFrame = {
-    val wmaxSql = "shiftleft(CAST(1 AS BIGINT), z) * 4096 - 1"
-    def w15(c: Column, isX: Boolean): Column =
-      floor((if (isX) xWorld(c) else yWorld(c)) * S15).cast("long")
+  private def featureTiles(s: SparkSession, d: String): DataFrame =
     // lazy checkpoint: the cap splits the pipeline into a z<=8 and a
     // z>=9 branch, and without a barrier each branch would recompute
     // the feature synthesis (runs dedup shuffle + fanout repartition).
@@ -557,7 +561,17 @@ object MvtTiles {
     // real cluster an executor loss fails the job instead of
     // recomputing — acceptable for a rerunnable batch tile build; use
     // reliable checkpointing if tiles ever run under tight SLAs.
-    graft.Tables.fanout(features(s, d)).localCheckpoint(false)
+    tilesOf(graft.Tables.fanout(features(s, d)).localCheckpoint(false))
+
+  /** Tile fan-out from any features-shaped frame (layer, fid, gtype,
+    * minz, pts, pk, pv) — shared by the batch build and the streaming
+    * tile-refresh (which feeds single-layer micro-batch slices).
+    */
+  private[graft] def tilesOf(feats: DataFrame): DataFrame = {
+    val wmaxSql = "shiftleft(CAST(1 AS BIGINT), z) * 4096 - 1"
+    def w15(c: Column, isX: Boolean): Column =
+      floor((if (isX) xWorld(c) else yWorld(c)) * S15).cast("long")
+    feats
       .withColumn("wpts", transform(col("pts"), p => struct(
         w15(p("lon"), isX = true).as("wx"),
         w15(p("lat"), isX = false).as("wy"))))
@@ -634,10 +648,16 @@ object MvtTiles {
     * `parts: array<array<struct<px,py>>>` — the final per-tile
     * geometry the stats and byte paths share.
     */
-  private[operators] def prepped(s: SparkSession, d: String): DataFrame = {
-    capped(s, d)
+  private[operators] def prepped(s: SparkSession, d: String): DataFrame =
+    prepOf(capped(s, d))
+
+  /** Quantize + simplify + clip any tile-fan-out-shaped frame (shared
+    * with the streaming tile-refresh).
+    */
+  private[graft] def prepOf(tiles: DataFrame): DataFrame = {
+    tiles
       // tile-local quantization by shift from the MaxZoom world pixels
-      // (bit-exact with the oracle's floor(w * 2^z); see featureTiles)
+      // (bit-exact with the oracle's floor(w * 2^z); see tilesOf)
       .withColumn("qpts", expr(s"transform(wpts, w -> struct(" +
         s"shiftright(w.wx, $MaxZoom - z) - tx * 4096 AS px, " +
         s"shiftright(w.wy, $MaxZoom - z) - ty * 4096 AS py))"))
@@ -699,8 +719,14 @@ object MvtTiles {
   // whole multi-layer tile in a single call — no second shuffle of
   // per-layer frames. Group sizes are bounded by the density cap at
   // low zooms and geographic sharding at z9+.
-  def tileBytes(s: SparkSession, d: String): DataFrame = {
-    prepped(s, d)
+  def tileBytes(s: SparkSession, d: String): DataFrame =
+    encodeOf(prepped(s, d))
+
+  /** Per-tile collect + whole-tile protobuf encode of any prepped
+    * frame (shared with the streaming tile-refresh).
+    */
+  private[graft] def encodeOf(prep: DataFrame): DataFrame = {
+    prep
       .select(col("z"), col("tx"), col("ty"),
         struct(col("layer"), col("fid"), col("gtype"), col("parts"),
           col("pk").as("pkeys"), col("pv").as("pvals")).as("feat"))
@@ -711,6 +737,24 @@ object MvtTiles {
         size(array_distinct(transform(col("feats"), _("layer"))))
           .as("n_layers"),
         graft.functions.MvtTileEncodeExpr.mvtTile(col("feats")).as("tile"))
+  }
+
+  /** Decode tile blobs (zoom, tile_x, tile_y, tile) back to the
+    * oracled per-layer stats columns (shared by `q_tiles_mvt_bytes`
+    * and the streaming tile-refresh's final readout).
+    */
+  private[graft] def decodedStats(tiles: DataFrame): DataFrame = {
+    tiles
+      .select(col("zoom"), col("tile_x"), col("tile_y"),
+        explode(graft.functions.MvtDecodeExpr.mvtDecode(col("tile")))
+          .as("lstat"))
+      .select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("lstat.layer").as("layer"),
+        col("lstat.n_features").as("n_features"),
+        col("lstat.n_parts").as("n_parts"),
+        col("lstat.n_points").as("n_points"),
+        col("lstat.coord_checksum").as("coord_checksum"))
+      .orderBy("zoom", "tile_x", "tile_y", "layer")
   }
 
   // The decode-round-trip gate: the engine's own protobuf tile bytes,
@@ -726,18 +770,25 @@ object MvtTiles {
         |$oracleStatsSelect""".stripMargin
     },
     headline = true) { (s, d) =>
-    tileBytes(s, d)
-      .select(col("zoom"), col("tile_x"), col("tile_y"),
-        explode(graft.functions.MvtDecodeExpr.mvtDecode(col("tile")))
-          .as("lstat"))
-      .select(col("zoom"), col("tile_x"), col("tile_y"),
-        col("lstat.layer").as("layer"),
-        col("lstat.n_features").as("n_features"),
-        col("lstat.n_parts").as("n_parts"),
-        col("lstat.n_points").as("n_points"),
-        col("lstat.coord_checksum").as("coord_checksum"))
-      .orderBy("zoom", "tile_x", "tile_y", "layer")
+    decodedStats(tileBytes(s, d))
   }
 
-  val specs: Seq[QuerySpec] = Seq(qStats, qBytes)
+  // Incremental maintenance gate: the streaming tile-refresh
+  // (graft.streaming.TilesStreaming) must equal the batch rebuild of
+  // the spots layer bit-for-bit, so its oracle is the SAME relational
+  // tile-stats replay filtered to that layer.
+  private val qStreamRefresh = QuerySpec.of(
+    "q_stream_tiles_refresh", {
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |$oracleFeatPtsCtes,
+        |$oraclePrepCtes
+        |SELECT zoom, tile_x, tile_y, layer, n_features, n_parts,
+        |  n_points, coord_checksum
+        |FROM tile_stats WHERE layer = 'spots'
+        |ORDER BY zoom, tile_x, tile_y, layer""".stripMargin
+    }) { (s, d) =>
+    graft.streaming.TilesStreaming.refreshViaStream(s, d)
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qStats, qBytes, qStreamRefresh)
 }

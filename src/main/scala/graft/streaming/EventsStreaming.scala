@@ -515,7 +515,7 @@ object EventsStreaming {
     * directory; the single part-file is moved into place so the file
     * stream source sees a flat file list with controllable mtimes).
     */
-  private def writeEventsFile(df: DataFrame, dir: java.nio.file.Path,
+  private[streaming] def writeEventsFile(df: DataFrame, dir: java.nio.file.Path,
       fileName: String): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft_stage_w_")
