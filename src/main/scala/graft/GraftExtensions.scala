@@ -161,6 +161,21 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VideoMetaExpr].getName,
         "graft_video_meta"),
       oneArg("graft_video_meta", VideoMetaExpr)),
+    // tile-serving audit surface: decode an MVT blob column back to
+    // per-layer (layer, n_features, n_parts, n_points, coord_checksum)
+    // rows from pure SQL — the same decoder q_tiles_mvt_bytes gates on
+    (FunctionIdentifier("graft_mvt_decode"),
+      new ExpressionInfo(
+        classOf[graft.functions.MvtDecodeExpr].getName,
+        "graft_mvt_decode"),
+      oneArg("graft_mvt_decode", graft.functions.MvtDecodeExpr)),
+    // GeoPackage geometry BLOB builder (GP header + WKB) for SQL
+    // writers: (wkb_type, parts array<array<struct<lon,lat>>>)
+    (FunctionIdentifier("graft_gpkg_geom"),
+      new ExpressionInfo(
+        classOf[graft.functions.GpkgGeomExpr].getName,
+        "graft_gpkg_geom"),
+      twoArg("graft_gpkg_geom", graft.functions.GpkgGeomExpr(_, _))),
     (FunctionIdentifier("graft_st_dwithin"),
       new ExpressionInfo(classOf[STDWithinExpr].getName, "graft_st_dwithin"),
       { args =>

@@ -335,5 +335,48 @@ object QualityModel {
       .orderBy("w0_bp")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qTrain, qApply, qLsc)
+  // ---- threshold sweep: the operating-point sheet --------------------------
+  // Filtering pipelines don't ship sign(w·x) — they pick a margin
+  // threshold trading corpus volume against precision. The sweep
+  // evaluates the trained perceptron margin against a fixed integer
+  // threshold grid in ONE corpus pass (the per-threshold counts are
+  // a conditional aggregate over the broadcast grid), all-integer so
+  // the sheet is exact cross-engine.
+  private val Thresholds: Seq[Int] = Seq(-80, -60, -40, -20, -10, 0,
+    10, 20, 40, 60, 80)
+
+  private val qSweep = QuerySpec.of(
+    "q_quality_threshold_sweep",
+    s"""WITH $oracleFeatsCte,
+      |$oracleEpochCtes,
+      |scored AS (
+      |  SELECT f.y, ${xs.map(x => s"e.w$x * f.$x").mkString(" + ")} AS m
+      |  FROM feats f, e$Epochs e),
+      |grid AS (SELECT unnest([${Thresholds.mkString(", ")}]) AS t)
+      |SELECT t,
+      |  CAST(COALESCE(sum(CASE WHEN m > t THEN 1 END), 0) AS BIGINT)
+      |    AS n_keep,
+      |  CAST(COALESCE(sum(CASE WHEN m > t AND y = 1 THEN 1 END), 0)
+      |    AS BIGINT) AS n_true_pos,
+      |  CAST(COALESCE(sum(CASE WHEN m <= t AND y = 1 THEN 1 END), 0)
+      |    AS BIGINT) AS n_false_neg
+      |FROM scored, grid GROUP BY t ORDER BY t""".stripMargin) { (s, d) =>
+    val feats = checkpointedFeats(s, d)
+    val w = train(feats).last._2
+    val margin = (0 until Dim).map(j => col(s"x$j") * w(j)).reduce(_ + _)
+    import s.implicits._
+    feats
+      .withColumn("m", margin)
+      .crossJoin(broadcast(Thresholds.toDF("t")))
+      .groupBy("t")
+      .agg(
+        sum(when(col("m") > col("t"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("m") > col("t") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("n_true_pos"),
+        sum(when(col("m") <= col("t") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("n_false_neg"))
+      .orderBy("t")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qTrain, qApply, qLsc, qSweep)
 }

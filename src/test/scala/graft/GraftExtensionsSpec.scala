@@ -130,10 +130,38 @@ class GraftExtensionsSpec extends SparkSpec {
     // description without throwing (the builder-time injection path)
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("graft_audio_meta", "graft_gram_hashes", "graft_hash32",
-        "graft_hash64", "graft_image_dims", "graft_line_length_m",
-        "graft_minhash_sig", "graft_morton_z", "graft_pii_redact",
-        "graft_rolling_min", "graft_shingles", "graft_simhash32",
-        "graft_st_dwithin", "graft_vec_dot", "graft_video_meta"))
+      Seq("graft_audio_meta", "graft_gpkg_geom", "graft_gram_hashes",
+        "graft_hash32", "graft_hash64", "graft_image_dims",
+        "graft_line_length_m", "graft_minhash_sig", "graft_morton_z",
+        "graft_mvt_decode", "graft_pii_redact", "graft_rolling_min",
+        "graft_shingles", "graft_simhash32", "graft_st_dwithin",
+        "graft_vec_dot", "graft_video_meta"))
+  }
+
+  test("tile and geopackage kernels answer from pure SQL") {
+    GraftExtensions.register(spark)
+    // encode one single-spot tile with the batch kernel, decode it
+    // back in pure SQL — the round-trip the driver gate runs, here on
+    // the SQL surface
+    val tile = operators.MvtTiles.tileBytes(spark, sf)
+      .orderBy("zoom", "tile_x", "tile_y").limit(1)
+    tile.createOrReplaceTempView("one_tile")
+    val r = spark.sql(
+      """SELECT s.layer, s.n_features, s.n_points
+        |FROM one_tile, LATERAL explode(graft_mvt_decode(tile)) AS t(s)
+        |ORDER BY s.layer LIMIT 1""".stripMargin).collect().head
+    val st = r.getStruct _
+    assert(r.getString(0).nonEmpty)
+    assert(r.getLong(1) >= 1 && r.getLong(2) >= r.getLong(1))
+    // a GP-header+WKB point blob built from SQL: the GP magic leads
+    // the blob and the envelope metadata carries the point through
+    val g = spark.sql(
+      """SELECT g.* FROM (SELECT graft_gpkg_geom(1, array(array(array(
+        |  named_struct('lon', 7.5d, 'lat', 46.5d))))) AS g)""".stripMargin)
+      .collect().head
+    val blob = g.getAs[Array[Byte]]("blob")
+    assert(blob(0) == 'G'.toByte && blob(1) == 'P'.toByte)
+    assert(g.getAs[Int]("n_points") == 1)
+    assert(g.getAs[Double]("minx") == 7.5 && g.getAs[Double]("maxy") == 46.5)
   }
 }
