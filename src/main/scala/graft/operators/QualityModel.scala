@@ -233,6 +233,20 @@ object QualityModel {
     }.mkString("(", " ", ")")
   }
 
+  /** Exact Cramer solve of the ridged normal equations: returns
+    * (detA, det₀..det₃) with wⱼ = detⱼ/detA as exact rationals.
+    * Exposed for the property suite's independent-elimination check.
+    */
+  private[graft] def solveNormal(a: Array[Array[BigInt]],
+      b: Array[BigInt]): (BigInt, IndexedSeq[BigInt]) = {
+    val dA = det4(a)
+    val dJ = (0 until Dim).map { jCol =>
+      det4(Array.tabulate(Dim, Dim)((i, j) =>
+        if (j == jCol) b(i) else a(i)(j)))
+    }
+    (dA, dJ)
+  }
+
   private def det4(m: Array[Array[BigInt]]): BigInt = {
     val perms = Seq(0, 1, 2, 3).permutations.toSeq
     def sign(p: Seq[Int]): Int = {
@@ -312,11 +326,7 @@ object QualityModel {
     }
     val b = (0 until Dim).map(i => BigInt(row.getLong(k + i))).toArray
     val n = row.getLong(k + Dim)
-    val dA = det4(a)
-    val dJ = (0 until Dim).map { jCol =>
-      det4(Array.tabulate(Dim, Dim)((i, j) =>
-        if (j == jCol) b(i) else a(i)(j)))
-    }
+    val (dA, dJ) = solveNormal(a, b)
     // BigInt / truncates toward zero — matches the oracle's sign-split
     val wbp = dJ.map(dj => ((dj * 10000) / dA).toLong)
     val sgn = if (dA.signum >= 0) 1L else -1L

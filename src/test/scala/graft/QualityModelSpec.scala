@@ -71,6 +71,42 @@ class QualityModelSpec extends SparkSpec {
     (0 to 3).foreach(j => assert(math.abs(row.getLong(j)) < 100000L))
   }
 
+  test("distributed trainer equals a sequential reference on seeded data") {
+    // five deterministic random datasets: the distributed per-epoch
+    // aggregate + driver update must reproduce a plain in-memory loop
+    // exactly (catches any drift between the Column algebra and the
+    // intended integer arithmetic)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(120)
+      val rows = (1 to n).map { i =>
+        (i.toLong, "s", if (rnd.nextBoolean()) 1L else -1L, 1L,
+          rnd.between(-15L, 90L), rnd.between(-6L, 30L),
+          rnd.between(-10L, 13L))
+      }
+      val df = rows.toDF("doc_id", "source", "y", "x0", "x1", "x2", "x3")
+      val dist = operators.QualityModel.train(df)
+
+      val lr = math.max(n / 4L, 1L)
+      val w = Array.fill(4)(0L)
+      val ref = (1 to operators.QualityModel.Epochs).map { _ =>
+        val g = Array.fill(4)(0L)
+        var miss = 0L
+        rows.foreach { case (_, _, y, x0, x1, x2, x3) =>
+          val xs = Array(x0, x1, x2, x3)
+          if (y * (0 until 4).map(j => w(j) * xs(j)).sum <= 0L) {
+            miss += 1
+            for (j <- 0 until 4) g(j) += y * xs(j)
+          }
+        }
+        for (j <- 0 until 4) w(j) += g(j) / lr
+        (miss, w.toSeq)
+      }
+      assert(dist.map { case (m, ws) => (m, ws.toSeq) } == ref,
+        s"seed $seed diverged")
+    }
+  }
+
   test("apply keeps the gold-rule agreement above the base rate") {
     val df = SparkEntry.queries("q_quality_apply")(spark, sf)
     val tot = df.agg(sum("n_docs"), sum("n_agree")).head()
