@@ -1724,10 +1724,97 @@ object Similarity {
       .orderBy("dim")
   }
 
+  // ---- margin-criterion pair mining (bitext-mining shape) -----------------
+  // The ratio-margin scoring parallel-corpus miners use (score a
+  // candidate pair by its cosine RELATIVE to each side's neighborhood
+  // density, so pairs in dense regions aren't over-selected): split
+  // the corpus into two sides (even/odd vec_id — the cross-lingual
+  // stand-in), score every forward top-1 pair x→y by
+  //   margin = cos(x,y) / ((avgK(x) + avgK(y)) / 2)
+  // with avgK = mean of the side-crossing top-MarginK cosines, and
+  // flag mutual top-1 agreement. Brute-force pairing here (the sides
+  // are small); at scale the pair generation composes with the IVF
+  // probe search above — the margin scoring is unchanged.
+  //
+  // Determinism: cosines rounded to 9dp first; the top-K mean is an
+  // UNROLLED fixed-order sum over the rank-sorted list (float sums
+  // must not depend on aggregation order), margin rounded to 6dp.
+  private val MarginK = 4
+
+  private val qBitext = QuerySpec.of(
+    "q_ann_bitext_margin", {
+      val avgList = (1 to MarginK).map(i => s"cl[$i]").mkString(" + ")
+      s"""WITH $duckNorm,
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+        |  FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |rk AS MATERIALIZED (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id)
+        |      AS rka,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id)
+        |      AS rkb
+        |  FROM pairs),
+        |avga AS (
+        |  SELECT a_id, ($avgList) / $MarginK.0 AS avg_a
+        |  FROM (SELECT a_id, list(cos ORDER BY rka) AS cl
+        |        FROM rk WHERE rka <= $MarginK GROUP BY a_id)),
+        |avgb AS (
+        |  SELECT b_id, ($avgList) / $MarginK.0 AS avg_b
+        |  FROM (SELECT b_id, list(cos ORDER BY rkb) AS cl
+        |        FROM rk WHERE rkb <= $MarginK GROUP BY b_id))
+        |SELECT r.a_id, r.b_id, round(r.cos, 6) AS cosine,
+        |  round(r.cos / ((avg_a + avg_b) / 2.0), 6) AS margin,
+        |  r.rkb = 1 AS mutual
+        |FROM rk r JOIN avga USING (a_id) JOIN avgb USING (b_id)
+        |WHERE r.rka = 1
+        |ORDER BY a_id""".stripMargin
+    }) { (s, d) =>
+    val n = normalized(Tables.embeddings(s, d))
+    val a = n.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("nrm").as("an"))
+    val b = n.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("nrm").as("bn"))
+    val pairs = b.crossJoin(broadcast(a))
+      .withColumn("cos", round(dot(col("av"), col("bv"))
+        / (col("an") * col("bn")), 9))
+      .select("a_id", "b_id", "cos")
+      // both directions rank the SAME pair set; materialize once so
+      // the two windows and the final join don't recompute the dots
+      .localCheckpoint(false)
+    val rk = pairs
+      .withColumn("rka", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))))
+      .withColumn("rkb", row_number().over(
+        Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))))
+    def topAvg(side: String, rkCol: String): DataFrame = {
+      val sum = (1 to MarginK)
+        .map(i => element_at(col("cl"), i)).reduce(_ + _)
+      rk.filter(col(rkCol) <= MarginK)
+        .groupBy(side)
+        .agg(sort_array(collect_list(struct(col(rkCol).as("r"),
+          col("cos")))).as("rl"))
+        .select(col(side), transform(col("rl"), _("cos")).as("cl"))
+        .select(col(side), (sum / MarginK.toDouble).as(s"avg_$side"))
+    }
+    rk.filter(col("rka") === 1)
+      .join(topAvg("a_id", "rka"), "a_id")
+      .join(topAvg("b_id", "rkb"), "b_id")
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"),
+        round(col("cos") / ((col("avg_a_id") + col("avg_b_id")) / 2.0), 6)
+          .as("margin"),
+        (col("rkb") === 1).as("mutual"))
+      .orderBy("a_id")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qBrute, qLsh, qIvf, qRecall, qIvfRecall, qQuantize, qKmeans, qPq,
       qPqAdc, qPqRecall, qIvfPq, qHardNeg, qKnnGraph, qOutliers, qRandProj,
-      qPca, qPageRank, qFiltered, qSourceShift, qLabelProp, qKnnEval)
+      qPca, qPageRank, qFiltered, qSourceShift, qLabelProp, qKnnEval,
+      qBitext)
 }
 
 
