@@ -388,5 +388,41 @@ object QualityModel {
       .orderBy("t")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qTrain, qApply, qLsc, qSweep)
+  // ---- uncertainty sampling: the active-learning loop ----------------------
+  // The docs the model is LEAST sure about (smallest |margin|) are the
+  // ones worth human labels next. Per source, the UncertainK smallest
+  // |margin| docs (doc_id tie-break) — integer margins, so the
+  // selection is exact cross-engine.
+  private val UncertainK = 5
+
+  private val qUncertain = QuerySpec.of(
+    "q_quality_uncertainty",
+    s"""WITH $oracleFeatsCte,
+      |$oracleEpochCtes,
+      |scored AS (
+      |  SELECT f.source, f.doc_id, f.y,
+      |    ${xs.map(x => s"e.w$x * f.$x").mkString(" + ")} AS m
+      |  FROM feats f, e$Epochs e),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY abs(m), doc_id) AS rnk
+      |  FROM scored)
+      |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, m AS margin, y
+      |FROM rk WHERE rnk <= $UncertainK
+      |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+    val feats = checkpointedFeats(s, d)
+    val w = train(feats).last._2
+    val margin = (0 until Dim).map(j => col(s"x$j") * w(j)).reduce(_ + _)
+    feats
+      .withColumn("m", margin)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(abs(col("m")), col("doc_id"))))
+      .filter(col("rnk") <= UncertainK)
+      .select(col("source"), col("rnk"), col("doc_id"),
+        col("m").as("margin"), col("y"))
+      .orderBy("source", "rnk")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qTrain, qApply, qLsc, qSweep, qUncertain)
 }

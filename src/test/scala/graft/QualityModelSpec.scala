@@ -107,6 +107,34 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("uncertainty sampling surfaces the smallest-|margin| docs") {
+    val out = SparkEntry.queries("q_quality_uncertainty")(spark, sf)
+      .collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 5, s"$src over K")
+      val margins = rows.sortBy(_.getInt(1)).map(r => math.abs(r.getLong(3)))
+      assert(margins.sameElements(margins.sorted),
+        s"$src not |margin|-ascending")
+    }
+    // the selected docs must be no more certain than the per-source
+    // max: every selected |margin| <= the source's 5th-smallest overall
+    val feats = operators.QualityModel.docFeatures(spark, sf).collect()
+    val w = operators.QualityModel.train(
+      operators.QualityModel.docFeatures(spark, sf)).last._2
+    val all = feats.map { r =>
+      val m = (0 until 4).map(j => w(j) * r.getLong(3 + j)).sum
+      (r.getString(1), math.abs(m))
+    }
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val k5 = all.filter(_._1 == src).map(_._2).sorted
+        .take(rows.length).last
+      rows.foreach(r => assert(math.abs(r.getLong(3)) <= k5,
+        s"$src selected a more-certain doc than the true top-K"))
+    }
+  }
+
   test("apply keeps the gold-rule agreement above the base rate") {
     val df = SparkEntry.queries("q_quality_apply")(spark, sf)
     val tot = df.agg(sum("n_docs"), sum("n_agree")).head()
