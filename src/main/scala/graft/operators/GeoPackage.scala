@@ -518,8 +518,11 @@ object GeoPackage {
   // oracle recomputes them relationally (count/min/max + the wire-size
   // arithmetic per WKB type), so a byte-layout regression flips the
   // hash. GpkgSpec parses the blobs back byte-by-byte.
-  private val qBlobs = QuerySpec.of(
-    "q_gpkg_blobs", {
+  /** The WITH-chain ending in `unioned` (layer, fid, wkb_type,
+    * n_points, blob_len, env…) — shared by the blob oracle and the
+    * sqlite-container rollup oracle.
+    */
+  private lazy val oracleBlobChain: String = {
       def vertRows(shape: Seq[(Int, Int)], part: Int): String =
         shape.map { case (vx, vy) =>
           s"{'part': $part, 'vx': CAST($vx AS DOUBLE), 'vy': CAST($vy AS DOUBLE)}"
@@ -581,7 +584,12 @@ object GeoPackage {
         |  UNION ALL
         |  SELECT 'skiareas_multi', r.fid, 6, r.n_points, s.blob_len,
         |    r.env_minx, r.env_maxx, r.env_miny, r.env_maxy
-        |  FROM mrows r JOIN msize s ON r.fid = s.fid)
+        |  FROM mrows r JOIN msize s ON r.fid = s.fid)""".stripMargin
+  }
+
+  private val qBlobs = QuerySpec.of(
+    "q_gpkg_blobs", {
+      s"""$oracleBlobChain
         |SELECT layer, fid, wkb_type, n_points, blob_len,
         |  env_minx, env_maxx, env_miny, env_maxy
         |FROM unioned ORDER BY layer, fid""".stripMargin
@@ -623,5 +631,107 @@ object GeoPackage {
       .drop("parts")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qLayers, qMerge, qMergeMulti, qBlobs)
+  // ---- the .gpkg FILE itself (from-scratch SQLite container) -------------
+  // The geometry BLOBs and layer rows existed in-engine since r12; the
+  // SQLite envelope was the one remaining driver post-step (no sqlite
+  // library resolves offline). SqliteFile closes it: the engine now
+  // writes a complete, valid GeoPackage database — gpkg_spatial_ref_sys
+  // / gpkg_contents / gpkg_geometry_columns plus one feature table per
+  // layer (fid INTEGER, geom BLOB) — that Python's stdlib sqlite3
+  // opens, integrity-checks and queries (GpkgSqliteSpec). Cell
+  // encoding is distributable; the page assembly is the driver-side
+  // single-file sink every single-artifact output has.
+  private val GpkgLastChange = "2026-01-01T00:00:00.000Z"
+
+  private def typeName(wkb: Int): String = wkb match {
+    case 1 => "POINT"
+    case 2 => "LINESTRING"
+    case 3 => "POLYGON"
+    case 6 => "MULTIPOLYGON"
+    case other => s"GEOMETRY"
+  }
+
+  /** Write the full GeoPackage file; returns (table, rootpage, rows). */
+  def writeGpkgFile(s: SparkSession, d: String,
+      path: java.nio.file.Path): Seq[(String, Int, Long)] = {
+    import graft.sources.SqliteFile
+    val rows = gpkgGeoms(s, d)
+      .select(col("layer"), col("fid"), col("wkb_type"),
+        col("g")("blob").as("blob"),
+        col("g")("minx"), col("g")("maxx"), col("g")("miny"),
+        col("g")("maxy"))
+      .orderBy("layer", "fid")
+      .collect()
+    val byLayer = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val srs = SqliteFile.Table(
+      "gpkg_spatial_ref_sys",
+      "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
+        "srs_id INTEGER NOT NULL, organization TEXT NOT NULL, " +
+        "organization_coordsys_id INTEGER NOT NULL, " +
+        "definition TEXT NOT NULL, description TEXT)",
+      Iterator(
+        Seq("WGS 84 geodetic", 4326L, "EPSG", 4326L,
+          "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"]]", "longitude/latitude"),
+        Seq("undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null),
+        Seq("undefined geographic SRS", 0L, "NONE", 0L, "undefined", null)))
+    val contents = SqliteFile.Table(
+      "gpkg_contents",
+      "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, " +
+        "data_type TEXT NOT NULL, identifier TEXT, " +
+        "description TEXT DEFAULT '', last_change TEXT NOT NULL, " +
+        "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
+        "srs_id INTEGER)",
+      byLayer.iterator.map { case (layer, rs) =>
+        Seq(layer, "features", layer, "", GpkgLastChange,
+          rs.map(_.getDouble(4)).min, rs.map(_.getDouble(6)).min,
+          rs.map(_.getDouble(5)).max, rs.map(_.getDouble(7)).max, 4326L)
+      })
+    val geomCols = SqliteFile.Table(
+      "gpkg_geometry_columns",
+      "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
+        "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
+        "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
+      byLayer.iterator.map { case (layer, rs) =>
+        Seq(layer, "geom", typeName(rs.head.getInt(2)), 4326L, 0L, 0L)
+      })
+    val featureTables = byLayer.map { case (layer, rs) =>
+      SqliteFile.Table(layer,
+        s"CREATE TABLE $layer (fid INTEGER, geom BLOB)",
+        rs.iterator.map(r =>
+          Seq(r.getLong(1), r.getAs[Array[Byte]]("blob"))))
+    }
+    SqliteFile.write(path, Seq(srs, contents, geomCols) ++ featureTables,
+      applicationId = 0x47504B47, userVersion = 10300)
+  }
+
+  // Driver gate: the per-table rollup of what went INTO the container
+  // (row counts, sequential-rowid sums, geometry wire bytes), which
+  // the oracle recomputes relationally from the same wire-size
+  // arithmetic as q_gpkg_blobs. The container's VALIDITY is proved by
+  // the independent reader in GpkgSqliteSpec (a real SQLite build).
+  private val qSqlite = QuerySpec.of(
+    "q_gpkg_sqlite", {
+      s"""$oracleBlobChain
+        |SELECT layer AS table_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS rowid_sum,
+        |  CAST(sum(blob_len) AS BIGINT) AS geom_bytes
+        |FROM unioned GROUP BY layer ORDER BY table_name""".stripMargin
+    }) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_db_")
+    val written = writeGpkgFile(s, d, dir.resolve("out.gpkg"))
+    val featureRows = written
+      .filterNot(_._1.startsWith("gpkg_")).map(_._1).toSet
+    gpkgGeoms(s, d)
+      .filter(col("layer").isInCollection(featureRows))
+      .groupBy(col("layer").as("table_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * (count(lit(1)) + 1) / 2).cast("long")
+          .as("rowid_sum"),
+        sum(length(col("g")("blob"))).cast("long").as("geom_bytes"))
+      .orderBy("table_name")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qLayers, qMerge, qMergeMulti, qBlobs,
+    qSqlite)
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.SqliteFile
+
+/** The from-scratch SQLite writer, validated by an INDEPENDENT
+  * reader — Python's stdlib sqlite3 (a real SQLite build): structural
+  * `PRAGMA integrity_check` plus full row round-trips, including a
+  * multi-page b-tree with an interior level.
+  */
+class SqliteFileSpec extends SparkSpec {
+
+  /** Run a python snippet against a db file; returns stdout lines. */
+  private def py(db: java.nio.file.Path, script: String): Seq[String] = {
+    val full = s"""
+import sqlite3, sys
+con = sqlite3.connect(r'$db')
+$script
+"""
+    val p = new ProcessBuilder("python3", "-c", full)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    assert(p.waitFor() == 0, s"python failed:\n$out")
+    out.linesIterator.toSeq
+  }
+
+  test("single-page db: integrity ok, typed values round-trip") {
+    val db = java.nio.file.Files.createTempFile("graft_sq_", ".db")
+    SqliteFile.write(db, Seq(SqliteFile.Table(
+      "t",
+      "CREATE TABLE t (i INTEGER, r REAL, s TEXT, b BLOB, n TEXT)",
+      Iterator(
+        Seq(1L, 1.5, "alpha", Array[Byte](1, 2, 3), null),
+        Seq(-300L, -0.25, "émoji ✓", Array.emptyByteArray, null),
+        Seq(1234567890123L, 0.0, "", Array[Byte](-1), "x")))),
+      applicationId = 0x47504B47, userVersion = 10300)
+    val out = py(db,
+      """print(con.execute('PRAGMA integrity_check').fetchone()[0])
+        |print(con.execute('PRAGMA application_id').fetchone()[0])
+        |print(con.execute('PRAGMA user_version').fetchone()[0])
+        |for row in con.execute('SELECT i, r, s, hex(b), n, rowid FROM t ORDER BY rowid'):
+        |    print(row)
+        |""".stripMargin)
+    assert(out.head == "ok", s"integrity_check: $out")
+    assert(out(1) == 0x47504B47.toString)
+    assert(out(2) == "10300")
+    assert(out(3) == "(1, 1.5, 'alpha', '010203', None, 1)")
+    assert(out(4) == "(-300, -0.25, 'émoji ✓', '', None, 2)")
+    assert(out(5) == "(1234567890123, 0.0, '', 'FF', 'x', 3)")
+  }
+
+  test("multi-page b-tree: 20k rows survive an interior level") {
+    val db = java.nio.file.Files.createTempFile("graft_sq_big_", ".db")
+    val n = 20000
+    SqliteFile.write(db, Seq(SqliteFile.Table(
+      "big", "CREATE TABLE big (k INTEGER, pad TEXT)",
+      (1 to n).iterator.map(i =>
+        Seq(i.toLong * 7, "pad-" + ("x" * (i % 50)))))))
+    val out = py(db,
+      """print(con.execute('PRAGMA integrity_check').fetchone()[0])
+        |print(con.execute('SELECT count(*), sum(k), min(rowid), max(rowid) FROM big').fetchone())
+        |print(con.execute('SELECT k FROM big WHERE rowid = 12345').fetchone())
+        |""".stripMargin)
+    assert(out.head == "ok", s"integrity_check: $out")
+    val sumK = 7L * n * (n + 1) / 2
+    assert(out(1) == s"($n, $sumK, 1, $n)")
+    assert(out(2) == s"(${12345L * 7},)")
+  }
+
+  test("empty table and multiple tables coexist") {
+    val db = java.nio.file.Files.createTempFile("graft_sq_multi_", ".db")
+    SqliteFile.write(db, Seq(
+      SqliteFile.Table("a", "CREATE TABLE a (x INTEGER)",
+        Iterator(Seq(42L))),
+      SqliteFile.Table("empty", "CREATE TABLE empty (y TEXT)",
+        Iterator.empty),
+      SqliteFile.Table("c", "CREATE TABLE c (z TEXT)",
+        Iterator(Seq("hello"), Seq("world")))))
+    val out = py(db,
+      """print(con.execute('PRAGMA integrity_check').fetchone()[0])
+        |print([r[0] for r in con.execute("SELECT name FROM sqlite_master ORDER BY name")])
+        |print(con.execute('SELECT count(*) FROM empty').fetchone()[0])
+        |print([r[0] for r in con.execute('SELECT z FROM c ORDER BY rowid')])
+        |""".stripMargin)
+    assert(out.head == "ok", s"integrity_check: $out")
+    assert(out(1) == "['a', 'c', 'empty']")
+    assert(out(2) == "0")
+    assert(out(3) == "['hello', 'world']")
+  }
+}
