@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * exists in the target (`GeoPackageMerger.ts:161-201`, INSERT OR
   * IGNORE + a feature_id set — first writer wins).
   *
-  * The SQLite container itself is a driver-side post-step (no SQLite
-  * lib in this environment); what the engine owns is exactly what's
-  * modeled here: the typed row projections each layer receives, and
-  * the merger's id-dedupe as a distributed anti-join (the set-lookup
+  * Since round 13 the engine also writes the SQLite CONTAINER itself
+  * (`q_gpkg_sqlite` below, via [[graft.sources.SqliteFile]] — a
+  * from-scratch page serializer, no sqlite library): typed row
+  * projections, geometry BLOBs, AND the .gpkg file. The merger's
+  * id-dedupe stays a distributed anti-join (the set-lookup
   * re-expressed so it scales past one process's RAM).
   */
 object GeoPackage {
@@ -719,16 +720,23 @@ object GeoPackage {
         |FROM unioned GROUP BY layer ORDER BY table_name""".stripMargin
     }) { (s, d) =>
     val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_db_")
-    val written = writeGpkgFile(s, d, dir.resolve("out.gpkg"))
-    val featureRows = written
-      .filterNot(_._1.startsWith("gpkg_")).map(_._1).toSet
-    gpkgGeoms(s, d)
-      .filter(col("layer").isInCollection(featureRows))
-      .groupBy(col("layer").as("table_name"))
-      .agg(count(lit(1)).as("n_rows"),
-        (count(lit(1)) * (count(lit(1)) + 1) / 2).cast("long")
-          .as("rowid_sum"),
-        sum(length(col("g")("blob"))).cast("long").as("geom_bytes"))
+    val path = dir.resolve("out.gpkg")
+    val written = writeGpkgFile(s, d, path)
+    // read the CONTAINER BYTES back with the from-scratch reader and
+    // roll up from the parsed cells — the driver hash gate then covers
+    // the page/record encoding itself, not just the input rows
+    val db = graft.sources.SqliteReader.open(path)
+    val rows = written.map(_._1).filterNot(_.startsWith("gpkg_"))
+      .sorted.map { t =>
+        var n = 0L; var rsum = 0L; var gbytes = 0L
+        db.table(t).foreach { case (rowid, vs) =>
+          n += 1; rsum += rowid
+          gbytes += vs(1).asInstanceOf[Array[Byte]].length
+        }
+        (t, n, rsum, gbytes)
+      }
+    import s.implicits._
+    rows.toDF("table_name", "n_rows", "rowid_sum", "geom_bytes")
       .orderBy("table_name")
   }
 

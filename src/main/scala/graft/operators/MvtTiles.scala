@@ -842,19 +842,22 @@ object MvtTiles {
         |FROM tkeys GROUP BY zoom ORDER BY zoom""".stripMargin
     }) { (s, d) =>
     val dir = java.nio.file.Files.createTempDirectory("graft_mbtiles_")
-    writeMbtilesFile(s, d, dir.resolve("out.mbtiles"))
-    // the rollup is computed from the WRITTEN rows (read back from the
-    // same pipeline run's ordered collect inside writeMbtilesFile
-    // would require holding them; re-deriving from tileBytes is the
-    // identical deterministic set) — grouped relationally
-    tileBytes(s, d)
-      .select(col("zoom"), col("tile_x"),
-        expr("shiftleft(CAST(1 AS BIGINT), zoom) - 1 - tile_y")
-          .as("tms_row"))
-      .groupBy("zoom")
-      .agg(count(lit(1)).as("n_tiles"),
-        sum("tile_x").as("col_sum"),
-        sum("tms_row").as("row_sum"))
+    val path = dir.resolve("out.mbtiles")
+    writeMbtilesFile(s, d, path)
+    // roll up from the CONTAINER BYTES read back with the from-scratch
+    // reader — the driver hash gate then covers the page/record
+    // encoding of the tiles table, not just the tile pipeline
+    val db = graft.sources.SqliteReader.open(path)
+    val agg = scala.collection.mutable.SortedMap[Int, (Long, Long, Long)]()
+    db.table("tiles").foreach { case (_, vs) =>
+      val z = vs(0).asInstanceOf[Long].toInt
+      val (n, cs, rs) = agg.getOrElse(z, (0L, 0L, 0L))
+      agg(z) = (n + 1, cs + vs(1).asInstanceOf[Long],
+        rs + vs(2).asInstanceOf[Long])
+    }
+    import s.implicits._
+    agg.toSeq.map { case (z, (n, cs, rs)) => (z, n, cs, rs) }
+      .toDF("zoom", "n_tiles", "col_sum", "row_sum")
       .orderBy("zoom")
   }
 

@@ -1,0 +1,132 @@
+package graft.sources
+
+/** Minimal from-scratch SQLite database FILE reader — the inverse of
+  * [[SqliteFile]], used to put the written container BYTES under the
+  * driver's oracle gate: `q_gpkg_sqlite` / `q_mbtiles_file` parse
+  * their own output file back and emit rollups computed from the
+  * parsed rows, which the DuckDB oracle predicts relationally — so a
+  * page-layout or record-encoding regression flips the hash, not just
+  * a ScalaTest assertion.
+  *
+  * Supports what the engine writes (and asserts on anything else):
+  * table b-trees (leaf 0x0D / interior 0x05), varint records, no
+  * overflow pages, UTF-8 text. Reads any page size; walks interior
+  * levels recursively, so it also reads multi-level trees.
+  */
+object SqliteReader {
+
+  /** (varint value, bytes consumed). */
+  private def varint(b: Array[Byte], at: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val x = b(at + i) & 0xff
+      v = (v << 7) | (x & 0x7f)
+      if ((x & 0x80) == 0) return (v, i + 1)
+      i += 1
+    }
+    ((v << 8) | (b(at + 8) & 0xff), 9)
+  }
+
+  private def u16(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+  private def u32(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+      ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+
+  final class Db(bytes: Array[Byte]) {
+    require(bytes.length >= 100 &&
+      new String(bytes, 0, 15, "ISO-8859-1") == "SQLite format 3",
+      "not a sqlite database")
+    val pageSize: Int = {
+      val raw = u16(bytes, 16)
+      if (raw == 1) 65536 else raw
+    }
+
+    private def page(n: Int): Int = (n - 1) * pageSize
+
+    /** Decode one record payload into column values. */
+    private def record(b: Array[Byte], at: Int): Seq[Any] = {
+      val (hlen, hc) = varint(b, at)
+      var tp = at + hc
+      val types = scala.collection.mutable.ArrayBuffer[Long]()
+      while (tp < at + hlen) {
+        val (t, c) = varint(b, tp); types += t; tp += c
+      }
+      var dp = at + hlen.toInt
+      types.map { t =>
+        def be(n: Int): Long = {
+          var v = if ((b(dp) & 0x80) != 0) -1L else 0L
+          (0 until n).foreach(i => v = (v << 8) | (b(dp + i) & 0xff))
+          dp += n; v
+        }
+        t match {
+          case 0 => null
+          case 1 => be(1)
+          case 2 => be(2)
+          case 3 => be(3)
+          case 4 => be(4)
+          case 5 => be(6)
+          case 6 => be(8)
+          case 7 => java.lang.Double.longBitsToDouble(be(8))
+          case 8 => 0L
+          case 9 => 1L
+          case n if n >= 13 && n % 2 == 1 =>
+            val len = ((n - 13) / 2).toInt
+            val s = new String(b, dp, len, "UTF-8"); dp += len; s
+          case n if n >= 12 && n % 2 == 0 =>
+            val len = ((n - 12) / 2).toInt
+            val o = java.util.Arrays.copyOfRange(b, dp, dp + len)
+            dp += len; o
+          case other =>
+            throw new IllegalArgumentException(s"serial type $other")
+        }
+      }.toSeq
+    }
+
+    /** In-order walk of a table b-tree: (rowid, values). */
+    def walk(rootPage: Int): Iterator[(Long, Seq[Any])] = {
+      val base = page(rootPage)
+      val h = if (rootPage == 1) base + 100 else base
+      bytes(h) & 0xff match {
+        case 0x0d =>
+          val n = u16(bytes, h + 3)
+          (0 until n).iterator.map { i =>
+            val off = base + u16(bytes, h + 8 + 2 * i)
+            val (plen, c1) = varint(bytes, off)
+            val (rowid, c2) = varint(bytes, off + c1)
+            val usable = pageSize
+            require(plen <= usable - 35,
+              s"overflowing payload $plen unsupported")
+            (rowid, record(bytes, off + c1 + c2))
+          }
+        case 0x05 =>
+          val n = u16(bytes, h + 3)
+          val kids = (0 until n).map { i =>
+            u32(bytes, base + u16(bytes, h + 12 + 2 * i))
+          } :+ u32(bytes, h + 8)
+          kids.iterator.flatMap(walk)
+        case other =>
+          throw new IllegalArgumentException(
+            f"page $rootPage: unsupported b-tree type 0x$other%02x")
+      }
+    }
+
+    /** sqlite_master rows: (type, name, rootpage). */
+    def master: Seq[(String, String, Int)] =
+      walk(1).map { case (_, v) =>
+        (v(0).asInstanceOf[String], v(1).asInstanceOf[String],
+          v(3).asInstanceOf[Long].toInt)
+      }.toSeq
+
+    /** All (rowid, values) of a named table. */
+    def table(name: String): Iterator[(Long, Seq[Any])] =
+      master.find(m => m._1 == "table" && m._2 == name) match {
+        case Some((_, _, root)) => walk(root)
+        case None => throw new NoSuchElementException(s"table $name")
+      }
+  }
+
+  def open(path: java.nio.file.Path): Db =
+    new Db(java.nio.file.Files.readAllBytes(path))
+}

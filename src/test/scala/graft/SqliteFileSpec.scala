@@ -66,6 +66,36 @@ $script
     assert(out(2) == s"(${12345L * 7},)")
   }
 
+  test("the from-scratch reader round-trips writer output exactly") {
+    import graft.sources.SqliteReader
+    val db = java.nio.file.Files.createTempFile("graft_sq_rt_", ".db")
+    val rows = Seq(
+      Seq[Any](7L, 2.25, "text-ü", Array[Byte](9, 8), null),
+      Seq[Any](-1L, -1e100, "", Array.emptyByteArray, "y"))
+    SqliteFile.write(db, Seq(SqliteFile.Table(
+      "rt", "CREATE TABLE rt (i INTEGER, r REAL, s TEXT, b BLOB, n TEXT)",
+      rows.iterator)))
+    val back = SqliteReader.open(db).table("rt").toSeq
+    assert(back.map(_._1) == Seq(1L, 2L))
+    back.map(_._2).zip(rows).foreach { case (got, want) =>
+      got.zip(want).foreach {
+        case (g: Array[Byte], w: Array[Byte]) => assert(g.sameElements(w))
+        case (g, w) => assert(g == w)
+      }
+    }
+    // and the 20k-row interior-level tree walks completely, in order
+    val big = java.nio.file.Files.createTempFile("graft_sq_rt2_", ".db")
+    val n = 20000
+    SqliteFile.write(big, Seq(SqliteFile.Table(
+      "big", "CREATE TABLE big (k INTEGER)",
+      (1 to n).iterator.map(i => Seq(i.toLong * 3)))))
+    val walked = SqliteReader.open(big).table("big").toSeq
+    assert(walked.length == n)
+    assert(walked.map(_._1) == (1 to n).map(_.toLong))
+    assert(walked.map(_._2.head.asInstanceOf[Long]).sum ==
+      3L * n * (n + 1) / 2)
+  }
+
   test("empty table and multiple tables coexist") {
     val db = java.nio.file.Files.createTempFile("graft_sq_multi_", ".db")
     SqliteFile.write(db, Seq(
