@@ -67,7 +67,24 @@ object Scaffold {
     * plain parquet scan of the artifact.
     */
   def table(spark: SparkSession, kind: String, fingerprint: String)
-           (build: => DataFrame): DataFrame = {
+           (build: => DataFrame): DataFrame =
+    commit(spark, kind, fingerprint, Nil)(build)
+
+  /** Like [[table]] but the artifact is written PARTITIONED by
+    * `partCols` (hive-style directories) — consumers that filter or
+    * join on those columns get partition pruning (static and dynamic)
+    * at planning time instead of scanning the whole artifact. This is
+    * the layout a 100 TB fact table actually ships with; the
+    * unpartitioned variant is for small index-like artifacts.
+    */
+  def partitionedTable(spark: SparkSession, kind: String,
+      fingerprint: String, partCols: Seq[String])
+      (build: => DataFrame): DataFrame =
+    commit(spark, kind, fingerprint, partCols)(build)
+
+  private def commit(spark: SparkSession, kind: String,
+      fingerprint: String, partCols: Seq[String])
+      (build: => DataFrame): DataFrame = {
     val dir = new Path(root(spark), s"$kind-${keyHash(fingerprint)}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new Path(dir, "_SUCCESS")
@@ -78,7 +95,9 @@ object Scaffold {
         if (fs.exists(dir)) fs.delete(dir, true)
         val tmp = new Path(dir.getParent,
           s".${dir.getName}.tmp-${java.util.UUID.randomUUID}")
-        build.write.mode("overwrite").parquet(tmp.toString)
+        val w = build.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(tmp.toString)
         if (!fs.rename(tmp, dir)) {
           // lost a cross-process race; the winner's artifact is
           // identical (deterministic build keyed by fingerprint)

@@ -1013,9 +1013,178 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // Small-quantity revenue (TPC-H Q17 shape): lines whose quantity is
+  // under 20% of their part's average, rolled up per brand. The
+  // correlated avg is a per-part partial aggregate REJOINED to the
+  // fact on the same key — both sides shuffle once on l_partkey (at
+  // warehouse scale: bucketed by partkey, zero exchange), and the
+  // threshold is cross-multiplied into integers (5·qty·n < Σqty; the
+  // synthetic quantities are integral) so no float mean sits on the
+  // comparison boundary.
+  private val q17 = QuerySpec.of(
+    "q17_small_qty_revenue",
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |pa AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p,
+      |    CAST(sum(q) AS BIGINT) AS sum_q
+      |  FROM li GROUP BY l_partkey),
+      |small AS (
+      |  SELECT li.l_partkey, li.cents
+      |  FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+      |  WHERE li.q * 5 * pa.n_p < pa.sum_q)
+      |SELECT p_brand, count(*) AS n_lines,
+      |  CAST(sum(cents) AS BIGINT) AS rev_cents
+      |FROM small JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("bigint").as("q"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100)" +
+          " AS BIGINT)").as("cents"))
+    val pa = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_p"), sum("q").as("sum_q"))
+    li.join(pa, "l_partkey")
+      .filter(col("q") * 5 * col("n_p") < col("sum_q"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("rev_cents"))
+      .orderBy("p_brand")
+  }
+
+  // Suppliers who kept finished orders waiting (TPC-H Q21 shape): on
+  // multi-supplier 'F' orders, the supplier who was the ONLY late one
+  // (shipped > 60 days after the order date). The classic
+  // exists/not-exists double self-join is re-expressed as ONE
+  // per-(order, supplier) aggregate + a per-order rollup — the fact
+  // table is scanned once and shuffles once on the order key instead
+  // of three times; `n_supp >= 2` replays EXISTS(other supplier) and
+  // `n_late = 1` replays NOT EXISTS(other late supplier). Day lag is
+  // exact integer epoch-day arithmetic.
+  private val q21 = QuerySpec.of(
+    "q21_waiting_supplier",
+    """WITH j AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN epoch_ms(l_shipdate) // 86400000
+      |      - epoch_ms(o_orderdate) // 86400000 > 60
+      |    THEN 1 ELSE 0 END AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |su AS (
+      |  SELECT l_orderkey, l_suppkey, max(late) AS late
+      |  FROM j GROUP BY l_orderkey, l_suppkey),
+      |ord AS (
+      |  SELECT l_orderkey, count(*) AS n_supp,
+      |    CAST(sum(late) AS BIGINT) AS n_late
+      |  FROM su GROUP BY l_orderkey),
+      |blame AS (
+      |  SELECT su.l_suppkey
+      |  FROM su JOIN ord ON su.l_orderkey = ord.l_orderkey
+      |  WHERE su.late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1)
+      |SELECT s_suppkey, s_name, count(*) AS numwait
+      |FROM blame JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin) { (s, d) =>
+    def epochDay(c: String) =
+      expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000 DIV 86400000")
+    val j = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(epochDay("l_shipdate") - epochDay("o_orderdate") > 60, 1)
+          .otherwise(0).as("late"))
+    val su = j.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("late"))
+      .localCheckpoint() // per-order rollup + blame both read it
+    val ord = su.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum("late").cast("bigint").as("n_late"))
+    su.join(ord, "l_orderkey")
+      .filter(col("late") === 1 && col("n_supp") >= 2
+        && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  // Dynamic partition pruning: the fact table is persisted as a
+  // ship-month-PARTITIONED scaffold (the layout a 100 TB fact ships
+  // with), and the join's dim side — the top-3 revenue months,
+  // derived from `orders` AT RUNTIME — prunes the fact scan to 3 of
+  // the ~83 month partitions via Spark's DPP (the broadcast exchange
+  // is reused as a partition filter; DppPlanSpec pins
+  // `dynamicpruning` in the scan's PartitionFilters). The oracle
+  // replays the same top-3 selection over the raw table.
+  private val qDpp = QuerySpec.of(
+    "q_dpp_join",
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS ord_cents
+      |  FROM orders GROUP BY 1),
+      |top3 AS (
+      |  SELECT mon FROM m ORDER BY ord_cents DESC, mon LIMIT 3)
+      |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') IN (SELECT mon FROM top3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    monthFact(s, d)
+      .join(broadcast(topMonths(s, d)),
+        col("ship_month") === col("mon"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("rev_cents"))
+      .orderBy("ship_month")
+  }
+
+  /** Ship-month-partitioned lineitem scaffold (see q_dpp_join). */
+  private[graft] def monthFact(s: SparkSession, d: String): DataFrame =
+    graft.Scaffold.partitionedTable(s, "lineitem-month",
+      Tables.fingerprint(s, d, "lineitem"), Seq("ship_month")) {
+      Tables.lineitem(s, d).select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100)" +
+          " AS BIGINT)").as("cents"))
+    }
+
+  /** Month dimension scaffold: per-month order revenue with a
+    * precomputed revenue rank. Materialized (not inlined) so the
+    * query-time dim side is a plain Filter-over-scan — the canonical
+    * shape Spark's DPP broadcast-reuse matches on (an inline
+    * Window+Filter subtree fails the canonical-plan comparison and
+    * the pruning expression silently trivializes to `true`).
+    */
+  private[graft] def monthDim(s: SparkSession, d: String): DataFrame =
+    graft.Scaffold.table(s, "month-dim",
+      Tables.fingerprint(s, d, "orders")) {
+      val w = Window.orderBy(col("ord_cents").desc, col("mon"))
+      Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("mon").agg(sum("cents").as("ord_cents"))
+        .withColumn("rk", row_number().over(w))
+    }
+
+  /** Top-3 revenue months — a selective Filter over the materialized
+    * dim, the precondition for the dynamic pruning subquery.
+    */
+  private[graft] def topMonths(s: SparkSession, d: String): DataFrame =
+    monthDim(s, d).filter(col("rk") <= 3).select("mon")
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
       qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
       qMergeUpsert, qJoinKeys, qPareto, qConstraints, qGrowth, q18, q15,
-      qCorrelated, q22, qSla)
+      qCorrelated, q22, qSla, q17, q21, qDpp)
 }
