@@ -12,6 +12,7 @@ object SparkEntry {
   /** All registered operator modules. */
   def allSpecs: Seq[QuerySpec] =
     operators.RelationalQueries.specs ++
+      operators.TpchSuite.specs ++
       operators.TextAnalysis.specs ++
       operators.Pii.specs ++
       operators.Dedup.specs ++
