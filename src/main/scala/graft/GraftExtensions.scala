@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType
 import graft.functions.{AudioMetaExpr, DotProductExpr, GramHashExpr,
   ImageDimsExpr, LineLengthMExpr, MinHashSigExpr, RollingMinExpr,
   STDWithinExpr, ShinglesExpr, SimHash32Expr, VideoMetaExpr}
-import graft.plans.DistanceJoinRule
+import graft.plans.{AsofJoinStrategy, DistanceJoinRule}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Distance-join planning: rewrites JOIN ... ON graft_st_dwithin(..)
     // from a cartesian product into the grid-cell equi-join + refine.
     ext.injectOptimizerRule(_ => DistanceJoinRule)
+    // As-of join: plans graft.plans.AsofJoinPlan nodes (built by
+    // graft.operators.AsofJoin.join) as the co-partitioned merge exec.
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 
@@ -201,5 +204,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(DistanceJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DistanceJoinRule
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
   }
 }

@@ -21,6 +21,7 @@ object SparkEntry {
       operators.QualityModel.specs ++
       operators.Similarity.specs ++
       operators.Events.specs ++
+      operators.AsofJoin.specs ++
       operators.SkiQueries.specs ++
       operators.MultiPart.specs ++
       operators.OutputFormats.specs ++

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.plans.AsofJoinPlan
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.SqlBridge
+
+/** AS-OF join: the native time-series join (each left row picks the
+  * newest right row at-or-before its own time, per key), as a
+  * first-class operator — [[graft.plans.AsofJoinPlan]] logical node,
+  * [[graft.plans.AsofJoinStrategy]] planner rule,
+  * [[graft.plans.AsofJoinExec]] physical merge.
+  *
+  * The reference computes last-touch attribution with hand-rolled
+  * "latest prior event" scans (the pattern `q_events_attribution`
+  * mirrors with window functions over a UNION of both event kinds).
+  * That encoding needs both relations in ONE relation first — a
+  * union-wide shuffle carrying the superset of both schemas — and a
+  * window buffer per user. The native operator shuffles each side
+  * once on its own keys, sorts (keys, time) inside the exchange, and
+  * merges with one buffered row: the kdb/pandas `merge_asof` shape,
+  * on Spark's distribution/ordering contracts (the same ones
+  * SortMergeJoinExec declares, so EnsureRequirements co-partitions
+  * the sides and AQE still re-plans the exchanges).
+  *
+  * Determinism: ties on the full (keys, time) on the RIGHT side are
+  * resolved by whichever row sorts last in the partition-local sort,
+  * which Spark does not define — callers that need a deterministic
+  * result (every oracle-gated query here) pre-aggregate the right
+  * side to one row per (keys, time).
+  */
+object AsofJoin {
+
+  /** Left-outer (or inner) as-of join of `left` to `right`.
+    *
+    * @param keys      (leftCol, rightCol) equi-key pairs
+    * @param leftTime  left time column — TIMESTAMP/TIMESTAMP_NTZ/BIGINT
+    * @param rightTime right time column, same family
+    * @param toleranceMicros max allowed `leftTime - rightTime`
+    *                  (time-column units when the columns are BIGINT)
+    * @param outer     true = keep unmatched left rows (NULL right cols)
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None,
+      outer: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    // Self-registering (idempotent, same pattern as SpatialLayout's
+    // morton SQL surface): callers need no session-build ceremony. A
+    // duplicate append under a concurrent race is benign — the planner
+    // just sees the same candidate twice.
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // Self-join hygiene: if any attribute ids collide (both sides
+    // carved from the same scan), re-alias the right side so the
+    // custom node never holds ambiguous references — the analyzer's
+    // relation dedup only knows built-in join nodes.
+    val rPlan =
+      if (rPlan0.outputSet.intersect(lPlan.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+
+    def resolve(out: Seq[Attribute], name: String, side: String): Attribute =
+      out.find(a => spark.sessionState.conf.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"as-of join: no column `$name` on the $side side " +
+            s"(have: ${out.map(_.name).mkString(", ")})"))
+
+    val plan = AsofJoinPlan(
+      lPlan, rPlan,
+      keys.map(k => resolve(lPlan.output, k._1, "left")),
+      keys.map(k => resolve(rPlan.output, k._2, "right")),
+      resolve(lPlan.output, leftTime, "left"),
+      resolve(rPlan.output, rightTime, "right"),
+      toleranceMicros, outer)
+    SqlBridge.ofRows(spark, plan)
+  }
+
+  /** Epoch-micros expression for the events `ts` column (same physical-
+    * type dispatch as [[Events.msFromTs]], at micro precision).
+    */
+  private def usFromTs(dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("CAST(ts DIV 1000 AS BIGINT)")
+      case _ => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    }
+
+  private def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.withColumn("us", usFromTs(ev.schema("ts").dataType)).drop("ts")
+  }
+
+  // Both engines read the same parquet; DuckDB's epoch_us floors
+  // TIMESTAMP/TIMESTAMP_NS to micros exactly like the Spark reader
+  // dispatch above (all values non-negative).
+  private val OracleUs = "epoch_us(ts)"
+
+  // ---- q_asof_join: purchase -> latest prior view, left-outer ----------
+  // The right side pre-aggregates to one row per (user, us) so the
+  // as-of pick is deterministic on both engines; unmatched purchases
+  // (view never happened or only later) survive with NULL view_id.
+  private val qAsofJoin = QuerySpec.of(
+    "q_asof_join",
+    s"""WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, $OracleUs AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id AS v_user, $OracleUs AS v_us,
+      |    max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT purchase_id, user_id, view_id,
+      |  CASE WHEN v_us IS NULL THEN NULL ELSE us - v_us END AS gap_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.v_user AND p.us >= v.v_us
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("us").as("v_us"))
+      .agg(max("event_id").as("view_id"))
+    join(p, v, Seq("user_id" -> "v_user"), "us", "v_us", None, outer = true)
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        (col("us") - col("v_us")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  // ---- q_asof_tolerance: same-day click attribution within 15 min ------
+  // Composite key (user, epoch-day) + tolerance + INNER, rolled up per
+  // user: exercises every remaining operator knob, and is the
+  // realistic "session-scoped last-touch within a window" query.
+  private val qAsofTolerance = QuerySpec.of(
+    "q_asof_tolerance",
+    s"""WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    $OracleUs AS us, $OracleUs // 86400000000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS c_user, $OracleUs AS c_us,
+      |    $OracleUs // 86400000000 AS c_day, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT p.user_id, p.us - c.c_us AS gap_us
+      |  FROM p ASOF JOIN c
+      |    ON p.user_id = c.c_user AND p.day = c.c_day AND p.us >= c.c_us
+      |  WHERE p.us - c.c_us <= 900000000)
+      |SELECT user_id, count(*) AS n_attributed,
+      |  CAST(COALESCE(sum(gap_us), 0) AS BIGINT) AS sum_gap_us
+      |FROM j GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+    // integer DIV (both operands non-negative, so Spark's trunc ==
+    // DuckDB's floor `//`); double division could round a just-below-
+    // boundary quotient across the day edge
+    val day = expr("us DIV 86400000000")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us"), day.as("day"))
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("us").as("c_us"),
+        day.as("c_day"))
+      .agg(max("event_id").as("click_id"))
+    join(p, c, Seq("user_id" -> "c_user", "day" -> "c_day"),
+      "us", "c_us", Some(900000000L), outer = false)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        coalesce(sum(col("us") - col("c_us")), lit(0L)).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(qAsofJoin, qAsofTolerance)
+}
