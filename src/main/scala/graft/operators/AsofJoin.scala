@@ -42,11 +42,19 @@ object AsofJoin {
     * @param toleranceMicros max allowed `leftTime - rightTime`
     *                  (time-column units when the columns are BIGINT)
     * @param outer     true = keep unmatched left rows (NULL right cols)
+    * @param broadcastRight true = plan the dimension-lookup variant
+    *                  ([[graft.plans.BroadcastAsofJoinExec]]): the right
+    *                  side broadcasts and the left side keeps its
+    *                  partitioning AND ordering — zero fact-side
+    *                  exchange. Explicit by design (like every other
+    *                  broadcast in this library); only for right sides
+    *                  that fit comfortably on every executor.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
       toleranceMicros: Option[Long] = None,
-      outer: Boolean = true): DataFrame = {
+      outer: Boolean = true,
+      broadcastRight: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // Self-registering (idempotent, same pattern as SpatialLayout's
     // morton SQL surface): callers need no session-build ceremony. A
@@ -78,14 +86,15 @@ object AsofJoin {
       keys.map(k => resolve(rPlan.output, k._2, "right")),
       resolve(lPlan.output, leftTime, "left"),
       resolve(rPlan.output, rightTime, "right"),
-      toleranceMicros, outer)
+      toleranceMicros, outer, broadcastRight)
     SqlBridge.ofRows(spark, plan)
   }
 
   /** Epoch-micros expression for the events `ts` column (same physical-
     * type dispatch as [[Events.msFromTs]], at micro precision).
     */
-  private def usFromTs(dt: org.apache.spark.sql.types.DataType): Column =
+  private[operators] def usFromTs(
+      dt: org.apache.spark.sql.types.DataType): Column =
     dt match {
       case org.apache.spark.sql.types.LongType =>
         expr("CAST(ts DIV 1000 AS BIGINT)")
@@ -175,5 +184,44 @@ object AsofJoin {
       .orderBy("user_id")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qAsofJoin, qAsofTolerance)
+  // ---- q_asof_broadcast: SCD dimension lookup, zero fact exchange ------
+  // Signups form the effective-dated dimension (each signup re-tiers
+  // its user: tier = event_id % 5); every OTHER event looks up the
+  // user's tier as of its own time. The dimension broadcasts, so the
+  // fact side reaches the join straight off the scan — the only
+  // exchange in the whole plan is the final rollup's (pinned in
+  // AsofJoinSpec). Events before a user's first signup fall in tier
+  // -1 (the outer-null bucket).
+  private val qAsofBroadcast = QuerySpec.of(
+    "q_asof_broadcast",
+    s"""WITH f AS (
+      |  SELECT event_id, user_id, event_type, $OracleUs AS us
+      |  FROM events WHERE event_type <> 'signup'),
+      |dim AS (
+      |  SELECT user_id AS s_user, $OracleUs AS s_us,
+      |    max(event_id) % 5 AS tier
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT COALESCE(tier, -1) AS tier, event_type,
+      |  count(*) AS n_events,
+      |  CAST(COALESCE(sum(us - s_us), 0) AS BIGINT) AS sum_age_us
+      |FROM f ASOF LEFT JOIN dim
+      |  ON f.user_id = dim.s_user AND f.us >= dim.s_us
+      |GROUP BY 1, 2
+      |ORDER BY tier, event_type""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+    val f = ev.filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+    val dim = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("s_user"), col("us").as("s_us"))
+      .agg((max("event_id") % 5).as("tier"))
+    join(f, dim, Seq("user_id" -> "s_user"), "us", "s_us",
+      None, outer = true, broadcastRight = true)
+      .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(col("us") - col("s_us")), lit(0L)).as("sum_age_us"))
+      .orderBy("tier", "event_type")
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qAsofJoin, qAsofTolerance, qAsofBroadcast)
 }

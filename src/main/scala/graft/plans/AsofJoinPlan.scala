@@ -43,7 +43,8 @@ case class AsofJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
-    isOuter: Boolean)
+    isOuter: Boolean,
+    broadcastRight: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
@@ -78,9 +79,17 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol, outer) =>
-      AsofJoinExec(lk, rk, lt, rt, tol, outer,
-        planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol, outer, bcast) =>
+      // Broadcast dispatch is EXPLICIT (API flag), matching the
+      // library-wide "every dimension broadcast is deliberate" style —
+      // an auto threshold here would silently flip plan shapes the
+      // plan-pin specs assert on.
+      if (bcast)
+        BroadcastAsofJoinExec(lk, rk, lt, rt, tol, outer,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsofJoinExec(lk, rk, lt, rt, tol, outer,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

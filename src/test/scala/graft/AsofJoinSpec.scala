@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.AsofJoin
-import graft.plans.AsofJoinExec
+import graft.plans.{AsofJoinExec, BroadcastAsofJoinExec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -57,10 +57,10 @@ class AsofJoinSpec extends SparkSpec {
   }
 
   private def native(left: DataFrame, right: DataFrame, tol: Option[Long],
-      outer: Boolean = true): DataFrame =
+      outer: Boolean = true, bcast: Boolean = false): DataFrame =
     AsofJoin.join(left,
       right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
-      Seq("k" -> "rk"), "t", "rt", tol, outer)
+      Seq("k" -> "rk"), "t", "rt", tol, outer, bcast)
 
   test("as-of matches the window-function reference on random data") {
     val rnd = new scala.util.Random(42)
@@ -202,5 +202,50 @@ class AsofJoinSpec extends SparkSpec {
       .collect { case e: ShuffleExchangeExec => e }
     assert(n2.size == 2,
       "downstream same-key window must reuse the as-of partitioning")
+  }
+
+  test("broadcast variant: identical results, zero fact-side exchange") {
+    val rnd = new scala.util.Random(7)
+    val l = df((1L to 500L).map(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(2000).toLong, i)), "k", "t", "lv")
+    val r = df((1L to 120L).map(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(2000).toLong, i + 9000))
+      .groupBy(x => (x._1, x._2)).values.map(_.maxBy(_._3)).toSeq,
+      "k", "t", "rv")
+    for (tol <- Seq(None, Some(300L)); outer <- Seq(true, false)) {
+      val viaMerge = native(l, r, tol, outer)
+        .select($"lv", $"rv").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+      val viaBcast = native(l, r, tol, outer, bcast = true)
+        .select($"lv", $"rv").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+      assert(viaBcast == viaMerge, s"tol=$tol outer=$outer diverged")
+    }
+    val j = native(l, r, None, outer = true, bcast = true)
+    j.queryExecution.toRdd.count()
+    val all = nodes(j.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[BroadcastAsofJoinExec]),
+      "broadcastRight must plan the broadcast exec")
+    assert(!all.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "broadcast as-of must not shuffle either side:\n" +
+        j.queryExecution.executedPlan)
+    assert(all.exists(
+      _.getClass.getSimpleName.startsWith("BroadcastExchange")),
+      "the dimension side must go through a broadcast exchange")
+  }
+
+  test("broadcast variant honors NULL keys/times on both sides") {
+    val l = Seq((Some(1L), Some(100L), 1L), (None, Some(100L), 2L),
+      (Some(1L), None, 3L)).toDF("k", "t", "lv")
+    val r = Seq((Some(1L), Some(50L), 10L), (None, Some(40L), 20L),
+      (Some(1L), None, 30L)).toDF("rk", "rt", "rv")
+    val got = AsofJoin.join(l, r, Seq("k" -> "rk"), "t", "rt", None,
+      outer = true, broadcastRight = true)
+      .select($"lv", $"rv").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    assert(got == Set((1L, Some(10L)), (2L, None), (3L, None)))
   }
 }
