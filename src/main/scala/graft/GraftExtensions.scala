@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType
 import graft.functions.{AudioMetaExpr, DotProductExpr, GramHashExpr,
   ImageDimsExpr, LineLengthMExpr, MinHashSigExpr, RollingMinExpr,
   STDWithinExpr, ShinglesExpr, SimHash32Expr, VideoMetaExpr}
-import graft.plans.{AsofJoinStrategy, DistanceJoinRule}
+import graft.plans.{AsofJoinStrategy, DistanceJoinRule, IntervalJoinRule}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Distance-join planning: rewrites JOIN ... ON graft_st_dwithin(..)
     // from a cartesian product into the grid-cell equi-join + refine.
     ext.injectOptimizerRule(_ => DistanceJoinRule)
+    // Range-join planning: JOIN ... ON graft_in_range(t, lo, hi, bin)
+    // becomes a binned equi-join instead of a nested loop.
+    ext.injectOptimizerRule(_ => IntervalJoinRule)
     // As-of join: plans graft.plans.AsofJoinPlan nodes (built by
     // graft.operators.AsofJoin.join) as the co-partitioned merge exec.
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
@@ -179,6 +182,17 @@ object GraftExtensions {
         classOf[graft.functions.GpkgGeomExpr].getName,
         "graft_gpkg_geom"),
       twoArg("graft_gpkg_geom", graft.functions.GpkgGeomExpr(_, _))),
+    (FunctionIdentifier("graft_in_range"),
+      new ExpressionInfo(
+        classOf[graft.functions.InRangeExpr].getName, "graft_in_range"),
+      { args =>
+        if (args.size != 4) throw new IllegalArgumentException(
+          s"graft_in_range expects (t, lo, hi, bin), got ${args.size}" +
+            " arguments")
+        val l = args.map(a =>
+          if (a.dataType == LongType) a else Cast(a, LongType))
+        graft.functions.InRangeExpr(l(0), l(1), l(2), l(3))
+      }),
     (FunctionIdentifier("graft_st_dwithin"),
       new ExpressionInfo(classOf[STDWithinExpr].getName, "graft_st_dwithin"),
       { args =>
@@ -204,6 +218,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(DistanceJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DistanceJoinRule
+    if (!spark.experimental.extraOptimizations.contains(IntervalJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalJoinRule
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy

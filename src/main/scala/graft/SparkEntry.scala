@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Similarity.specs ++
       operators.Events.specs ++
       operators.AsofJoin.specs ++
+      operators.RangeJoin.specs ++
       operators.SkiQueries.specs ++
       operators.MultiPart.specs ++
       operators.OutputFormats.specs ++
