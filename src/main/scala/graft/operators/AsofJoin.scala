@@ -5,6 +5,7 @@ import graft.plans.AsofJoinPlan
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
 import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.SqlBridge
 
@@ -93,7 +94,7 @@ object AsofJoin {
   /** Epoch-micros expression for the events `ts` column (same physical-
     * type dispatch as [[Events.msFromTs]], at micro precision).
     */
-  private[operators] def usFromTs(
+  private[graft] def usFromTs(
       dt: org.apache.spark.sql.types.DataType): Column =
     dt match {
       case org.apache.spark.sql.types.LongType =>
@@ -222,6 +223,115 @@ object AsofJoin {
       .orderBy("tier", "event_type")
   }
 
+  // ---- q_stream_asof: the native operator inside a streaming query --
+  // Purchase STREAM broadcast-asof-enriched against the static tier
+  // dimension (see EventsStreaming.asofViaStream) — stateless per
+  // micro-batch, zero fact-side exchange, append-mode exact.
+  private val qStreamAsof = QuerySpec.of(
+    "q_stream_asof",
+    s"""WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, $OracleUs AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |dim AS (
+      |  SELECT user_id AS s_user, $OracleUs AS s_us,
+      |    max(event_id) % 5 AS tier
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT COALESCE(tier, -1) AS tier, count(*) AS n_purchases,
+      |  CAST(COALESCE(sum(us - s_us), 0) AS BIGINT) AS sum_age_us
+      |FROM p ASOF LEFT JOIN dim
+      |  ON p.user_id = dim.s_user AND p.us >= dim.s_us
+      |GROUP BY 1
+      |ORDER BY tier""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.asofViaStream(s, d)
+  }
+
+  // ---- q_ts_resample: regular-grid resampling via two as-of passes --
+  // Per-user cumulative purchase cents, linearly interpolated onto a
+  // global 6-hour grid: backward as-of picks the last observation
+  // at-or-before each grid point, forward as-of (the classic negated-
+  // time trick) the first at-or-after, then exact integer
+  // interpolation between the bracketing pair. Composition is the
+  // point: the SECOND as-of runs on the FIRST one's output, whose
+  // preserved hash(user) partitioning satisfies the merge's
+  // distribution — so the whole backward+forward chain costs ONE
+  // grid-side exchange plus a partition-local resort (AsofJoinSpec
+  // pins the single-exchange reuse property in general form).
+  // Before the first observation the value is NULL; after the last
+  // it carries forward; all interpolation arithmetic is non-negative
+  // integer multiply-then-truncating-divide, identical in DuckDB.
+  private val qTsResample = QuerySpec.of(
+    "q_ts_resample",
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, event_type, $OracleUs AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |g AS (
+      |  SELECT u.user_id, unnest(generate_series(
+      |    ((mn + 21599999999) // 21600000000) * 21600000000,
+      |    (mx // 21600000000) * 21600000000, 21600000000)) AS t
+      |  FROM u, b),
+      |p AS (
+      |  SELECT user_id, us,
+      |    sum(cents) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) AS cum
+      |  FROM e WHERE event_type = 'purchase'),
+      |obs AS (SELECT user_id, us, max(cum) AS cum FROM p GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT g.user_id, g.t, o.us AS tb, o.cum AS vb
+      |  FROM g ASOF LEFT JOIN obs o
+      |    ON g.user_id = o.user_id AND g.t >= o.us),
+      |fob AS (SELECT user_id, -us AS nus, us, cum FROM obs),
+      |fw AS (
+      |  SELECT bk.user_id, bk.t, bk.tb, bk.vb, o.us AS ta, o.cum AS va
+      |  FROM bk ASOF LEFT JOIN fob o
+      |    ON bk.user_id = o.user_id AND -bk.t >= o.nus)
+      |SELECT user_id, t AS grid_us,
+      |  CASE WHEN vb IS NULL THEN NULL
+      |    WHEN va IS NULL THEN vb
+      |    WHEN ta = tb THEN vb
+      |    ELSE vb + (va - vb) * (t - tb) // (ta - tb) END AS cents
+      |FROM fw
+      |ORDER BY user_id, grid_us""".stripMargin) { (s, d) =>
+    val step = 21600000000L
+    val ev = eventsUs(s, d).withColumn("cents",
+      expr("CAST(round(value * 100) AS BIGINT)"))
+    val bounds = ev.agg(min("us").as("mn"), max("us").as("mx"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds to every user
+      .withColumn("t", explode(expr(
+        s"""CASE WHEN ((mn + ${step - 1}L) DIV ${step}L) * ${step}L
+           |  <= (mx DIV ${step}L) * ${step}L
+           |THEN sequence(((mn + ${step - 1}L) DIV ${step}L) * ${step}L,
+           |  (mx DIV ${step}L) * ${step}L, ${step}L)
+           |ELSE array() END""".stripMargin)))
+      .select(col("user_id"), col("t"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val obs = ev.filter(col("event_type") === "purchase")
+      .withColumn("cum", sum("cents").over(w))
+      .groupBy(col("user_id").as("o_user"), col("us").as("o_us"))
+      .agg(max("cum").as("o_cum"))
+    val bk = join(grid, obs, Seq("user_id" -> "o_user"), "t", "o_us",
+      None, outer = true)
+      .select(col("user_id"), col("t"),
+        col("o_us").as("tb"), col("o_cum").as("vb"))
+    val fob = obs.select(col("o_user").as("f_user"),
+      (-col("o_us")).as("f_nus"), col("o_us").as("f_us"),
+      col("o_cum").as("f_cum"))
+    val fw = join(bk.withColumn("nt", -col("t")), fob,
+      Seq("user_id" -> "f_user"), "nt", "f_nus", None, outer = true)
+    fw.select(col("user_id"), col("t").as("grid_us"),
+      when(col("vb").isNull, lit(null).cast("long"))
+        .when(col("f_cum").isNull, col("vb"))
+        .when(col("f_us") === col("tb"), col("vb"))
+        .otherwise(col("vb") + expr(
+          "(f_cum - vb) * (t - tb) DIV (f_us - tb)"))
+        .as("cents"))
+      .orderBy("user_id", "grid_us")
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qAsofJoin, qAsofTolerance, qAsofBroadcast)
+    Seq(qAsofJoin, qAsofTolerance, qAsofBroadcast, qStreamAsof,
+      qTsResample)
 }

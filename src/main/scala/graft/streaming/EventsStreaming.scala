@@ -872,4 +872,55 @@ object EventsStreaming {
     graft.operators.Events.anomalyFromDaily(
       spark.table(name).localCheckpoint())
   }
+
+  /** The native AS-OF join inside a streaming query: a purchase
+    * stream temporally enriched against the static signup-derived
+    * tier dimension through [[graft.operators.AsofJoin.join]] with
+    * `broadcastRight = true` — the custom logical node rides the
+    * micro-batch planner exactly like a built-in (IncrementalExecution
+    * plans with the session's injected strategies), and because
+    * [[graft.plans.BroadcastAsofJoinExec]] is STATELESS per batch and
+    * the dimension is static, append-mode emission per micro-batch is
+    * exact with no state store at all. The fact stream reaches the
+    * join with zero exchange — the streaming source's partitioning
+    * flows straight through, so this is the shape a 100 TB/day ingest
+    * wants for SCD temporal enrichment.
+    *
+    * The rollup over the enriched pairs runs as a batch aggregate on
+    * the sink (a live pipeline would chain a second streaming agg).
+    * Oracle = the same DuckDB ASOF LEFT JOIN as the batch twin,
+    * rolled up per tier.
+    */
+  def asofViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_stream_asof_${counter.incrementAndGet()}"
+    val usCol = graft.operators.AsofJoin.usFromTs(schema("ts").dataType)
+    val dim = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "signup")
+      .withColumn("us", usCol)
+      .groupBy(col("user_id").as("s_user"), col("us").as("s_us"))
+      .agg((max("event_id") % 5).as("tier"))
+    val fact = spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/events*.parquet")
+      .filter(col("event_type") === "purchase")
+      .withColumn("us", usCol)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+    val joined = graft.operators.AsofJoin.join(
+      fact, dim, Seq("user_id" -> "s_user"), "us", "s_us",
+      None, outer = true, broadcastRight = true)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(coalesce(col("tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("us") - col("s_us")), lit(0L)).as("sum_age_us"))
+      .orderBy("tier")
+  }
 }

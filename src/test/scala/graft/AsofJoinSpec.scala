@@ -204,6 +204,29 @@ class AsofJoinSpec extends SparkSpec {
       "downstream same-key window must reuse the as-of partitioning")
   }
 
+  test("chained as-of joins reuse the left partitioning: one left exchange") {
+    // the q_ts_resample shape: backward pass, then a forward pass
+    // running on the backward pass's OUTPUT — same key, so the merge's
+    // ClusteredDistribution is already satisfied and only a partition-
+    // local resort is added. 3 exchanges total: left once, each right
+    // side once.
+    val l = df((1L to 200L).map(i => (i % 9, i, i)), "k", "t", "lv")
+    val r1 = df((1L to 50L).map(i => (i % 9, i * 4 % 200, i + 500))
+      .groupBy(x => (x._1, x._2)).values.map(_.maxBy(_._3)).toSeq,
+      "rk", "rt", "rv")
+    val r2 = r1.select($"rk".as("sk"), (-$"rt").as("st"), $"rv".as("sv"))
+    val bk = AsofJoin.join(l, r1, Seq("k" -> "rk"), "t", "rt")
+    val fw = AsofJoin.join(bk.withColumn("nt", -$"t"), r2,
+      Seq("k" -> "sk"), "nt", "st")
+    fw.queryExecution.toRdd.count()
+    val all = nodes(fw.queryExecution.executedPlan)
+    assert(all.count(_.isInstanceOf[AsofJoinExec]) == 2)
+    val exchanges = all.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 3,
+      s"chained as-of must not re-shuffle the left side, got " +
+        s"${exchanges.size} exchanges:\n${fw.queryExecution.executedPlan}")
+  }
+
   test("broadcast variant: identical results, zero fact-side exchange") {
     val rnd = new scala.util.Random(7)
     val l = df((1L to 500L).map(i =>
