@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType
 import graft.functions.{AudioMetaExpr, DotProductExpr, GramHashExpr,
   ImageDimsExpr, LineLengthMExpr, MinHashSigExpr, RollingMinExpr,
   STDWithinExpr, ShinglesExpr, SimHash32Expr, VideoMetaExpr}
-import graft.plans.{AsofJoinStrategy, DistanceJoinRule, IntervalJoinRule}
+import graft.plans.{AsofJoinRule, AsofJoinStrategy, DistanceJoinRule,
+  IntervalJoinRule}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -36,8 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Range-join planning: JOIN ... ON graft_in_range(t, lo, hi, bin)
     // becomes a binned equi-join instead of a nested loop.
     ext.injectOptimizerRule(_ => IntervalJoinRule)
-    // As-of join: plans graft.plans.AsofJoinPlan nodes (built by
-    // graft.operators.AsofJoin.join) as the co-partitioned merge exec.
+    // As-of planning: JOIN ... ON keys AND graft_asof_match(lt, rt)
+    // lifts to the native AsofJoinPlan, which the strategy then plans
+    // as the co-partitioned merge (or broadcast) exec. The DataFrame
+    // API (graft.operators.AsofJoin.join) builds the node directly.
+    ext.injectOptimizerRule(_ => AsofJoinRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
@@ -182,6 +186,17 @@ object GraftExtensions {
         classOf[graft.functions.GpkgGeomExpr].getName,
         "graft_gpkg_geom"),
       twoArg("graft_gpkg_geom", graft.functions.GpkgGeomExpr(_, _))),
+    (FunctionIdentifier("graft_asof_match"),
+      new ExpressionInfo(
+        classOf[graft.functions.AsofMatchExpr].getName, "graft_asof_match"),
+      { args =>
+        if (args.size < 2 || args.size > 3)
+          throw new IllegalArgumentException(
+            "graft_asof_match expects (leftTime, rightTime[, " +
+              s"toleranceMicros]), got ${args.size} arguments")
+        graft.functions.AsofMatchExpr(args(0), args(1),
+          args.drop(2).headOption)
+      }),
     (FunctionIdentifier("graft_in_range"),
       new ExpressionInfo(
         classOf[graft.functions.InRangeExpr].getName, "graft_in_range"),
@@ -221,6 +236,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(IntervalJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ IntervalJoinRule
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofJoinRule
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy

@@ -331,7 +331,43 @@ object AsofJoin {
       .orderBy("user_id", "grid_us")
   }
 
+  // ---- q_asof_sql: the pure-SQL spelling ----------------------------
+  // Same semantics as q_asof_join, but stated entirely in SQL through
+  // the registered graft_asof_match marker — AsofJoinRule lifts the
+  // LEFT JOIN into the native plan. AsofSqlSpec pins that the lifted
+  // plan contains AsofJoinExec and no nested loop; this query gates
+  // the lifted SEMANTICS against DuckDB's real ASOF keyword.
+  private val qAsofSql = QuerySpec.of(
+    "q_asof_sql",
+    s"""WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, $OracleUs AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id AS v_user, $OracleUs AS v_us,
+      |    max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT purchase_id, user_id, view_id,
+      |  CASE WHEN v_us IS NULL THEN NULL ELSE us - v_us END AS gap_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.v_user AND p.us >= v.v_us
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    graft.GraftExtensions.register(s)
+    eventsUs(s, d).createOrReplaceTempView("graft_asof_events")
+    s.sql(
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, us
+        |  FROM graft_asof_events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS v_user, us AS v_us, max(event_id) AS view_id
+        |  FROM graft_asof_events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT purchase_id, user_id, view_id,
+        |  CASE WHEN v_us IS NULL THEN NULL ELSE us - v_us END AS gap_us
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.v_user AND graft_asof_match(p.us, v.v_us)
+        |ORDER BY purchase_id""".stripMargin)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofTolerance, qAsofBroadcast, qStreamAsof,
-      qTsResample)
+      qTsResample, qAsofSql)
 }

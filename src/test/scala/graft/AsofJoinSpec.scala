@@ -259,6 +259,64 @@ class AsofJoinSpec extends SparkSpec {
       "the dimension side must go through a broadcast exchange")
   }
 
+  test("SQL graft_asof_match lifts to the native plan (both join types)") {
+    GraftExtensions.register(spark)
+    df(Seq((1L, 100L, 1L), (1L, 300L, 2L), (2L, 100L, 3L)), "k", "t", "lv")
+      .createOrReplaceTempView("graft_as_l")
+    df(Seq((1L, 90L, 10L), (1L, 250L, 20L)), "k", "t", "rv")
+      .createOrReplaceTempView("graft_as_r")
+    val outer = spark.sql(
+      """SELECT l.lv, r.rv FROM graft_as_l l LEFT JOIN graft_as_r r
+        |ON l.k = r.k AND graft_asof_match(l.t, r.t)""".stripMargin)
+    val got = outer.collect().map(x => (x.getLong(0),
+      if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    assert(got == Set((1L, Some(10L)), (2L, Some(20L)), (3L, None)))
+    outer.queryExecution.toRdd.count()
+    assert(nodes(outer.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[AsofJoinExec]))
+    // inner + tolerance literal; swapped time orientation also lifts
+    val inner = spark.sql(
+      """SELECT l.lv, r.rv FROM graft_as_r r JOIN graft_as_l l
+        |ON l.k = r.k AND graft_asof_match(l.t, r.t, 15L)""".stripMargin)
+    assert(inner.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      Set((1L, 10L)))
+    inner.queryExecution.toRdd.count()
+    assert(nodes(inner.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[AsofJoinExec]))
+  }
+
+  test("unliftable graft_asof_match fails loudly, never evaluates naively") {
+    GraftExtensions.register(spark)
+    df(Seq((1L, 100L, 1L)), "k", "t", "lv")
+      .createOrReplaceTempView("graft_as_l2")
+    df(Seq((1L, 90L, 10L)), "k", "t", "rv")
+      .createOrReplaceTempView("graft_as_r2")
+    // no equi conjunct -> rule declines -> Unevaluable must throw at
+    // plan/execution, NOT return the every-prior-row join
+    val noKey = spark.sql(
+      """SELECT * FROM graft_as_l2 l JOIN graft_as_r2 r
+        |ON graft_asof_match(l.t, r.t)""".stripMargin)
+    val e1 = intercept[Exception] { noKey.collect() }
+    assert(e1.toString.toLowerCase.contains("graft_asof_match") ||
+      e1.toString.toLowerCase.contains("unevaluable"))
+    // marker under OR: conjunct split cannot isolate it -> same
+    val orCtx = spark.sql(
+      """SELECT * FROM graft_as_l2 l JOIN graft_as_r2 r
+        |ON l.k = r.k AND (graft_asof_match(l.t, r.t) OR l.lv = 0)"""
+        .stripMargin)
+    val e2 = intercept[Exception] { orCtx.collect() }
+    assert(e2.toString.toLowerCase.contains("graft_asof_match") ||
+      e2.toString.toLowerCase.contains("unevaluable"))
+    // LEFT JOIN with swapped orientation (probe would be the non-
+    // preserved side) must also refuse
+    val badOuter = spark.sql(
+      """SELECT * FROM graft_as_l2 l LEFT JOIN graft_as_r2 r
+        |ON l.k = r.k AND graft_asof_match(r.t, l.t)""".stripMargin)
+    val e3 = intercept[Exception] { badOuter.collect() }
+    assert(e3.toString.toLowerCase.contains("graft_asof_match") ||
+      e3.toString.toLowerCase.contains("unevaluable"))
+  }
+
   test("broadcast variant honors NULL keys/times on both sides") {
     val l = Seq((Some(1L), Some(100L), 1L), (None, Some(100L), 2L),
       (Some(1L), None, 3L)).toDF("k", "t", "lv")
