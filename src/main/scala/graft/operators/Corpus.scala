@@ -589,7 +589,93 @@ object Corpus {
       .orderBy("phase")
   }
 
+  // ---- deterministic weighted sampling (priority sampling) -------------
+  // Weight-proportional sampling without replacement, fully
+  // deterministic: each doc's rank is hash(doc_id)·S / weight
+  // (integer), the k lowest ranks per source win — the Duffield-Lund-
+  // Thorup priority sample, with the hash standing in for the uniform
+  // draw so reruns and both engines pick the SAME sample (membership
+  // digest in the output proves it). The DLT total-weight estimator
+  // comes along for free and stays integer-exact: with threshold t =
+  // the (k+1)-th smallest scaled rank, each sampled doc contributes
+  // max(w, (H·S) DIV t); sources with ≤ k docs are fully sampled and
+  // contribute exactly w. One shuffle on source (the window);
+  // WindowGroupLimit truncates the per-partition sort at k+1.
+  val WeightedK = 50
+  private val WsScale = 1000000L // rank scale S
+  private val WsHashSpan = 4294967296L // H = 2^32 (hash32 range)
+
+  private val qSampleWeighted = QuerySpec.of(
+    "q_sample_weighted", {
+      val h = HashFunctions.sqlHash32("CAST(doc_id AS VARCHAR) || ':wsamp'")
+      s"""WITH v AS (
+        |  SELECT source, doc_id, n_chars AS w,
+        |    (($h) * $WsScale) // n_chars AS r
+        |  FROM documents WHERE n_chars > 0),
+        |rn AS (
+        |  SELECT source, doc_id, w, r,
+        |    row_number() OVER (PARTITION BY source ORDER BY r, doc_id)
+        |      AS rn
+        |  FROM v),
+        |thr AS (SELECT source, r AS t FROM rn WHERE rn = ${WeightedK + 1}),
+        |s AS (
+        |  SELECT rn.source, rn.doc_id, rn.w,
+        |    CASE WHEN thr.t IS NULL THEN rn.w
+        |      ELSE greatest(rn.w, ${WsHashSpan * WsScale} // thr.t) END
+        |      AS w_est
+        |  FROM rn LEFT JOIN thr ON rn.source = thr.source
+        |  WHERE rn.rn <= $WeightedK),
+        |x AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_w
+        |      FROM documents WHERE n_chars > 0 GROUP BY source)
+        |SELECT s.source, count(*) AS n_sampled,
+        |  CAST(sum(s.w) AS BIGINT) AS sum_w,
+        |  CAST(sum(s.w_est) AS BIGINT) AS est_total_w,
+        |  x.total_w,
+        |  abs(CAST(sum(s.w_est) AS BIGINT) - x.total_w) * 10000
+        |    // x.total_w AS err_bp,
+        |  md5(string_agg(CAST(s.doc_id AS VARCHAR), ','
+        |    ORDER BY s.doc_id)) AS member_md5
+        |FROM s JOIN x ON s.source = x.source
+        |GROUP BY s.source, x.total_w
+        |ORDER BY s.source""".stripMargin
+    }) { (s, d) =>
+    val hk = HashFunctions.hash32(
+      concat(col("doc_id").cast("string"), lit(":wsamp")))
+    val v = Tables.documents(s, d).filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars").as("w"),
+        hk.as("hk"))
+      .select(col("source"), col("doc_id"), col("w"),
+        expr(s"(hk * ${WsScale}L) DIV w").as("r"))
+    val w = Window.partitionBy("source").orderBy(col("r"), col("doc_id"))
+    val rn = v.withColumn("rn", row_number().over(w))
+      .localCheckpoint() // sample + threshold branches read it
+    val thr = rn.filter(col("rn") === WeightedK + 1)
+      .select(col("source").as("t_source"), col("r").as("t"))
+    val sampled = rn.filter(col("rn") <= WeightedK)
+      .join(thr, col("source") === col("t_source"), "left")
+      .select(col("source"), col("doc_id"), col("w"),
+        when(col("t").isNull, col("w"))
+          .otherwise(greatest(col("w"),
+            expr(s"${WsHashSpan * WsScale}L DIV t"))).as("w_est"))
+    val x = Tables.documents(s, d).filter(col("n_chars") > 0)
+      .groupBy("source").agg(sum("n_chars").as("total_w"))
+    sampled.groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), sum("w").as("sum_w"),
+        sum("w_est").as("est_total_w"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id")))),
+          e => e.getField("doc_id").cast("string")), ","))
+          .as("member_md5"))
+      .join(x, Seq("source"))
+      .select(col("source"), col("n_sampled"), col("sum_w"),
+        col("est_total_w"), col("total_w"),
+        expr("abs(est_total_w - total_w) * 10000 DIV total_w")
+          .as("err_bp"), col("member_md5"))
+      .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
     qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate,
-    qLenQuantiles, qSearchRank, qChunkDocs, qEmbedCoverage, qCurriculum)
+    qLenQuantiles, qSearchRank, qChunkDocs, qEmbedCoverage, qCurriculum,
+    qSampleWeighted)
 }

@@ -580,6 +580,104 @@ object Events {
           .as("err_bp"))
   }
 
+  // ---- HLL set algebra: audience overlap from mergeable sketches ---------
+  // The sketch-algebra capability on top of the portable HLL: per-
+  // audience register vectors (viewers / purchasers), their register-
+  // wise-max UNION sketch, and the inclusion-exclusion INTERSECTION
+  // estimate |V∩P| ≈ est(V) + est(P) − est(V∪P) — the overlap question
+  // ("how many purchasers also browsed?") answered from two 64-register
+  // sketches that at 100 TB would be maintained incrementally, never
+  // re-scanning either audience. Exact counterparts computed alongside
+  // price the estimates; err columns are integer basis points of the
+  // integer-rounded estimates, so the hash never rides a float
+  // boundary.
+  private val qHllSetops = QuerySpec.of(
+    "q_events_hll_setops", {
+      val h = graft.functions.HashFunctions.sqlHash64("user_id")
+      def regsOf(tpe: String, alias: String): String =
+        s"""$alias AS (
+           |  SELECT hv % $HllM AS reg,
+           |    max(${sqlHllRank(s"hv // $HllM")}) AS mr
+           |  FROM (SELECT DISTINCT $h AS hv FROM events
+           |        WHERE event_type = '$tpe')
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH ${regsOf("view", "rv")},
+        |${regsOf("purchase", "rp")},
+        |rm AS (
+        |  SELECT coalesce(rv.mr, 0) AS mv, coalesce(rp.mr, 0) AS mp,
+        |    greatest(coalesce(rv.mr, 0), coalesce(rp.mr, 0)) AS mu
+        |  FROM (SELECT unnest(range(0, $HllM)) AS reg) r
+        |  LEFT JOIN rv ON r.reg = rv.reg
+        |  LEFT JOIN rp ON r.reg = rp.reg),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(1.0 / CAST((CAST(1 AS BIGINT) << mv) AS DOUBLE))
+        |      AS DOUBLE) AS sv,
+        |    CAST(sum(1.0 / CAST((CAST(1 AS BIGINT) << mp) AS DOUBLE))
+        |      AS DOUBLE) AS sp,
+        |    CAST(sum(1.0 / CAST((CAST(1 AS BIGINT) << mu) AS DOUBLE))
+        |      AS DOUBLE) AS su
+        |  FROM rm),
+        |e AS (
+        |  SELECT
+        |    CAST(round($HllAlpha * $HllM * $HllM / sv) AS BIGINT) AS ev,
+        |    CAST(round($HllAlpha * $HllM * $HllM / sp) AS BIGINT) AS ep,
+        |    CAST(round($HllAlpha * $HllM * $HllM / su) AS BIGINT) AS eu
+        |  FROM s),
+        |x AS (
+        |  SELECT
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'view'
+        |      THEN user_id END) AS BIGINT) AS nv,
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |      THEN user_id END) AS BIGINT) AS np,
+        |    CAST(count(DISTINCT CASE WHEN event_type IN
+        |      ('view', 'purchase') THEN user_id END) AS BIGINT) AS nu
+        |  FROM events)
+        |SELECT x.nv AS n_exact_view, x.np AS n_exact_purchase,
+        |  x.nu AS n_exact_union, x.nv + x.np - x.nu AS n_exact_inter,
+        |  e.ev AS est_view, e.ep AS est_purchase, e.eu AS est_union,
+        |  e.ev + e.ep - e.eu AS est_inter,
+        |  abs(e.eu - x.nu) * 10000 // x.nu AS err_union_bp
+        |FROM e, x""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions.hash64
+    val ev = Tables.events(s, d)
+    def regsOf(tpe: String, name: String) = ev
+      .filter(col("event_type") === tpe)
+      .select(hash64(col("user_id")).as("hv")).distinct()
+      .select(pmod(col("hv"), lit(HllM)).as("reg"), hllRank.as("rank"))
+      .groupBy("reg").agg(max("rank").as(name))
+    val rm = s.range(0, HllM).select(col("id").as("reg"))
+      .join(regsOf("view", "mv0"), Seq("reg"), "left")
+      .join(regsOf("purchase", "mp0"), Seq("reg"), "left")
+      .select(coalesce(col("mv0"), lit(0)).as("mv"),
+        coalesce(col("mp0"), lit(0)).as("mp"))
+      .withColumn("mu", greatest(col("mv"), col("mp")))
+    def invSum(c: String) = sum(expr("1.0 / CAST(shiftleft(" +
+      s"CAST(1 AS BIGINT), CAST($c AS INT)) AS DOUBLE)")).as(s"s_$c")
+    val agg = rm.agg(invSum("mv"), invSum("mp"), invSum("mu"))
+    def estOf(c: String) = expr(
+      s"CAST(round($HllAlpha * $HllM * $HllM / s_$c) AS BIGINT)")
+    val e = agg.select(estOf("mv").as("ev"), estOf("mp").as("ep"),
+      estOf("mu").as("eu"))
+    val x = ev.agg(
+      countDistinct(when(col("event_type") === "view",
+        col("user_id"))).as("nv"),
+      countDistinct(when(col("event_type") === "purchase",
+        col("user_id"))).as("np"),
+      countDistinct(when(col("event_type").isin("view", "purchase"),
+        col("user_id"))).as("nu"))
+    e.crossJoin(x).select(
+      col("nv").as("n_exact_view"), col("np").as("n_exact_purchase"),
+      col("nu").as("n_exact_union"),
+      (col("nv") + col("np") - col("nu")).as("n_exact_inter"),
+      col("ev").as("est_view"), col("ep").as("est_purchase"),
+      col("eu").as("est_union"),
+      (col("ev") + col("ep") - col("eu")).as("est_inter"),
+      expr("CAST(abs(eu - nu) * 10000 DIV nu AS BIGINT)")
+        .as("err_union_bp"))
+  }
+
   // ---- stream-stream interval join: view→purchase conversions ------------
   // Double-watermarked streaming inner join (see EventsStreaming
   // .convertViaStream): purchases match prior views of the same user
@@ -1666,5 +1764,5 @@ object Events {
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
       qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge, qSmooth,
-      qStreamReprocess, qCohortLtv, qDowHour)
+      qStreamReprocess, qCohortLtv, qDowHour, qHllSetops)
 }

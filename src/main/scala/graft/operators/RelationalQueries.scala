@@ -1182,9 +1182,89 @@ object RelationalQueries {
   private[graft] def topMonths(s: SparkSession, d: String): DataFrame =
     monthDim(s, d).filter(col("rk") <= 3).select("mon")
 
+  // ---- q_profile_corr: Pearson correlation matrix, one exact pass -----
+  // All pairwise correlations of lineitem's four measures from ONE
+  // map-side-combinable aggregate of exact integer moments (values
+  // scaled to integers first: whole units / cents / percent points,
+  // sums in DECIMAL(38,0) ≙ DuckDB HUGEINT — no float accumulation, so
+  // the moments are identical across engines and the only doubles are
+  // the final 14-term formula, computed in the same operation order on
+  // identical inputs and rounded to 6 dp). One scan, no shuffle except
+  // the scalar aggregate; the 6-pair matrix unpivots from the single
+  // moment row. Profilers run this BEFORE training-feature selection.
+  private val qProfileCorr = QuerySpec.of(
+    "q_profile_corr", {
+      def corrSql(x: String, y: String): String =
+        s"""round(CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE) /
+           |  sqrt(CAST(n * s_$x$x - s_$x * s_$x AS DOUBLE) *
+           |       CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE)), 6)"""
+          .stripMargin
+      val pairs = Seq("q" -> "p", "q" -> "d", "q" -> "t",
+        "p" -> "d", "p" -> "t", "d" -> "t")
+      val names = Map("q" -> "quantity", "p" -> "price_cents",
+        "d" -> "discount_pct", "t" -> "tax_pct")
+      val sel = pairs.map { case (x, y) =>
+        s"SELECT '${names(x)}' AS col_x, '${names(y)}' AS col_y, " +
+          s"n, ${corrSql(x, y)} AS corr FROM m"
+      }.mkString("\n|", "\n|UNION ALL\n|", "")
+      s"""WITH v AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(q AS HUGEINT)) AS s_q, sum(CAST(p AS HUGEINT)) AS s_p,
+        |    sum(CAST(d AS HUGEINT)) AS s_d, sum(CAST(t AS HUGEINT)) AS s_t,
+        |    sum(CAST(q AS HUGEINT) * q) AS s_qq,
+        |    sum(CAST(p AS HUGEINT) * p) AS s_pp,
+        |    sum(CAST(d AS HUGEINT) * d) AS s_dd,
+        |    sum(CAST(t AS HUGEINT) * t) AS s_tt,
+        |    sum(CAST(q AS HUGEINT) * p) AS s_qp,
+        |    sum(CAST(q AS HUGEINT) * d) AS s_qd,
+        |    sum(CAST(q AS HUGEINT) * t) AS s_qt,
+        |    sum(CAST(p AS HUGEINT) * d) AS s_pd,
+        |    sum(CAST(p AS HUGEINT) * t) AS s_pt,
+        |    sum(CAST(d AS HUGEINT) * t) AS s_dt
+        |  FROM v)
+        |SELECT col_x, col_y, CAST(n AS BIGINT) AS n, corr FROM ($sel)
+        |ORDER BY col_x, col_y""".stripMargin
+    }) { (s, d) =>
+    val dec = "DECIMAL(38,0)"
+    val v = Tables.lineitem(s, d).selectExpr(
+      "CAST(CAST(round(l_quantity) AS BIGINT) AS " + dec + ") AS q",
+      "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS " + dec +
+        ") AS p",
+      "CAST(CAST(round(l_discount * 100) AS BIGINT) AS " + dec + ") AS d",
+      "CAST(CAST(round(l_tax * 100) AS BIGINT) AS " + dec + ") AS t")
+    val m = v.agg(
+      expr(s"CAST(count(*) AS $dec)").as("n"),
+      expr("sum(q)").as("s_q"), expr("sum(p)").as("s_p"),
+      expr("sum(d)").as("s_d"), expr("sum(t)").as("s_t"),
+      expr("sum(q * q)").as("s_qq"), expr("sum(p * p)").as("s_pp"),
+      expr("sum(d * d)").as("s_dd"), expr("sum(t * t)").as("s_tt"),
+      expr("sum(q * p)").as("s_qp"), expr("sum(q * d)").as("s_qd"),
+      expr("sum(q * t)").as("s_qt"), expr("sum(p * d)").as("s_pd"),
+      expr("sum(p * t)").as("s_pt"), expr("sum(d * t)").as("s_dt"))
+    def corrOf(x: String, y: String) = expr(
+      s"""round(CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE) /
+         |  sqrt(CAST(n * s_$x$x - s_$x * s_$x AS DOUBLE) *
+         |       CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE)), 6)"""
+        .stripMargin)
+    val names = Map("q" -> "quantity", "p" -> "price_cents",
+      "d" -> "discount_pct", "t" -> "tax_pct")
+    val pairs = Seq("q" -> "p", "q" -> "d", "q" -> "t",
+      "p" -> "d", "p" -> "t", "d" -> "t")
+    pairs.map { case (x, y) =>
+      m.select(lit(names(x)).as("col_x"), lit(names(y)).as("col_y"),
+        expr("CAST(n AS BIGINT)").as("n"), corrOf(x, y).as("corr"))
+    }.reduce(_.unionByName(_)).orderBy("col_x", "col_y")
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(q1, q3, q4, q5, q6, q14, qAnti, qWindow, qSegment, qSetOps,
       qTopCustomers, qRollup, qRfm, qBasket, qProfile, qBucketed,
       qMergeUpsert, qJoinKeys, qPareto, qConstraints, qGrowth, q18, q15,
-      qCorrelated, q22, qSla, q17, q21, qDpp)
+      qCorrelated, q22, qSla, q17, q21, qDpp, qProfileCorr)
 }
