@@ -678,6 +678,94 @@ object Events {
         .as("err_union_bp"))
   }
 
+  // ---- Poisson bootstrap: deterministic confidence intervals -------------
+  // THE at-scale bootstrap: instead of materializing B resamples, each
+  // row carries a Poisson(1) count per replicate (the large-n limit of
+  // Binomial(n, 1/n) resampling) and every replicate statistic is one
+  // weighted aggregate — B=32 replicates cost one 32x row fan-out and
+  // one map-side-combinable shuffle, never a per-replicate pass. The
+  // Poisson draw is DETERMINISTIC: the row/replicate hash (60-bit)
+  // compares against precomputed INTEGER thresholds floor(CDF·2^60)
+  // (counts capped at 7, tail mass ~1e-5), so both engines and every
+  // rerun draw identical counts — no floats anywhere until nothing.
+  // Replicate means are exact scaled-integer rationals; the CI is the
+  // (2nd, 31st) order statistics of the 32 replicate means (~2.5/97.5
+  // percentile convention, documented not interpolated).
+  private val BootB = 32
+  private val BootThresholds = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L) // Poisson(1) CDF at k=0..6, scaled 2^60
+
+  // bare integer literals: Spark and DuckDB both parse beyond-int32
+  // literals as BIGINT, and DuckDB rejects the `L` suffix
+  private def poissonCase(h: String): String =
+    BootThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  private val qBootstrap = QuerySpec.of(
+    "q_events_bootstrap", {
+      val h = graft.functions.HashFunctions.sqlHash64(
+        "CAST(event_id AS VARCHAR) || ':bs' || CAST(b AS VARCHAR)")
+      val pc = poissonCase(s"($h)")
+      s"""WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents, unnest(range(0, $BootB)) AS b,
+        |    event_id
+        |  FROM e),
+        |c AS (SELECT event_type, b, cents, $pc AS cnt FROM r),
+        |m AS (
+        |  SELECT event_type, b,
+        |    CASE WHEN CAST(sum(cnt) AS BIGINT) = 0 THEN 0
+        |      ELSE CAST(sum(cnt * cents) AS BIGINT) * 10000
+        |        // CAST(sum(cnt) AS BIGINT) END AS mean4
+        |  FROM c GROUP BY event_type, b),
+        |o AS (
+        |  SELECT event_type, mean4,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY mean4, b) AS rn
+        |  FROM m),
+        |p AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) * 10000 // count(*) AS point4
+        |  FROM e GROUP BY event_type)
+        |SELECT p.event_type, p.n, p.point4 AS mean_cents_4dp,
+        |  max(CASE WHEN o.rn = 2 THEN o.mean4 END) AS ci_lo_4dp,
+        |  max(CASE WHEN o.rn = ${BootB - 1} THEN o.mean4 END)
+        |    AS ci_hi_4dp
+        |FROM p JOIN o ON p.event_type = o.event_type
+        |GROUP BY p.event_type, p.n, p.point4
+        |ORDER BY p.event_type""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val r = e.withColumn("b", explode(expr(s"sequence(0, ${BootB - 1})")))
+    val h = HashFunctions.hash64(concat(col("event_id").cast("string"),
+      lit(":bs"), col("b").cast("string")))
+    val c = r.select(col("event_type"), col("b"), col("cents"),
+        h.as("hv"))
+      .withColumn("cnt", expr(poissonCase("hv")))
+    val m = c.groupBy("event_type", "b")
+      .agg(expr("CASE WHEN sum(cnt) = 0 THEN 0 ELSE" +
+        " sum(cnt * cents) * 10000 DIV sum(cnt) END").as("mean4"))
+    val o = m.withColumn("rn", row_number().over(
+      Window.partitionBy("event_type").orderBy(col("mean4"), col("b"))))
+    val p = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cents) * 10000 DIV count(*)").as("point4"))
+    p.join(o, Seq("event_type"))
+      .groupBy(col("event_type"), col("n"),
+        col("point4").as("mean_cents_4dp"))
+      .agg(max(when(col("rn") === 2, col("mean4"))).as("ci_lo_4dp"),
+        max(when(col("rn") === BootB - 1, col("mean4"))).as("ci_hi_4dp"))
+      .orderBy("event_type")
+  }
+
   // ---- stream-stream interval join: view→purchase conversions ------------
   // Double-watermarked streaming inner join (see EventsStreaming
   // .convertViaStream): purchases match prior views of the same user
@@ -1764,5 +1852,5 @@ object Events {
       qFunnelOrdered, qTimeWeighted, qCusum, qStreamAbandon, qStreamLate,
       qPivot, qMadAnomaly, qScd, qValueHistogram, qStreamSessionTimeout,
       qScdJoin, qWeekday, qTrend, qStreamMatview, qHllMerge, qSmooth,
-      qStreamReprocess, qCohortLtv, qDowHour, qHllSetops)
+      qStreamReprocess, qCohortLtv, qDowHour, qHllSetops, qBootstrap)
 }
