@@ -230,17 +230,30 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .registerFunction(id, info, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(DistanceJoinRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ DistanceJoinRule
-    if (!spark.experimental.extraOptimizations.contains(IntervalJoinRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ IntervalJoinRule
-    if (!spark.experimental.extraOptimizations.contains(AsofJoinRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AsofJoinRule
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    registerPlanning(spark)
   }
+
+  /** Idempotent planner-hook registration (rules + strategy),
+    * SYNCHRONIZED on the session's ExperimentalMethods: the
+    * read-modify-write of `extraOptimizations`/`extraStrategies` is a
+    * lost-update race under concurrent queries (one thread's append
+    * can clobber another's, leaving e.g. AsofJoinPlan unplannable for
+    * the rest of the session), so every mutation in this library goes
+    * through this one lock.
+    */
+  def registerPlanning(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(DistanceJoinRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ DistanceJoinRule
+      if (!spark.experimental.extraOptimizations.contains(IntervalJoinRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ IntervalJoinRule
+      if (!spark.experimental.extraOptimizations.contains(AsofJoinRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AsofJoinRule
+      if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
 }

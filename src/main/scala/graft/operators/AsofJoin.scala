@@ -58,13 +58,11 @@ object AsofJoin {
       broadcastRight: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // Self-registering (idempotent, same pattern as SpatialLayout's
-    // morton SQL surface): callers need no session-build ceremony. A
-    // duplicate append under a concurrent race is benign — the planner
-    // just sees the same candidate twice.
-    if (!spark.experimental.extraStrategies.contains(
-        graft.plans.AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    // morton SQL surface): callers need no session-build ceremony.
+    // Goes through the shared synchronized helper — a bare
+    // read-modify-write here would race GraftExtensions.register and
+    // could lose either side's append.
+    graft.GraftExtensions.registerPlanning(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan0 = right.queryExecution.analyzed
     // Self-join hygiene: if any attribute ids collide (both sides

@@ -60,6 +60,24 @@ case class AsofJoinPlan(
     })
   require(timeTypeOk(leftTime) && timeTypeOk(rightTime),
     "as-of time expressions must be TIMESTAMP, TIMESTAMP_NTZ or BIGINT")
+  // The merge compares RAW 8-byte values and the broadcast index uses
+  // byte-equality, so cross-type pairs (micros vs a bare BIGINT in
+  // other units, int vs long keys) would produce silently wrong
+  // matches — exactly the failure the fail-loud design forbids. Types
+  // must agree exactly; callers cast explicitly.
+  require(!leftTime.resolved || !rightTime.resolved ||
+    leftTime.dataType == rightTime.dataType,
+    s"as-of time types must match exactly, got " +
+      s"${if (leftTime.resolved) leftTime.dataType.simpleString else "?"}" +
+      s" vs " +
+      s"${if (rightTime.resolved) rightTime.dataType.simpleString else "?"}")
+  require(leftKeys.zip(rightKeys).forall { case (l, r) =>
+    !l.resolved || !r.resolved || l.dataType == r.dataType },
+    s"as-of key types must match pairwise, got " +
+      leftKeys.zip(rightKeys).map { case (l, r) =>
+        s"${if (l.resolved) l.dataType.simpleString else "?"}=" +
+          s"${if (r.resolved) r.dataType.simpleString else "?"}"
+      }.mkString("(", ", ", ")"))
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isOuter) right.output.map(_.withNullability(true))

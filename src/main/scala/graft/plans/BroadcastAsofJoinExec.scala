@@ -70,34 +70,14 @@ case class BroadcastAsofJoinExec(
     val rOut = right.output
     val outAttrs = output
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    // index identity = (broadcast id, this exec's plan id): the same
+    // broadcast value could feed two as-of execs with different
+    // keys/time columns, so the plan id disambiguates
+    val cacheKey = s"bcast=${bcast.id}:exec=$id"
     left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
-      // key -> (times ascending, rows co-sorted); nulls never indexed
-      val index = new java.util.HashMap[UnsafeRow,
-        (Array[Long], Array[InternalRow])]()
-      val grouped = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      bcast.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTimeProj(r)
-        var nullKey = false
-        var i = 0
-        while (i < rKeys.length) { if (k.isNullAt(i)) nullKey = true; i += 1 }
-        if (!nullKey && !t.isNullAt(0)) {
-          var buf = grouped.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty
-            grouped.put(k.copy(), buf)
-          }
-          buf += ((t.getLong(0), r.copy()))
-        }
+      val index = BroadcastAsofJoinExec.indexFor(cacheKey) {
+        BroadcastAsofJoinExec.buildIndex(bcast.value, rKeys, rTime, rOut)
       }
-      grouped.forEach { (k, buf) =>
-        val sorted = buf.sortBy(_._1)
-        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-      }
-
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -143,4 +123,72 @@ case class BroadcastAsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsofJoinExec {
+  /** key -> (times ascending, rows co-sorted); NULL keys/times never
+    * indexed (they can't match). Rows are copied out of the broadcast
+    * array once per EXECUTOR (see [[indexFor]]). Lives on the
+    * companion so task closures capture only serializable expression
+    * lists, never the exec node itself.
+    */
+  private[plans] def buildIndex(rows: Array[InternalRow],
+      rKeys: Seq[Expression], rTime: Expression,
+      rOut: Seq[Attribute])
+      : java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])] = {
+    val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+    val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+    val grouped = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+    rows.foreach { r =>
+      val k = rKeyProj(r)
+      val t = rTimeProj(r)
+      var nullKey = false
+      var i = 0
+      while (i < rKeys.length) { if (k.isNullAt(i)) nullKey = true; i += 1 }
+      if (!nullKey && !t.isNullAt(0)) {
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty
+          grouped.put(k.copy(), buf)
+        }
+        buf += ((t.getLong(0), r.copy()))
+      }
+    }
+    val index = new java.util.HashMap[UnsafeRow,
+      (Array[Long], Array[InternalRow])]()
+    grouped.forEach { (k, buf) =>
+      val sorted = buf.sortBy(_._1)
+      index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    }
+    index
+  }
+
+  /** Executor-local index memo: the O(R log R) group-and-sort of the
+    * broadcast dimension runs ONCE per executor, not once per task —
+    * BroadcastHashJoin gets the same effect by shipping a prebuilt
+    * HashedRelation; here the index is rebuilt from the broadcast row
+    * array on first use and shared. Values are soft references so a
+    * memory-pressured executor can drop and rebuild an index rather
+    * than OOM; stale keys (finished queries) are pruned opportunistically
+    * when their referent is collected.
+    */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[AnyRef]]()
+
+  private[plans] def indexFor[T <: AnyRef](key: String)(build: => T): T = {
+    val cached = indexCache.get(key)
+    val hit = if (cached == null) null else cached.get()
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      // single-flight per executor is not required for correctness
+      // (builds are idempotent); losing the race just builds twice
+      val built = build
+      indexCache.put(key, new java.lang.ref.SoftReference[AnyRef](built))
+      // opportunistic prune of collected entries
+      val it = indexCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+      built
+    }
+  }
 }

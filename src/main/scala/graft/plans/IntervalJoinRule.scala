@@ -50,6 +50,16 @@ import graft.functions.InRangeExpr
   */
 object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Per-interval bin-count ceiling. An open-ended validity row
+    * (hi = far-future sentinel) with a small bin would otherwise
+    * explode into ~Long.MaxValue/bin sequence elements and kill the
+    * executor; 2^20 bins is already three orders of magnitude past
+    * any sane bin choice, so rows beyond it raise a targeted error
+    * telling the caller to widen `bin` (or model the open end
+    * explicitly) instead of dying in Sequence's array allocation.
+    */
+  val MaxBinsPerInterval = 1L << 20
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt, Some(cond), _)
         if (jt == Inner || jt == Cross) && j.resolved =>
@@ -107,8 +117,18 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val seqExpr = new Sequence(cellLo, cellHi, Some(Literal(1L)))
       .withTimeZone(
         org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-    val cells = If(LessThanOrEqual(cellLo, cellHi), seqExpr,
-      Literal.create(Array.empty[Long], ArrayType(LongType)))
+    val emptyCells = Literal.create(Array.empty[Long], ArrayType(LongType))
+    // span guard BEFORE the width test: a pathological interval must
+    // raise the targeted error, not allocate the sequence
+    val guarded = If(
+      LessThanOrEqual(Subtract(cellHi, cellLo),
+        Literal(MaxBinsPerInterval)),
+      seqExpr,
+      Cast(new RaiseError(Literal(
+        s"graft_in_range: interval spans more than $MaxBinsPerInterval" +
+          " bins at the given bin width; widen `bin` or bound the" +
+          " open-ended interval")), ArrayType(LongType)))
+    val cells = If(LessThanOrEqual(cellLo, cellHi), guarded, emptyCells)
     val iCell = AttributeReference("graft_range_bin", LongType)()
     val iGen = Generate(Explode(cells), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(iCell),

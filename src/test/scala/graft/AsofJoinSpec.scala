@@ -165,17 +165,6 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Seq(10L))
   }
 
-  /** All plan nodes, descending into AQE wrappers and stages. */
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val within = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case _ => Seq.empty
-    }
-    Seq(p) ++ within ++ p.children.flatMap(nodes) ++
-      p.subqueries.flatMap(nodes)
-  }
 
   test("plan shape: AsofJoinExec fed by exactly one exchange per side") {
     val l = df((1L to 100L).map(i => (i % 7, i, i)), "k", "t", "lv")
@@ -184,7 +173,7 @@ class AsofJoinSpec extends SparkSpec {
       "k", "t", "rv")
     val j = native(l, r, None)
     j.queryExecution.toRdd.count()
-    val all = nodes(j.queryExecution.executedPlan)
+    val all = planNodes(j.queryExecution.executedPlan)
     val asof = all.collect { case a: AsofJoinExec => a }
     assert(asof.size == 1, "expected exactly one AsofJoinExec")
     val exchanges = all.collect { case e: ShuffleExchangeExec => e }
@@ -198,7 +187,7 @@ class AsofJoinSpec extends SparkSpec {
     val win = Window.partitionBy($"k").orderBy($"t")
     val downstream = j.withColumn("rn", row_number().over(win))
     downstream.queryExecution.toRdd.count()
-    val n2 = nodes(downstream.queryExecution.executedPlan)
+    val n2 = planNodes(downstream.queryExecution.executedPlan)
       .collect { case e: ShuffleExchangeExec => e }
     assert(n2.size == 2,
       "downstream same-key window must reuse the as-of partitioning")
@@ -219,7 +208,7 @@ class AsofJoinSpec extends SparkSpec {
     val fw = AsofJoin.join(bk.withColumn("nt", -$"t"), r2,
       Seq("k" -> "sk"), "nt", "st")
     fw.queryExecution.toRdd.count()
-    val all = nodes(fw.queryExecution.executedPlan)
+    val all = planNodes(fw.queryExecution.executedPlan)
     assert(all.count(_.isInstanceOf[AsofJoinExec]) == 2)
     val exchanges = all.collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.size == 3,
@@ -248,7 +237,7 @@ class AsofJoinSpec extends SparkSpec {
     }
     val j = native(l, r, None, outer = true, bcast = true)
     j.queryExecution.toRdd.count()
-    val all = nodes(j.queryExecution.executedPlan)
+    val all = planNodes(j.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[BroadcastAsofJoinExec]),
       "broadcastRight must plan the broadcast exec")
     assert(!all.exists(_.isInstanceOf[ShuffleExchangeExec]),
@@ -272,7 +261,7 @@ class AsofJoinSpec extends SparkSpec {
       if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
     assert(got == Set((1L, Some(10L)), (2L, Some(20L)), (3L, None)))
     outer.queryExecution.toRdd.count()
-    assert(nodes(outer.queryExecution.executedPlan)
+    assert(planNodes(outer.queryExecution.executedPlan)
       .exists(_.isInstanceOf[AsofJoinExec]))
     // inner + tolerance literal; swapped time orientation also lifts
     val inner = spark.sql(
@@ -281,7 +270,7 @@ class AsofJoinSpec extends SparkSpec {
     assert(inner.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
       Set((1L, 10L)))
     inner.queryExecution.toRdd.count()
-    assert(nodes(inner.queryExecution.executedPlan)
+    assert(planNodes(inner.queryExecution.executedPlan)
       .exists(_.isInstanceOf[AsofJoinExec]))
   }
 

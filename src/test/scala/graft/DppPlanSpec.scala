@@ -16,22 +16,12 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   */
 class DppPlanSpec extends SparkSpec {
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val within = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case _ => Seq.empty
-    }
-    Seq(p) ++ within ++ p.children.flatMap(nodes) ++
-      p.subqueries.flatMap(nodes)
-  }
 
   test("q_dpp_join: dynamic pruning fires and reads only 3 partitions") {
     val df = SparkEntry.queries("q_dpp_join")(spark, sf)
     df.queryExecution.toRdd.count() // settle the adaptive plan
     val plan = df.queryExecution.executedPlan
-    val factScans = nodes(plan).collect {
+    val factScans = planNodes(plan).collect {
       case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(
             _.toString.contains("lineitem-month")) => f

@@ -33,27 +33,13 @@ import org.apache.spark.sql.functions.broadcast
   */
 class PlanPinSpec extends SparkSpec {
 
-  /** All plan nodes, descending into AQE wrappers, materialized query
-    * stages, and reused-exchange subtrees — so a settled adaptive plan
-    * is fully counted instead of stopping at stage boundaries.
-    */
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val within = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case _ => Seq.empty
-    }
-    Seq(p) ++ within ++ p.children.flatMap(nodes) ++
-      p.subqueries.flatMap(nodes)
-  }
 
   /** True when the subtree is a global single-row aggregate: its
     * topmost aggregate node (looking through stages/exchanges/projects)
     * has no grouping expressions.
     */
   private def scalarAggSide(p: SparkPlan): Boolean =
-    nodes(p).collectFirst { case a: BaseAggregateExec =>
+    planNodes(p).collectFirst { case a: BaseAggregateExec =>
       a.groupingExpressions.isEmpty
     }.getOrElse(false)
 
@@ -63,7 +49,7 @@ class PlanPinSpec extends SparkSpec {
     // adaptive plan before the assertions read it.
     df.queryExecution.toRdd.count()
     val plan = df.queryExecution.executedPlan
-    val all = nodes(plan)
+    val all = planNodes(plan)
     val s = plan.toString
     assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
       s"cartesian product leaked into:\n$s")
@@ -73,7 +59,7 @@ class PlanPinSpec extends SparkSpec {
     }
     assert(badBnlj.isEmpty,
       s"non-scalar nested-loop join leaked into:\n$s")
-    // count exchanges by INSTANCE: nodes() descends into
+    // count exchanges by INSTANCE: planNodes() descends into
     // ReusedExchangeExec.child so the ban scans see reused subtrees,
     // but a shared shuffle must count once — exchange reuse is a plan
     // improvement, not a regression, and structural equality would

@@ -16,20 +16,10 @@ class RangeJoinSpec extends SparkSpec {
 
   GraftExtensions.register(spark)
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val within = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case _ => Seq.empty
-    }
-    Seq(p) ++ within ++ p.children.flatMap(nodes) ++
-      p.subqueries.flatMap(nodes)
-  }
 
   private def planOf(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
     df.queryExecution.toRdd.count()
-    nodes(df.queryExecution.executedPlan)
+    planNodes(df.queryExecution.executedPlan)
   }
 
   test("rewrites to an equi-join and matches the BETWEEN join exactly") {
@@ -116,6 +106,30 @@ class RangeJoinSpec extends SparkSpec {
         |ON graft_in_range(p.t, i.lo, i.hi, 5L) OR i.iid = 2""".stripMargin)
       .as[(Long, Long)].collect().toSet
     assert(orCtx == Set((1L, 1L), (1L, 2L)))
+  }
+
+  test("open-ended intervals raise the targeted bin-cap error") {
+    // an SCD-style 'current' row with hi = far-future sentinel would
+    // explode into ~Long.MaxValue/bin sequence elements — the guard
+    // must raise the graft_in_range error, not die in Sequence
+    Seq((1L, 15L)).toDF("pid", "t")
+      .createOrReplaceTempView("graft_rjs_e_pts")
+    Seq((1L, 0L, Long.MaxValue / 2)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("graft_rjs_e_ivs")
+    val open = spark.sql(
+      """SELECT pid, iid FROM graft_rjs_e_pts p JOIN graft_rjs_e_ivs i
+        |ON graft_in_range(p.t, i.lo, i.hi, 100L)""".stripMargin)
+    val e = intercept[Exception] { open.collect() }
+    assert(e.toString.contains("graft_in_range") &&
+      e.toString.contains("bins"),
+      s"expected the targeted bin-cap error, got: ${e.toString.take(300)}")
+    // a wide-but-capped interval still works (2^20 bins exactly)
+    Seq((2L, 0L, (1L << 20) * 100L - 1L)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("graft_rjs_e2_ivs")
+    val ok = spark.sql(
+      """SELECT pid, iid FROM graft_rjs_e_pts p JOIN graft_rjs_e2_ivs i
+        |ON graft_in_range(p.t, i.lo, i.hi, 100L)""".stripMargin)
+    assert(ok.collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
   test("extra equi-conjuncts survive the rewrite") {

@@ -1,12 +1,31 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for unit suites (one per JVM). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** All plan nodes, descending into AQE wrappers, materialized query
+    * stages, and reused-exchange subtrees — the ONE shared walker for
+    * every plan-pinning spec, so a future AQE wrapper type gets
+    * handled once here instead of diverging across suites.
+    */
+  protected def planNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val within = p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case q: QueryStageExec => planNodes(q.plan)
+      case r: ReusedExchangeExec => planNodes(r.child)
+      case _ => Seq.empty
+    }
+    Seq(p) ++ within ++ p.children.flatMap(planNodes) ++
+      p.subqueries.flatMap(planNodes)
+  }
 }
 
 object SparkSpec {

@@ -13,21 +13,11 @@ import org.apache.spark.sql.functions._
   */
 class TpchSuiteSpec extends SparkSpec {
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    val within = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case _ => Seq.empty
-    }
-    Seq(p) ++ within ++ p.children.flatMap(nodes) ++
-      p.subqueries.flatMap(nodes)
-  }
 
   private def settled(name: String): Seq[SparkPlan] = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.toRdd.count()
-    nodes(df.queryExecution.executedPlan)
+    planNodes(df.queryExecution.executedPlan)
   }
 
   test("q8_market_share: every dimension joins as broadcast-hash") {
