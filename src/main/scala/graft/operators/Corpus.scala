@@ -589,6 +589,107 @@ object Corpus {
       .orderBy("phase")
   }
 
+  // ---- reciprocal-rank fusion of lexical + semantic retrieval ----------
+  // The standard hybrid-search combiner: rank the corpus by BM25 (the
+  // q_search_rank scorer, same terms) and by embedding cosine to a
+  // fixed query vector (the lowest vec_id's embedding — a
+  // deterministic stand-in for an encoded query), then fuse with RRF.
+  // The fusion is INTEGER-exact: score = Σ 10^12 DIV (60 + rank) —
+  // reciprocal-rank fusion needs only rank positions, so nothing
+  // float ever crosses the engine boundary (ranks order by scores
+  // rounded 6/9 dp with doc-id tie-breaks, both sides identically).
+  // Ranking is a global sort here; at scale each ranker would top-k
+  // per partition first (rank positions beyond the fusion window
+  // contribute ~nothing), which composes with the existing ANN/IVF
+  // candidate generation.
+  private val RrfK = 60L
+  private val RrfScale = 1000000000000L
+
+  private val qSearchRrf = QuerySpec.of(
+    "q_search_rrf", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      val dfs = QueryTerms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(", ")
+      val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+        s"((n - df$i + 0.5) / (df$i + 0.5))" +
+          s" * (len(list_filter(toks, t -> t = '$t')) * ${K1 + 1})" +
+          s" / (len(list_filter(toks, t -> t = '$t'))" +
+          s" + $K1 * (${1 - B} + $B * dl / avgdl))"
+      }.mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, toks, len(toks) AS dl
+        |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfs
+        |  FROM d),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY round($score, 6) DESC, doc_id) AS ra
+        |  FROM d, stats),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |qv AS (SELECT v AS qv, nrm AS qn FROM n2
+        |       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |sem AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> v[i] * qv[i])) / (nrm * qn), 9) DESC, vec_id) AS rb
+        |  FROM n2, qv)
+        |SELECT lex.doc_id, lex.ra, sem.rb,
+        |  $RrfScale // ($RrfK + lex.ra)
+        |    + $RrfScale // ($RrfK + sem.rb) AS rrf
+        |FROM lex JOIN sem ON lex.doc_id = sem.vec_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val statCols =
+      count(lit(1)).as("n") +:
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          sum(array_contains(col("toks"), t).cast("long")).as(s"df$i")
+        }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      ((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+        (tf * lit(K1 + 1)) /
+        (tf + lit(K1) * (lit(1 - B) +
+          lit(B) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    val lex = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("s6"))
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("s6").desc, col("doc_id"))))
+      .select("doc_id", "ra")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+    val qv = e.orderBy("vec_id").limit(1)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val sem = e.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qn")), 9).as("c9"))
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("c9").desc, col("vec_id"))))
+      .select("vec_id", "rb")
+    lex.join(sem, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("ra"), col("rb"),
+        expr(s"$RrfScale DIV ($RrfK + ra) + $RrfScale DIV ($RrfK + rb)")
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ---- deterministic weighted sampling (priority sampling) -------------
   // Weight-proportional sampling without replacement, fully
   // deterministic: each doc's rank is hash(doc_id)·S / weight
@@ -677,5 +778,5 @@ object Corpus {
   val specs: Seq[QuerySpec] = Seq(qPackSequences, qPackGreedy,
     qSampleMixture, qSampleStratified, qRepetition, qEmbedValidate,
     qLenQuantiles, qSearchRank, qChunkDocs, qEmbedCoverage, qCurriculum,
-    qSampleWeighted)
+    qSampleWeighted, qSearchRrf)
 }
