@@ -127,7 +127,7 @@ object AsofJoin {
       |  CASE WHEN v_us IS NULL THEN NULL ELSE us - v_us END AS gap_us
       |FROM p ASOF LEFT JOIN v
       |  ON p.user_id = v.v_user AND p.us >= v.v_us
-      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      |ORDER BY purchase_id""".stripMargin, headline = true) { (s, d) =>
     val ev = eventsUs(s, d)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
@@ -291,7 +291,7 @@ object AsofJoin {
       |    WHEN ta = tb THEN vb
       |    ELSE vb + (va - vb) * (t - tb) // (ta - tb) END AS cents
       |FROM fw
-      |ORDER BY user_id, grid_us""".stripMargin) { (s, d) =>
+      |ORDER BY user_id, grid_us""".stripMargin, headline = true) { (s, d) =>
     val step = 21600000000L
     val ev = eventsUs(s, d).withColumn("cents",
       expr("CAST(round(value * 100) AS BIGINT)"))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -19,7 +19,10 @@ import graft.functions.InRangeExpr
   *  - match: inner/cross join whose condition conjunctively contains
   *    an unrefined [[InRangeExpr]] with a foldable positive bin
   *    width, the point `t` reading from one join side and both
-  *    interval bounds from the other (either orientation);
+  *    interval bounds from the other (either orientation); LEFT OUTER
+  *    additionally lifts when the POINT side is the preserved left
+  *    (the fact-LEFT-JOIN-windows shape — sound because the point
+  *    side is never exploded, so null padding is unchanged);
   *  - rewrite: the INTERVAL side gains a Generate exploding
   *    `sequence(floorDiv(lo,bin), floorDiv(hi,bin))` (each interval
   *    covers width/bin + 1 bins; a NULL bound yields no rows, exactly
@@ -62,15 +65,23 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt, Some(cond), _)
-        if (jt == Inner || jt == Cross) && j.resolved =>
+        if (jt == Inner || jt == Cross || jt == LeftOuter) && j.resolved =>
       val conjuncts = splitConjunctivePredicates(cond)
       conjuncts.iterator.flatMap {
         case ir: InRangeExpr if !ir.refined => orient(ir, left, right)
         case _ => None
       }.nextOption() match {
-        case Some((ir, pointOnLeft)) =>
+        // LEFT OUTER is sound ONLY with the point side preserved: the
+        // point side is never exploded, so "no bin+refine match" is
+        // exactly the original "no interval matched" and the single
+        // null-padded row survives unchanged. With the INTERVAL side
+        // preserved the explode would pad once per empty bin —
+        // duplicate null rows — so that orientation is left alone
+        // (it stays the nested loop, still correct).
+        case Some((ir, pointOnLeft))
+            if jt != LeftOuter || pointOnLeft =>
           rewrite(j, ir, pointOnLeft, conjuncts.filterNot(_ eq ir))
-        case None => j
+        case _ => j
       }
   }
 
@@ -141,6 +152,9 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if (pointOnLeft) (pProj, iGen) else (iGen, pProj)
     val newCond = (EqualTo(iCell, pAlias.toAttribute) +:
       ir.copy(refined = true) +: others).reduce(And)
-    Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    // LeftOuter only reaches here with the point side on the left
+    // (see apply); Cross degrades to Inner since a condition exists
+    val jt = if (j.joinType == LeftOuter) LeftOuter else Inner
+    Project(j.output, Join(newLeft, newRight, jt, Some(newCond), j.hint))
   }
 }

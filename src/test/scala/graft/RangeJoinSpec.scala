@@ -108,6 +108,49 @@ class RangeJoinSpec extends SparkSpec {
     assert(orCtx == Set((1L, 1L), (1L, 2L)))
   }
 
+  test("LEFT OUTER with the point side preserved lifts and matches") {
+    val rnd = new scala.util.Random(23)
+    val pts = (1L to 300L).map(i => (i, rnd.nextLong(4000)))
+      .toDF("pid", "t")
+    val ivs = (1L to 25L).map { i =>
+      val lo = rnd.nextLong(4000); (i, lo, lo + rnd.nextLong(500))
+    }.toDF("iid", "lo", "hi")
+    pts.createOrReplaceTempView("graft_rjs_lo_pts")
+    ivs.createOrReplaceTempView("graft_rjs_lo_ivs")
+    val viaRule = spark.sql(
+      """SELECT pid, iid FROM graft_rjs_lo_pts p LEFT JOIN graft_rjs_lo_ivs i
+        |ON graft_in_range(p.t, i.lo, i.hi, 250L)""".stripMargin)
+    val expected = spark.sql(
+      """SELECT pid, iid FROM graft_rjs_lo_pts p LEFT JOIN graft_rjs_lo_ivs i
+        |ON p.t BETWEEN i.lo AND i.hi""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
+    assert(expected.exists(_._2.isEmpty), "fixture needs unmatched points")
+    assert(viaRule.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
+      == expected)
+    val all = planOf(viaRule)
+    assert(!all.exists(_.getClass.getSimpleName.contains("NestedLoop")),
+      "point-preserved LEFT range join must lift:\n" +
+        viaRule.queryExecution.executedPlan)
+    // interval side preserved: must NOT lift (explode would duplicate
+    // null padding) — stays a nested loop, still correct
+    val keep = spark.sql(
+      """SELECT iid, pid FROM graft_rjs_lo_ivs i LEFT JOIN graft_rjs_lo_pts p
+        |ON graft_in_range(p.t, i.lo, i.hi, 250L)""".stripMargin)
+    val keepExpected = spark.sql(
+      """SELECT iid, pid FROM graft_rjs_lo_ivs i LEFT JOIN graft_rjs_lo_pts p
+        |ON p.t BETWEEN i.lo AND i.hi""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
+    assert(keep.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
+      == keepExpected)
+    assert(planOf(keep)
+      .exists(_.getClass.getSimpleName.contains("NestedLoop")),
+      "interval-preserved LEFT range join must stay unrewritten")
+  }
+
   test("open-ended intervals raise the targeted bin-cap error") {
     // an SCD-style 'current' row with hi = far-future sentinel would
     // explode into ~Long.MaxValue/bin sequence elements — the guard
