@@ -123,6 +123,13 @@ object GraftExtensions {
     (FunctionIdentifier("graft_morton_z"),
       new ExpressionInfo(classOf[BitwiseOr].getName, "graft_morton_z"),
       twoArg("graft_morton_z", mortonZ)),
+    (FunctionIdentifier("graft_hilbert_d"),
+      new ExpressionInfo(
+        classOf[graft.functions.HilbertExpr].getName, "graft_hilbert_d"),
+      twoArg("graft_hilbert_d", (a, b) =>
+        graft.functions.HilbertExpr(
+          if (a.dataType == LongType) a else Cast(a, LongType),
+          if (b.dataType == LongType) b else Cast(b, LongType)))),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
       withIntArg("graft_shingles", ShinglesExpr(_, _))),

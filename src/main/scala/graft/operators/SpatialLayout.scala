@@ -199,6 +199,125 @@ object SpatialLayout {
       .orderBy("bucket")
   }
 
+  /** DuckDB replay of [[graft.functions.HilbertExpr.xy2d]]: 16
+    * unrolled bit-level steps over a state CTE (id, cell_x, cell_y,
+    * x, y, d). MATERIALIZED per step — the chain references each
+    * state column several times, and un-materialized single-use CTEs
+    * inline exponentially (the round-13 tile-oracle lesson). The
+    * `& (s-1)` mask normalizes the post-reflection negatives exactly
+    * like the JVM kernel (two's-complement bitwise AND both engines).
+    */
+  def sqlHilbertSteps(src: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"h${graft.functions.HilbertExpr.Side} AS MATERIALIZED (" +
+      s"SELECT id, cell_x, cell_y, " +
+      s"CAST(cell_x AS BIGINT) AS x, CAST(cell_y AS BIGINT) AS y, " +
+      s"CAST(0 AS BIGINT) AS d FROM $src)")
+    var s = graft.functions.HilbertExpr.Side / 2
+    while (s > 0) {
+      val prev = s * 2
+      val digit = "CASE WHEN rx = 0 AND ry = 0 THEN 0 " +
+        "WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END"
+      sb.append(s""",
+        |h$s AS MATERIALIZED (
+        |  SELECT id, cell_x, cell_y,
+        |    (CASE WHEN ry = 0 THEN
+        |       (CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END)
+        |     ELSE x END) & ${s - 1} AS x,
+        |    (CASE WHEN ry = 0 THEN
+        |       (CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END)
+        |     ELSE y END) & ${s - 1} AS y,
+        |    d + CAST($s AS BIGINT) * $s * ($digit) AS d
+        |  FROM (SELECT *,
+        |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+        |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+        |    FROM h$prev))""".stripMargin)
+      s /= 2
+    }
+    sb.toString
+  }
+
+  // ---- Hilbert layout locality audit --------------------------------
+  // WHY a second curve: Morton-aligned buckets are compact squares,
+  // but the curve itself JUMPS (bit carries teleport across half the
+  // plane), so morton-consecutive rows are often far apart — bad for
+  // run compression and moving-window reads. Hilbert-consecutive
+  // cells are ALWAYS grid-adjacent. This query measures exactly that,
+  // on the same deterministic point set as q_spatial_zorder: order
+  // the points along each curve and sum the Manhattan jumps between
+  // consecutive points. The Hilbert row's totals land well below
+  // Morton's (HilbertSpec asserts it) — the number that justifies
+  // `hilbert_d` as the write-layout sort key, while Morton keeps the
+  // bbox-range PLANNING role (zRangesForBbox). All-integer output.
+  private val qSpatialHilbert = QuerySpec.of(
+    "q_spatial_hilbert", {
+      val hx = graft.functions.HashFunctions.sqlHash32("c_custkey")
+      val hy = graft.functions.HashFunctions
+        .sqlHash32("'lat:' || CAST(c_custkey AS VARCHAR)")
+      s"""WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    ($hx) % 36000 AS cell_x, ($hy) % 18000 AS cell_y
+        |  FROM customer),
+        |${sqlHilbertSteps("pts")},
+        |codes AS (
+        |  SELECT p.id, p.cell_x, p.cell_y,
+        |    h1.d AS hval, ${sqlMortonZ("p.cell_x", "p.cell_y")} AS zval
+        |  FROM pts p JOIN h1 ON p.id = h1.id),
+        |u AS (
+        |  SELECT 'hilbert' AS curve, id, cell_x, cell_y, hval AS code
+        |  FROM codes
+        |  UNION ALL
+        |  SELECT 'morton' AS curve, id, cell_x, cell_y, zval AS code
+        |  FROM codes),
+        |w AS (
+        |  SELECT curve,
+        |    abs(cell_x - lag(cell_x) OVER
+        |      (PARTITION BY curve ORDER BY code, id)) +
+        |    abs(cell_y - lag(cell_y) OVER
+        |      (PARTITION BY curve ORDER BY code, id)) AS jump
+        |  FROM u)
+        |SELECT curve, count(*) AS n_pts,
+        |  CAST(sum(COALESCE(jump, 0)) AS BIGINT) AS total_jump,
+        |  CAST(max(COALESCE(jump, 0)) AS BIGINT) AS max_jump,
+        |  CAST(sum(COALESCE(jump, 0)) * 1000 // (count(*) - 1) AS BIGINT)
+        |    AS mean_jump_x1000
+        |FROM w GROUP BY curve
+        |ORDER BY curve""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HashFunctions
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"),
+        pmod(HashFunctions.hash32(col("c_custkey")), lit(36000))
+          .cast("long").as("cell_x"),
+        pmod(HashFunctions.hash32(
+          concat(lit("lat:"), col("c_custkey").cast("string"))), lit(18000))
+          .cast("long").as("cell_y"))
+    val codes = pts
+      .withColumn("hval", org.apache.spark.sql.GraftExpressionBridge
+        .column(graft.functions.HilbertExpr(
+          org.apache.spark.sql.GraftExpressionBridge
+            .expression(col("cell_x")),
+          org.apache.spark.sql.GraftExpressionBridge
+            .expression(col("cell_y")))))
+      .withColumn("zval", mortonZ(col("cell_x"), col("cell_y")))
+    val u = codes.select(lit("hilbert").as("curve"), col("id"),
+        col("cell_x"), col("cell_y"), col("hval").as("code"))
+      .unionByName(codes.select(lit("morton").as("curve"), col("id"),
+        col("cell_x"), col("cell_y"), col("zval").as("code")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("curve").orderBy(col("code"), col("id"))
+    u.withColumn("jump",
+        abs(col("cell_x") - lag("cell_x", 1).over(w)) +
+          abs(col("cell_y") - lag("cell_y", 1).over(w)))
+      .groupBy("curve")
+      .agg(count(lit(1)).as("n_pts"),
+        sum(coalesce(col("jump"), lit(0L))).as("total_jump"),
+        max(coalesce(col("jump"), lit(0L))).as("max_jump"),
+        expr("sum(COALESCE(jump, 0)) * 1000 DIV (count(*) - 1)")
+          .as("mean_jump_x1000"))
+      .orderBy("curve")
+  }
+
   // Declarative distance join, exercised end-to-end through the PURE
   // SQL surface: the query text states `JOIN ... ON graft_st_dwithin`
   // and nothing else — no grid cells, no explode. The registered
@@ -238,5 +357,6 @@ object SpatialLayout {
         |ORDER BY cid, sid""".stripMargin)
   }
 
-  def specs: Seq[QuerySpec] = Seq(qSpatialZorder, qSpatialDwithinSql)
+  def specs: Seq[QuerySpec] =
+    Seq(qSpatialZorder, qSpatialDwithinSql, qSpatialHilbert)
 }

@@ -132,11 +132,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
       Seq("graft_asof_match", "graft_audio_meta", "graft_gpkg_geom",
         "graft_gram_hashes", "graft_hash32", "graft_hash64",
-        "graft_image_dims", "graft_in_range", "graft_line_length_m",
-        "graft_minhash_sig", "graft_morton_z", "graft_mvt_decode",
-        "graft_pii_redact", "graft_rolling_min", "graft_shingles",
-        "graft_simhash32", "graft_st_dwithin", "graft_vec_dot",
-        "graft_video_meta"))
+        "graft_hilbert_d", "graft_image_dims", "graft_in_range",
+        "graft_line_length_m", "graft_minhash_sig", "graft_morton_z",
+        "graft_mvt_decode", "graft_pii_redact", "graft_rolling_min",
+        "graft_shingles", "graft_simhash32", "graft_st_dwithin",
+        "graft_vec_dot", "graft_video_meta"))
   }
 
   test("tile and geopackage kernels answer from pure SQL") {
