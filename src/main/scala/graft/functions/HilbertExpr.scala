@@ -19,11 +19,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * plane), so sorting by Hilbert distance gives files whose
   * consecutive row groups stay spatially contiguous — better run
   * compression and fewer row groups touched by a moving window.
-  * Morton keeps one advantage this library uses elsewhere: aligned
-  * bbox queries decompose into few code ranges
-  * ([[graft.operators.SpatialLayout.zRangesForBbox]]); Hilbert range
-  * decomposition is substantially more involved, so the intended
-  * split is Hilbert for LAYOUT, Morton for range PLANNING.
+  * Range planning works here too:
+  * [[graft.operators.SpatialLayout.hilbertRangesForBbox]] decomposes
+  * a bbox into contiguous d-ranges exactly like the Morton planner
+  * (aligned 2^k squares occupy ALIGNED 4^k d-blocks on the Hilbert
+  * curve as well), and the exact covers typically coalesce into
+  * FEWER ranges because neighboring squares are curve-adjacent more
+  * often — so Hilbert can serve both the layout and the read-planning
+  * role.
   *
   * Pure 64-bit integer state machine (the DuckDB oracle replays the
   * identical 16 unrolled steps), evaluated via a static JVM kernel so

@@ -199,6 +199,59 @@ object SpatialLayout {
       .orderBy("bucket")
   }
 
+  /** Hilbert-side complement of [[zRangesForBbox]]: cover the cell
+    * rectangle with at most `maxRanges` contiguous HILBERT-distance
+    * ranges. Same quadtree decomposition; the curve-specific insight
+    * making it just as simple as the Morton case is that every
+    * Morton-aligned 2^k square is visited CONTIGUOUSLY by the Hilbert
+    * curve and occupies an ALIGNED d-block of length 4^k — so a fully
+    * contained square contributes `[d & ~(4^k - 1), +4^k)` for the d
+    * of any of its cells, no curve-orientation bookkeeping needed.
+    * Partially-covered squares recurse; adjacent ranges merge
+    * smallest-gap-first down to the budget (merging only ADDS d
+    * values, so pruning stays sound with the exact cell refine).
+    *
+    * With this, Hilbert serves BOTH roles — write layout (better
+    * locality, see `q_spatial_hilbert`) and bbox-range read planning —
+    * and typically with FEWER residual ranges than Morton for the
+    * same budget, because neighboring squares are curve-adjacent more
+    * often and coalesce for free.
+    */
+  def hilbertRangesForBbox(x0: Int, x1: Int, y0: Int, y1: Int,
+      maxRanges: Int = 32): Seq[(Long, Long)] = {
+    require(x0 <= x1 && y0 <= y1 && x0 >= 0 && y0 >= 0
+      && x1 < 65536 && y1 < 65536, s"bad bbox ($x0..$x1, $y0..$y1)")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def rec(xb: Int, yb: Int, size: Int): Unit = {
+      if (xb > x1 || xb + size - 1 < x0 || yb > y1 || yb + size - 1 < y0)
+        return
+      if (xb >= x0 && xb + size - 1 <= x1 && yb >= y0 && yb + size - 1 <= y1) {
+        val block = size.toLong * size
+        val d = graft.functions.HilbertExpr.xy2d(xb.toLong, yb.toLong)
+        val lo = (d / block) * block
+        out += ((lo, lo + block - 1))
+        return
+      }
+      val h = size / 2
+      rec(xb, yb, h); rec(xb + h, yb, h)
+      rec(xb, yb + h, h); rec(xb + h, yb + h, h)
+    }
+    rec(0, 0, 65536)
+    var ranges = out.sortBy(_._1).toVector
+    ranges = ranges.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc :+ ((lo, hi)), (lo2, hi2)) if lo2 == hi + 1 =>
+        acc :+ ((lo, hi2))
+      case (acc, r) => acc :+ r
+    }
+    while (ranges.size > maxRanges) {
+      val i = ranges.indices.init
+        .minBy(j => ranges(j + 1)._1 - ranges(j)._2)
+      ranges = (ranges.take(i) :+
+        ((ranges(i)._1, ranges(i + 1)._2))) ++ ranges.drop(i + 2)
+    }
+    ranges
+  }
+
   /** DuckDB replay of [[graft.functions.HilbertExpr.xy2d]]: 16
     * unrolled bit-level steps over a state CTE (id, cell_x, cell_y,
     * x, y, d). MATERIALIZED per step — the chain references each
@@ -247,8 +300,9 @@ object SpatialLayout {
   // the points along each curve and sum the Manhattan jumps between
   // consecutive points. The Hilbert row's totals land well below
   // Morton's (HilbertSpec asserts it) — the number that justifies
-  // `hilbert_d` as the write-layout sort key, while Morton keeps the
-  // bbox-range PLANNING role (zRangesForBbox). All-integer output.
+  // `hilbert_d` as the write-layout sort key; bbox READ planning
+  // works on the same key via hilbertRangesForBbox (aligned squares
+  // occupy aligned d-blocks on this curve too). All-integer output.
   private val qSpatialHilbert = QuerySpec.of(
     "q_spatial_hilbert", {
       val hx = graft.functions.HashFunctions.sqlHash32("c_custkey")

@@ -49,6 +49,60 @@ class HilbertSpec extends SparkSpec {
     }
   }
 
+  test("hilbertRangesForBbox: exact cover pre-budget, sound post-merge") {
+    import graft.operators.SpatialLayout
+    val rnd = new scala.util.Random(41)
+    (1 to 40).foreach { _ =>
+      val x0 = rnd.nextInt(60000); val y0 = rnd.nextInt(60000)
+      val x1 = math.min(65535, x0 + rnd.nextInt(3000))
+      val y1 = math.min(65535, y0 + rnd.nextInt(3000))
+      // exact cover: generous budget so no lossy merging happens
+      val exact = SpatialLayout
+        .hilbertRangesForBbox(x0, x1, y0, y1, maxRanges = 100000)
+      def in(d: Long) = exact.exists(r => d >= r._1 && d <= r._2)
+      // inside points are covered
+      (1 to 200).foreach { _ =>
+        val x = x0 + rnd.nextInt(x1 - x0 + 1)
+        val y = y0 + rnd.nextInt(y1 - y0 + 1)
+        assert(in(HilbertExpr.xy2d(x, y)), s"missed ($x,$y)")
+      }
+      // outside points are NOT covered by the exact (unmerged) set
+      (1 to 200).foreach { _ =>
+        val x = rnd.nextInt(65536); val y = rnd.nextInt(65536)
+        if (x < x0 || x > x1 || y < y0 || y > y1)
+          assert(!in(HilbertExpr.xy2d(x, y)),
+            s"exact cover leaked ($x,$y)")
+      }
+      // budget merge stays a superset (sound pruning)
+      val budget = SpatialLayout
+        .hilbertRangesForBbox(x0, x1, y0, y1, maxRanges = 16)
+      assert(budget.size <= 16)
+      (1 to 100).foreach { _ =>
+        val x = x0 + rnd.nextInt(x1 - x0 + 1)
+        val y = y0 + rnd.nextInt(y1 - y0 + 1)
+        val d = HilbertExpr.xy2d(x, y)
+        assert(budget.exists(r => d >= r._1 && d <= r._2))
+      }
+    }
+  }
+
+  test("hilbert cover needs no more ranges than morton at equal budget") {
+    import graft.operators.SpatialLayout
+    val rnd = new scala.util.Random(17)
+    var hTot = 0; var mTot = 0
+    (1 to 60).foreach { _ =>
+      val x0 = rnd.nextInt(60000); val y0 = rnd.nextInt(60000)
+      val x1 = math.min(65535, x0 + 100 + rnd.nextInt(4000))
+      val y1 = math.min(65535, y0 + 100 + rnd.nextInt(4000))
+      hTot += SpatialLayout
+        .hilbertRangesForBbox(x0, x1, y0, y1, maxRanges = 100000).size
+      mTot += SpatialLayout
+        .zRangesForBbox(x0, x1, y0, y1, maxRanges = 100000).size
+    }
+    assert(hTot < mTot,
+      s"hilbert exact covers should coalesce more: h=$hTot m=$mTot")
+  }
+
   test("hilbert ordering jumps less than morton on the audit query") {
     val out = SparkEntry.queries("q_spatial_hilbert")(spark, sf)
       .collect().map(r => r.getString(0) ->
