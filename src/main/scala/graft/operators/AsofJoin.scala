@@ -365,7 +365,29 @@ object AsofJoin {
         |ORDER BY purchase_id""".stripMargin)
   }
 
+  // ---- q_stream_asof_stream: BOTH sides unbounded -------------------
+  // The stateful stream-stream as-of (EventsStreaming.asofStreamStream):
+  // watermark-gated emission, event-time-timeout flush, O(in-flight)
+  // view state per user. Time-ordered restart staging means nothing
+  // is late, so the oracle is the exact batch as-of.
+  private val qStreamAsofStream = QuerySpec.of(
+    "q_stream_asof_stream",
+    s"""WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, $OracleUs AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id AS v_user, $OracleUs AS v_us,
+      |    max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT purchase_id, user_id, view_id,
+      |  CASE WHEN v_us IS NULL THEN NULL ELSE us - v_us END AS gap_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.v_user AND p.us >= v.v_us
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStreaming.asofStreamStream(s, d)
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofTolerance, qAsofBroadcast, qStreamAsof,
-      qTsResample, qAsofSql)
+      qTsResample, qAsofSql, qStreamAsofStream)
 }

@@ -873,6 +873,141 @@ object EventsStreaming {
       spark.table(name).localCheckpoint())
   }
 
+  /** Rows for the stream-stream as-of (side 0 = view/right, 1 =
+    * purchase/left; event_time carries the watermark tag).
+    */
+  case class AsofEv(user_id: Long, side: Int, event_id: Long, us: Long,
+      event_time: java.sql.Timestamp)
+  case class AsofSt(views: Seq[(Long, Long)], pending: Seq[(Long, Long)])
+  case class AsofHit(purchase_id: Long, user_id: Long,
+      view_id: Option[Long], gap_us: Option[Long])
+
+  /** STREAM-STREAM as-of: purchases and views are BOTH unbounded
+    * streams, and each purchase must match the newest view
+    * at-or-before it — which is only safe to emit once the watermark
+    * proves no earlier view can still arrive. flatMapGroupsWithState
+    * per user holds (buffered views, pending purchases):
+    *
+    *  - a purchase emits when `purchase_ms <= watermark` (any future
+    *    arrival has event time beyond the watermark, hence a strictly
+    *    later microsecond — ms-floor argument in the emit test);
+    *  - pending purchases arm an EVENT-TIME TIMEOUT at the earliest
+    *    pending time, so the flush happens on watermark passage even
+    *    if the user never produces another event;
+    *  - view state PRUNES to "everything after the watermark, plus
+    *    the single newest at-or-before it" — every future purchase is
+    *    beyond the watermark, so older passed views can never win.
+    *    State is O(in-flight window) per user, not O(history).
+    *
+    * Driven restart-per-file in TIME order (first-half timeline, then
+    * second half, then two far-future sentinels), so nothing is ever
+    * late and the result must equal the batch as-of — the oracle is
+    * the exact q_asof_join SQL. Emission happens across MULTIPLE
+    * batches (mid-stream purchases flush on batch 2's watermark, the
+    * tail on the sentinels'), so the cross-batch state machinery is
+    * actually exercised, not just the single-batch degenerate case.
+    */
+  def asofStreamStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type").isin("view", "purchase"))
+    val usCol = graft.operators.AsofJoin.usFromTs(schema("ts").dataType)
+    val maxMs = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
+      .head.getLong(0)
+    // any time split works (semantics don't depend on the boundary);
+    // the median just guarantees both batches carry real work
+    val midMs = batch.withColumn("us", usCol)
+      .agg(expr("CAST(approx_percentile(us DIV 1000, 0.5) AS BIGINT)"))
+      .head.getLong(0)
+    val dir = Files.createTempDirectory("graft_ssasof_in_")
+    val outDir = Files.createTempDirectory("graft_ssasof_out_")
+    val cpDir = Files.createTempDirectory("graft_ssasof_cp_")
+
+    def runOnce(): Unit = {
+      val evs = spark.readStream
+        .schema(schema)
+        .parquet(s"$dir/*.parquet")
+        .withColumn("us", graft.operators.AsofJoin
+          .usFromTs(schema("ts").dataType))
+        .withColumn("event_time", timestamp_millis(expr("us DIV 1000")))
+        .withWatermark("event_time", "30 minutes")
+        .select(col("user_id").cast("long").as("user_id"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("side"),
+          col("event_id").cast("long").as("event_id"),
+          col("us"), col("event_time"))
+        .as[AsofEv]
+      val hits = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState[AsofSt, AsofHit](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          case (user, it, state) =>
+            val w = state.getCurrentWatermarkMs()
+            val arrivals = it.toSeq.filter(_.us / 1000 > w) // late rule
+            val st = state.getOption.getOrElse(AsofSt(Nil, Nil))
+            // views dedup per us (newest id wins — the operator's
+            // documented determinism contract)
+            val views = (st.views ++ arrivals.filter(_.side == 0)
+              .map(e => (e.us, e.event_id)))
+              .groupBy(_._1).map { case (us, vs) => (us, vs.map(_._2).max) }
+              .toSeq.sortBy(_._1)
+            val pend = (st.pending ++ arrivals.filter(_.side == 1)
+              .map(e => (e.us, e.event_id))).sortBy(p => (p._1, p._2))
+            val (emit, keep) = pend.partition(_._1 / 1000 <= w)
+            val out = emit.map { case (pus, pid) =>
+              val m = views.filter(_._1 <= pus).lastOption
+              AsofHit(pid, user, m.map(_._2), m.map(v => pus - v._1))
+            }
+            // prune passed views to the single newest at-or-before W
+            val (passed, live) = views.partition(_._1 / 1000 <= w)
+            val keptViews = passed.takeRight(1) ++ live
+            if (keep.isEmpty && keptViews.isEmpty) state.remove()
+            else {
+              state.update(AsofSt(keptViews, keep))
+              // a previously set timeout is cleared on every
+              // invocation; re-arm only while purchases are pending
+              if (keep.nonEmpty)
+                state.setTimeoutTimestamp(keep.map(_._1 / 1000).min + 1)
+            }
+            out.iterator
+        }
+      val q = hits.toDF().writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cpDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    try {
+      val usBatch = batch.withColumn("us", usCol)
+      writeEventsFile(usBatch.filter(expr(s"us DIV 1000 <= $midMs"))
+        .drop("us"), dir, "e0_first_half.parquet")
+      runOnce() // early purchases flush at W = mid − 30 min
+      writeEventsFile(usBatch.filter(expr(s"us DIV 1000 > $midMs"))
+        .drop("us"), dir, "e1_second_half.parquet")
+      runOnce() // mid-stream purchases flush
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 30L * 86400000L, 0),
+        dir, "e2_sentinel.parquet")
+      runOnce()
+      writeEventsFile(sentinelDf(spark, schema, maxMs + 31L * 86400000L, 1),
+        dir, "e3_sentinel.parquet")
+      runOnce() // watermark past every real row: tail flushes
+      spark.read.parquet(outDir.toString)
+        .filter(col("user_id") >= 0) // sentinels never emit; belt+braces
+        .select(col("purchase_id"), col("user_id"),
+          col("view_id"), col("gap_us"))
+        .orderBy("purchase_id")
+        .localCheckpoint() // scratch dirs are deleted on return
+    } finally Seq(dir, outDir, cpDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   /** The native AS-OF join inside a streaming query: a purchase
     * stream temporally enriched against the static signup-derived
     * tier dimension through [[graft.operators.AsofJoin.join]] with
