@@ -385,29 +385,25 @@ object Corpus {
   private val K1 = 1.2
   private val B = 0.75
 
-  private val qSearchRank = QuerySpec.of(
-    "q_search_rank", {
-      val toks = graft.functions.TextFunctions.sql.toks
-      val dfs = QueryTerms.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
-      }.mkString(", ")
-      val score = QueryTerms.zipWithIndex.map { case (t, i) =>
-        s"((n - df$i + 0.5) / (df$i + 0.5))" +
-          s" * (len(list_filter(toks, t -> t = '$t')) * ${K1 + 1})" +
-          s" / (len(list_filter(toks, t -> t = '$t'))" +
-          s" + $K1 * (${1 - B} + $B * dl / avgdl))"
-      }.mkString(" + ")
-      s"""WITH d AS (
-        |  SELECT doc_id, toks, len(toks) AS dl
-        |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
-        |stats AS (
-        |  SELECT count(*) AS n,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfs
-        |  FROM d),
-        |s AS (SELECT doc_id, $score AS score FROM d, stats)
-        |SELECT doc_id, round(score, 6) AS score FROM s
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    }) { (s, d) =>
+  /** The BM25 scorer, ONCE for both its consumers (q_search_rank and
+    * q_search_rrf's lexical leg): DuckDB fragments for the stats CTE
+    * column list and the score expression, plus the identical
+    * DataFrame pipeline returning (doc_id, score).
+    */
+  private def sqlBm25Dfs: String =
+    QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+
+  private def sqlBm25Score: String =
+    QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"((n - df$i + 0.5) / (df$i + 0.5))" +
+        s" * (len(list_filter(toks, t -> t = '$t')) * ${K1 + 1})" +
+        s" / (len(list_filter(toks, t -> t = '$t'))" +
+        s" + $K1 * (${1 - B} + $B * dl / avgdl))"
+    }.mkString(" + ")
+
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val base = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -427,6 +423,23 @@ object Corpus {
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
       .select(col("doc_id"), score.as("score"))
+  }
+
+  private val qSearchRank = QuerySpec.of(
+    "q_search_rank", {
+      val toks = graft.functions.TextFunctions.sql.toks
+      s"""WITH d AS (
+        |  SELECT doc_id, toks, len(toks) AS dl
+        |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $sqlBm25Dfs
+        |  FROM d),
+        |s AS (SELECT doc_id, $sqlBm25Score AS score FROM d, stats)
+        |SELECT doc_id, round(score, 6) AS score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    bm25Scores(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -590,44 +603,38 @@ object Corpus {
   }
 
   // ---- reciprocal-rank fusion of lexical + semantic retrieval ----------
-  // The standard hybrid-search combiner: rank the corpus by BM25 (the
-  // q_search_rank scorer, same terms) and by embedding cosine to a
-  // fixed query vector (the lowest vec_id's embedding — a
-  // deterministic stand-in for an encoded query), then fuse with RRF.
-  // The fusion is INTEGER-exact: score = Σ 10^12 DIV (60 + rank) —
-  // reciprocal-rank fusion needs only rank positions, so nothing
-  // float ever crosses the engine boundary (ranks order by scores
-  // rounded 6/9 dp with doc-id tie-breaks, both sides identically).
-  // Ranking is a global sort here; at scale each ranker would top-k
-  // per partition first (rank positions beyond the fusion window
-  // contribute ~nothing), which composes with the existing ANN/IVF
-  // candidate generation.
+  // The standard hybrid-search combiner, in its PRODUCTION shape: each
+  // ranker contributes only its top-K candidates (TakeOrdered — never
+  // a global sort; ranking the K survivors is a constant-K window),
+  // and a document outside a ranker's top K contributes nothing from
+  // that ranker — exactly how RRF runs over BM25-postings / ANN-probe
+  // candidate lists. K=500 dwarfs the fused top-20: an outside-both
+  // doc tops out at 2·10^12/560 ≈ 3.6e9, far below any single top-20
+  // rank's 10^12/80, so the cut cannot perturb the winners. The
+  // fusion is INTEGER-exact: Σ 10^12 DIV (60 + rank) over ranks
+  // ordered by rounded scores with id tie-breaks, identical in both
+  // engines; absent legs surface as NULL rank columns.
   private val RrfK = 60L
   private val RrfScale = 1000000000000L
+  private val RrfTopK = 500
 
   private val qSearchRrf = QuerySpec.of(
     "q_search_rrf", {
       val toks = graft.functions.TextFunctions.sql.toks
-      val dfs = QueryTerms.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
-      }.mkString(", ")
-      val score = QueryTerms.zipWithIndex.map { case (t, i) =>
-        s"((n - df$i + 0.5) / (df$i + 0.5))" +
-          s" * (len(list_filter(toks, t -> t = '$t')) * ${K1 + 1})" +
-          s" / (len(list_filter(toks, t -> t = '$t'))" +
-          s" + $K1 * (${1 - B} + $B * dl / avgdl))"
-      }.mkString(" + ")
       s"""WITH d AS (
         |  SELECT doc_id, toks, len(toks) AS dl
         |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
         |stats AS (
         |  SELECT count(*) AS n,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfs
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $sqlBm25Dfs
         |  FROM d),
+        |lexs AS (
+        |  SELECT doc_id, round($sqlBm25Score, 6) AS s6
+        |  FROM d, stats ORDER BY s6 DESC, doc_id LIMIT $RrfTopK),
         |lex AS (
-        |  SELECT doc_id, row_number() OVER (
-        |    ORDER BY round($score, 6) DESC, doc_id) AS ra
-        |  FROM d, stats),
+        |  SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id)
+        |    AS ra
+        |  FROM lexs),
         |e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
@@ -637,37 +644,28 @@ object Corpus {
         |  FROM e),
         |qv AS (SELECT v AS qv, nrm AS qn FROM n2
         |       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
-        |sem AS (
-        |  SELECT vec_id, row_number() OVER (ORDER BY
+        |sems AS (
+        |  SELECT vec_id,
         |    round(list_sum(list_transform(range(1, 65),
-        |      i -> v[i] * qv[i])) / (nrm * qn), 9) DESC, vec_id) AS rb
-        |  FROM n2, qv)
-        |SELECT lex.doc_id, lex.ra, sem.rb,
-        |  $RrfScale // ($RrfK + lex.ra)
-        |    + $RrfScale // ($RrfK + sem.rb) AS rrf
-        |FROM lex JOIN sem ON lex.doc_id = sem.vec_id
+        |      i -> v[i] * qv[i])) / (nrm * qn), 9) AS c9
+        |  FROM n2, qv ORDER BY c9 DESC, vec_id LIMIT $RrfTopK),
+        |sem AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY c9 DESC, vec_id)
+        |    AS rb
+        |  FROM sems),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, sem.vec_id) AS doc_id,
+        |    lex.ra, sem.rb,
+        |    COALESCE($RrfScale // ($RrfK + lex.ra), 0)
+        |      + COALESCE($RrfScale // ($RrfK + sem.rb), 0) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.vec_id)
+        |SELECT doc_id, ra, rb, rrf FROM fused
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
     }) { (s, d) =>
-    val base = Tables.fanout(Tables.documents(s, d))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")))
-    val statCols =
-      count(lit(1)).as("n") +:
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
-        QueryTerms.zipWithIndex.map { case (t, i) =>
-          sum(array_contains(col("toks"), t).cast("long")).as(s"df$i")
-        }
-    val stats = base.agg(statCols.head, statCols.tail: _*)
-    val score = QueryTerms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("toks"), x => x === t)).cast("double")
-      ((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
-        (tf * lit(K1 + 1)) /
-        (tf + lit(K1) * (lit(1 - B) +
-          lit(B) * col("dl").cast("double") / col("avgdl")))
-    }.reduce(_ + _)
-    val lex = base.crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(score, 6).as("s6"))
-      .withColumn("ra", row_number().over(
+    val lex = bm25Scores(s, d)
+      .select(col("doc_id"), round(col("score"), 6).as("s6"))
+      .orderBy(col("s6").desc, col("doc_id")).limit(RrfTopK)
+      .withColumn("ra", row_number().over( // constant-K input: cheap
         Window.orderBy(col("s6").desc, col("doc_id"))))
       .select("doc_id", "ra")
     val e = Tables.embeddings(s, d)
@@ -679,12 +677,15 @@ object Corpus {
       .select(col("vec_id"),
         round(graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
           (col("nrm") * col("qn")), 9).as("c9"))
+      .orderBy(col("c9").desc, col("vec_id")).limit(RrfTopK)
       .withColumn("rb", row_number().over(
         Window.orderBy(col("c9").desc, col("vec_id"))))
       .select("vec_id", "rb")
-    lex.join(sem, col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), col("ra"), col("rb"),
-        expr(s"$RrfScale DIV ($RrfK + ra) + $RrfScale DIV ($RrfK + rb)")
+    lex.join(sem, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("ra"), col("rb"),
+        (coalesce(expr(s"$RrfScale DIV ($RrfK + ra)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + rb)"), lit(0L)))
           .as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(20)

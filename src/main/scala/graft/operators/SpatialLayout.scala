@@ -104,7 +104,23 @@ object SpatialLayout {
     * the survivors.
     */
   def zRangesForBbox(x0: Int, x1: Int, y0: Int, y1: Int,
-      maxRanges: Int = 32): Seq[(Long, Long)] = {
+      maxRanges: Int = 32): Seq[(Long, Long)] =
+    coverBbox(x0, x1, y0, y1, maxRanges) { (xb, yb, size) =>
+      (mortonScalar(xb, yb),
+        mortonScalar(xb + size - 1, yb + size - 1))
+    }
+
+  /** Shared quadtree bbox cover: recurse into partially-covered
+    * squares, emit `blockOf(origin, size)` for fully-contained ones,
+    * coalesce exactly-adjacent ranges for free, then merge the
+    * smallest gaps down to the budget (merging only ADDS code values,
+    * so pruning built on the result stays sound). Both curve planners
+    * ([[zRangesForBbox]], [[hilbertRangesForBbox]]) differ only in
+    * how a contained square maps to its contiguous code block.
+    */
+  private def coverBbox(x0: Int, x1: Int, y0: Int, y1: Int,
+      maxRanges: Int)(blockOf: (Int, Int, Int) => (Long, Long))
+      : Seq[(Long, Long)] = {
     require(x0 <= x1 && y0 <= y1 && x0 >= 0 && y0 >= 0
       && x1 < 65536 && y1 < 65536, s"bad bbox ($x0..$x1, $y0..$y1)")
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
@@ -112,8 +128,7 @@ object SpatialLayout {
       if (xb > x1 || xb + size - 1 < x0 || yb > y1 || yb + size - 1 < y0)
         return // disjoint
       if (xb >= x0 && xb + size - 1 <= x1 && yb >= y0 && yb + size - 1 <= y1) {
-        out += ((mortonScalar(xb, yb),
-          mortonScalar(xb + size - 1, yb + size - 1)))
+        out += blockOf(xb, yb, size)
         return
       }
       val h = size / 2
@@ -122,8 +137,6 @@ object SpatialLayout {
     }
     rec(0, 0, 65536)
     var ranges = out.sortBy(_._1).toVector
-    // coalesce exactly-adjacent blocks first (free), then pay the
-    // smallest gaps until within budget
     ranges = ranges.foldLeft(Vector.empty[(Long, Long)]) {
       case (acc :+ ((lo, hi)), (lo2, hi2)) if lo2 == hi + 1 =>
         acc :+ ((lo, hi2))
@@ -218,39 +231,13 @@ object SpatialLayout {
     * often and coalesce for free.
     */
   def hilbertRangesForBbox(x0: Int, x1: Int, y0: Int, y1: Int,
-      maxRanges: Int = 32): Seq[(Long, Long)] = {
-    require(x0 <= x1 && y0 <= y1 && x0 >= 0 && y0 >= 0
-      && x1 < 65536 && y1 < 65536, s"bad bbox ($x0..$x1, $y0..$y1)")
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    def rec(xb: Int, yb: Int, size: Int): Unit = {
-      if (xb > x1 || xb + size - 1 < x0 || yb > y1 || yb + size - 1 < y0)
-        return
-      if (xb >= x0 && xb + size - 1 <= x1 && yb >= y0 && yb + size - 1 <= y1) {
-        val block = size.toLong * size
-        val d = graft.functions.HilbertExpr.xy2d(xb.toLong, yb.toLong)
-        val lo = (d / block) * block
-        out += ((lo, lo + block - 1))
-        return
-      }
-      val h = size / 2
-      rec(xb, yb, h); rec(xb + h, yb, h)
-      rec(xb, yb + h, h); rec(xb + h, yb + h, h)
+      maxRanges: Int = 32): Seq[(Long, Long)] =
+    coverBbox(x0, x1, y0, y1, maxRanges) { (xb, yb, size) =>
+      val block = size.toLong * size
+      val d = graft.functions.HilbertExpr.xy2d(xb.toLong, yb.toLong)
+      val lo = (d / block) * block
+      (lo, lo + block - 1)
     }
-    rec(0, 0, 65536)
-    var ranges = out.sortBy(_._1).toVector
-    ranges = ranges.foldLeft(Vector.empty[(Long, Long)]) {
-      case (acc :+ ((lo, hi)), (lo2, hi2)) if lo2 == hi + 1 =>
-        acc :+ ((lo, hi2))
-      case (acc, r) => acc :+ r
-    }
-    while (ranges.size > maxRanges) {
-      val i = ranges.indices.init
-        .minBy(j => ranges(j + 1)._1 - ranges(j)._2)
-      ranges = (ranges.take(i) :+
-        ((ranges(i)._1, ranges(i + 1)._2))) ++ ranges.drop(i + 2)
-    }
-    ranges
-  }
 
   /** DuckDB replay of [[graft.functions.HilbertExpr.xy2d]]: 16
     * unrolled bit-level steps over a state CTE (id, cell_x, cell_y,
