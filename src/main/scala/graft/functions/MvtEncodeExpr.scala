@@ -14,13 +14,15 @@ import org.apache.spark.sql.types._
   *
   * Input: ONE tile's features across all layers as
   * `array<struct<layer string, fid bigint, gtype int,
-  *               parts array<array<struct<px bigint, py bigint>>>,
-  *               pkeys array<string>, pvals array<string>>>`
+  *               geom binary, pkeys array<string>,
+  *               pvals array<string>>>`
   * sorted by (layer, fid) — `sort_array(collect_list(...))` upstream
-  * makes the bytes deterministic under any shuffle order (parts
-  * already quantized/simplified/clipped to tile-local integer
-  * coordinates at the 4096 extent by MvtPrepExpr; part/point order
-  * inside a feature is fixed per row before aggregation).
+  * makes the bytes deterministic under any shuffle order. `geom` is
+  * the feature's FINAL packed geometry command body, pre-encoded by
+  * MvtPrepKernel.prepEncoded on the map side (quantize/simplify/clip
+  * + varint packing fused into one pre-shuffle walk), so this kernel
+  * only frames and concatenates bytes — the per-point work never
+  * crosses the exchange and is never done twice.
   *
   * Output: the complete tile blob — a length-delimited `Tile.layers`
   * frame (field 3) per layer run, concatenated in layer-name order,
@@ -39,7 +41,12 @@ import org.apache.spark.sql.types._
 case class MvtTileEncodeExpr(features: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def child: Expression = features
-  override def dataType: DataType = BinaryType
+  // n_layers falls out of the same layer-run walk the encoder already
+  // does — returning it here saves an interpreted
+  // size(array_distinct(transform(...))) pass over every tile group
+  override def dataType: DataType = StructType(Seq(
+    StructField("tile", BinaryType, nullable = false),
+    StructField("n_layers", IntegerType, nullable = false)))
   override def nullable: Boolean = true
 
   override def checkInputDataTypes()
@@ -153,12 +160,18 @@ object MvtKernel {
     buf.toArray
   }
 
-  private def packed(out: java.io.ByteArrayOutputStream, field: Int,
-      vals: Array[Long]): Unit = {
+  /** Varint-packed field body (no tag/length framing) — the form the
+    * prep kernel pre-encodes geometry into, spliced verbatim here.
+    */
+  def packedBody(vals: Array[Long]): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     vals.foreach(varint(body, _))
-    lenDelimited(out, field, body.toByteArray)
+    body.toByteArray
   }
+
+  private def packed(out: java.io.ByteArrayOutputStream, field: Int,
+      vals: Array[Long]): Unit =
+    lenDelimited(out, field, packedBody(vals))
 
   /** One `Value` message holding a string_value (field 1). */
   private def valueMsg(s: String): Array[Byte] = {
@@ -168,16 +181,17 @@ object MvtKernel {
   }
 
   /** Encode one whole tile: `feats` rows sorted by (layer, fid), each
-    * (layer string, fid long, gtype int,
-    *  parts array<array<(px long, py long)>>,
+    * (layer string, fid long, gtype int, geom binary,
     *  pkeys array<string>, pvals array<string>).
     * Consecutive same-layer runs become one layer frame each; the tile
     * is their concatenation (layer-name order follows from the sort).
+    * Returns (tile bytes, n_layers).
     */
-  def encodeTile(feats: ArrayData): Array[Byte] = {
+  def encodeTile(feats: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val out = new java.io.ByteArrayOutputStream()
     val n = feats.numElements()
     var from = 0
+    var nLayers = 0
     while (from < n) {
       // compare UTF8String directly — converting every row's layer to
       // a java String would allocate per feature in the tile kernel
@@ -187,9 +201,10 @@ object MvtKernel {
         feats.getStruct(until, 6).getUTF8String(0).equals(name))
         until += 1
       out.write(encodeLayerSlice(name.toString, feats, from, until))
+      nLayers += 1
       from = until
     }
-    out.toByteArray
+    org.apache.spark.sql.catalyst.InternalRow(out.toByteArray, nLayers)
   }
 
   /** One layer frame from the [from, until) slice of tile features. */
@@ -203,14 +218,9 @@ object MvtKernel {
       val f = feats.getStruct(i, 6)
       val fid = f.getLong(1)
       val gtype = f.getInt(2)
-      val partsArr = f.getArray(3)
-      val parts = Array.tabulate(partsArr.numElements()) { pi =>
-        val part = partsArr.getArray(pi)
-        Array.tabulate(part.numElements()) { j =>
-          val p = part.getStruct(j, 2)
-          (p.getLong(0), p.getLong(1))
-        }
-      }
+      // geometry arrives pre-encoded from MvtPrepKernel.prepEncoded
+      // (the packed varint command body) — splice, don't re-walk
+      val geom = f.getBinary(3)
       val pkeys = f.getArray(4)
       val pvals = f.getArray(5)
       val tags = scala.collection.mutable.ArrayBuffer[Long]()
@@ -230,7 +240,7 @@ object MvtKernel {
       tag(fb, 1, 0); varint(fb, fid)
       if (tags.nonEmpty) packed(fb, 2, tags.toArray)
       tag(fb, 3, 0); varint(fb, gtype.toLong)
-      packed(fb, 4, geometryCmds(gtype, parts))
+      lenDelimited(fb, 4, geom)
       lenDelimited(featureFrames, 2, fb.toByteArray)
       i += 1
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Per-tile geometry preparation for the in-engine MVT path — the
@@ -37,71 +37,116 @@ import org.apache.spark.sql.types._
   * engines: integer math for DP, IEEE doubles with identical formula
   * order for clip intersections, `floor(v + 0.5)` rounding.
   *
-  * Output: the feature's surviving parts in this tile as
-  * `array<array<struct<px,py>>>` — empty means the feature dropped
-  * out of this tile entirely. Runs once per post-cap feature-tile row
-  * with a static-kernel codegen passthrough, so it stays inside
-  * whole-stage codegen.
+  * Performance shape (the 2.7M-row post-explosion hot path):
+  *
+  *  - FUSED OUTPUT: one kernel call emits the feature's FINAL packed
+  *    geometry command bytes (the MVT `Feature.geometry` varint body,
+  *    cursor per feature) plus its stats
+  *    (`struct<geom binary, n_parts, n_points, chk>`), so the points
+  *    are walked once pre-shuffle and never materialized as nested
+  *    Catalyst arrays — the (z,tx,ty) exchange ships ~2-6 bytes/point
+  *    of varints instead of ~40 bytes/point of UnsafeRow array cells,
+  *    the stats rollup is a plain columnar sum, and the tile encoder
+  *    splices bytes instead of re-walking geometry. `n_parts = 0`
+  *    means the feature dropped out of this tile entirely (filtered
+  *    upstream of the shuffle).
+  *  - INTERIOR FAST PATH: a feature whose (post-simplify) bbox lies
+  *    inside the buffered tile square — the overwhelming majority at
+  *    z12+ where tiny features sit in big tiles — skips the clippers
+  *    entirely; clipping a fully-interior geometry is the identity on
+  *    integer inputs (Liang-Barsky yields t0=0, t1=1 and
+  *    `round(x + 0·dx) = x`; all four Sutherland-Hodgman passes with
+  *    every vertex inside copy the ring unchanged), with the one
+  *    non-identity corner — a degenerate duplicate-vertex segment
+  *    splits line parts — replicated in integer math.
+  *
+  * Runs once per post-cap feature-tile row with a static-kernel
+  * codegen passthrough, so it stays inside whole-stage codegen.
   */
-case class MvtPrepExpr(gtype: Expression, pts: Expression,
-    simplify: Expression, buffer: Expression, tol: Long)
+case class MvtPrepExpr(gtype: Expression, wpts: Expression,
+    simplify: Expression, tile: Expression, tol: Long)
     extends QuaternaryExpression {
 
   override def first: Expression = gtype
-  override def second: Expression = pts
+  override def second: Expression = wpts
   override def third: Expression = simplify
-  override def fourth: Expression = buffer
+  override def fourth: Expression = tile
   override def nullable: Boolean = true
   override def dataType: DataType = MvtPrepKernel.outType
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (gtype.dataType, pts.dataType, simplify.dataType, buffer.dataType) match {
+    (gtype.dataType, wpts.dataType, simplify.dataType,
+        tile.dataType) match {
       case (IntegerType, ArrayType(_: StructType, _), BooleanType,
-          IntegerType) =>
+          StructType(Array(
+            StructField(_, IntegerType, _, _),
+            StructField(_, IntegerType, _, _),
+            StructField(_, LongType, _, _),
+            StructField(_, LongType, _, _)))) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_mvt_prep expects (int, array<struct>, boolean, int)," +
-            s" got $other")
+          s"graft_mvt_prep expects (int, array<struct>, boolean," +
+            s" struct<buf int, shift int, tx long, ty long>), got $other")
     }
 
   override protected def nullSafeEval(g: Any, p: Any, s: Any,
-      b: Any): Any =
-    MvtPrepKernel.prepArray(g.asInstanceOf[Int],
+      t: Any): Any =
+    MvtPrepKernel.prepEncoded(g.asInstanceOf[Int],
       p.asInstanceOf[ArrayData], s.asInstanceOf[Boolean], tol,
-      b.asInstanceOf[Int])
+      t.asInstanceOf[InternalRow])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (g, p, s, b) =>
-      s"${ev.value} = graft.functions.MvtPrepKernel.prepArray(" +
-        s"$g, $p, $s, ${tol}L, $b);")
+    nullSafeCodeGen(ctx, ev, (g, p, s, t) =>
+      s"${ev.value} = graft.functions.MvtPrepKernel.prepEncoded(" +
+        s"$g, $p, $s, ${tol}L, $t);")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,
       newFourth: Expression): MvtPrepExpr =
-    copy(gtype = newFirst, pts = newSecond, simplify = newThird,
-      buffer = newFourth)
+    copy(gtype = newFirst, wpts = newSecond, simplify = newThird,
+      tile = newFourth)
 }
 
 object MvtPrepExpr {
-  def mvtPrep(gtype: Column, pts: Column, simplify: Column,
-      buffer: Column, tol: Long): Column =
+  /** `wpts` are MaxZoom world pixels; quantization to tile-local
+    * coordinates (shiftright + tile-origin subtraction) is fused into
+    * the kernel walk — passing world pixels straight through avoids an
+    * interpreted higher-order `transform` materializing a second
+    * array per post-explosion row on the hot path. `tile` packs the
+    * per-row scalars (buf, shift = MaxZoom - z, tx, ty) as one
+    * codegen'd struct so the expression stays 4-ary.
+    */
+  def mvtPrep(gtype: Column, wpts: Column, simplify: Column,
+      tile: Column, tol: Long): Column =
     GraftExpressionBridge.column(MvtPrepExpr(
       GraftExpressionBridge.expression(gtype),
-      GraftExpressionBridge.expression(pts),
+      GraftExpressionBridge.expression(wpts),
       GraftExpressionBridge.expression(simplify),
-      GraftExpressionBridge.expression(buffer), tol))
+      GraftExpressionBridge.expression(tile), tol))
 }
 
 object MvtPrepKernel {
 
   val Extent = 4096L
 
-  val outType: DataType = ArrayType(ArrayType(StructType(Seq(
-    StructField("px", LongType, nullable = false),
-    StructField("py", LongType, nullable = false)))))
+  val outType: DataType = StructType(Seq(
+    StructField("geom", BinaryType, nullable = false),
+    StructField("n_parts", LongType, nullable = false),
+    StructField("n_points", LongType, nullable = false),
+    StructField("chk", LongType, nullable = false)))
+
+  /** Largest |coordinate| for which the DP metric is exact in Long:
+    * `cross² ≤ (8·C²)² = 64·C⁴` must stay under 2^63, so C ≤ 2^14.
+    * A tile-local coordinate can exceed this only when a single
+    * feature spans ≳4 tiles at its assigned zoom (a continent-length
+    * line at z15); past the bound the squared cross product would
+    * silently wrap in the JVM while the oracle's BIGINT twin errors
+    * loudly — fail loudly here too, symmetric with the oracle.
+    */
+  val DpCoordMax = 1L << 14
 
   /** Douglas-Peucker keep flags: endpoints anchored, perpendicular-to-
     * line metric, integer-exact (`cross² > tol²·len2`; point distance
@@ -110,6 +155,17 @@ object MvtPrepKernel {
     */
   def dpKeep(xs: Array[Long], ys: Array[Long], tol: Long): Array[Boolean] = {
     val n = xs.length
+    // exactness guard: see DpCoordMax (and tol² · 8C² for the
+    // tolerance side) — overflow must fail loudly, not wrap
+    require(tol <= Extent, s"DP tolerance $tol exceeds extent")
+    var g = 0
+    while (g < n) {
+      require(math.abs(xs(g)) <= DpCoordMax && math.abs(ys(g)) <= DpCoordMax,
+        s"tile-local coordinate (${xs(g)}, ${ys(g)}) exceeds ±$DpCoordMax; " +
+          "the squared DP cross product would overflow Long — split the " +
+          "feature before the tile fan-out")
+      g += 1
+    }
     val keep = new Array[Boolean](n)
     keep(0) = true
     keep(n - 1) = true
@@ -143,6 +199,20 @@ object MvtPrepKernel {
   }
 
   private def round(v: Double): Long = math.floor(v + 0.5).toLong
+
+  /** True when every vertex lies inside the buffered square — the
+    * precondition for both interior fast paths (bounds inclusive:
+    * boundary points are "inside" to the clippers too).
+    */
+  private def inBounds(xs: Array[Long], ys: Array[Long],
+      lo: Double, hi: Double): Boolean = {
+    var i = 0
+    while (i < xs.length) {
+      if (xs(i) < lo || xs(i) > hi || ys(i) < lo || ys(i) > hi) return false
+      i += 1
+    }
+    true
+  }
 
   /** Liang-Barsky clip of one segment to [lo,hi]² → (t0, t1) or None.
     * Formula order matches the oracle SQL exactly (greatest/least over
@@ -222,6 +292,28 @@ object MvtPrepKernel {
           val idx = keep.indices.filter(keep).toArray
           xs = idx.map(xs0); ys = idx.map(ys0)
         }
+        // interior fast path: every vertex inside the buffered square
+        // means every segment clips to (t0=0, t1=1) and rounds back to
+        // its own integer endpoints — identical output to the double
+        // path below, minus the doubles. The one non-identity case,
+        // a duplicate-vertex degenerate segment, drops and breaks
+        // part contiguity exactly as the clip loop would.
+        if (inBounds(xs, ys, lo, hi)) {
+          val parts = scala.collection.mutable.ArrayBuffer[Array[(Long, Long)]]()
+          val cur = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var i = 0
+          while (i < xs.length - 1) {
+            if (xs(i) == xs(i + 1) && ys(i) == ys(i + 1)) {
+              if (cur.nonEmpty) { parts += cur.toArray; cur.clear() }
+            } else {
+              if (cur.isEmpty) cur += ((xs(i), ys(i)))
+              cur += ((xs(i + 1), ys(i + 1)))
+            }
+            i += 1
+          }
+          if (cur.nonEmpty) parts += cur.toArray
+          return parts.toArray
+        }
         // clip per segment; merge contiguous survivors into parts
         val parts = scala.collection.mutable.ArrayBuffer[Array[(Long, Long)]]()
         val cur = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
@@ -274,13 +366,21 @@ object MvtPrepKernel {
             xs = idx.map(xs0); ys = idx.map(ys0)
           }
         }
-        var ring = xs.indices
-          .map(i => (xs(i).toDouble, ys(i).toDouble)).toArray
-        ring = shPass(ring, axisX = true, keepGe = true, lo)
-        ring = shPass(ring, axisX = true, keepGe = false, hi)
-        ring = shPass(ring, axisX = false, keepGe = true, lo)
-        ring = shPass(ring, axisX = false, keepGe = false, hi)
-        val rounded = ring.map(p => (round(p._1), round(p._2)))
+        // interior fast path: all four half-plane passes copy a fully-
+        // inside ring unchanged and rounding integer-valued doubles is
+        // the identity, so skip the double round-trip entirely
+        val rounded: Array[(Long, Long)] =
+          if (inBounds(xs, ys, lo, hi)) {
+            xs.indices.map(i => (xs(i), ys(i))).toArray
+          } else {
+            var ring = xs.indices
+              .map(i => (xs(i).toDouble, ys(i).toDouble)).toArray
+            ring = shPass(ring, axisX = true, keepGe = true, lo)
+            ring = shPass(ring, axisX = true, keepGe = false, hi)
+            ring = shPass(ring, axisX = false, keepGe = true, lo)
+            ring = shPass(ring, axisX = false, keepGe = false, hi)
+            ring.map(p => (round(p._1), round(p._2)))
+          }
         // consecutive-duplicate removal, then the closing duplicate
         val dedup = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
         rounded.foreach { p =>
@@ -311,24 +411,51 @@ object MvtPrepKernel {
     }
   }
 
-  /** ArrayData adapter for the expression. */
-  def prepArray(gtype: Int, pts: ArrayData, simplify: Boolean, tol: Long,
-      buffer: Int): ArrayData = {
-    val n = pts.numElements()
+  /** The fused expression kernel: prep + stats + final geometry bytes
+    * in one call (see class doc). `n_parts = 0` (with empty geom)
+    * marks a feature that dropped out of this tile.
+    */
+  private def dropped: InternalRow =
+    InternalRow(Array.emptyByteArray, 0L, 0L, 0L)
+
+  def prepEncoded(gtype: Int, wpts: ArrayData, simplify: Boolean, tol: Long,
+      tile: InternalRow): InternalRow = {
+    val buffer = tile.getInt(0)
+    val shift = tile.getInt(1)
+    // tile-local quantization fused here: arithmetic shiftright of the
+    // MaxZoom world pixel IS floor division by 2^(MaxZoom - z), then
+    // the tile origin moves to (0, 0) — bit-exact with the oracle's
+    // per-zoom floor(w · 2^z) (see MvtTiles.tilesOf)
+    val offX = tile.getLong(2) * Extent
+    val offY = tile.getLong(3) * Extent
+    val n = wpts.numElements()
     val xs = new Array[Long](n)
     val ys = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val p = pts.getStruct(i, 2)
-      xs(i) = p.getLong(0)
-      ys(i) = p.getLong(1)
+      val p = wpts.getStruct(i, 2)
+      xs(i) = (p.getLong(0) >> shift) - offX
+      ys(i) = (p.getLong(1) >> shift) - offY
       i += 1
     }
     val parts = prep(gtype, xs, ys, simplify, tol, buffer)
-    new GenericArrayData(parts.map { part =>
-      new GenericArrayData(part.map { case (x, y) =>
-        InternalRow(x, y): Any
-      }): Any
-    })
+    if (parts.isEmpty) dropped
+    else {
+      var nPts = 0L
+      var chk = 0L
+      var pi = 0
+      while (pi < parts.length) {
+        val part = parts(pi)
+        var j = 0
+        while (j < part.length) {
+          nPts += 1
+          chk += nPts * (part(j)._1 * 8191L + part(j)._2)
+          j += 1
+        }
+        pi += 1
+      }
+      val geom = MvtKernel.packedBody(MvtKernel.geometryCmds(gtype, parts))
+      InternalRow(geom, parts.length.toLong, nPts, chk)
+    }
   }
 }

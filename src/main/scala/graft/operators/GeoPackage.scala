@@ -652,18 +652,42 @@ object GeoPackage {
     case other => s"GEOMETRY"
   }
 
-  /** Write the full GeoPackage file; returns (table, rootpage, rows). */
+  /** Write the full GeoPackage file; returns (table, rootpage, rows).
+    *
+    * Streaming shape: the only driver-materialized rows are the
+    * per-layer extent/type aggregate (one row per layer); feature rows
+    * and index rows flow through sorted `toLocalIterator`s off a
+    * checkpointed geometry frame straight into the page writer —
+    * the driver never holds a layer's features
+    * (pattern: sources/GeoJson.scala's FeatureCollection sink).
+    *
+    * Also emits the NGA geometry-index extension the reference's
+    * `indexFeatureTable` creates per feature table
+    * (`/root/reference/src/io/GeoPackageWriter.ts:589-600,827-828`):
+    * `gpkg_extensions` rows plus `nga_table_index` /
+    * `nga_geometry_index` — as plain tables keyed by (table_name,
+    * geom_id) with 2D envelope columns (this writer builds no index
+    * b-trees; readers scan, which is how the stdlib-sqlite3 spec and
+    * the from-scratch reader consume them anyway).
+    */
   def writeGpkgFile(s: SparkSession, d: String,
       path: java.nio.file.Path): Seq[(String, Int, Long)] = {
     import graft.sources.SqliteFile
-    val rows = gpkgGeoms(s, d)
+    val geoms = gpkgGeoms(s, d)
       .select(col("layer"), col("fid"), col("wkb_type"),
         col("g")("blob").as("blob"),
-        col("g")("minx"), col("g")("maxx"), col("g")("miny"),
-        col("g")("maxy"))
-      .orderBy("layer", "fid")
+        col("g")("minx").as("minx"), col("g")("maxx").as("maxx"),
+        col("g")("miny").as("miny"), col("g")("maxy").as("maxy"))
+      // one materialization serves the extent aggregate + one sorted
+      // stream per table below (each is its own job over the blocks)
+      .localCheckpoint(false)
+    val layerMeta = geoms.groupBy("layer")
+      .agg(min("minx").as("minx"), min("miny").as("miny"),
+        max("maxx").as("maxx"), max("maxy").as("maxy"),
+        min("wkb_type").as("wkb_type"))
+      .orderBy("layer")
       .collect()
-    val byLayer = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val layers = layerMeta.map(_.getString(0)).toSeq
     val srs = SqliteFile.Table(
       "gpkg_spatial_ref_sys",
       "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
@@ -682,41 +706,92 @@ object GeoPackage {
         "description TEXT DEFAULT '', last_change TEXT NOT NULL, " +
         "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
         "srs_id INTEGER)",
-      byLayer.iterator.map { case (layer, rs) =>
-        Seq(layer, "features", layer, "", GpkgLastChange,
-          rs.map(_.getDouble(4)).min, rs.map(_.getDouble(6)).min,
-          rs.map(_.getDouble(5)).max, rs.map(_.getDouble(7)).max, 4326L)
+      layerMeta.iterator.map { m =>
+        Seq(m.getString(0), "features", m.getString(0), "", GpkgLastChange,
+          m.getDouble(1), m.getDouble(2), m.getDouble(3), m.getDouble(4),
+          4326L)
       })
     val geomCols = SqliteFile.Table(
       "gpkg_geometry_columns",
       "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
         "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
         "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
-      byLayer.iterator.map { case (layer, rs) =>
-        Seq(layer, "geom", typeName(rs.head.getInt(2)), 4326L, 0L, 0L)
+      layerMeta.iterator.map { m =>
+        Seq(m.getString(0), "geom", typeName(m.getInt(5)), 4326L, 0L, 0L)
       })
-    val featureTables = byLayer.map { case (layer, rs) =>
+    val extensions = SqliteFile.Table(
+      "gpkg_extensions",
+      "CREATE TABLE gpkg_extensions (table_name TEXT, " +
+        "column_name TEXT, extension_name TEXT NOT NULL, " +
+        "definition TEXT NOT NULL, scope TEXT NOT NULL)",
+      layers.iterator.map(l => Seq(l, "geom", "nga_geometry_index",
+        "http://ngageoint.github.io/GeoPackage/docs/extensions/" +
+          "geometry-index.html", "read-write")))
+    val tableIndex = SqliteFile.Table(
+      "nga_table_index",
+      "CREATE TABLE nga_table_index (table_name TEXT NOT NULL, " +
+        "last_indexed DATETIME)",
+      layers.iterator.map(l => Seq(l, GpkgLastChange)))
+    def sortedRows(cols: String*): Iterator[org.apache.spark.sql.Row] = {
+      val it = geoms.orderBy("layer", "fid")
+        .select(cols.head, cols.tail: _*).toLocalIterator()
+      new Iterator[org.apache.spark.sql.Row] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): org.apache.spark.sql.Row = it.next()
+      }
+    }
+    val geomIndex = SqliteFile.Table(
+      "nga_geometry_index",
+      "CREATE TABLE nga_geometry_index (table_name TEXT NOT NULL, " +
+        "geom_id INTEGER NOT NULL, min_x DOUBLE NOT NULL, " +
+        "max_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL, " +
+        "max_y DOUBLE NOT NULL)",
+      sortedRows("layer", "fid", "minx", "maxx", "miny", "maxy").map(r =>
+        Seq(r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))))
+    val featureTables = layers.map { layer =>
       SqliteFile.Table(layer,
         s"CREATE TABLE $layer (fid INTEGER, geom BLOB)",
-        rs.iterator.map(r =>
-          Seq(r.getLong(1), r.getAs[Array[Byte]]("blob"))))
+        {
+          val it = geoms.filter(col("layer") === layer).orderBy("fid")
+            .select("fid", "blob").toLocalIterator()
+          new Iterator[Seq[Any]] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): Seq[Any] = {
+              val r = it.next()
+              Seq(r.getLong(0), r.getAs[Array[Byte]](1))
+            }
+          }
+        })
     }
-    SqliteFile.write(path, Seq(srs, contents, geomCols) ++ featureTables,
+    SqliteFile.write(path,
+      Seq(srs, contents, geomCols, extensions, tableIndex, geomIndex) ++
+        featureTables,
       applicationId = 0x47504B47, userVersion = 10300)
   }
 
   // Driver gate: the per-table rollup of what went INTO the container
   // (row counts, sequential-rowid sums, geometry wire bytes), which
   // the oracle recomputes relationally from the same wire-size
-  // arithmetic as q_gpkg_blobs. The container's VALIDITY is proved by
-  // the independent reader in GpkgSqliteSpec (a real SQLite build).
+  // arithmetic as q_gpkg_blobs — PLUS the NGA geometry-index layout
+  // read back from the container (per-table index row count and an
+  // integer envelope checksum over the parsed doubles), so the index
+  // tables' byte encoding sits under the DuckDB hash too. The
+  // container's VALIDITY is proved by the independent reader in
+  // GpkgSqliteSpec (a real SQLite build).
   private val qSqlite = QuerySpec.of(
     "q_gpkg_sqlite", {
       s"""$oracleBlobChain
         |SELECT layer AS table_name,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS rowid_sum,
-        |  CAST(sum(blob_len) AS BIGINT) AS geom_bytes
+        |  CAST(sum(blob_len) AS BIGINT) AS geom_bytes,
+        |  CAST(count(*) AS BIGINT) AS idx_rows,
+        |  CAST(sum(CAST(floor(env_minx * 1000000) AS BIGINT)
+        |    + CAST(floor(env_maxx * 1000000) AS BIGINT)
+        |    + CAST(floor(env_miny * 1000000) AS BIGINT)
+        |    + CAST(floor(env_maxy * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS idx_env_chk
         |FROM unioned GROUP BY layer ORDER BY table_name""".stripMargin
     }) { (s, d) =>
     val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_db_")
@@ -726,17 +801,31 @@ object GeoPackage {
     // roll up from the parsed cells — the driver hash gate then covers
     // the page/record encoding itself, not just the input rows
     val db = graft.sources.SqliteReader.open(path)
-    val rows = written.map(_._1).filterNot(_.startsWith("gpkg_"))
+    // NGA index rollup: every envelope double parsed back from the
+    // container's record cells (floor(v·1e6) is bit-deterministic —
+    // the same doubles the oracle computes relationally)
+    val idx = scala.collection.mutable.Map[String, (Long, Long)]()
+    db.table("nga_geometry_index").foreach { case (_, vs) =>
+      val t = vs(0).asInstanceOf[String]
+      val chk = (2 to 5).map(i =>
+        math.floor(vs(i).asInstanceOf[Double] * 1000000).toLong).sum
+      val (n, c) = idx.getOrElse(t, (0L, 0L))
+      idx(t) = (n + 1, c + chk)
+    }
+    val rows = written.map(_._1)
+      .filterNot(t => t.startsWith("gpkg_") || t.startsWith("nga_"))
       .sorted.map { t =>
         var n = 0L; var rsum = 0L; var gbytes = 0L
         db.table(t).foreach { case (rowid, vs) =>
           n += 1; rsum += rowid
           gbytes += vs(1).asInstanceOf[Array[Byte]].length
         }
-        (t, n, rsum, gbytes)
+        val (in, ichk) = idx.getOrElse(t, (0L, 0L))
+        (t, n, rsum, gbytes, in, ichk)
       }
     import s.implicits._
-    rows.toDF("table_name", "n_rows", "rowid_sum", "geom_bytes")
+    rows.toDF("table_name", "n_rows", "rowid_sum", "geom_bytes",
+      "idx_rows", "idx_env_chk")
       .orderBy("table_name")
   }
 

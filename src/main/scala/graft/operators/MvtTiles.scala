@@ -38,11 +38,16 @@ import org.apache.spark.sql.functions._
   *     their flagless tippecanoe invocation) with the tiny-polygon
   *     placeholder square, and clipping to the buffered tile square
   *     (Liang-Barsky segments with multi-part merge, 4-pass
-  *     Sutherland-Hodgman rings) — all per-row expressions;
-  *  4. encoding — [[graft.functions.MvtKernel]] builds each layer's
-  *     protobuf frame after a per-(tile,layer) collect; a tile is the
-  *     concatenation of its layer frames, so assembly is plain
-  *     `concat` — no driver round-trip, no external binary.
+  *     Sutherland-Hodgman rings; features interior to the buffered
+  *     square skip the clippers — identity fast path). ONE fused
+  *     kernel walk per row emits the feature's final packed geometry
+  *     command bytes AND its stats (n_parts, n_points, checksum), so
+  *     per-point data never crosses an exchange as nested arrays;
+  *  4. encoding — [[graft.functions.MvtKernel]] frames the pre-encoded
+  *     feature bytes into each layer's protobuf frame after a per-tile
+  *     collect; a tile is the concatenation of its layer frames — no
+  *     per-point work after the shuffle, no driver round-trip, no
+  *     external binary.
   *
   * Scale shape: steps 1-3 are per-row expressions over the feature
   * tables; the only wide exchanges are the two bounded cap windows
@@ -532,10 +537,8 @@ object MvtTiles {
   /** 2^MaxZoom — the world-pixel scale every zoom derives from. */
   private val S15 = (1L << MaxZoom).toDouble
 
-  /** Feature-level tile fan-out with the layer buffer and world clamp:
-    * (layer, fid, gtype, z, tx, ty, buf, wpts, pk, pv) where `wpts`
-    * are world-pixel coordinates at MaxZoom. Pure narrow expressions —
-    * explodes, no shuffle.
+  /** World-pixel augmentation: (…, wpts, bxlo, bxhi, bylo, byhi, buf)
+    * where `wpts` are world-pixel coordinates at MaxZoom.
     *
     * The Web-Mercator trig (sin/ln per coordinate) is hoisted ABOVE
     * the zoom × tile explosion: world pixels are computed ONCE per
@@ -550,25 +553,7 @@ object MvtTiles {
     * lon ±180). So `shiftright(floor(w·2^15), 15-z) = floor(w·2^z)`
     * exactly, and the DuckDB oracle keeps its direct per-zoom formula.
     */
-  private def featureTiles(s: SparkSession, d: String): DataFrame =
-    // lazy checkpoint: the cap splits the pipeline into a z<=8 and a
-    // z>=9 branch, and without a barrier each branch would recompute
-    // the feature synthesis (runs dedup shuffle + fanout repartition).
-    // Feature rows are small (one per feature, pre-explosion), so
-    // materializing them once is far cheaper than twice the lineage.
-    // Known tradeoff (same as the engine's other localCheckpoint
-    // barriers): blocks are executor-local and unreplicated, so on a
-    // real cluster an executor loss fails the job instead of
-    // recomputing — acceptable for a rerunnable batch tile build; use
-    // reliable checkpointing if tiles ever run under tight SLAs.
-    tilesOf(graft.Tables.fanout(features(s, d)).localCheckpoint(false))
-
-  /** Tile fan-out from any features-shaped frame (layer, fid, gtype,
-    * minz, pts, pk, pv) — shared by the batch build and the streaming
-    * tile-refresh (which feeds single-layer micro-batch slices).
-    */
-  private[graft] def tilesOf(feats: DataFrame): DataFrame = {
-    val wmaxSql = "shiftleft(CAST(1 AS BIGINT), z) * 4096 - 1"
+  private def withWorldCols(feats: DataFrame): DataFrame = {
     def w15(c: Column, isX: Boolean): Column =
       floor((if (isX) xWorld(c) else yWorld(c)) * S15).cast("long")
     feats
@@ -588,7 +573,63 @@ object MvtTiles {
         w15(array_min(transform(col("pts"), _("lat"))), isX = false))
       .drop("pts")
       .withColumn("buf", bufferOf(col("layer")))
-      .withColumn("z", explode(sequence(col("minz"), lit(MaxZoom))))
+  }
+
+  /** World-augmented, fanned-out, checkpointed features — the shared
+    * base both zoom branches explode from.
+    *
+    * Lazy checkpoint: the cap splits the pipeline into a z<=8 and a
+    * z>=9 branch, and without a barrier each branch would recompute
+    * the feature synthesis (runs dedup shuffle + fanout repartition)
+    * AND the per-point trig. Feature rows are small (one per feature,
+    * pre-explosion), so materializing them once — world pixels
+    * included — is far cheaper than twice the lineage.
+    * Known tradeoff (same as the engine's other localCheckpoint
+    * barriers): blocks are executor-local and unreplicated, so on a
+    * real cluster an executor loss fails the job instead of
+    * recomputing — acceptable for a rerunnable batch tile build. For
+    * SLA-bound runs set `spark.graft.tiles.reliableCheckpoint=true`:
+    * the barrier then writes to the fault-tolerant checkpoint
+    * directory (spark.sparkContext.setCheckpointDir — HDFS/object
+    * store on a cluster; a temp dir is provisioned when unset so the
+    * flag works out of the box locally) and survives executor loss
+    * at the cost of one distributed write of the feature rows.
+    */
+  private def worldFeatures(s: SparkSession, d: String): DataFrame = {
+    val fw = graft.Tables.fanout(withWorldCols(features(s, d)))
+    if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(java.nio.file.Files
+          .createTempDirectory("graft_tiles_ckpt_").toString)
+      fw.checkpoint(false)
+    } else fw.localCheckpoint(false)
+  }
+
+  /** Opt-in fault-tolerant barrier for the tile build (see
+    * [[worldFeatures]]).
+    */
+  val ReliableCheckpointKey = "spark.graft.tiles.reliableCheckpoint"
+
+  /** Tile fan-out from any features-shaped frame (layer, fid, gtype,
+    * minz, pts, pk, pv) — the streaming tile-refresh's entry point
+    * (single-layer micro-batch slices, full zoom range).
+    */
+  private[graft] def tilesOf(feats: DataFrame): DataFrame =
+    tileRange(withWorldCols(feats), 0, MaxZoom)
+
+  /** The zoom × tile explosion over [zlo, zhi] only — the cap's two
+    * branches each explode JUST their own zoom slice from the shared
+    * checkpointed base instead of exploding the full range twice and
+    * filtering (the z9+ slice is ~98% of the fan-out; walking it a
+    * second time for the low-zoom branch doubled the explosion cost).
+    * Pure narrow expressions — explodes, no shuffle.
+    */
+  private def tileRange(fw: DataFrame, zlo: Int, zhi: Int): DataFrame = {
+    val wmaxSql = "shiftleft(CAST(1 AS BIGINT), z) * 4096 - 1"
+    fw
+      .filter(col("minz") <= zhi)
+      .withColumn("z",
+        explode(sequence(greatest(col("minz"), lit(zlo)), lit(zhi))))
       .withColumn("txlo",
         expr(s"GREATEST(shiftright(bxlo, $MaxZoom - z) - buf," +
           " CAST(0 AS BIGINT)) DIV 4096"))
@@ -624,11 +665,11 @@ object MvtTiles {
     * sharding bounds those groups).
     */
   private def capped(s: SparkSession, d: String): DataFrame = {
-    val ft = featureTiles(s, d)
+    val fw = worldFeatures(s, d)
     val kcap = when(col("z") <= 4, lit(CapLowZ)).otherwise(lit(CapMidZ))
     val rh = pmod(pmod(col("fid"), lit(1000000007L)) * 2654435761L,
       lit(1000000007L))
-    val low = ft.filter(col("z") <= 8)
+    val low = tileRange(fw, 0, 8)
       .withColumn("rh", rh)
       .withColumn("salt",
         pmod(graft.functions.HashFunctions.hash32(col("fid")), lit(64)))
@@ -640,43 +681,54 @@ object MvtTiles {
         Window.partitionBy("z", "tx", "ty", "layer").orderBy("rh", "fid")))
       .filter(col("r2") <= kcap)
       .drop("rh", "salt", "r1", "r2")
-    low.unionByName(ft.filter(col("z") >= 9))
+    low.unionByName(tileRange(fw, 9, MaxZoom))
   }
 
+  /** Profiler hook: the capped fan-out without the prep kernel. */
+  private[operators] def cappedForProfile(s: SparkSession,
+      d: String): DataFrame = capped(s, d)
+
   /** Tile-assigned, capped, quantized, simplified, clipped features:
-    * (layer, fid, gtype, z, tx, ty, parts, pk, pv) with
-    * `parts: array<array<struct<px,py>>>` — the final per-tile
-    * geometry the stats and byte paths share.
+    * (layer, fid, gtype, z, tx, ty, geom, n_parts, n_points, chk,
+    * pk, pv) where `geom` is the feature's FINAL packed MVT geometry
+    * command bytes and (n_parts, n_points, chk) its pre-computed
+    * stats — one fused kernel walk per row (MvtPrepKernel.prepEncoded)
+    * feeds both the stats rollup and the byte path, and the
+    * per-point data never crosses an exchange as nested arrays.
     */
   private[operators] def prepped(s: SparkSession, d: String): DataFrame =
     prepOf(capped(s, d))
 
-  /** Quantize + simplify + clip any tile-fan-out-shaped frame (shared
-    * with the streaming tile-refresh).
+  /** Quantize + simplify + clip + encode any tile-fan-out-shaped
+    * frame (shared with the streaming tile-refresh).
     */
   private[graft] def prepOf(tiles: DataFrame): DataFrame = {
     tiles
-      // tile-local quantization by shift from the MaxZoom world pixels
-      // (bit-exact with the oracle's floor(w * 2^z); see tilesOf)
-      .withColumn("qpts", expr(s"transform(wpts, w -> struct(" +
-        s"shiftright(w.wx, $MaxZoom - z) - tx * 4096 AS px, " +
-        s"shiftright(w.wy, $MaxZoom - z) - ty * 4096 AS py))"))
       .withColumn("simp",
         when(col("layer") === "skiareas", lit(true))
           .otherwise(col("z") < MaxZoom))
-      .withColumn("parts", MvtPrepExpr.mvtPrep(col("gtype"), col("qpts"),
-        col("simp"), col("buf"), SimplifyTol))
-      .filter(size(col("parts")) > 0)
+      // quantization (shift from the MaxZoom world pixels — bit-exact
+      // with the oracle's floor(w * 2^z); see tilesOf) happens INSIDE
+      // the fused kernel walk: wpts pass through untouched and no
+      // interpreted transform materializes a per-row qpts array
+      .withColumn("enc", MvtPrepExpr.mvtPrep(col("gtype"), col("wpts"),
+        col("simp"),
+        struct(col("buf"),
+          (lit(MaxZoom) - col("z")).cast("int").as("shift"),
+          col("tx"), col("ty")), SimplifyTol))
+      .filter(col("enc.n_parts") > 0)
       .select(col("layer"), col("fid"), col("gtype"), col("z"),
-        col("tx"), col("ty"), col("parts"), col("pk"), col("pv"))
+        col("tx"), col("ty"), col("enc.geom").as("geom"),
+        col("enc.n_parts").as("n_parts"),
+        col("enc.n_points").as("n_points"), col("enc.chk").as("chk"),
+        col("pk"), col("pv"))
   }
 
   // ---- per-tile/zoom/layer stats (the DuckDB-oracled row) ----------------
-  // Per-feature stats are pure array expressions (no point explosion):
-  // the order-weighted integer checksum walks the flattened parts with
-  // a fold carrying (index, sum), so the only exchange left is the
-  // final (z, tx, ty, layer) rollup — map-side combinable, BIGINT,
-  // hash-exact across engines.
+  // Per-feature stats (n_parts, n_points, order-weighted checksum)
+  // arrive pre-computed from the fused prep kernel, so the only work
+  // left is the (z, tx, ty, layer) rollup — map-side combinable,
+  // BIGINT, hash-exact across engines.
   private val qStats = QuerySpec.of(
     "q_tiles_mvt", {
       s"""WITH ${SkiQueries.oraclePrelude},
@@ -688,29 +740,17 @@ object MvtTiles {
   }
 
   /** (zoom, tile_x, tile_y, layer, n_features, n_parts, n_points,
-    * coord_checksum) rollup from prepared parts.
+    * coord_checksum) rollup from the prepped frame's fused columns.
     */
-  private def statsOf(prep: DataFrame): DataFrame = {
-    // one fold over one flatten: the accumulator's final index IS the
-    // point count, so the flattened array is materialized once per row
-    val fold = aggregate(flatten(col("parts")),
-      struct(lit(0L).as("i"), lit(0L).as("s")),
-      (acc, p) => struct((acc("i") + 1L).as("i"),
-        (acc("s") + (acc("i") + 1L) * (p("px") * 8191L + p("py"))).as("s")))
+  private def statsOf(prep: DataFrame): DataFrame =
     prep
-      .select(col("layer"), col("z"), col("tx"), col("ty"),
-        size(col("parts")).cast("long").as("n_parts"), fold.as("fold"))
-      .select(col("layer"), col("z"), col("tx"), col("ty"),
-        col("n_parts"), col("fold")("i").as("n_pts"),
-        col("fold")("s").as("chk"))
       .groupBy(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
         col("ty").as("tile_y"), col("layer"))
       .agg(count(lit(1)).as("n_features"),
         sum("n_parts").as("n_parts"),
-        sum("n_pts").as("n_points"),
+        sum("n_points").as("n_points"),
         sum("chk").as("coord_checksum"))
       .orderBy("zoom", "tile_x", "tile_y", "layer")
-  }
 
   // ---- encoded tile blobs -------------------------------------------------
   // The full MVT surface: ONE wide exchange on (z, tx, ty) collects a
@@ -728,15 +768,15 @@ object MvtTiles {
   private[graft] def encodeOf(prep: DataFrame): DataFrame = {
     prep
       .select(col("z"), col("tx"), col("ty"),
-        struct(col("layer"), col("fid"), col("gtype"), col("parts"),
+        struct(col("layer"), col("fid"), col("gtype"), col("geom"),
           col("pk").as("pkeys"), col("pv").as("pvals")).as("feat"))
       .groupBy("z", "tx", "ty")
       .agg(sort_array(collect_list(col("feat"))).as("feats"))
       .select(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
         col("ty").as("tile_y"),
-        size(array_distinct(transform(col("feats"), _("layer"))))
-          .as("n_layers"),
-        graft.functions.MvtTileEncodeExpr.mvtTile(col("feats")).as("tile"))
+        graft.functions.MvtTileEncodeExpr.mvtTile(col("feats")).as("enc"))
+      .select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("enc.n_layers").as("n_layers"), col("enc.tile").as("tile"))
   }
 
   /** Decode tile blobs (zoom, tile_x, tile_y, tile) back to the
@@ -799,28 +839,41 @@ object MvtTiles {
   def writeMbtilesFile(s: SparkSession, d: String,
       path: java.nio.file.Path): Seq[(String, Int, Long)] = {
     import graft.sources.SqliteFile
-    val tiles = tileBytes(s, d)
-      .orderBy("zoom", "tile_x", "tile_y")
-      .select(col("zoom"), col("tile_x"), col("tile_y"), col("tile"))
-      .collect()
-    val zooms = tiles.map(_.getInt(0))
+    val tiles = tileBytes(s, d).localCheckpoint(false)
+    // metadata needs the zoom extremes — a tiny pre-aggregate, not a
+    // scan of collected rows
+    val zrow = tiles.agg(min("zoom"), max("zoom")).head()
+    val (zmin, zmax) =
+      if (zrow.isNullAt(0)) (0, 0) else (zrow.getInt(0), zrow.getInt(1))
     val meta = SqliteFile.Table(
       "metadata", "CREATE TABLE metadata (name TEXT, value TEXT)",
       Iterator(
         Seq("name", "graft"),
         Seq("format", "pbf"),
-        Seq("minzoom", if (zooms.isEmpty) "0" else zooms.min.toString),
-        Seq("maxzoom", if (zooms.isEmpty) "0" else zooms.max.toString),
+        Seq("minzoom", zmin.toString),
+        Seq("maxzoom", zmax.toString),
         Seq("bounds", "-180.0,-85.0511,180.0,85.0511")))
+    // toLocalIterator streams one partition at a time into the
+    // single-file sink — the driver never holds the tile set (a
+    // planet-scale .mbtiles is 50-100 GB); same pattern as the
+    // GeoJSON FeatureCollection sink (sources/GeoJson.scala)
+    val sorted = tiles
+      .orderBy("zoom", "tile_x", "tile_y")
+      .select(col("zoom"), col("tile_x"), col("tile_y"), col("tile"))
+      .toLocalIterator()
     val tbl = SqliteFile.Table(
       "tiles",
       "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER, " +
         "tile_row INTEGER, tile_data BLOB)",
-      tiles.iterator.map { r =>
-        val z = r.getInt(0)
-        Seq(z.toLong, r.getLong(1),
-          (1L << z) - 1L - r.getLong(2), // TMS row flip
-          r.getAs[Array[Byte]](3))
+      new Iterator[Seq[Any]] {
+        override def hasNext: Boolean = sorted.hasNext
+        override def next(): Seq[Any] = {
+          val r = sorted.next()
+          val z = r.getInt(0)
+          Seq(z.toLong, r.getLong(1),
+            (1L << z) - 1L - r.getLong(2), // TMS row flip
+            r.getAs[Array[Byte]](3))
+        }
       })
     SqliteFile.write(path, Seq(meta, tbl), applicationId = 0x4d504258)
   }

@@ -118,7 +118,10 @@ object QualityModel {
   private[operators] val oracleEpochCtes: String = {
     def tdiv(a: String, b: String): String =
       s"CASE WHEN $a >= 0 THEN $a // $b ELSE -((-($a)) // $b) END"
-    val e0 = s"nn AS (SELECT count(*) // 4 AS lr FROM feats),\n" +
+    // GREATEST(..., 1) mirrors the driver loop's max(n/4, 1): without
+    // it a sub-4-row corpus trains with lr=1 in the engine but divides
+    // by zero in the oracle
+    val e0 = s"nn AS (SELECT GREATEST(count(*) // 4, 1) AS lr FROM feats),\n" +
       s"e0 AS (SELECT ${
         xs.map(x => s"CAST(0 AS BIGINT) AS w$x").mkString(", ")})"
     val steps = (1 to Epochs).map { t =>
@@ -327,6 +330,16 @@ object QualityModel {
     val b = (0 until Dim).map(i => BigInt(row.getLong(k + i))).toArray
     val n = row.getLong(k + Dim)
     val (dA, dJ) = solveNormal(a, b)
+    // the margin below casts each Cramer determinant to decimal(38,0);
+    // Gram-determinant magnitude grows ~(n·x²)^4, and past 1e38 the
+    // non-ANSI cast would silently NULL the margin (wrong n_agree)
+    // where the oracle's HUGEINT errors loudly — fail loudly here too,
+    // symmetric with the oracle (scale features down before the Gram
+    // pass if a corpus ever trips this)
+    val DecMax = BigInt(10).pow(38)
+    (dJ :+ dA).foreach(det => require(det.abs < DecMax,
+      s"Cramer determinant $det exceeds decimal(38,0); " +
+        "rescale features before the Gram pass"))
     // BigInt / truncates toward zero — matches the oracle's sign-split
     val wbp = dJ.map(dj => ((dj * 10000) / dA).toLong)
     val sgn = if (dA.signum >= 0) 1L else -1L

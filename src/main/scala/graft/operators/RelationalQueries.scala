@@ -134,7 +134,7 @@ object RelationalQueries {
       .filter(col("r_name").isin("ASIA", "EUROPE"))
       .select("r_regionkey")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
@@ -208,7 +208,7 @@ object RelationalQueries {
     val n = Tables.nation(s, d).select("n_nationkey", "n_name")
     val w = Window.partitionBy("n_name")
       .orderBy(col("revenue").desc, col("s_suppkey"))
-    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    rev.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
         rank().over(w).as("rnk"),
@@ -229,7 +229,7 @@ object RelationalQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
@@ -289,7 +289,7 @@ object RelationalQueries {
     val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
     val n = Tables.nation(s, d).select("n_nationkey", "n_name")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -328,7 +328,7 @@ object RelationalQueries {
           * (lit(100) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
           .as("rev_e4"))
     val p = Tables.part(s, d).select("p_partkey", "p_type")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L))
           .as("promo_rev_e4"),
@@ -400,8 +400,8 @@ object RelationalQueries {
       |GROUP BY segment, r_q, f_q, m_q
       |ORDER BY segment, r_q, f_q, m_q""".stripMargin) { (s, d) =>
     val m = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select("c_custkey", "c_mktsegment")),
+      .join(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"),
         col("o_custkey").as("custkey"))
@@ -871,8 +871,8 @@ object RelationalQueries {
       .filter(col("sum_qty") > 210)
     big.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)
-        .select("c_custkey", "c_name")),
+      .join(Tables.customer(s, d)
+        .select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
@@ -907,8 +907,8 @@ object RelationalQueries {
     val mx = rev.agg(max("rev_cents").as("m"))
     rev.crossJoin(broadcast(mx))
       .filter(col("rev_cents") === col("m"))
-      .join(broadcast(Tables.supplier(s, d)
-        .select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "rev_cents")
       .orderBy("s_suppkey")
@@ -1048,7 +1048,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_p"), sum("q").as("sum_q"))
     li.join(pa, "l_partkey")
       .filter(col("q") * 5 * col("n_p") < col("sum_q"))
-      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+      .join(Tables.part(s, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_lines"), sum("cents").as("rev_cents"))
@@ -1108,8 +1108,8 @@ object RelationalQueries {
     su.join(ord, "l_orderkey")
       .filter(col("late") === 1 && col("n_supp") >= 2
         && col("n_late") === 1)
-      .join(broadcast(Tables.supplier(s, d)
-        .select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, d)
+        .select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
       .agg(count(lit(1)).as("numwait"))

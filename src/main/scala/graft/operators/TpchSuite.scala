@@ -18,13 +18,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB design): lineitem is the only unbounded
   * table. Every query here scans it ONCE, projects it down before
-  * the first exchange, broadcasts every dimension
-  * (part/supplier/customer/nation/region are all dims at warehouse
-  * scale by TPC-H's own ratios), and aggregates with map-side
-  * partial aggregation. The pseudo-`partsupp` catalogs (q2/q16/q20)
-  * are derived per-(part,supplier) aggregates — shuffles keyed on
-  * l_partkey that AQE coalesces; at warehouse scale the catalog
-  * would be a bucketed materialization shared across the three.
+  * the first exchange, and aggregates with map-side partial
+  * aggregation. Dimension-join hint policy: only dims BOUNDED by the
+  * schema itself (nation = 25 rows, region = 5, single-row derived
+  * scalars) carry an explicit `broadcast()` hint; SF-SCALING dims
+  * (part, supplier, customer — they grow with the warehouse, a
+  * customer table is terabytes at 100 TB) are left unhinted so the
+  * size-based planner / AQE chooses — at test SF they broadcast
+  * statically anyway (file size < autoBroadcastJoinThreshold), at
+  * warehouse SF they degrade to shuffle joins instead of OOMing
+  * every executor on a forced broadcast (TpchScaleSpec pins exactly
+  * this cutover against a generated sf1-size scaffold). The
+  * pseudo-`partsupp` catalogs (q2/q16/q20) are derived
+  * per-(part,supplier) aggregates — shuffles keyed on l_partkey that
+  * AQE coalesces; at warehouse scale the catalog would be a bucketed
+  * materialization shared across the three.
   */
 object TpchSuite {
 
@@ -84,11 +92,11 @@ object TpchSuite {
       .filter(col("p_type") === "STANDARD"
         && col("p_size").between(10, 20))
       .select("p_partkey", "p_name")
-    cat.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+    cat.join(eu, col("l_suppkey") === col("s_suppkey"))
       .withColumn("best_cents",
         min("cost_cents").over(Window.partitionBy("l_partkey")))
       .filter(col("cost_cents") === col("best_cents"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .select("p_partkey", "p_name", "s_name", "n_name", "bal_cents",
         "cost_cents")
       .orderBy(col("bal_cents").desc, col("s_name"), col("p_partkey"))
@@ -123,12 +131,12 @@ object TpchSuite {
     def natDim(key: String, out: String) = broadcast(
       Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as(key), col("n_name").as(out)))
-    val su = broadcast(Tables.supplier(s, d)
+    val su = (Tables.supplier(s, d)
       .select("s_suppkey", "s_nationkey")
       .join(natDim("sn_key", "supp_nation"),
         col("s_nationkey") === col("sn_key"))
       .select("s_suppkey", "supp_nation"))
-    val cu = broadcast(Tables.customer(s, d)
+    val cu = (Tables.customer(s, d)
       .select("c_custkey", "c_nationkey")
       .join(natDim("cn_key", "cust_nation"),
         col("c_nationkey") === col("cn_key"))
@@ -177,9 +185,9 @@ object TpchSuite {
       |    // sum(cents) AS BIGINT) AS share_bp
       |FROM al GROUP BY o_year ORDER BY o_year""".stripMargin) {
     (s, d) =>
-    val pt = broadcast(Tables.part(s, d)
+    val pt = (Tables.part(s, d)
       .filter(col("p_type") === "ECONOMY").select("p_partkey"))
-    val amCust = broadcast(Tables.customer(s, d)
+    val amCust = (Tables.customer(s, d)
       .select("c_custkey", "c_nationkey")
       .join(Tables.nation(s, d).select("n_nationkey", "n_regionkey"),
         col("c_nationkey") === col("n_nationkey"))
@@ -187,7 +195,7 @@ object TpchSuite {
         .select("r_regionkey"),
         col("n_regionkey") === col("r_regionkey"))
       .select("c_custkey"))
-    val su = broadcast(Tables.supplier(s, d)
+    val su = (Tables.supplier(s, d)
       .select("s_suppkey", "s_nationkey")
       .join(Tables.nation(s, d)
         .select(col("n_nationkey").as("sn_key"), col("n_name")),
@@ -234,12 +242,12 @@ object TpchSuite {
       |SELECT n_name, o_year, count(*) AS n_lines,
       |  CAST(sum(amount) AS BIGINT) AS profit_cents
       |FROM pl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val pt = broadcast(Tables.part(s, d)
+    val pt = (Tables.part(s, d)
       .filter(col("p_name").like("%ring%"))
       .select(col("p_partkey"),
         expr("CAST(round(p_retailprice * 10) AS BIGINT)")
           .as("unit_cost")))
-    val su = broadcast(Tables.supplier(s, d)
+    val su = (Tables.supplier(s, d)
       .select("s_suppkey", "s_nationkey")
       .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
         col("s_nationkey") === col("n_nationkey"))
@@ -283,7 +291,7 @@ object TpchSuite {
       |SELECT l_partkey, value_cents
       |FROM v, t WHERE value_cents * 1000 > total
       |ORDER BY value_cents DESC, l_partkey""".stripMargin) { (s, d) =>
-    val me = broadcast(Tables.supplier(s, d)
+    val me = (Tables.supplier(s, d)
       .select("s_suppkey", "s_nationkey")
       .join(Tables.nation(s, d).select("n_nationkey", "n_regionkey"),
         col("s_nationkey") === col("n_nationkey"))
@@ -387,9 +395,9 @@ object TpchSuite {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
       .stripMargin) { (s, d) =>
-    val bad = broadcast(Tables.supplier(s, d)
+    val bad = (Tables.supplier(s, d)
       .filter(col("s_acctbal") < 0).select("s_suppkey"))
-    val pt = broadcast(Tables.part(s, d)
+    val pt = (Tables.part(s, d)
       .filter(col("p_brand") =!= "Brand#21"
         && col("p_type") =!= "PROMO"
         && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
@@ -419,7 +427,7 @@ object TpchSuite {
       |    AND l_quantity BETWEEN 10 AND 20)
       |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
       |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
-    val pt = broadcast(Tables.part(s, d)
+    val pt = (Tables.part(s, d)
       .filter((col("p_brand") === "Brand#12"
           && col("p_size").between(1, 5))
         || (col("p_brand") === "Brand#23"
@@ -482,9 +490,9 @@ object TpchSuite {
     val tot = qty.groupBy("l_partkey")
       .agg(sum("supp_qty").as("part_qty"))
       .withColumnRenamed("l_partkey", "t_partkey")
-    val smallParts = broadcast(Tables.part(s, d)
+    val smallParts = (Tables.part(s, d)
       .filter(col("p_name").like("small%")).select("p_partkey"))
-    val su = broadcast(Tables.supplier(s, d)
+    val su = (Tables.supplier(s, d)
       .select("s_suppkey", "s_name", "s_nationkey")
       .join(Tables.nation(s, d).select("n_nationkey", "n_name"),
         col("s_nationkey") === col("n_nationkey"))

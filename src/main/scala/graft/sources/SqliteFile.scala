@@ -16,8 +16,14 @@ package graft.sources
   * distributed (the caller maps rows to cells wherever it likes);
   * page ASSEMBLY is inherently single-stream (a SQLite file is one
   * page-addressed artifact, same as any single-file sink) and runs
-  * on the driver over an iterator of pre-encoded cells, never
-  * materializing more than one page. Capacity: two b-tree levels —
+  * on the driver over an iterator of pre-encoded cells. The writer
+  * STREAMS: pages are positioned by explicit page number, so each
+  * leaf page is written to its file offset the moment it fills
+  * (page 1 — header + sqlite_master — is seeked back to last), and
+  * the driver holds one in-flight page plus 16 bytes of (pageNo,
+  * maxRowid) bookkeeping per completed leaf — a planet-scale
+  * 100 GB .mbtiles needs ~400 MB of bookkeeping, not 100 GB of
+  * buffered pages or rows. Capacity: two b-tree levels —
   * ~340 children per interior page → ~115k leaf pages ≈ 10M+ small
   * rows per table — guarded by a require, not silently truncated.
   *
@@ -88,12 +94,17 @@ object SqliteFile {
   def record(values: Seq[Value]): Array[Byte] = {
     val enc = values.map(serial)
     val typeBytes = enc.flatMap { case (t, _) => varint(t) }.toArray
-    // the header length varint includes itself; sizes here are tiny so
-    // one adjustment pass suffices (a 1-byte assumption only breaks
-    // past 127 columns-worth of type bytes)
+    // the header length varint includes itself — iterate to a
+    // fixpoint: at the boundary where the extra varint byte pushes
+    // hlen across a varint-width threshold (~16382 type bytes) a
+    // single adjustment pass would write a wrong header length
     var hlen = 1 + typeBytes.length
-    if (varint(hlen.toLong).length > 1) hlen = varint(hlen.toLong).length +
-      typeBytes.length
+    var settled = false
+    while (!settled) {
+      val next = varint(hlen.toLong).length + typeBytes.length
+      settled = next == hlen
+      hlen = next
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write(varint(hlen.toLong))
     out.write(typeBytes)
@@ -114,21 +125,23 @@ object SqliteFile {
 
   // ---- page building ------------------------------------------------------
 
-  private final class Page(val number: Int, val bytes: Array[Byte])
-
-  /** Pack cells (in rowid order) into b-tree pages; returns the pages
-    * and the root page number. `firstPage` is the number the first
-    * emitted page will get.
+  /** Pack cells (in rowid order) into b-tree pages, EMITTING each page
+    * through `sink` the moment it is complete — leaves stream out as
+    * they fill; only their (pageNo, maxRowid) bookkeeping is retained
+    * for the interior level. Returns (rootPage, nextFreePage).
+    * `firstPage` is the number the first emitted page will get.
     */
   private def buildTableBtree(cells: Iterator[(Long, Array[Byte])],
-      firstPage: Int): (Seq[Page], Int) = {
-    // leaves
-    val leaves = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
+      firstPage: Int, sink: (Int, Array[Byte]) => Unit): (Int, Int) = {
+    // leaves: (pageNo, maxRowid) only — the bytes are already on disk
+    val leaves = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     val cur = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     var curBytes = 0
     def headerSize = 8
     def flushLeaf(): Unit = if (cur.nonEmpty) {
-      leaves += ((leafPage(cur.toSeq), cur.last._1))
+      val pageNo = firstPage + leaves.length
+      sink(pageNo, leafPage(cur.toSeq))
+      leaves += ((pageNo, cur.last._1))
       cur.clear(); curBytes = 0
     }
     cells.foreach { case (rowid, cell) =>
@@ -136,35 +149,29 @@ object SqliteFile {
       cur += ((rowid, cell)); curBytes += cell.length + 2
     }
     flushLeaf()
-    if (leaves.isEmpty) leaves += ((leafPage(Seq.empty), 0L))
+    if (leaves.isEmpty) {
+      sink(firstPage, leafPage(Seq.empty))
+      leaves += ((firstPage, 0L))
+    }
 
-    if (leaves.length == 1)
-      (Seq(new Page(firstPage, leaves.head._1)), firstPage)
+    if (leaves.length == 1) (firstPage, firstPage + 1)
     else {
-      // leaf pages first, then one interior level, then (if needed) root
-      val leafPages = leaves.zipWithIndex.map { case ((b, _), i) =>
-        new Page(firstPage + i, b)
-      }
-      val children = leafPages.zip(leaves.map(_._2)) // (page, maxRowid)
+      // one interior level over the leaves, then (if needed) a root
       val MaxKids = 340
-      require(children.length <= MaxKids * MaxKids,
-        s"table needs a 3-level b-tree (${children.length} leaves)")
-      val groups = children.grouped(MaxKids).toSeq
-      var next = firstPage + leafPages.length
+      require(leaves.length <= MaxKids * MaxKids,
+        s"table needs a 3-level b-tree (${leaves.length} leaves)")
+      val groups = leaves.grouped(MaxKids).toSeq
+      var next = firstPage + leaves.length
       val interiors = groups.map { g =>
-        val p = new Page(next,
-          interiorPage(g.init.map { case (pg, k) => (pg.number, k) }.toSeq,
-            g.last._1.number))
+        val pageNo = next
+        sink(pageNo, interiorPage(g.init.toSeq, g.last._1))
         next += 1
-        (p, g.last._2)
+        (pageNo, g.last._2)
       }
-      if (interiors.length == 1)
-        (leafPages.toSeq :+ interiors.head._1, interiors.head._1.number)
+      if (interiors.length == 1) (interiors.head._1, next)
       else {
-        val root = new Page(next,
-          interiorPage(interiors.init.map { case (p, k) => (p.number, k) }.toSeq,
-            interiors.last._1.number))
-        (leafPages.toSeq ++ interiors.map(_._1) :+ root, next)
+        sink(next, interiorPage(interiors.init.toSeq, interiors.last._1))
+        (next, next + 1)
       }
     }
   }
@@ -230,68 +237,72 @@ object SqliteFile {
 
   // ---- whole-file assembly ------------------------------------------------
 
-  /** Write `tables` into a single SQLite database file. Returns the
-    * per-table (name, rootPage, nRows).
+  /** Write `tables` into a single SQLite database file, streaming:
+    * each b-tree page goes to its file offset the moment it is built
+    * (rows are consumed strictly once, lazily), and page 1 — whose
+    * header needs the final page count — is seeked back to at the
+    * end. Returns the per-table (name, rootPage, nRows).
     */
   def write(path: java.nio.file.Path, tables: Seq[Table],
       applicationId: Int = 0, userVersion: Int = 0)
       : Seq[(String, Int, Long)] = {
-    // 1. build every table's b-tree; page 1 is the schema, so content
-    //    starts at page 2
-    var nextPage = 2
-    val built = tables.map { t =>
-      var n = 0L
-      val cells = t.rows.map { r =>
-        n += 1
-        (n, leafCell(n, record(r)))
+    val raf = new java.io.RandomAccessFile(path.toFile, "rw")
+    val built = try {
+      raf.setLength(0)
+      def sink(pageNo: Int, bytes: Array[Byte]): Unit = {
+        raf.seek((pageNo - 1).toLong * PageSize)
+        raf.write(bytes)
       }
-      val (pages, root) = buildTableBtree(cells, nextPage)
-      nextPage += pages.length
-      (t, pages, root, n)
-    }
-    // 2. sqlite_master on page 1
-    val masterCells = built.zipWithIndex.map { case ((t, _, root, _), i) =>
-      val rec = record(Seq("table", t.name, t.name, root.toLong, t.createSql))
-      ((i + 1).toLong, leafCell((i + 1).toLong, rec))
-    }
-    val page1 = leafPage(masterCells, offset = 100)
-    require(100 + 8 + 2 * masterCells.length <=
-      PageSize - masterCells.map(_._2.length).sum,
-      "schema does not fit page 1 (unsupported)")
-    val totalPages = nextPage - 1
-
-    // 3. 100-byte header into page 1
-    val hdr = java.nio.ByteBuffer.allocate(100)
-    hdr.put(("SQLite format 3" + "\u0000").getBytes("ISO-8859-1"))
-    hdr.putShort(PageSize.toShort) // 16
-    hdr.put(1.toByte).put(1.toByte) // file format write/read version
-    hdr.put(0.toByte) // reserved per page
-    hdr.put(64.toByte).put(32.toByte).put(32.toByte) // payload fractions
-    hdr.putInt(1) // change counter
-    hdr.putInt(totalPages) // 28
-    hdr.putInt(0).putInt(0) // freelist head + count
-    hdr.putInt(1) // schema cookie
-    hdr.putInt(1) // schema format 1 (most compatible)
-    hdr.putInt(0) // default page cache
-    hdr.putInt(0) // largest root (no vacuum)
-    hdr.putInt(1) // UTF-8
-    hdr.putInt(userVersion) // 60
-    hdr.putInt(0) // incremental vacuum
-    hdr.putInt(applicationId) // 68
-    hdr.put(new Array[Byte](20)) // reserved
-    hdr.putInt(1) // version-valid-for
-    hdr.putInt(3040000) // sqlite version number
-    System.arraycopy(hdr.array(), 0, page1, 0, 100)
-
-    // 4. stream pages out in order
-    val out = new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(path))
-    try {
-      out.write(page1)
-      built.flatMap(_._2).sortBy(_.number).foreach { p =>
-        out.write(p.bytes)
+      // 1. stream every table's b-tree out; page 1 is the schema, so
+      //    content starts at page 2
+      var nextPage = 2
+      val built = tables.map { t =>
+        var n = 0L
+        val cells = t.rows.map { r =>
+          n += 1
+          (n, leafCell(n, record(r)))
+        }
+        val (root, next) = buildTableBtree(cells, nextPage, sink)
+        nextPage = next
+        (t, root, n)
       }
-    } finally out.close()
-    built.map { case (t, _, root, n) => (t.name, root, n) }
+      // 2. sqlite_master on page 1
+      val masterCells = built.zipWithIndex.map { case ((t, root, _), i) =>
+        val rec = record(
+          Seq("table", t.name, t.name, root.toLong, t.createSql))
+        ((i + 1).toLong, leafCell((i + 1).toLong, rec))
+      }
+      val page1 = leafPage(masterCells, offset = 100)
+      require(100 + 8 + 2 * masterCells.length <=
+        PageSize - masterCells.map(_._2.length).sum,
+        "schema does not fit page 1 (unsupported)")
+      val totalPages = nextPage - 1
+
+      // 3. 100-byte header into page 1, seeked back and written last
+      val hdr = java.nio.ByteBuffer.allocate(100)
+      hdr.put(("SQLite format 3" + "\u0000").getBytes("ISO-8859-1"))
+      hdr.putShort(PageSize.toShort) // 16
+      hdr.put(1.toByte).put(1.toByte) // file format write/read version
+      hdr.put(0.toByte) // reserved per page
+      hdr.put(64.toByte).put(32.toByte).put(32.toByte) // payload fractions
+      hdr.putInt(1) // change counter
+      hdr.putInt(totalPages) // 28
+      hdr.putInt(0).putInt(0) // freelist head + count
+      hdr.putInt(1) // schema cookie
+      hdr.putInt(1) // schema format 1 (most compatible)
+      hdr.putInt(0) // default page cache
+      hdr.putInt(0) // largest root (no vacuum)
+      hdr.putInt(1) // UTF-8
+      hdr.putInt(userVersion) // 60
+      hdr.putInt(0) // incremental vacuum
+      hdr.putInt(applicationId) // 68
+      hdr.put(new Array[Byte](20)) // reserved
+      hdr.putInt(1) // version-valid-for
+      hdr.putInt(3040000) // sqlite version number
+      System.arraycopy(hdr.array(), 0, page1, 0, 100)
+      sink(1, page1)
+      built
+    } finally raf.close()
+    built.map { case (t, root, n) => (t.name, root, n) }
   }
 }

@@ -19,7 +19,11 @@ import org.apache.spark.sql.streaming.Trigger
   * rebuild of the same layer bit-for-bit — tiles are pure functions
   * of the feature set, features only arrive (no updates), and any
   * tile whose content would change is dirtied by the very feature
-  * that changes it. The oracle is therefore the SAME relational
+  * that changes it. The invariant survives micro-batch REPLAY
+  * (foreachBatch is at-least-once): all writes are batchId-keyed
+  * overwrites, so a replayed batch rewrites its own directories with
+  * identical content instead of duplicating features or inflating
+  * tile versions. The oracle is therefore the SAME relational
   * tile-stats replay as `q_tiles_mvt`, filtered to the spots layer.
   *
   * Scale shape: the dirty-key set per micro-batch is broadcast into a
@@ -73,22 +77,28 @@ object TilesStreaming {
       .writeStream
       .option("checkpointLocation", s"$stage-ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a micro-batch may REPLAY
+        // after a failure. Every write below keys its output directory
+        // by batchId and OVERWRITES, so a replay lands on the same
+        // paths with the same content instead of appending duplicate
+        // features / inflating re-encoded tiles — the store reads
+        // glob the per-batch subdirectories back together.
         val batchSpots = MvtTiles.spotFeatures(batch)
         // 1. the batch's features join the accumulated store
-        batchSpots.write.mode("append").parquet(spotsDir)
+        batchSpots.write.mode("overwrite").parquet(s"$spotsDir/b$batchId")
         // 2. dirty keys: every tile whose buffered range a new
         //    feature touches
         val dirty = MvtTiles.tilesOf(batchSpots)
           .select("z", "tx", "ty").distinct()
         // 3. re-encode ONLY dirty tiles, from ALL features seen so
         //    far (the semi-join prunes before quantize/prep/encode)
-        val allSpots = batch.sparkSession.read.parquet(spotsDir)
+        val allSpots = batch.sparkSession.read.parquet(s"$spotsDir/b*")
         val fresh = MvtTiles.encodeOf(MvtTiles.prepOf(
           MvtTiles.tilesOf(allSpots)
             .join(broadcast(dirty), Seq("z", "tx", "ty"), "left_semi")))
-        // 4. LSM-style upsert: append under this batch's version
+        // 4. LSM-style upsert: this batch's version of each dirty tile
         fresh.withColumn("ver", lit(batchId))
-          .write.mode("append").parquet(tilesDir)
+          .write.mode("overwrite").parquet(s"$tilesDir/b$batchId")
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -99,7 +109,7 @@ object TilesStreaming {
     // resolve last writer per tile key, then decode to the oracled
     // stats columns — hash-equal to the batch rebuild of the layer
     import org.apache.spark.sql.expressions.Window
-    val latest = spark.read.parquet(tilesDir)
+    val latest = spark.read.parquet(s"$tilesDir/b*")
       .withColumn("rn", row_number().over(
         Window.partitionBy("zoom", "tile_x", "tile_y")
           .orderBy(col("ver").desc)))

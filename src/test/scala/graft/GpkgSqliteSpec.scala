@@ -27,7 +27,8 @@ $script
     val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_spec_")
     val db = dir.resolve("test.gpkg")
     val written = operators.GeoPackage.writeGpkgFile(spark, sf, db)
-    assert(written.map(_._1).count(_.startsWith("gpkg_")) == 3)
+    assert(written.map(_._1).count(_.startsWith("gpkg_")) == 4)
+    assert(written.map(_._1).count(_.startsWith("nga_")) == 2)
 
     val expected = operators.GeoPackage.gpkgGeoms(spark, sf)
       .groupBy("layer").agg(count(lit(1))).collect()
@@ -54,6 +55,53 @@ $script
       assert(counts(l) == n, s"$l: file has ${counts(l)}, engine has $n")
     }
     assert(out.last.toInt == expected.size)
+  }
+
+  test("NGA geometry-index tables cover every feature with its envelope") {
+    // the reference's indexFeatureTable analog
+    // (GeoPackageWriter.ts:589-600): gpkg_extensions registers the
+    // extension per feature table, nga_table_index lists the tables,
+    // and nga_geometry_index carries one envelope row per fid —
+    // queried back through the independent stdlib reader
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_idx_")
+    val db = dir.resolve("test.gpkg")
+    operators.GeoPackage.writeGpkgFile(spark, sf, db)
+    val expected = operators.GeoPackage.gpkgGeoms(spark, sf)
+      .groupBy("layer").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val envSample = operators.GeoPackage.gpkgGeoms(spark, sf)
+      .filter(col("layer") === "runs").orderBy("fid").limit(1)
+      .select(col("fid"), col("g")("minx"), col("g")("maxx"),
+        col("g")("miny"), col("g")("maxy")).collect().head
+
+    val out = py(db,
+      s"""exts = con.execute(
+        |    "SELECT table_name, extension_name FROM gpkg_extensions"
+        |    " ORDER BY table_name").fetchall()
+        |print(len(exts), all(e[1] == 'nga_geometry_index' for e in exts))
+        |print(con.execute('SELECT count(*) FROM nga_table_index')
+        |    .fetchone()[0])
+        |for t, n in con.execute(
+        |    'SELECT table_name, count(*) FROM nga_geometry_index'
+        |    ' GROUP BY table_name ORDER BY table_name'):
+        |  print(t, n)
+        |print(con.execute(
+        |    'SELECT min_x, max_x, min_y, max_y FROM nga_geometry_index'
+        |    ' WHERE table_name = "runs" AND geom_id = ${envSample.getLong(0)}'
+        |    ).fetchone())
+        |""".stripMargin)
+    assert(out.head == s"${expected.size} True", s"extensions: $out")
+    assert(out(1).toInt == expected.size)
+    val idxCounts = out.drop(2).dropRight(1)
+      .map(_.split(" ")).map(a => a(0) -> a(1).toLong).toMap
+    expected.foreach { case (l, n) =>
+      assert(idxCounts(l) == n, s"$l index: ${idxCounts.get(l)} vs $n")
+    }
+    val env = out.last.stripPrefix("(").stripSuffix(")")
+      .split(",").map(_.trim.toDouble)
+    assert(env(0) == envSample.getDouble(1) && env(1) == envSample.getDouble(2)
+      && env(2) == envSample.getDouble(3) && env(3) == envSample.getDouble(4),
+      s"envelope mismatch: ${env.toSeq} vs $envSample")
   }
 
   test("a sampled geometry BLOB round-trips byte-exactly") {

@@ -239,6 +239,23 @@ class MvtTilesSpec extends SparkSpec {
     assert(checkedLayers === stats.size)
   }
 
+  test("reliable-checkpoint flag yields the identical tile stats") {
+    // both barrier modes must produce the same build; the flag only
+    // changes where the materialized feature rows live (executor
+    // blocks vs the fault-tolerant checkpoint dir)
+    val key = operators.MvtTiles.ReliableCheckpointKey
+    def statsRows() = SparkEntry.queries("q_tiles_mvt")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val local = statsRows()
+    spark.conf.set(key, "true")
+    try {
+      val reliable = statsRows()
+      assert(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliable mode must provision a checkpoint dir")
+      assert(reliable === local)
+    } finally spark.conf.unset(key)
+  }
+
   test("density cap bounds every low-zoom tile-layer group") {
     // the drop-densest analog: no (z≤4) group may exceed 64 features,
     // no (z5-8) group 512 — the z0 "whole world in one tile" group is

@@ -96,6 +96,33 @@ $script
       3L * n * (n + 1) / 2)
   }
 
+  test("the writer streams: pages hit disk while rows are still arriving") {
+    // the O(1)-rows proof for the single-file sink: a lazy 60k-row
+    // iterator observes the file's length mid-iteration — with the
+    // streaming page writer, filled leaf pages are already on disk
+    // long before the iterator is exhausted (a buffering writer would
+    // hold every page until the end and the length would still be 0)
+    val db = java.nio.file.Files.createTempFile("graft_sq_stream_", ".db")
+    val n = 60000
+    var lenAtMid = -1L
+    val rows = (1 to n).iterator.map { i =>
+      if (i == n - 1) lenAtMid = java.nio.file.Files.size(db)
+      Seq(i.toLong, "v" + i): Seq[Any]
+    }
+    SqliteFile.write(db, Seq(SqliteFile.Table(
+      "s", "CREATE TABLE s (k INTEGER, v TEXT)", rows)))
+    val total = java.nio.file.Files.size(db)
+    assert(lenAtMid > total / 2,
+      s"only $lenAtMid of $total bytes on disk near the end of the row " +
+        "stream — the writer is buffering pages")
+    val out = py(db,
+      """print(con.execute('PRAGMA integrity_check').fetchone()[0])
+        |print(con.execute('SELECT count(*), sum(k) FROM s').fetchone())
+        |""".stripMargin)
+    assert(out.head == "ok", s"integrity_check: $out")
+    assert(out(1) == s"($n, ${n.toLong * (n + 1) / 2})")
+  }
+
   test("empty table and multiple tables coexist") {
     val db = java.nio.file.Files.createTempFile("graft_sq_multi_", ".db")
     SqliteFile.write(db, Seq(
