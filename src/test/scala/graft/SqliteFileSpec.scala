@@ -96,6 +96,27 @@ $script
       3L * n * (n + 1) / 2)
   }
 
+  test("record header length is exact at the varint-width boundary") {
+    // the header-length varint includes itself; around 2^14 type bytes
+    // the extra byte pushes the varint across a width threshold and a
+    // single-adjustment encoder writes a wrong header. The fixpoint
+    // encoder must stay exact there — decode the header back and check
+    // it against the actual layout for column counts spanning the
+    // boundary (each NULL column contributes one 1-byte type).
+    def varintDecode(b: Array[Byte]): (Long, Int) = {
+      var v = 0L; var i = 0
+      while ((b(i) & 0x80) != 0) { v = (v << 7) | (b(i) & 0x7f); i += 1 }
+      ((v << 7) | (b(i) & 0x7f), i + 1)
+    }
+    for (cols <- Seq(1, 127, 128, 16381, 16382, 16383, 16384)) {
+      val rec = SqliteFile.record(Seq.fill(cols)(null))
+      val (hlen, hbytes) = varintDecode(rec)
+      assert(hlen == hbytes + cols,
+        s"$cols cols: header claims $hlen, actual ${hbytes + cols}")
+      assert(rec.length == hlen, s"$cols cols: record has trailing data")
+    }
+  }
+
   test("the writer streams: pages hit disk while rows are still arriving") {
     // the O(1)-rows proof for the single-file sink: a lazy 60k-row
     // iterator observes the file's length mid-iteration — with the
