@@ -272,9 +272,14 @@ object MvtPrepKernel {
 
   /** Full prep: optional DP simplify (with polygon bbox-placeholder
     * fallback), then clip to [-buffer, 4096+buffer]². See class doc.
+    * `allowFast = false` forces the general clip path even for
+    * interior geometry — test-only, so MvtPrepProps can prove the
+    * fast path IS the identity the comments claim, on arbitrary
+    * inputs rather than by argument.
     */
   def prep(gtype: Int, xs0: Array[Long], ys0: Array[Long],
-      simplify: Boolean, tol: Long, buffer: Int)
+      simplify: Boolean, tol: Long, buffer: Int,
+      allowFast: Boolean = true)
       : Array[Array[(Long, Long)]] = {
     val lo = -buffer.toDouble
     val hi = Extent.toDouble + buffer
@@ -298,7 +303,7 @@ object MvtPrepKernel {
         // path below, minus the doubles. The one non-identity case,
         // a duplicate-vertex degenerate segment, drops and breaks
         // part contiguity exactly as the clip loop would.
-        if (inBounds(xs, ys, lo, hi)) {
+        if (allowFast && inBounds(xs, ys, lo, hi)) {
           val parts = scala.collection.mutable.ArrayBuffer[Array[(Long, Long)]]()
           val cur = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
           var i = 0
@@ -370,7 +375,7 @@ object MvtPrepKernel {
         // inside ring unchanged and rounding integer-valued doubles is
         // the identity, so skip the double round-trip entirely
         val rounded: Array[(Long, Long)] =
-          if (inBounds(xs, ys, lo, hi)) {
+          if (allowFast && inBounds(xs, ys, lo, hi)) {
             xs.indices.map(i => (xs(i), ys(i))).toArray
           } else {
             var ring = xs.indices

@@ -839,7 +839,16 @@ object MvtTiles {
   def writeMbtilesFile(s: SparkSession, d: String,
       path: java.nio.file.Path): Seq[(String, Int, Long)] = {
     import graft.sources.SqliteFile
-    val tiles = tileBytes(s, d).localCheckpoint(false)
+    // same barrier policy as the tile build: local blocks by default,
+    // the reliable checkpoint dir under the opt-in flag
+    val built = tileBytes(s, d)
+    val tiles =
+      if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(java.nio.file.Files
+            .createTempDirectory("graft_tiles_ckpt_").toString)
+        built.checkpoint(false)
+      } else built.localCheckpoint(false)
     // metadata needs the zoom extremes — a tiny pre-aggregate, not a
     // scan of collected rows
     val zrow = tiles.agg(min("zoom"), max("zoom")).head()

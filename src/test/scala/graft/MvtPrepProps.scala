@@ -38,6 +38,30 @@ object MvtPrepProps extends Properties("MvtPrepKernel") {
     MvtPrepKernel.prep(g, pts.map(_._1).toArray, pts.map(_._2).toArray,
       simp, tol, buf)
 
+  property("interior fast path equals the general clip path exactly") =
+    // geometries wholly inside the buffered square (where the fast
+    // path fires) must produce bit-identical parts with the fast path
+    // disabled — the identity argument in the kernel comments, proved
+    // on arbitrary inputs including duplicate-vertex degeneracies and
+    // boundary-touching coordinates
+    Prop.forAll(Gen.oneOf(2, 3), bufGen, tolGen, boolGen,
+      Gen.chooseNum(3, 9)) { (g, buf, tol, simp, n) =>
+      val inb = Gen.chooseNum(-buf.toLong, 4096L + buf)
+      Prop.forAll(Gen.listOfN(n, inb), Gen.listOfN(n, inb),
+        // sprinkle duplicates: degenerate segments are the one
+        // non-identity corner the fast path must replicate
+        Gen.listOfN(n, Gen.chooseNum(0, 3))) { (xs0, ys0, dup) =>
+        val xs = xs0.zip(dup).map { case (x, d) => if (d == 0) xs0.head else x }
+        val ys = ys0.zip(dup).map { case (y, d) => if (d == 0) ys0.head else y }
+        val fast = MvtPrepKernel.prep(g, xs.toArray, ys.toArray,
+          simp, tol, buf, allowFast = true)
+        val slow = MvtPrepKernel.prep(g, xs.toArray, ys.toArray,
+          simp, tol, buf, allowFast = false)
+        (fast.length == slow.length) :| s"parts ${fast.length} vs ${slow.length}" &&
+          fast.zip(slow).forall { case (a, b) => a.sameElements(b) }
+      }
+    }
+
   property("output stays inside the buffered square") =
     Prop.forAll(Gen.oneOf(2, 3), ptsGen(3, 9), bufGen, tolGen, boolGen) {
       (g, pts, buf, tol, simp) =>
