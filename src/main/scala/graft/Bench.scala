@@ -143,7 +143,13 @@ object Bench {
       q.name -> t
     }
 
-    val lastPath = java.nio.file.Paths.get("BENCH_LAST.json")
+    // the regression baseline is per scale factor: an sf0.001 scaling
+    // probe must not become the comparison band for the next sf0.1 run
+    // (the canonical driver scale keeps the historical filename)
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val lastPath = java.nio.file.Paths.get(
+      if (sfBase == "sf0.1") "BENCH_LAST.json"
+      else s"BENCH_LAST_$sfBase.json")
     // Noise-banded regression guard: the current MEDIAN is compared
     // against the prior run's full SAMPLE RANGE, not its median — a
     // delta is flagged only when the new median sits 1.5× beyond the
