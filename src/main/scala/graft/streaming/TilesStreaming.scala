@@ -39,6 +39,35 @@ object TilesStreaming {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** One micro-batch of the incremental refresh. foreachBatch is
+    * at-least-once: a micro-batch may REPLAY after a failure. Every
+    * write here keys its output directory by batchId and OVERWRITES,
+    * so a replay lands on the same paths with the same content
+    * instead of appending duplicate features / inflating re-encoded
+    * tiles — the store reads glob the per-batch subdirectories back
+    * together. TilesStreamingSpec proves the property by calling this
+    * twice with the same batch and diffing the store.
+    */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      spotsDir: String, tilesDir: String): Unit = {
+    val batchSpots = MvtTiles.spotFeatures(batch)
+    // 1. the batch's features join the accumulated store
+    batchSpots.write.mode("overwrite").parquet(s"$spotsDir/b$batchId")
+    // 2. dirty keys: every tile whose buffered range a new feature
+    //    touches
+    val dirty = MvtTiles.tilesOf(batchSpots)
+      .select("z", "tx", "ty").distinct()
+    // 3. re-encode ONLY dirty tiles, from ALL features seen so far
+    //    (the semi-join prunes before quantize/prep/encode)
+    val allSpots = batch.sparkSession.read.parquet(s"$spotsDir/b*")
+    val fresh = MvtTiles.encodeOf(MvtTiles.prepOf(
+      MvtTiles.tilesOf(allSpots)
+        .join(broadcast(dirty), Seq("z", "tx", "ty"), "left_semi")))
+    // 4. LSM-style upsert: this batch's version of each dirty tile
+    fresh.withColumn("ver", lit(batchId))
+      .write.mode("overwrite").parquet(s"$tilesDir/b$batchId")
+  }
+
   def refreshViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.Files
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -77,29 +106,7 @@ object TilesStreaming {
       .writeStream
       .option("checkpointLocation", s"$stage-ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // foreachBatch is at-least-once: a micro-batch may REPLAY
-        // after a failure. Every write below keys its output directory
-        // by batchId and OVERWRITES, so a replay lands on the same
-        // paths with the same content instead of appending duplicate
-        // features / inflating re-encoded tiles — the store reads
-        // glob the per-batch subdirectories back together.
-        val batchSpots = MvtTiles.spotFeatures(batch)
-        // 1. the batch's features join the accumulated store
-        batchSpots.write.mode("overwrite").parquet(s"$spotsDir/b$batchId")
-        // 2. dirty keys: every tile whose buffered range a new
-        //    feature touches
-        val dirty = MvtTiles.tilesOf(batchSpots)
-          .select("z", "tx", "ty").distinct()
-        // 3. re-encode ONLY dirty tiles, from ALL features seen so
-        //    far (the semi-join prunes before quantize/prep/encode)
-        val allSpots = batch.sparkSession.read.parquet(s"$spotsDir/b*")
-        val fresh = MvtTiles.encodeOf(MvtTiles.prepOf(
-          MvtTiles.tilesOf(allSpots)
-            .join(broadcast(dirty), Seq("z", "tx", "ty"), "left_semi")))
-        // 4. LSM-style upsert: this batch's version of each dirty tile
-        fresh.withColumn("ver", lit(batchId))
-          .write.mode("overwrite").parquet(s"$tilesDir/b$batchId")
-        ()
+        processBatch(batch, batchId, spotsDir, tilesDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()

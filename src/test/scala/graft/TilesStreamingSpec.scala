@@ -50,6 +50,49 @@ class TilesStreamingSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("a replayed micro-batch leaves the store byte-identical") {
+    // foreachBatch is at-least-once — processBatch must be idempotent
+    // under replay. Run batch 0 then batch 1, snapshot the resolved
+    // store, replay batch 1 verbatim, and require the identical
+    // resolved state (same tiles, same bytes, same feature store).
+    import java.nio.file.Files
+    val spotsDir = Files.createTempDirectory("graft_replay_spots_")
+      .resolve("store").toString
+    val tilesDir = Files.createTempDirectory("graft_replay_tiles_")
+      .resolve("store").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val half = maxId / 2
+    val b0 = events.filter(col("event_id") <= half)
+    val b1 = events.filter(col("event_id") > half)
+
+    def resolved(): Seq[(Int, Long, Long, String)] = {
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$tilesDir/b*")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("zoom", "tile_x", "tile_y")
+            .orderBy(col("ver").desc)))
+        .filter(col("rn") === 1)
+        .select(col("zoom"), col("tile_x"), col("tile_y"),
+          md5(col("tile")).as("h"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    }
+    def storeCount(): Long = spark.read.parquet(s"$spotsDir/b*").count()
+
+    streaming.TilesStreaming.processBatch(b0, 0L, spotsDir, tilesDir)
+    streaming.TilesStreaming.processBatch(b1, 1L, spotsDir, tilesDir)
+    val once = resolved()
+    val storeOnce = storeCount()
+    // the failure-replay: the sink sees batch 1 again
+    streaming.TilesStreaming.processBatch(b1, 1L, spotsDir, tilesDir)
+    assert(storeCount() === storeOnce,
+      "replay duplicated rows in the feature store")
+    assert(resolved() === once,
+      "replay changed the resolved tile state")
+  }
+
   test("range-split micro-batches dirty strictly partial tile sets") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val maxId = events.agg(max("event_id")).head().getLong(0)
