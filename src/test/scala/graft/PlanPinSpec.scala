@@ -105,6 +105,18 @@ class PlanPinSpec extends SparkSpec {
       s"q_tiles_mvt_bytes grew to $exchanges exchanges:\n$plan")
   }
 
+  test("q_tiles_mvt_bytes holds its exchange budget at 10x the fixture") {
+    // AQE settles plans from runtime sizes, so a shape that is lean at
+    // sf0.001 can still regress at scale (a cap window leaking onto
+    // the z>=9 bulk would only show where that slice is big) — pin the
+    // same budget one decade up
+    val df = SparkEntry.queries("q_tiles_mvt_bytes")(
+      spark, "/root/testdata/sf0.01")
+    val (exchanges, plan) = audit(df)
+    assert(exchanges <= 4,
+      s"q_tiles_mvt_bytes at sf0.01 grew to $exchanges exchanges:\n$plan")
+  }
+
   test("audit still fires on a genuine non-scalar BNLJ and a cartesian") {
     import spark.implicits._
     val l = spark.range(50).toDF("a")
