@@ -144,6 +144,43 @@ $script
     assert(out(1) == s"($n, ${n.toLong * (n + 1) / 2})")
   }
 
+  test("the reader fails loudly on corrupt containers, never misparses") {
+    // SqliteReader feeds oracle-gated rollups (q_gpkg_sqlite,
+    // q_mbtiles_file): a silent misparse would silently corrupt a
+    // hash the driver trusts, so every corruption class must throw
+    import graft.sources.{SqliteFile, SqliteReader}
+    val db = java.nio.file.Files.createTempFile("graft_sq_corrupt_", ".db")
+    SqliteFile.write(db, Seq(SqliteFile.Table(
+      "t", "CREATE TABLE t (k, v)",
+      (1 to 500).iterator.map(i => Seq(i.toLong, "v" * (i % 40))))))
+    val good = java.nio.file.Files.readAllBytes(db)
+
+    def openBytes(mutate: Array[Byte] => Unit): Unit = {
+      val b = good.clone()
+      mutate(b)
+      val p = java.nio.file.Files.createTempFile("graft_sq_mut_", ".db")
+      java.nio.file.Files.write(p, b)
+      SqliteReader.open(p).table("t").foreach(_ => ())
+    }
+
+    // wrong magic
+    intercept[IllegalArgumentException](openBytes(b => b(0) = 'X'))
+    // unsupported page type on the table root (find it via master)
+    val root = SqliteReader.open(db).master
+      .find(_._2 == "t").get._3
+    intercept[IllegalArgumentException](
+      openBytes(b => b((root - 1) * 4096) = 0x02)) // index-interior type
+    // truncated file: the second page gone — offsets run off the end
+    intercept[Exception] {
+      val p = java.nio.file.Files.createTempFile("graft_sq_trunc_", ".db")
+      java.nio.file.Files.write(p, good.take(4096 + 50))
+      SqliteReader.open(p).table("t").foreach(_ => ())
+    }
+    // unknown table name
+    intercept[NoSuchElementException](
+      SqliteReader.open(db).table("nope").foreach(_ => ()))
+  }
+
   test("empty table and multiple tables coexist") {
     val db = java.nio.file.Files.createTempFile("graft_sq_multi_", ".db")
     SqliteFile.write(db, Seq(
