@@ -239,6 +239,36 @@ class MvtTilesSpec extends SparkSpec {
     assert(checkedLayers === stats.size)
   }
 
+  test("the decode gate fails loudly on truncated tiles") {
+    // MvtDecodeKernel feeds the q_tiles_mvt_bytes oracle gate: a
+    // truncation that silently decoded into plausible smaller stats
+    // would corrupt the very hash the gate exists to protect. Cutting
+    // anywhere INSIDE a layer frame must throw (cutting exactly
+    // between frames legitimately yields a valid shorter tile).
+    val blob = operators.MvtTiles.tileBytes(spark, sf)
+      .filter(col("zoom") === 12).limit(1).collect()
+      .head.getAs[Array[Byte]]("tile")
+    assert(blob.length > 8)
+    // frame boundaries: walk the top-level length-delimited layers
+    val boundaries = {
+      val b = Seq.newBuilder[Int]
+      val r = new Reader(blob, 0, blob.length)
+      while (r.hasMore) { r.varint(); r.bytes(); b += r.pos }
+      b.result().toSet
+    }
+    var threw = 0
+    for (cut <- 1 until blob.length if !boundaries.contains(cut)) {
+      try {
+        graft.functions.MvtDecodeKernel.decode(
+          java.util.Arrays.copyOf(blob, cut))
+        fail(s"decode accepted a tile truncated mid-frame at $cut")
+      } catch {
+        case _: IllegalArgumentException => threw += 1
+      }
+    }
+    assert(threw > 0)
+  }
+
   test("reliable-checkpoint flag yields the identical tile stats") {
     // both barrier modes must produce the same build; the flag only
     // changes where the materialized feature rows live (executor
