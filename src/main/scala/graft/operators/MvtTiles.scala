@@ -314,7 +314,7 @@ object MvtTiles {
   }
 
   /** Full oracle chain from `feat_pts` to `tile_stats` — the relational
-    * twin of featureTiles→capped→prepped→stats.
+    * twin of tileRange→capped→prepped→stats.
     */
   private[operators] val oraclePrepCtes: String = {
     val lo = "CAST(-buf AS DOUBLE)"
