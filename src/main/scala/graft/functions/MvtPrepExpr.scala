@@ -47,9 +47,17 @@ import org.apache.spark.sql.types._
   *    Catalyst arrays — the (z,tx,ty) exchange ships ~2-6 bytes/point
   *    of varints instead of ~40 bytes/point of UnsafeRow array cells,
   *    the stats rollup is a plain columnar sum, and the tile encoder
-  *    splices bytes instead of re-walking geometry. `n_parts = 0`
-  *    means the feature dropped out of this tile entirely (filtered
-  *    upstream of the shuffle).
+  *    splices bytes instead of re-walking geometry.
+  *  - GENERATOR-SHAPED OUTPUT: the expression returns a 0-or-1-element
+  *    `array<struct>` consumed by `explode` rather than a bare struct
+  *    consumed by a `.filter(n_parts > 0)`. A filter on a struct field
+  *    of a projected alias gets pushed back through the Project and
+  *    inlines the whole kernel a second time beside it (Catalyst CSE
+  *    is per-operator, so Filter + Project each walked the geometry —
+  *    the round-14 plan showed `mvtprepexpr` twice per stage). A
+  *    `Generate` evaluates its generator exactly once per input row
+  *    and an empty array IS the row drop, so the dropped-from-this-
+  *    tile case needs no predicate anywhere downstream.
   *  - INTERIOR FAST PATH: a feature whose (post-simplify) bbox lies
   *    inside the buffered tile square — the overwhelming majority at
   *    z12+ where tiny features sit in big tiles — skips the clippers
@@ -72,7 +80,8 @@ case class MvtPrepExpr(gtype: Expression, wpts: Expression,
   override def third: Expression = simplify
   override def fourth: Expression = tile
   override def nullable: Boolean = true
-  override def dataType: DataType = MvtPrepKernel.outType
+  override def dataType: DataType =
+    ArrayType(MvtPrepKernel.outType, containsNull = false)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -93,14 +102,14 @@ case class MvtPrepExpr(gtype: Expression, wpts: Expression,
 
   override protected def nullSafeEval(g: Any, p: Any, s: Any,
       t: Any): Any =
-    MvtPrepKernel.prepEncoded(g.asInstanceOf[Int],
+    MvtPrepKernel.prepEncodedArr(g.asInstanceOf[Int],
       p.asInstanceOf[ArrayData], s.asInstanceOf[Boolean], tol,
       t.asInstanceOf[InternalRow])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (g, p, s, t) =>
-      s"${ev.value} = graft.functions.MvtPrepKernel.prepEncoded(" +
+      s"${ev.value} = graft.functions.MvtPrepKernel.prepEncodedArr(" +
         s"$g, $p, $s, ${tol}L, $t);")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
@@ -462,5 +471,24 @@ object MvtPrepKernel {
       val geom = MvtKernel.packedBody(MvtKernel.geometryCmds(gtype, parts))
       InternalRow(geom, parts.length.toLong, nPts, chk)
     }
+  }
+
+  private val emptyArr =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+
+  /** Generator-shaped wrapper consumed by the expression: a dropped
+    * feature becomes an EMPTY array so `explode` removes the row with
+    * no downstream predicate — the predicate is what Catalyst would
+    * push back beside the kernel and evaluate it twice (see class
+    * doc). The shared empty instance is immutable and copied by the
+    * consuming UnsafeProjection, so reuse across rows is safe.
+    */
+  def prepEncodedArr(gtype: Int, wpts: ArrayData, simplify: Boolean,
+      tol: Long, tile: InternalRow): ArrayData = {
+    val row = prepEncoded(gtype, wpts, simplify, tol, tile)
+    if (row.getLong(1) == 0L) emptyArr
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](row))
   }
 }

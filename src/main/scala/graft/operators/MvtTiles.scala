@@ -701,22 +701,33 @@ object MvtTiles {
 
   /** Quantize + simplify + clip + encode any tile-fan-out-shaped
     * frame (shared with the streaming tile-refresh).
+    *
+    * The kernel is consumed through `explode` of its 0-or-1-element
+    * array output, NOT a `.filter(enc.n_parts > 0)`: a predicate on a
+    * projected struct field gets pushed back through the Project and
+    * Catalyst inlines the whole kernel a second time beside it (the
+    * round-14 plan evaluated `mvtprepexpr` in BOTH the Filter and the
+    * Project of the same stage — a 2× walk of every surviving
+    * feature). A `Generate` evaluates its generator exactly once per
+    * input row, the empty array IS the dropped-feature row drop, and
+    * the downstream field extraction reads the Generate's output
+    * attribute, so exactly one kernel walk survives in the settled
+    * plan (pinned by PlanPinSpec).
     */
   private[graft] def prepOf(tiles: DataFrame): DataFrame = {
+    // quantization (shift from the MaxZoom world pixels — bit-exact
+    // with the oracle's floor(w * 2^z); see tilesOf) happens INSIDE
+    // the fused kernel walk: wpts pass through untouched and no
+    // interpreted transform materializes a per-row qpts array
+    val simp = when(col("layer") === "skiareas", lit(true))
+      .otherwise(col("z") < MaxZoom)
     tiles
-      .withColumn("simp",
-        when(col("layer") === "skiareas", lit(true))
-          .otherwise(col("z") < MaxZoom))
-      // quantization (shift from the MaxZoom world pixels — bit-exact
-      // with the oracle's floor(w * 2^z); see tilesOf) happens INSIDE
-      // the fused kernel walk: wpts pass through untouched and no
-      // interpreted transform materializes a per-row qpts array
-      .withColumn("enc", MvtPrepExpr.mvtPrep(col("gtype"), col("wpts"),
-        col("simp"),
-        struct(col("buf"),
-          (lit(MaxZoom) - col("z")).cast("int").as("shift"),
-          col("tx"), col("ty")), SimplifyTol))
-      .filter(col("enc.n_parts") > 0)
+      .select(col("layer"), col("fid"), col("gtype"), col("z"),
+        col("tx"), col("ty"), col("pk"), col("pv"),
+        explode(MvtPrepExpr.mvtPrep(col("gtype"), col("wpts"), simp,
+          struct(col("buf"),
+            (lit(MaxZoom) - col("z")).cast("int").as("shift"),
+            col("tx"), col("ty")), SimplifyTol)).as("enc"))
       .select(col("layer"), col("fid"), col("gtype"), col("z"),
         col("tx"), col("ty"), col("enc.geom").as("geom"),
         col("enc.n_parts").as("n_parts"),

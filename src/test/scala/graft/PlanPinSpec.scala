@@ -105,6 +105,30 @@ class PlanPinSpec extends SparkSpec {
       s"q_tiles_mvt_bytes grew to $exchanges exchanges:\n$plan")
   }
 
+  test("q_tiles_mvt_bytes evaluates the prep kernel exactly once") {
+    // Round 14's plan evaluated mvtprepexpr in BOTH the Filter and the
+    // Project of the same stage (predicate pushdown inlined the alias)
+    // — a 2x kernel walk per surviving feature. The generator-shaped
+    // rewrite (explode of a 0/1-element array) must leave exactly ONE
+    // occurrence in the settled plan, inside a Generate; a future
+    // change that reintroduces a filter on a kernel-derived column
+    // (anywhere downstream — pushdown carries it all the way back)
+    // fails here.
+    val df = SparkEntry.queries("q_tiles_mvt_bytes")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan
+    // count per NODE over the settled final plan (planNodes descends
+    // AQE wrappers and stages; AdaptiveSparkPlanExec.toString would
+    // print the initial plan too and double-count)
+    val hits = planNodes(plan).flatMap { n =>
+      val inNode = n.expressions.map(
+        _.collect { case e: graft.functions.MvtPrepExpr => e }.size).sum
+      if (inNode > 0) Some((n.nodeName, inNode)) else None
+    }
+    assert(hits.map(_._2).sum == 1 && hits.head._1 == "Generate",
+      s"expected exactly one mvtprepexpr, inside a Generate; got $hits:\n$plan")
+  }
+
   test("q_tiles_mvt_bytes holds its exchange budget at 10x the fixture") {
     // AQE settles plans from runtime sizes, so a shape that is lean at
     // sf0.001 can still regress at scale (a cap window leaking onto
