@@ -151,11 +151,32 @@ object MvtPrepKernel {
     * `cross² ≤ (8·C²)² = 64·C⁴` must stay under 2^63, so C ≤ 2^14.
     * A tile-local coordinate can exceed this only when a single
     * feature spans ≳4 tiles at its assigned zoom (a continent-length
-    * line at z15); past the bound the squared cross product would
-    * silently wrap in the JVM while the oracle's BIGINT twin errors
-    * loudly — fail loudly here too, symmetric with the oracle.
+    * line at z15). [[prep]] handles the case by FALLING BACK to the
+    * unsimplified path for that feature (see [[dpInBounds]]) — the
+    * oracle's dp0 CTE carries the identical gate, so both engines
+    * skip DP for the same features instead of one wrapping a Long
+    * while the other errors. dpKeep itself still `require`s the
+    * bound loudly as a defensive invariant for direct callers.
     */
   val DpCoordMax = 1L << 14
+
+  /** True when every coordinate is within the DP exactness bound —
+    * the per-feature gate for the simplify fast path. A valid wide
+    * geometry (spanning ≳4 tiles at its zoom) ships unsimplified
+    * rather than failing the job; the reference never hits the case
+    * because it clips before simplifying, and for the engine's
+    * simplify-only-low-zoom policy the fallback costs nothing but
+    * bytes on a rare feature.
+    */
+  def dpInBounds(xs: Array[Long], ys: Array[Long]): Boolean = {
+    var i = 0
+    while (i < xs.length) {
+      if (math.abs(xs(i)) > DpCoordMax ||
+        math.abs(ys(i)) > DpCoordMax) return false
+      i += 1
+    }
+    true
+  }
 
   /** Douglas-Peucker keep flags: endpoints anchored, perpendicular-to-
     * line metric, integer-exact (`cross² > tol²·len2`; point distance
@@ -301,7 +322,7 @@ object MvtPrepKernel {
       case 2 =>
         require(xs0.length >= 2, s"line needs >= 2 points")
         var xs = xs0; var ys = ys0
-        if (simplify && xs.length > 2) {
+        if (simplify && xs.length > 2 && dpInBounds(xs, ys)) {
           val keep = dpKeep(xs, ys, tol)
           val idx = keep.indices.filter(keep).toArray
           xs = idx.map(xs0); ys = idx.map(ys0)
@@ -365,7 +386,7 @@ object MvtPrepKernel {
       case 3 =>
         require(xs0.length >= 3, s"ring needs >= 3 points")
         var xs = xs0; var ys = ys0
-        if (simplify) {
+        if (simplify && dpInBounds(xs, ys)) {
           val keep = dpKeep(xs, ys, tol)
           val idx = keep.indices.filter(keep).toArray
           if (idx.length < 3) {

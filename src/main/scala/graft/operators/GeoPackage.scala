@@ -684,7 +684,8 @@ object GeoPackage {
     val layerMeta = geoms.groupBy("layer")
       .agg(min("minx").as("minx"), min("miny").as("miny"),
         max("maxx").as("maxx"), max("maxy").as("maxy"),
-        min("wkb_type").as("wkb_type"))
+        min("wkb_type").as("wkb_type"),
+        max("wkb_type").as("wkb_type_max"))
       .orderBy("layer")
       .collect()
     val layers = layerMeta.map(_.getString(0)).toSeq
@@ -717,7 +718,13 @@ object GeoPackage {
         "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
         "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
       layerMeta.iterator.map { m =>
-        Seq(m.getString(0), "geom", typeName(m.getInt(5)), 4326L, 0L, 0L)
+        // a layer with mixed geometry types declares the spec's
+        // generic GEOMETRY type instead of silently picking one of
+        // its members (gpkg spec v1.3 table 30 allows the generic
+        // name exactly for this case)
+        val tn = if (m.getInt(5) == m.getInt(6)) typeName(m.getInt(5))
+          else "GEOMETRY"
+        Seq(m.getString(0), "geom", tn, 4326L, 0L, 0L)
       })
     val extensions = SqliteFile.Table(
       "gpkg_extensions",

@@ -369,6 +369,8 @@ object MvtTiles {
       |  FROM capped),
       |dp0 AS MATERIALIZED (
       |  SELECT *, CASE WHEN simp AND gtype >= 2
+      |    AND list_aggregate(list_transform(q,
+      |      p -> GREATEST(abs(p.x), abs(p.y))), 'max') <= 16384
       |    THEN [0, len(q) - 1] ELSE NULL END AS kept FROM quant),
       |dp1 AS MATERIALIZED (SELECT * REPLACE (CASE WHEN kept IS NULL THEN NULL
       |  ELSE ${sqlDpStep("kept", "q")} END AS kept) FROM dp0),
@@ -934,5 +936,82 @@ object MvtTiles {
       .orderBy("zoom")
   }
 
-  val specs: Seq[QuerySpec] = Seq(qStats, qBytes, qStreamRefresh, qMbtiles)
+  // ---- tile-DIRECTORY extraction (extract_tiles.ts parity) ---------------
+
+  /** `tile-join --output-to-directory` parity (ref
+    * `/root/reference/src/scripts/extract_tiles.ts:11-16`): unpack an
+    * .mbtiles into the static `{z}/{x}/{y}.pbf` file layout a tile CDN
+    * serves, XYZ scheme (the container's TMS rows un-flipped back).
+    * Distributed, no driver materialization: the tiles b-tree splits
+    * at its root's child pages and each executor task walks ONE
+    * subtree of the memory-mapped container (faulting in only its own
+    * pages — see SqliteReader.openMapped), writing its slice of files
+    * straight to the shared filesystem. Returns the tile-file count.
+    */
+  def extractTiles(s: SparkSession, mbtiles: java.nio.file.Path,
+      outDir: java.nio.file.Path): Long = {
+    import graft.sources.SqliteReader
+    val splits = SqliteReader.openMapped(mbtiles).subtreeRoots("tiles")
+    val mb = mbtiles.toAbsolutePath.toString
+    val out = outDir.toAbsolutePath.toString
+    s.sparkContext.parallelize(splits, splits.size).map { root =>
+      val db = SqliteReader.openMapped(java.nio.file.Paths.get(mb))
+      var n = 0L
+      db.walk(root).foreach { case (_, vs) =>
+        val z = vs(0).asInstanceOf[Long].toInt
+        val x = vs(1).asInstanceOf[Long]
+        val y = (1L << z) - 1L - vs(2).asInstanceOf[Long] // TMS -> XYZ
+        val dir = java.nio.file.Paths.get(out, z.toString, x.toString)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(s"$y.pbf"),
+          vs(3).asInstanceOf[Array[Byte]])
+        n += 1
+      }
+      n
+    }.fold(0L)(_ + _)
+  }
+
+  /** The extracted directory read back DISTRIBUTEDLY — binaryFile
+    * source over the `z/x/y.pbf` layout, keys parsed from the path —
+    * shaped for [[decodedStats]] so the extracted bytes sit under the
+    * same DuckDB stats gate as the in-engine tiles.
+    */
+  private[graft] def readTileDir(s: SparkSession,
+      dir: java.nio.file.Path): DataFrame = {
+    val re = "^.*/([0-9]+)/([0-9]+)/([0-9]+)\\.pbf$"
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pbf")
+      .option("recursiveFileLookup", "true")
+      .load(dir.toString)
+      .select(
+        regexp_extract(col("path"), re, 1).cast("int").as("zoom"),
+        regexp_extract(col("path"), re, 2).cast("long").as("tile_x"),
+        regexp_extract(col("path"), re, 3).cast("long").as("tile_y"),
+        col("content").as("tile"))
+  }
+
+  // Driver gate: container write → distributed directory extraction →
+  // distributed file read-back → protobuf decode must reproduce the
+  // SAME relational tile stats as the direct pipeline — so the
+  // filename scheme (XYZ un-flip included), the per-file bytes, and
+  // the directory layout all sit under the DuckDB hash, and a tile
+  // written to the wrong z/x/y path hash-mismatches instead of only
+  // failing a structural spec.
+  private val qExtract = QuerySpec.of(
+    "q_tiles_extract", {
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |$oracleFeatPtsCtes,
+        |$oraclePrepCtes
+        |$oracleStatsSelect""".stripMargin
+    }) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_extract_")
+    val mb = dir.resolve("in.mbtiles")
+    writeMbtilesFile(s, d, mb)
+    val outDir = dir.resolve("tiles")
+    extractTiles(s, mb, outDir)
+    decodedStats(readTileDir(s, outDir))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(qStats, qBytes, qStreamRefresh, qMbtiles, qExtract)
 }

@@ -21,11 +21,16 @@ package graft.sources
   * leaf page is written to its file offset the moment it fills
   * (page 1 — header + sqlite_master — is seeked back to last), and
   * the driver holds one in-flight page plus 16 bytes of (pageNo,
-  * maxRowid) bookkeeping per completed leaf — a planet-scale
-  * 100 GB .mbtiles needs ~400 MB of bookkeeping, not 100 GB of
-  * buffered pages or rows. Capacity: two b-tree levels —
-  * ~340 children per interior page → ~115k leaf pages ≈ 10M+ small
-  * rows per table — guarded by a require, not silently truncated.
+  * maxRowid) bookkeeping per completed leaf — driver memory is
+  * BOUNDED regardless of row count, never proportional to the
+  * table. Capacity (the honest ceiling, loudly `require`d rather
+  * than silently truncated): two b-tree levels — ~340 children per
+  * interior page → ~115k 4 KB leaf pages ≈ ~470 MB and 10M+ small
+  * rows per table — and, with no overflow pages, each cell payload
+  * ≤ 4061 bytes. Real planet-scale tile payloads routinely exceed
+  * both bounds; lifting them needs overflow-page chains and a third
+  * b-tree level, neither of which the engine's artifacts require at
+  * its driver scales.
   *
   * Limitations (asserted, documented): no overflow pages (payload
   * must fit a leaf: ≤ usable−35 = 4061 bytes — GeoPackage feature

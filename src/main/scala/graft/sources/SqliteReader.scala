@@ -12,11 +12,49 @@ package graft.sources
   * table b-trees (leaf 0x0D / interior 0x05), varint records, no
   * overflow pages, UTF-8 text. Reads any page size; walks interior
   * levels recursively, so it also reads multi-level trees.
+  *
+  * Two access modes: [[open]] reads the whole file into memory (the
+  * driver-side oracle gates, small containers); [[openMapped]]
+  * memory-maps it so an EXECUTOR task walking one b-tree subtree
+  * faults in only the pages it touches — the access mode behind the
+  * distributed `{z}/{x}/{y}.pbf` extraction (MvtTiles.extractTiles),
+  * where T parallel tasks each walk one child subtree and a full
+  * per-task file read would be T× the container size in wasted I/O.
+  * (Int offsets cap a mapped container at 2 GB — far above the
+  * writer's own ~470 MB/table two-level b-tree bound.)
   */
 object SqliteReader {
 
+  /** Random-access byte source: a heap array or a mapped region. */
+  sealed trait Bytes {
+    def apply(i: Int): Byte
+    def length: Int
+    def utf8(at: Int, len: Int): String
+    def slice(at: Int, len: Int): Array[Byte]
+  }
+
+  private final class ArrayBytes(a: Array[Byte]) extends Bytes {
+    def apply(i: Int): Byte = a(i)
+    def length: Int = a.length
+    def utf8(at: Int, len: Int): String = new String(a, at, len, "UTF-8")
+    def slice(at: Int, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(a, at, at + len)
+  }
+
+  private final class MappedBytes(buf: java.nio.ByteBuffer) extends Bytes {
+    def apply(i: Int): Byte = buf.get(i)
+    def length: Int = buf.limit()
+    def utf8(at: Int, len: Int): String =
+      new String(slice(at, len), "UTF-8")
+    def slice(at: Int, len: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      buf.get(at, out)
+      out
+    }
+  }
+
   /** (varint value, bytes consumed). */
-  private def varint(b: Array[Byte], at: Int): (Long, Int) = {
+  private def varint(b: Bytes, at: Int): (Long, Int) = {
     var v = 0L
     var i = 0
     while (i < 8) {
@@ -28,15 +66,15 @@ object SqliteReader {
     ((v << 8) | (b(at + 8) & 0xff), 9)
   }
 
-  private def u16(b: Array[Byte], at: Int): Int =
+  private def u16(b: Bytes, at: Int): Int =
     ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
-  private def u32(b: Array[Byte], at: Int): Int =
+  private def u32(b: Bytes, at: Int): Int =
     ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
       ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
 
-  final class Db(bytes: Array[Byte]) {
+  final class Db(bytes: Bytes) {
     require(bytes.length >= 100 &&
-      new String(bytes, 0, 15, "ISO-8859-1") == "SQLite format 3",
+      bytes.utf8(0, 15) == "SQLite format 3",
       "not a sqlite database")
     val pageSize: Int = {
       val raw = u16(bytes, 16)
@@ -46,7 +84,7 @@ object SqliteReader {
     private def page(n: Int): Int = (n - 1) * pageSize
 
     /** Decode one record payload into column values. */
-    private def record(b: Array[Byte], at: Int): Seq[Any] = {
+    private def record(b: Bytes, at: Int): Seq[Any] = {
       val (hlen, hc) = varint(b, at)
       var tp = at + hc
       val types = scala.collection.mutable.ArrayBuffer[Long]()
@@ -73,11 +111,10 @@ object SqliteReader {
           case 9 => 1L
           case n if n >= 13 && n % 2 == 1 =>
             val len = ((n - 13) / 2).toInt
-            val s = new String(b, dp, len, "UTF-8"); dp += len; s
+            val s = b.utf8(dp, len); dp += len; s
           case n if n >= 12 && n % 2 == 0 =>
             val len = ((n - 12) / 2).toInt
-            val o = java.util.Arrays.copyOfRange(b, dp, dp + len)
-            dp += len; o
+            val o = b.slice(dp, len); dp += len; o
           case other =>
             throw new IllegalArgumentException(s"serial type $other")
         }
@@ -119,14 +156,53 @@ object SqliteReader {
           v(3).asInstanceOf[Long].toInt)
       }.toSeq
 
-    /** All (rowid, values) of a named table. */
-    def table(name: String): Iterator[(Long, Seq[Any])] =
+    private def rootOf(name: String): Int =
       master.find(m => m._1 == "table" && m._2 == name) match {
-        case Some((_, _, root)) => walk(root)
+        case Some((_, _, root)) => root
         case None => throw new NoSuchElementException(s"table $name")
       }
+
+    /** All (rowid, values) of a named table. */
+    def table(name: String): Iterator[(Long, Seq[Any])] =
+      walk(rootOf(name))
+
+    /** Independent b-tree subtrees jointly covering a table, in rowid
+      * order: the root's child pages when the root is interior, else
+      * the root itself. The parallel-extraction planner hands each
+      * subtree to one executor task (`walk` of distinct subtrees
+      * touches disjoint pages).
+      */
+    def subtreeRoots(name: String): Seq[Int] = {
+      val root = rootOf(name)
+      val base = page(root)
+      val h = if (root == 1) base + 100 else base
+      bytes(h) & 0xff match {
+        case 0x05 =>
+          val n = u16(bytes, h + 3)
+          (0 until n).map { i =>
+            u32(bytes, base + u16(bytes, h + 12 + 2 * i))
+          } :+ u32(bytes, h + 8)
+        case _ => Seq(root)
+      }
+    }
   }
 
+  /** Whole-file in-memory open — driver-side gates, small containers. */
   def open(path: java.nio.file.Path): Db =
-    new Db(java.nio.file.Files.readAllBytes(path))
+    new Db(new ArrayBytes(java.nio.file.Files.readAllBytes(path)))
+
+  /** Memory-mapped open: pages fault in on first touch, so a task
+    * walking one subtree reads only that subtree's pages. Used from
+    * executor tasks (the mapping is per-open; no shared state).
+    */
+  def openMapped(path: java.nio.file.Path): Db = {
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      require(size <= Int.MaxValue, s"container over 2 GB: $size")
+      new Db(new MappedBytes(ch.map(
+        java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, size)))
+    } finally ch.close()
+  }
 }

@@ -157,4 +157,21 @@ class MvtPrepSpec extends AnyFunSuite {
       assert(x >= 0L && x <= 4096L && y >= 0L && y <= 4096L)
     }
   }
+
+  test("a feature beyond the DP exactness bound falls back, not fails") {
+    // a line spanning >4 tiles at its zoom: |x| exceeds 2^14, where
+    // the squared DP cross product would overflow Long. The feature
+    // must ship UNSIMPLIFIED (identical to the simplify=false path,
+    // mirrored by the oracle dp0 gate) instead of aborting the job.
+    val wide = Seq((0L, 0L), (900L, 7L), (20000L, 0L))
+    assert(!MvtPrepKernel.dpInBounds(
+      wide.map(_._1).toArray, wide.map(_._2).toArray))
+    val sim = prep(2, wide, simplify = true, tol = 64L, buffer = 80)
+    val raw = prep(2, wide, simplify = false, tol = 64L, buffer = 80)
+    assert(sim === raw)
+    // in-bounds features still simplify (the gate is per-feature)
+    val near = Seq((0L, 0L), (900L, 7L), (4000L, 0L))
+    assert(prep(2, near, simplify = true, tol = 64L) !==
+      prep(2, near, simplify = false, tol = 64L))
+  }
 }

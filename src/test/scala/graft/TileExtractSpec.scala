@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.MvtTiles
+
+/** Tile-directory extraction (`tile-join --output-to-directory`
+  * parity): the .mbtiles container unpacked into `{z}/{x}/{y}.pbf`
+  * files by parallel subtree walks must reproduce the in-engine tile
+  * set file-for-file and byte-for-byte, with TMS rows un-flipped back
+  * to the XYZ scheme a CDN serves.
+  */
+class TileExtractSpec extends SparkSpec {
+
+  private lazy val (outDir, nExtracted, direct) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_extract_spec_")
+    val mb = dir.resolve("in.mbtiles")
+    MvtTiles.writeMbtilesFile(spark, sf, mb)
+    val out = dir.resolve("tiles")
+    val n = MvtTiles.extractTiles(spark, mb, out)
+    val tiles = MvtTiles.tileBytes(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        r.getAs[Array[Byte]](4))
+      .toMap
+    (out, n, tiles)
+  }
+
+  test("every engine tile extracts to its z/x/y.pbf path, bytes exact") {
+    assert(nExtracted == direct.size.toLong)
+    direct.foreach { case ((z, x, y), bytes) =>
+      val p = outDir.resolve(s"$z/$x/$y.pbf")
+      assert(java.nio.file.Files.exists(p), s"missing $p")
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(p), bytes),
+        s"byte mismatch at z=$z x=$x y=$y")
+    }
+    // and nothing extra: the extracted file count equals the tile count
+    val files = java.nio.file.Files.walk(outDir).filter(f =>
+      f.toString.endsWith(".pbf")).count()
+    assert(files == direct.size.toLong)
+  }
+
+  test("a sample extracted tile decodes through MvtDecodeExpr") {
+    import org.apache.spark.sql.functions._
+    val decoded = MvtTiles.readTileDir(spark, outDir)
+      .select(explode(
+        graft.functions.MvtDecodeExpr.mvtDecode(col("tile"))).as("l"))
+      .agg(sum(col("l.n_features"))).head().getLong(0)
+    assert(decoded > 0L, "extracted tiles must decode to features")
+  }
+
+  test("extraction parallelizes across b-tree subtrees") {
+    // the fixture container's tiles b-tree must split into multiple
+    // independent subtrees (an interior root) — the property the
+    // distributed walk relies on; a single-leaf fixture would leave
+    // the parallel path untested
+    val mb = java.nio.file.Files.createTempDirectory("graft_extract_spl_")
+      .resolve("s.mbtiles")
+    MvtTiles.writeMbtilesFile(spark, sf, mb)
+    val roots = graft.sources.SqliteReader.openMapped(mb)
+      .subtreeRoots("tiles")
+    assert(roots.size > 1,
+      s"expected an interior tiles root at $sf, got ${roots.size} subtree(s)")
+    // mapped open must read identically to the in-memory open
+    val viaMap = graft.sources.SqliteReader.openMapped(mb)
+      .table("tiles").size
+    val viaMem = graft.sources.SqliteReader.open(mb)
+      .table("tiles").size
+    assert(viaMap == viaMem)
+  }
+}
