@@ -154,6 +154,12 @@ object Bench {
         failed += q.name
       }
     }
+    // every long-lived memoized scaffold (SkiQueries.fmtMemo etc.)
+    // exists after the warmup touched every query; anything persisted
+    // AFTER this snapshot is a per-run checkpoint, safe to drop
+    // between samples
+    val scaffoldIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
     val samples = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ArrayBuffer[Double]]()
     val sampleLoads = scala.collection.mutable.LinkedHashMap[
@@ -167,10 +173,22 @@ object Bench {
     // the machine state at the moment it ran
     def runPasses(qs: Seq[QuerySpec], passes: Int): Unit =
       for (_ <- 1 to passes; q <- qs if !failed(q.name)) {
-        // let the ContextCleaner drop the previous run's now-unreachable
-        // localCheckpoint blocks — otherwise they accumulate across runs
-        // and evict live cached data to disk, skewing timings
-        System.gc(); Thread.sleep(300)
+        // drop the previous run's localCheckpoint blocks NOW, not when
+        // the async ContextCleaner gets to them — completed queries'
+        // blocks otherwise linger across the round-robin, pressuring
+        // storage memory and the page cache and skewing the NEXT
+        // query's samples (a finished noop write references nothing;
+        // every run rebuilds its own checkpoints). The long-lived
+        // memoized scaffolds (all created during warmup — see
+        // scaffoldIds) must survive: their checkpoints truncated
+        // lineage, so unpersisting them would strand every later run
+        // on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!scaffoldIds.contains(id)) rdd.unpersist(blocking = true)
+        }
+        System.gc()
+        Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS",
+          "300").toInt)
         sampleLoads(q.name) += loadavg()
         val t0 = System.nanoTime()
         try {

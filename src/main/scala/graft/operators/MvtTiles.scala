@@ -850,11 +850,19 @@ object MvtTiles {
   // with TMS row flipping, plus the `metadata` name/value table.
   // Validated by Python's stdlib sqlite3 in MbtilesSpec.
   def writeMbtilesFile(s: SparkSession, d: String,
+      path: java.nio.file.Path): Seq[(String, Int, Long)] =
+    writeMbtilesOf(s, tileBytes(s, d), path)
+
+  /** Container write of any encoded-tiles frame (zoom, tile_x, tile_y,
+    * …, tile) — the soak probe feeds a generated decade-up workload
+    * through the same streaming sink the production path uses.
+    */
+  private[graft] def writeMbtilesOf(s: SparkSession,
+      built: org.apache.spark.sql.DataFrame,
       path: java.nio.file.Path): Seq[(String, Int, Long)] = {
     import graft.sources.SqliteFile
     // same barrier policy as the tile build: local blocks by default,
     // the reliable checkpoint dir under the opt-in flag
-    val built = tileBytes(s, d)
     val tiles =
       if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
         if (s.sparkContext.getCheckpointDir.isEmpty)

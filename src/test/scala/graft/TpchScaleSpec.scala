@@ -19,9 +19,25 @@ import org.apache.spark.sql.functions._
   */
 class TpchScaleSpec extends SparkSpec {
 
+  // the scaffold is ~5M generated parquet rows — a meaningful slice of
+  // the suite's wall-clock when regenerated per run, so it is cached
+  // under target/ keyed by a generator version (bump GenVersion when
+  // the recipe below changes) and rebuilt only when the marker is
+  // missing; `sbt clean` clears it naturally with everything else
+  private val GenVersion = "v1"
+
   private lazy val scaled: String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_tpch_sf1_").toString
+    val cached = java.nio.file.Paths
+      .get("target", "scaffolds", s"tpch_planner_$GenVersion")
+    val marker = cached.resolve("_SCAFFOLD_OK")
+    if (java.nio.file.Files.exists(marker)) cached.toAbsolutePath.toString
+    else generateScaffold(cached, marker)
+  }
+
+  private def generateScaffold(cached: java.nio.file.Path,
+      marker: java.nio.file.Path): String = {
+    java.nio.file.Files.createDirectories(cached)
+    val dir = cached.toAbsolutePath.toString
     // sf1-size big dims, same schemas as the driver tables, generated
     // wide enough that the parquet files land well over 10 MB
     spark.range(1, 1500001).toDF("c_custkey")
@@ -93,6 +109,7 @@ class TpchScaleSpec extends SparkSpec {
     assert(cSize > 4 * Threshold && pSize > 4 * Threshold,
       s"scaffold dims must sit clearly over the test threshold " +
         s"(customer=$cSize, part=$pSize)")
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
     dir
   }
 
