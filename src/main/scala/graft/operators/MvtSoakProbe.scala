@@ -36,12 +36,15 @@ object MvtSoakProbe {
         lit("view").as("event_type"), lit(1.0).as("value"),
         lit("{}").as("props"))
       .localCheckpoint()
+    // materialize the tile BUILD up front (eager checkpoint): in local
+    // mode executors share the driver JVM, so sampling across the
+    // build would measure the 32-thread encode workspace, not the
+    // sink; with the build already in block storage, the high-water
+    // delta isolates what the page-streaming SINK itself adds
     val tiles = MvtTiles.encodeOf(MvtTiles.prepOf(MvtTiles.tilesOf(
-      MvtTiles.spotFeatures(events))))
+      MvtTiles.spotFeatures(events)))).localCheckpoint()
 
-    // settle, then record the baseline BEFORE the write so the
-    // high-water delta isolates what the SINK adds on top of the
-    // (separately-jobbed) tile build
+    // settle, then record the baseline
     System.gc(); Thread.sleep(500); System.gc()
     val rt = Runtime.getRuntime
     def used(): Long = rt.totalMemory() - rt.freeMemory()
@@ -61,7 +64,7 @@ object MvtSoakProbe {
     val out = java.nio.file.Files
       .createTempDirectory("graft_soak_").resolve("soak.mbtiles")
     val t0 = System.nanoTime()
-    MvtTiles.writeMbtilesOf(spark, tiles, out)
+    MvtTiles.writeMbtilesOf(spark, tiles, out, barrier = false)
     val secs = (System.nanoTime() - t0) / 1e9
     stop = true
     sampler.join()

@@ -856,15 +856,20 @@ object MvtTiles {
   /** Container write of any encoded-tiles frame (zoom, tile_x, tile_y,
     * …, tile) — the soak probe feeds a generated decade-up workload
     * through the same streaming sink the production path uses.
+    * `barrier = false` skips the checkpoint when the caller already
+    * materialized the frame (the soak probe, to isolate the SINK's
+    * heap footprint from the build's).
     */
   private[graft] def writeMbtilesOf(s: SparkSession,
       built: org.apache.spark.sql.DataFrame,
-      path: java.nio.file.Path): Seq[(String, Int, Long)] = {
+      path: java.nio.file.Path,
+      barrier: Boolean = true): Seq[(String, Int, Long)] = {
     import graft.sources.SqliteFile
     // same barrier policy as the tile build: local blocks by default,
     // the reliable checkpoint dir under the opt-in flag
     val tiles =
-      if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
+      if (!barrier) built
+      else if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(java.nio.file.Files
             .createTempDirectory("graft_tiles_ckpt_").toString)
