@@ -23,26 +23,27 @@ package graft.sources
   * the driver holds one in-flight page plus 16 bytes of (pageNo,
   * maxRowid) bookkeeping per completed leaf — driver memory is
   * BOUNDED regardless of row count, never proportional to the
-  * table. Capacity (the honest ceiling, loudly `require`d rather
-  * than silently truncated): two b-tree levels — ~340 children per
-  * interior page → ~115k 4 KB leaf pages ≈ ~470 MB and 10M+ small
-  * rows per table — and, with no overflow pages, each cell payload
-  * ≤ 4061 bytes. Real planet-scale tile payloads routinely exceed
-  * both bounds; lifting them needs overflow-page chains and a third
-  * b-tree level, neither of which the engine's artifacts require at
-  * its driver scales.
+  * table. Capacity (r15): cell payloads of ANY size — payloads over
+  * the 4061-byte local maximum spill to standard overflow-page
+  * chains (emitted as they're built, still one in-flight page), the
+  * size a real planet tile needs — and interior levels stack to
+  * whatever DEPTH the leaf count requires (250 children per interior
+  * page, unbounded levels), so a table is bounded by the format's
+  * 2^31-page file ceiling, not by this writer.
   *
-  * Limitations (asserted, documented): no overflow pages (payload
-  * must fit a leaf: ≤ usable−35 = 4061 bytes — GeoPackage feature
-  * rows and MVT tiles at the driver scales are far below), no
-  * freelist, no indices (SELECT scans work; `WITHOUT ROWID` and
-  * index b-trees are out of scope), schema must fit page 1.
+  * Limitations (asserted, documented): no freelist, no indices
+  * (SELECT scans work; `WITHOUT ROWID` and index b-trees are out of
+  * scope), schema must fit page 1.
   */
 object SqliteFile {
 
   val PageSize = 4096
   private val Usable = PageSize // reserved-space-per-page = 0
-  private val MaxLeafPayload = Usable - 35
+  private val MaxLeafPayload = Usable - 35 // X: max fully-local payload
+  // M: the spilled cell's local prefix floor (fileformat2 §B-tree
+  // Pages: M = ((U-12)*32/255)-23; K = M + (P-M) % (U-4); local = K
+  // when K <= X else M) — mirrored bit-for-bit in SqliteReader
+  private val MinLeafLocal = ((Usable - 12) * 32) / 255 - 23
 
   /** One column value: null, Long, Double, String, or Array[Byte]. */
   type Value = Any
@@ -117,10 +118,14 @@ object SqliteFile {
     out.toByteArray
   }
 
-  /** A table-leaf cell: payload length, rowid, payload. */
+  /** A fully-local table-leaf cell: payload length, rowid, payload.
+    * (Page-1 schema cells use this directly; data cells go through
+    * [[leafCellSpilling]], which falls back to this when local.)
+    */
   def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] = {
     require(payload.length <= MaxLeafPayload,
-      s"payload ${payload.length} needs overflow pages (unsupported)")
+      s"payload ${payload.length} needs overflow pages" +
+        " (use leafCellSpilling)")
     val out = new java.io.ByteArrayOutputStream()
     out.write(varint(payload.length.toLong))
     out.write(varint(rowid))
@@ -128,57 +133,103 @@ object SqliteFile {
     out.toByteArray
   }
 
+  /** A table-leaf cell for ANY payload size: payloads over the local
+    * maximum (U-35 = 4061 bytes) spill to an overflow-page chain —
+    * each chain page is [4-byte next-page-number | data] — allocated
+    * and emitted through `alloc`/`sink` the moment the cell is built,
+    * so the writer stays streaming (one in-flight page) for cells of
+    * any size. The local prefix length follows the standard K/M
+    * formula, so stock SQLite reads the file.
+    */
+  private def leafCellSpilling(rowid: Long, payload: Array[Byte],
+      alloc: () => Int, sink: (Int, Array[Byte]) => Unit): Array[Byte] = {
+    if (payload.length <= MaxLeafPayload) leafCell(rowid, payload)
+    else {
+      val p = payload.length
+      val k = MinLeafLocal + (p - MinLeafLocal) % (Usable - 4)
+      val local = if (k <= MaxLeafPayload) k else MinLeafLocal
+      val perPage = Usable - 4
+      val nPages = (p - local + perPage - 1) / perPage
+      val pages = (0 until nPages).map(_ => alloc())
+      var off = local
+      pages.indices.foreach { i =>
+        val page = new Array[Byte](PageSize)
+        putInt(page, 0, if (i + 1 < nPages) pages(i + 1) else 0)
+        val len = math.min(perPage, p - off)
+        System.arraycopy(payload, off, page, 4, len)
+        off += len
+        sink(pages(i), page)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(varint(p.toLong))
+      out.write(varint(rowid))
+      out.write(payload, 0, local)
+      val first = pages.head
+      out.write((first >> 24) & 0xff); out.write((first >> 16) & 0xff)
+      out.write((first >> 8) & 0xff); out.write(first & 0xff)
+      out.toByteArray
+    }
+  }
+
   // ---- page building ------------------------------------------------------
 
-  /** Pack cells (in rowid order) into b-tree pages, EMITTING each page
-    * through `sink` the moment it is complete — leaves stream out as
-    * they fill; only their (pageNo, maxRowid) bookkeeping is retained
-    * for the interior level. Returns (rootPage, nextFreePage).
-    * `firstPage` is the number the first emitted page will get.
+  /** Pack (rowid, payload) records into b-tree pages, EMITTING each
+    * page through `sink` the moment it is complete — leaves (and any
+    * overflow chains their cells spill to) stream out as they fill;
+    * only (pageNo, maxRowid) bookkeeping is retained per leaf for the
+    * interior levels, which are built bottom-up to WHATEVER DEPTH the
+    * leaf count needs (grouping `maxKids` children per interior page
+    * until one root remains — 250 keeps every interior page under the
+    * 4 KB bound even with 9-byte rowid varints). Returns the root
+    * page. `alloc` hands out file page numbers; `maxKids` is
+    * parameterized so a spec can force depth ≥ 3 without writing
+    * 60k+ real leaves.
     */
-  private def buildTableBtree(cells: Iterator[(Long, Array[Byte])],
-      firstPage: Int, sink: (Int, Array[Byte]) => Unit): (Int, Int) = {
+  private def buildTableBtree(records: Iterator[(Long, Array[Byte])],
+      alloc: () => Int, sink: (Int, Array[Byte]) => Unit,
+      maxKids: Int = 250): Int = {
     // leaves: (pageNo, maxRowid) only — the bytes are already on disk
     val leaves = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     val cur = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
     var curBytes = 0
     def headerSize = 8
     def flushLeaf(): Unit = if (cur.nonEmpty) {
-      val pageNo = firstPage + leaves.length
+      val pageNo = alloc()
       sink(pageNo, leafPage(cur.toSeq))
       leaves += ((pageNo, cur.last._1))
       cur.clear(); curBytes = 0
     }
-    cells.foreach { case (rowid, cell) =>
+    records.foreach { case (rowid, payload) =>
+      val cell = leafCellSpilling(rowid, payload, alloc, sink)
       if (headerSize + curBytes + cell.length + 2 > Usable) flushLeaf()
       cur += ((rowid, cell)); curBytes += cell.length + 2
     }
     flushLeaf()
     if (leaves.isEmpty) {
-      sink(firstPage, leafPage(Seq.empty))
-      leaves += ((firstPage, 0L))
+      val pageNo = alloc()
+      sink(pageNo, leafPage(Seq.empty))
+      leaves += ((pageNo, 0L))
     }
-
-    if (leaves.length == 1) (firstPage, firstPage + 1)
-    else {
-      // one interior level over the leaves, then (if needed) a root
-      val MaxKids = 340
-      require(leaves.length <= MaxKids * MaxKids,
-        s"table needs a 3-level b-tree (${leaves.length} leaves)")
-      val groups = leaves.grouped(MaxKids).toSeq
-      var next = firstPage + leaves.length
-      val interiors = groups.map { g =>
-        val pageNo = next
+    // interior levels bottom-up until a single root remains. A tail
+    // group of ONE child would make a zero-cell interior page (only a
+    // rightmost pointer — malformed per SQLite's integrity_check), so
+    // a singleton tail borrows one child from the group before it;
+    // maxKids >= 3 guarantees the donor keeps >= 2.
+    require(maxKids >= 3, s"maxKids $maxKids < 3")
+    var level: Seq[(Int, Long)] = leaves.toSeq
+    while (level.length > 1) {
+      val gs0 = level.grouped(maxKids).toSeq
+      val gs = if (gs0.length > 1 && gs0.last.size == 1)
+        gs0.dropRight(2) :+ gs0(gs0.length - 2).init :+
+          (gs0(gs0.length - 2).last +: gs0.last)
+      else gs0
+      level = gs.map { g =>
+        val pageNo = alloc()
         sink(pageNo, interiorPage(g.init.toSeq, g.last._1))
-        next += 1
         (pageNo, g.last._2)
       }
-      if (interiors.length == 1) (interiors.head._1, next)
-      else {
-        sink(next, interiorPage(interiors.init.toSeq, interiors.last._1))
-        (next, next + 1)
-      }
     }
+    level.head._1
   }
 
   /** Serialize one leaf page (type 0x0D). `offset` shifts the page
@@ -249,7 +300,8 @@ object SqliteFile {
     * end. Returns the per-table (name, rootPage, nRows).
     */
   def write(path: java.nio.file.Path, tables: Seq[Table],
-      applicationId: Int = 0, userVersion: Int = 0)
+      applicationId: Int = 0, userVersion: Int = 0,
+      maxKids: Int = 250)
       : Seq[(String, Int, Long)] = {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     val built = try {
@@ -261,14 +313,14 @@ object SqliteFile {
       // 1. stream every table's b-tree out; page 1 is the schema, so
       //    content starts at page 2
       var nextPage = 2
+      def alloc(): Int = { val p = nextPage; nextPage += 1; p }
       val built = tables.map { t =>
         var n = 0L
-        val cells = t.rows.map { r =>
+        val recs = t.rows.map { r =>
           n += 1
-          (n, leafCell(n, record(r)))
+          (n, record(r))
         }
-        val (root, next) = buildTableBtree(cells, nextPage, sink)
-        nextPage = next
+        val root = buildTableBtree(recs, alloc, sink, maxKids)
         (t, root, n)
       }
       // 2. sqlite_master on page 1

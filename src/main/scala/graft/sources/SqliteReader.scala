@@ -9,9 +9,9 @@ package graft.sources
   * a ScalaTest assertion.
   *
   * Supports what the engine writes (and asserts on anything else):
-  * table b-trees (leaf 0x0D / interior 0x05), varint records, no
-  * overflow pages, UTF-8 text. Reads any page size; walks interior
-  * levels recursively, so it also reads multi-level trees.
+  * table b-trees (leaf 0x0D / interior 0x05) at any depth, varint
+  * records, overflow-page chains (the standard K/M local split),
+  * UTF-8 text. Reads any page size.
   *
   * Two access modes: [[open]] reads the whole file into memory (the
   * driver-side oracle gates, small containers); [[openMapped]]
@@ -121,6 +121,34 @@ object SqliteReader {
       }.toSeq
     }
 
+    /** Max fully-local leaf payload (X) and the spilled local floor
+      * (M) — the standard K/M split, mirroring SqliteFile's writer.
+      */
+    private def maxLocal: Int = pageSize - 35
+    private def minLocal: Int = ((pageSize - 12) * 32) / 255 - 23
+
+    /** Reassemble a spilled payload: local prefix + overflow chain
+      * ([4-byte next | data] pages).
+      */
+    private def assembleOverflow(cellOff: Int, plen: Int): Array[Byte] = {
+      val k = minLocal + (plen - minLocal) % (pageSize - 4)
+      val local = if (k <= maxLocal) k else minLocal
+      val out = new Array[Byte](plen)
+      System.arraycopy(bytes.slice(cellOff, local), 0, out, 0, local)
+      var next = u32(bytes, cellOff + local)
+      var off = local
+      while (next != 0) {
+        val base = page(next)
+        val len = math.min(pageSize - 4, plen - off)
+        System.arraycopy(bytes.slice(base + 4, len), 0, out, off, len)
+        off += len
+        next = u32(bytes, base)
+      }
+      require(off == plen,
+        s"overflow chain ended at $off of $plen payload bytes")
+      out
+    }
+
     /** In-order walk of a table b-tree: (rowid, values). */
     def walk(rootPage: Int): Iterator[(Long, Seq[Any])] = {
       val base = page(rootPage)
@@ -132,10 +160,12 @@ object SqliteReader {
             val off = base + u16(bytes, h + 8 + 2 * i)
             val (plen, c1) = varint(bytes, off)
             val (rowid, c2) = varint(bytes, off + c1)
-            val usable = pageSize
-            require(plen <= usable - 35,
-              s"overflowing payload $plen unsupported")
-            (rowid, record(bytes, off + c1 + c2))
+            if (plen <= maxLocal)
+              (rowid, record(bytes, off + c1 + c2))
+            else {
+              val full = assembleOverflow(off + c1 + c2, plen.toInt)
+              (rowid, record(new ArrayBytes(full), 0))
+            }
           }
         case 0x05 =>
           val n = u16(bytes, h + 3)

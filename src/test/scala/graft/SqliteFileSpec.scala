@@ -181,6 +181,80 @@ $script
       SqliteReader.open(db).table("nope").foreach(_ => ()))
   }
 
+  test("overflow payloads: blobs past the 4061-byte local max round-trip") {
+    // real planet tiles exceed one page — spilled cells must chain
+    // through standard overflow pages that stock SQLite reads back
+    val db = java.nio.file.Files.createTempFile("graft_sq_ovf_", ".db")
+    def blob(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 31 + n) & 0xff).toByte)
+    val sizes = Seq(4061, 4062, 5000, 50000, 200001)
+    SqliteFile.write(db, Seq(SqliteFile.Table(
+      "o", "CREATE TABLE o (n INTEGER, b BLOB, s TEXT)",
+      sizes.iterator.map(n =>
+        Seq(n.toLong, blob(n), "tail-" + n)))))
+    val out = py(db,
+      """import hashlib
+        |print(con.execute('PRAGMA integrity_check').fetchone()[0])
+        |for n, b, s in con.execute('SELECT n, b, s FROM o ORDER BY rowid'):
+        |    print(n, len(b), hashlib.md5(b).hexdigest(), s)
+        |""".stripMargin)
+    assert(out.head == "ok", s"integrity_check: $out")
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(blob(n)).map("%02x".format(_)).mkString
+      assert(out(i + 1) == s"$n $n $md5 tail-$n")
+    }
+    // the from-scratch reader reassembles the same chains
+    import graft.sources.SqliteReader
+    val back = SqliteReader.open(db).table("o").toSeq
+    assert(back.map(_._2.head) == sizes.map(_.toLong))
+    back.zip(sizes).foreach { case ((_, vs), n) =>
+      assert(vs(1).asInstanceOf[Array[Byte]].sameElements(blob(n)))
+      assert(vs(2) == s"tail-$n")
+    }
+    // a HUGE string (text spills identically to blobs)
+    val db2 = java.nio.file.Files.createTempFile("graft_sq_ovf2_", ".db")
+    val big = ("abcdefgh" * 10000) + "Z"
+    SqliteFile.write(db2, Seq(SqliteFile.Table(
+      "t", "CREATE TABLE t (s TEXT)", Iterator(Seq(big)))))
+    val out2 = py(db2,
+      """print(con.execute('PRAGMA integrity_check').fetchone()[0])
+        |s = con.execute('SELECT s FROM t').fetchone()[0]
+        |print(len(s), s[-1])
+        |""".stripMargin)
+    assert(out2 == Seq("ok", s"${big.length} Z"))
+  }
+
+  test("b-tree depth is unbounded: a forced depth-3+ tree reads back") {
+    // 250^2 real leaves would be a 470 MB fixture; force depth with a
+    // tiny fan-out instead — the same code path stock SQLite then
+    // walks (maxKids is the writer's only branching knob)
+    val db = java.nio.file.Files.createTempFile("graft_sq_deep_", ".db")
+    val n = 3000 // ~430 leaves at 7 rows/leaf; maxKids=3 → depth >= 5
+    SqliteFile.write(db, Seq(SqliteFile.Table(
+      "d", "CREATE TABLE d (k INTEGER, pad TEXT)",
+      (1 to n).iterator.map(i => Seq(i.toLong, "p" * 500)))),
+      maxKids = 3)
+    val out = py(db,
+      """print(con.execute('PRAGMA integrity_check').fetchone()[0])
+        |print(con.execute('SELECT count(*), sum(k) FROM d').fetchone())
+        |print(con.execute('SELECT k FROM d WHERE rowid = 2345').fetchone())
+        |""".stripMargin)
+    assert(out.head == "ok", s"integrity_check: $out")
+    assert(out(1) == s"($n, ${n.toLong * (n + 1) / 2})")
+    assert(out(2) == "(2345,)")
+    // the from-scratch reader recurses the same depths
+    import graft.sources.SqliteReader
+    val walked = SqliteReader.open(db).table("d").toSeq
+    assert(walked.length == n)
+    assert(walked.map(_._1) == (1 to n).map(_.toLong))
+    // and subtree splits still cover the table exactly once
+    val dbm = SqliteReader.openMapped(db)
+    val roots = dbm.subtreeRoots("d")
+    assert(roots.size > 1)
+    assert(roots.flatMap(dbm.walk).map(_._1) == (1 to n).map(_.toLong))
+  }
+
   test("empty table and multiple tables coexist") {
     val db = java.nio.file.Files.createTempFile("graft_sq_multi_", ".db")
     SqliteFile.write(db, Seq(
