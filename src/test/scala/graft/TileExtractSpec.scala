@@ -48,6 +48,32 @@ class TileExtractSpec extends SparkSpec {
     assert(decoded > 0L, "extracted tiles must decode to features")
   }
 
+  test("oversize tiles ride overflow chains through the whole path") {
+    // a real planet tile exceeds one 4 KB page: container write
+    // (overflow spill) -> mmap subtree walk (chain reassembly) ->
+    // extracted file must be byte-exact
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def blob(n: Int, seed: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 131 + seed) & 0xff).toByte)
+    val tiles = Seq(
+      (3, 1L, 2L, 1, blob(50000, 7)),   // ~13 overflow pages
+      (3, 1L, 3L, 1, blob(100, 9)),     // local
+      (4, 5L, 5L, 1, blob(4062, 11)))   // first spilled size
+      .toDF("zoom", "tile_x", "tile_y", "n_layers", "tile")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigtile_")
+    val mb = dir.resolve("big.mbtiles")
+    graft.operators.MvtTiles.writeMbtilesOf(spark, tiles, mb)
+    val out = dir.resolve("tiles")
+    assert(graft.operators.MvtTiles.extractTiles(spark, mb, out) == 3L)
+    Seq((3, 1L, 2L, 50000, 7), (3, 1L, 3L, 100, 9),
+      (4, 5L, 5L, 4062, 11)).foreach { case (z, x, y, n, seed) =>
+      val got = java.nio.file.Files.readAllBytes(
+        out.resolve(s"$z/$x/$y.pbf"))
+      assert(got.sameElements(blob(n, seed)), s"z=$z x=$x y=$y")
+    }
+  }
+
   test("extraction parallelizes across b-tree subtrees") {
     // the fixture container's tiles b-tree must split into multiple
     // independent subtrees (an interior root) — the property the
