@@ -612,6 +612,15 @@ object MvtTiles {
     */
   val ReliableCheckpointKey = "spark.graft.tiles.reliableCheckpoint"
 
+  /** Opt-in gzip of `tile_data` in the .mbtiles container — what
+    * tippecanoe emits by default and tile servers pass through as
+    * `Content-Encoding: gzip`. Compression runs distributed (a
+    * per-tile column transform) before the single-file sink's
+    * collect; readers sniff the 1f 8b member magic, per ecosystem
+    * convention (the MBTiles spec carries no compression flag).
+    */
+  val GzipKey = "spark.graft.tiles.gzip"
+
   /** Tile fan-out from any features-shaped frame (layer, fid, gtype,
     * minz, pts, pk, pv) — the streaming tile-refresh's entry point
     * (single-layer micro-batch slices, full zoom range).
@@ -865,16 +874,21 @@ object MvtTiles {
       path: java.nio.file.Path,
       barrier: Boolean = true): Seq[(String, Int, Long)] = {
     import graft.sources.SqliteFile
+    val encoded =
+      if (s.conf.get(GzipKey, "false").toBoolean)
+        built.withColumn("tile",
+          graft.functions.GzipExpr.gzip(col("tile")))
+      else built
     // same barrier policy as the tile build: local blocks by default,
     // the reliable checkpoint dir under the opt-in flag
     val tiles =
-      if (!barrier) built
+      if (!barrier) encoded
       else if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(java.nio.file.Files
             .createTempDirectory("graft_tiles_ckpt_").toString)
-        built.checkpoint(false)
-      } else built.localCheckpoint(false)
+        encoded.checkpoint(false)
+      } else encoded.localCheckpoint(false)
     // metadata needs the zoom extremes — a tiny pre-aggregate, not a
     // scan of collected rows
     val zrow = tiles.agg(min("zoom"), max("zoom")).head()
@@ -1025,6 +1039,35 @@ object MvtTiles {
     decodedStats(readTileDir(s, outDir))
   }
 
+  // Gzip-chain gate: the tippecanoe-default gzipped container written,
+  // extracted, and read back — gzip member bytes through the mmap
+  // subtree walk to z/x/y.pbf files, gunzipped and decoded to the SAME
+  // relational stats oracle, so the compressed artifact format sits
+  // under the DuckDB hash (the compressed bytes themselves are
+  // JVM-zlib-specific and never hashed; gunzip∘gzip plus python's own
+  // gzip reader in MbtilesSpec cover the member format).
+  private val qExtractGzip = QuerySpec.of(
+    "q_tiles_extract_gzip", {
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |$oracleFeatPtsCtes,
+        |$oraclePrepCtes
+        |$oracleStatsSelect""".stripMargin
+    }) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_extract_gz_")
+    val mb = dir.resolve("in.mbtiles")
+    val prev = s.conf.getOption(GzipKey)
+    s.conf.set(GzipKey, "true")
+    try writeMbtilesFile(s, d, mb)
+    finally prev match {
+      case Some(v) => s.conf.set(GzipKey, v)
+      case None => s.conf.unset(GzipKey)
+    }
+    val outDir = dir.resolve("tiles")
+    extractTiles(s, mb, outDir)
+    decodedStats(readTileDir(s, outDir).withColumn("tile",
+      graft.functions.GzipExpr.gunzip(col("tile"))))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(qStats, qBytes, qStreamRefresh, qMbtiles, qExtract)
+    Seq(qStats, qBytes, qStreamRefresh, qMbtiles, qExtract, qExtractGzip)
 }
