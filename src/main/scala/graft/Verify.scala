@@ -14,8 +14,14 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 10M keys before the sort-based fallback is a bench-scale
+      // tuning (avoids a sort per collect_list partition); at 10×+
+      // data the in-memory buffers OOM a single JVM — the r15 sf1
+      // sweep lost q_tiles_mvt_bytes to exactly this. Correctness
+      // sweeps at scale should prefer the spillable path:
+      // SPARK_GRAFT_AGG_FALLBACK=128 restores Spark's default.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "10000000")
+        sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "10000000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -680,12 +680,17 @@ object RelationalQueries {
   // Revenue concentration (Pareto/Lorenz): customers ranked by spend,
   // revenue share per spend decile in exact integer cents, and the
   // Gini coefficient via the closed form G = (2·Σi·xᵢ − (n+1)·Σx) /
-  // (n·Σx) — computed over FLOORED DOLLARS, because the ×10⁴ bp
-  // scaling of the cents-level numerator overflows int64 at sf0.1
-  // (DuckDB silently promotes to HUGEINT; Spark must not depend on
-  // that). The rank window runs over the PER-CUSTOMER aggregate
-  // (|customers| ≪ |orders|); ties rank by custkey so both engines
-  // walk the Lorenz curve identically.
+  // (n·Σx) — computed over FLOORED DOLLARS (the cents-level numerator
+  // overflows int64 already at sf0.1), and the ×10⁴ bp scaling runs
+  // in 128-bit arithmetic on BOTH sides (Spark DECIMAL(38,0) /
+  // DuckDB explicit HUGEINT): the r15 sf1 sweep caught the bigint
+  // version overflowing at 10× the bench scale — numerator ≈
+  // G·n·totd ≈ 10¹⁵ there, ×10⁴ > 2⁶³ — with Spark's ANSI multiply
+  // erroring while DuckDB's would promote silently. The numerator is
+  // ≥ 0 by Chebyshev's sum inequality (rk ascends with cents), so
+  // floor (//) and truncate (DIV) agree. The rank window runs over
+  // the PER-CUSTOMER aggregate (|customers| ≪ |orders|); ties rank
+  // by custkey so both engines walk the Lorenz curve identically.
   private val qPareto = QuerySpec.of(
     "q_customer_pareto",
     """WITH c AS (
@@ -713,8 +718,9 @@ object RelationalQueries {
       |  FROM r GROUP BY 1)
       |SELECT dec.decile, dec.n_customers, dec.cents,
       |  CAST(dec.cents * 10000 // dec.tot AS BIGINT) AS share_bp,
-      |  CAST((2 * g.sic - (g.n + 1) * g.totd) * 10000
-      |    // (g.n * g.totd) AS BIGINT) AS gini_bp
+      |  CAST((2 * CAST(g.sic AS HUGEINT) - (g.n + 1)
+      |      * CAST(g.totd AS HUGEINT)) * 10000
+      |    // (CAST(g.n AS HUGEINT) * g.totd) AS BIGINT) AS gini_bp
       |FROM dec, g ORDER BY dec.decile""".stripMargin) { (s, d) =>
     val c = Tables.orders(s, d)
       .groupBy("o_custkey")
@@ -740,8 +746,10 @@ object RelationalQueries {
     dec.crossJoin(broadcast(g))
       .select(col("decile"), col("n_customers"), col("cents"),
         expr("CAST(cents * 10000 DIV tot AS BIGINT)").as("share_bp"),
-        expr("CAST((2 * sic - (n + 1) * totd) * 10000 DIV (n * totd)" +
-          " AS BIGINT)").as("gini_bp"))
+        expr("CAST((2 * CAST(sic AS DECIMAL(38,0)) - (n + 1)" +
+          " * CAST(totd AS DECIMAL(38,0))) * 10000" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * totd) AS BIGINT)")
+          .as("gini_bp"))
       .orderBy("decile")
   }
 
