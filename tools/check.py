@@ -52,6 +52,10 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
+    # several gates deliberately share one oracle (e.g. the four MVT
+    # byte-path queries all replay the identical tile-stats SQL) — at
+    # sf1 that SQL takes tens of minutes, so cache results by SQL text
+    oracle_cache = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -65,7 +69,12 @@ def main(sf_dir, out_dir):
             print(f"ROWS-ONLY {name}: rows={len(got)}")
             continue
         try:
-            want = canon(con.sql(oracles[name]).df())
+            sql = oracles[name]
+            if sql in oracle_cache:
+                want = oracle_cache[sql]
+            else:
+                want = canon(con.sql(sql).df())
+                oracle_cache[sql] = want
         except Exception as e:
             print(f"ORACLE-ERR {name}: {str(e).splitlines()[0][:160]}")
             bad += 1
