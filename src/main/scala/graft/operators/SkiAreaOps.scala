@@ -436,8 +436,10 @@ object SkiAreaOps {
         |    unnest([0, 1, 2]) AS u(pidx)),
         |cent AS (
         |  SELECT area_id, count(DISTINCT way_id) AS n_members,
-        |    round(sum(px) / count(*), 9) AS cx0,
-        |    round(sum(py) / count(*), 9) AS cy0,
+        |    round(CAST(sum(CAST(round(px * 100000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*) / 100000000.0, 9) AS cx0,
+        |    round(CAST(sum(CAST(round(py * 100000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*) / 100000000.0, 9) AS cy0,
         |    min(px) AS bw, min(py) AS bs, max(px) AS be, max(py) AS bn
         |  FROM pts GROUP BY area_id),
         |nearest AS (
@@ -491,10 +493,21 @@ object SkiAreaOps {
       .select(col("area_id"), col("way_id"), col("pos").as("pidx"),
         element_at(col("col"), 1).as("px"),
         element_at(col("col"), 2).as("py"))
+    // centroid sums run over nanodegree-quantized INTEGERS (128-bit
+    // accumulators both engines): a double sum's value depends on
+    // partial-sum order, and at sf1 an area has enough member points
+    // for Spark's combine order vs DuckDB's scan order to differ by
+    // an ulp exactly on a round(...,9) boundary — the r15 sweep caught
+    // one row's 6dp lat flipping. Integer sums are order-free; the
+    // final division replays the identical double formula on both
+    // sides, so cx0/cy0 are bit-identical across engines.
+    def exactMean(c: String) =
+      round(sum(expr(s"CAST(round($c * 100000000.0, 0) AS DECIMAL(38,0))"))
+        .cast("double") / count(lit(1)) / 100000000.0, 9)
     val cent = pts.groupBy("area_id")
       .agg(countDistinct("way_id").as("n_members"),
-        round(sum("px") / count(lit(1)), 9).as("cx0"),
-        round(sum("py") / count(lit(1)), 9).as("cy0"),
+        exactMean("px").as("cx0"),
+        exactMean("py").as("cy0"),
         min("px").as("bw"), min("py").as("bs"),
         max("px").as("be"), max("py").as("bn"))
     val w = Window.partitionBy("area_id")
