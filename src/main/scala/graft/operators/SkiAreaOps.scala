@@ -436,10 +436,12 @@ object SkiAreaOps {
         |    unnest([0, 1, 2]) AS u(pidx)),
         |cent AS (
         |  SELECT area_id, count(DISTINCT way_id) AS n_members,
-        |    round(CAST(sum(CAST(round(px * 100000000.0) AS BIGINT))
-        |      AS DOUBLE) / count(*) / 100000000.0, 9) AS cx0,
-        |    round(CAST(sum(CAST(round(py * 100000000.0) AS BIGINT))
-        |      AS DOUBLE) / count(*) / 100000000.0, 9) AS cy0,
+        |    floor(CAST(sum(CAST(round(px * 100000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*) / 100000000.0
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS cx0,
+        |    floor(CAST(sum(CAST(round(py * 100000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*) / 100000000.0
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS cy0,
         |    min(px) AS bw, min(py) AS bs, max(px) AS be, max(py) AS bn
         |  FROM pts GROUP BY area_id),
         |nearest AS (
@@ -449,16 +451,18 @@ object SkiAreaOps {
         |  QUALIFY row_number() OVER (PARTITION BY p.area_id
         |    ORDER BY ($havC), p.way_id, p.pidx) = 1)
         |SELECT area_id, n_members,
-        |  round(CASE WHEN dist_m > 100.0
+        |  floor((CASE WHEN dist_m > 100.0
         |    THEN px + (cx0 - px) * (100.0 / dist_m)
-        |    ELSE cx0 END, 6) AS lon,
-        |  round(CASE WHEN dist_m > 100.0
+        |    ELSE cx0 END) * 1000000.0 + 0.5) / 1000000.0 AS lon,
+        |  floor((CASE WHEN dist_m > 100.0
         |    THEN py + (cy0 - py) * (100.0 / dist_m)
-        |    ELSE cy0 END, 6) AS lat,
-        |  round(bw, 6) AS bbox_w, round(bs, 6) AS bbox_s,
-        |  round(be, 6) AS bbox_e, round(bn, 6) AS bbox_n,
-        |  round((bw + be) / 2, 6) AS center_lon,
-        |  round((bs + bn) / 2, 6) AS center_lat
+        |    ELSE cy0 END) * 1000000.0 + 0.5) / 1000000.0 AS lat,
+        |  floor(bw * 1000000.0 + 0.5) / 1000000.0 AS bbox_w,
+        |  floor(bs * 1000000.0 + 0.5) / 1000000.0 AS bbox_s,
+        |  floor(be * 1000000.0 + 0.5) / 1000000.0 AS bbox_e,
+        |  floor(bn * 1000000.0 + 0.5) / 1000000.0 AS bbox_n,
+        |  floor((bw + be) / 2 * 1000000.0 + 0.5) / 1000000.0 AS center_lon,
+        |  floor((bs + bn) / 2 * 1000000.0 + 0.5) / 1000000.0 AS center_lat
         |FROM nearest ORDER BY area_id""".stripMargin
     }) { (s, d) =>
     val areas = graft.Tables.orders(s, d)
@@ -502,8 +506,9 @@ object SkiAreaOps {
     // final division replays the identical double formula on both
     // sides, so cx0/cy0 are bit-identical across engines.
     def exactMean(c: String) =
-      round(sum(expr(s"CAST(round($c * 100000000.0, 0) AS DECIMAL(38,0))"))
-        .cast("double") / count(lit(1)) / 100000000.0, 9)
+      floor(sum(expr(s"CAST(round($c * 100000000.0, 0) AS DECIMAL(38,0))"))
+        .cast("double") / count(lit(1)) / 100000000.0
+        * 1000000000.0 + 0.5) / 1000000000.0
     val cent = pts.groupBy("area_id")
       .agg(countDistinct("way_id").as("n_members"),
         exactMean("px").as("cx0"),
@@ -512,22 +517,30 @@ object SkiAreaOps {
         max("px").as("be"), max("py").as("bn"))
     val w = Window.partitionBy("area_id")
       .orderBy(col("dist_m"), col("way_id"), col("pidx"))
+    // engine-agnostic 6dp rounding: round(double, 6) TIES diverge
+    // across engines (Spark HALF_UPs the shortest decimal repr;
+    // DuckDB rounds the binary value) — the r15 sf1 sweep hit an
+    // exact ...5625 centroid whose 6th digit flipped. floor(x·10⁶ +
+    // 0.5)/10⁶ is pure double arithmetic, bit-identical on identical
+    // inputs (half rounds toward +∞ on both sides by construction).
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
     pts.join(cent, "area_id")
       .withColumn("dist_m",
         haversineM(col("cx0"), col("cy0"), col("px"), col("py")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("area_id"), col("n_members"),
-        round(when(col("dist_m") > 100.0,
+        r6(when(col("dist_m") > 100.0,
           col("px") + (col("cx0") - col("px")) * (lit(100.0) / col("dist_m")))
-          .otherwise(col("cx0")), 6).as("lon"),
-        round(when(col("dist_m") > 100.0,
+          .otherwise(col("cx0"))).as("lon"),
+        r6(when(col("dist_m") > 100.0,
           col("py") + (col("cy0") - col("py")) * (lit(100.0) / col("dist_m")))
-          .otherwise(col("cy0")), 6).as("lat"),
-        round(col("bw"), 6).as("bbox_w"), round(col("bs"), 6).as("bbox_s"),
-        round(col("be"), 6).as("bbox_e"), round(col("bn"), 6).as("bbox_n"),
-        round((col("bw") + col("be")) / 2, 6).as("center_lon"),
-        round((col("bs") + col("bn")) / 2, 6).as("center_lat"))
+          .otherwise(col("cy0"))).as("lat"),
+        r6(col("bw")).as("bbox_w"), r6(col("bs")).as("bbox_s"),
+        r6(col("be")).as("bbox_e"), r6(col("bn")).as("bbox_n"),
+        r6((col("bw") + col("be")) / 2).as("center_lon"),
+        r6((col("bs") + col("bn")) / 2).as("center_lat"))
       .orderBy("area_id")
   }
 
