@@ -189,11 +189,15 @@ object Bench {
         System.gc()
         Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS",
           "300").toInt)
-        sampleLoads(q.name) += loadavg()
+        // the load reading is appended TOGETHER with its sample on
+        // success — a failed pass must not leave per_sample load arrays
+        // misaligned with the sample arrays (ADVICE r15)
+        val passLoad = loadavg()
         val t0 = System.nanoTime()
         try {
           runOnce(q.fn)
           samples(q.name) += (System.nanoTime() - t0) / 1e9
+          sampleLoads(q.name) += passLoad
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           failed += q.name
@@ -235,6 +239,31 @@ object Bench {
         else reportedMedian(s.toSeq)
       q.name -> t
     }
+    // The quiet band can mask a REAL regression that degrades a
+    // minority of passes (e.g. 40% of samples at 3×: the median stays
+    // fingerprint-clean while the band silently trims the slow
+    // samples). So the PLAIN median ships in the artifact next to the
+    // banded figure, and whenever the two diverge beyond the
+    // documented ~1.5× quiet spread the run is treated like a suspect
+    // one for baseline purposes: the regression baseline is NOT
+    // overwritten, so the next run still compares against the last
+    // artifact whose trim was a no-op (ADVICE r15 medium).
+    val plainResults = heads.map { q =>
+      val s = samples(q.name)
+      val t = if (failed(q.name) || s.isEmpty) -1.0 else median(s.toSeq)
+      q.name -> t
+    }
+    val trimDivergent: Seq[String] = heads.map(_.name).filter { n =>
+      val band = results.toMap.getOrElse(n, -1.0)
+      val plain = plainResults.toMap.getOrElse(n, -1.0)
+      band > 0 && plain > 0 && plain / band > 1.5
+    }
+    if (trimDivergent.nonEmpty)
+      System.err.println(
+        s"[bench] plain vs quiet-band medians diverge >1.5x on " +
+          s"${trimDivergent.mkString(", ")} — attribute via " +
+          "load.per_sample before trusting the banded figure; " +
+          "baseline NOT overwritten")
 
     // the regression baseline is per scale factor: an sf0.001 scaling
     // probe must not become the comparison band for the next sf0.1 run
@@ -291,6 +320,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsPlain = plainResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sampleJson = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.map(d => f"$d%.3f").mkString("[", ",", "]")
@@ -315,19 +346,25 @@ object Bench {
       if (suspectNames.isEmpty) ""
       else suspectNames.map("\"" + _ + "\"")
         .mkString(""","suspect":[""", ",", "]")
+    val trimJson =
+      if (trimDivergent.isEmpty) ""
+      else trimDivergent.map("\"" + _ + "\"")
+        .mkString(""","trim_divergent":[""", ",", "]")
     val flags = (if (contaminated) ""","contaminated":true""" else "") +
       (if (only.nonEmpty) ""","partial":true""" else "") +
-      rerunJson + suspectJson
+      rerunJson + suspectJson + trimJson
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_plain":$qsPlain,""" +
         s""""samples":$sampleJson,""" +
         s""""load":{"start":$loadStart,"end":$loadEnd,""" +
         s""""per_sample":$perSampleLoadJson}$flags,""" +
         s""""commit":"$commit","sf":"$sfDir"}"""
-    // a partial, contaminated, or still-suspect run never replaces the
-    // regression baseline — the next full quiet run must still compare
-    // against the last trustworthy artifact
-    if (only.isEmpty && !contaminated && suspectNames.isEmpty)
+    // a partial, contaminated, still-suspect, or band-trimmed run never
+    // replaces the regression baseline — the next full quiet run must
+    // still compare against the last trustworthy artifact
+    if (only.isEmpty && !contaminated && suspectNames.isEmpty &&
+        trimDivergent.isEmpty)
       java.nio.file.Files.write(lastPath, line.getBytes("UTF-8"))
     println(line)
     spark.stop()

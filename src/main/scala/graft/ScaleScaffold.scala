@@ -38,9 +38,20 @@ object ScaleScaffold {
     def off(c: String, i: Int): Column = col(c) + lit(Stride * i)
     def write(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val b = Tables.load(s, base, name)
-      (0 until factor).map(i => shift(b, i))
+      val out0 = (0 until factor).map(i => shift(b, i))
         .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // adding a Long literal silently widens any narrower key column
+      // to BIGINT, so the amplified parquet's schema would drift from
+      // the fixture's and the sweep would stop exercising int-typed key
+      // handling (ADVICE r15). The fixture keys are all int64 today —
+      // assert it stays that way instead of widening silently.
+      b.schema.fields.zip(out0.schema.fields).foreach { case (src, dst) =>
+        require(src.dataType == dst.dataType,
+          s"$name.${src.name}: amplification widened ${src.dataType} to " +
+            s"${dst.dataType} — cast the offset back to the source type " +
+            "or the scaffold schema diverges from the fixture's")
+      }
+      out0.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     write("customer")((d, i) => d.withColumn("c_custkey", off("c_custkey", i)))
     write("supplier")((d, i) => d.withColumn("s_suppkey", off("s_suppkey", i)))

@@ -11,17 +11,31 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scale-aware agg fallback (VERDICT r15 #3): the bench-tuned 10M-key
+    // in-memory threshold (avoids a sort per collect_list partition)
+    // OOM'd a 24 GB JVM at sf1-size before the spillable sort path could
+    // engage — a correctness run must not need a magic knob to survive
+    // its input. Pick from the input scale: small fixture dirs (the
+    // driver's sf0.01/sf0.1 gates, ≲2 GB) keep the fast in-memory path;
+    // anything larger gets Spark's spill-friendly default (128). The env
+    // var remains an explicit override for experiments.
+    val sfBytes: Long =
+      try {
+        val root = Paths.get(sfDir)
+        if (Files.isDirectory(root)) {
+          val s = Files.walk(root)
+          try s.filter(Files.isRegularFile(_))
+            .mapToLong(Files.size(_)).sum()
+          finally s.close()
+        } else 0L
+      } catch { case _: Throwable => Long.MaxValue }
+    val aggFallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK",
+      if (sfBytes <= 2L * 1024 * 1024 * 1024) "10000000" else "128")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // 10M keys before the sort-based fallback is a bench-scale
-      // tuning (avoids a sort per collect_list partition); at 10×+
-      // data the in-memory buffers OOM a single JVM — the r15 sf1
-      // sweep lost q_tiles_mvt_bytes to exactly this. Correctness
-      // sweeps at scale should prefer the spillable path:
-      // SPARK_GRAFT_AGG_FALLBACK=128 restores Spark's default.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "10000000"))
+        aggFallback)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -975,13 +975,20 @@ object MvtTiles {
     * pages — see SqliteReader.openMapped), writing its slice of files
     * straight to the shared filesystem. Returns the tile-file count.
     */
+  /** Name of the completion marker [[extractTiles]] writes; its content
+    * is the decimal tile count, so a consumer can both distinguish a
+    * finished extraction from the partial directory a failed job leaves
+    * behind AND verify the file count it sees.
+    */
+  val ExtractSuccessMarker = "_SUCCESS"
+
   def extractTiles(s: SparkSession, mbtiles: java.nio.file.Path,
       outDir: java.nio.file.Path): Long = {
     import graft.sources.SqliteReader
     val splits = SqliteReader.openMapped(mbtiles).subtreeRoots("tiles")
     val mb = mbtiles.toAbsolutePath.toString
     val out = outDir.toAbsolutePath.toString
-    s.sparkContext.parallelize(splits, splits.size).map { root =>
+    val n = s.sparkContext.parallelize(splits, splits.size).map { root =>
       val db = SqliteReader.openMapped(java.nio.file.Paths.get(mb))
       var n = 0L
       db.walk(root).foreach { case (_, vs) =>
@@ -996,6 +1003,17 @@ object MvtTiles {
       }
       n
     }.fold(0L)(_ + _)
+    // tasks write via java.nio, which is correct in local mode or on a
+    // shared POSIX filesystem (task retries rewrite identical bytes to
+    // identical paths — idempotent); a FAILED job, though, leaves a
+    // partial directory indistinguishable from a finished one. The
+    // marker is written only after every task completed, and carries
+    // the count (ADVICE r15).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, ExtractSuccessMarker),
+      n.toString.getBytes("UTF-8"))
+    n
   }
 
   /** The extracted directory read back DISTRIBUTEDLY — binaryFile
@@ -1005,6 +1023,11 @@ object MvtTiles {
     */
   private[graft] def readTileDir(s: SparkSession,
       dir: java.nio.file.Path): DataFrame = {
+    // refuse to read the partial directory a failed extraction leaves
+    // behind: the marker is written only after every task completed
+    require(java.nio.file.Files.exists(dir.resolve(ExtractSuccessMarker)),
+      s"$dir has no $ExtractSuccessMarker marker — extraction did not " +
+        "complete; re-run extractTiles")
     val re = "^.*/([0-9]+)/([0-9]+)/([0-9]+)\\.pbf$"
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.pbf")

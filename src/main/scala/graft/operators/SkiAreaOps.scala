@@ -436,10 +436,10 @@ object SkiAreaOps {
         |    unnest([0, 1, 2]) AS u(pidx)),
         |cent AS (
         |  SELECT area_id, count(DISTINCT way_id) AS n_members,
-        |    floor(CAST(sum(CAST(round(px * 100000000.0) AS BIGINT))
+        |    floor(CAST(sum(CAST(floor(px * 100000000.0 + 0.5) AS BIGINT))
         |      AS DOUBLE) / count(*) / 100000000.0
         |      * 1000000000.0 + 0.5) / 1000000000.0 AS cx0,
-        |    floor(CAST(sum(CAST(round(py * 100000000.0) AS BIGINT))
+        |    floor(CAST(sum(CAST(floor(py * 100000000.0 + 0.5) AS BIGINT))
         |      AS DOUBLE) / count(*) / 100000000.0
         |      * 1000000000.0 + 0.5) / 1000000000.0 AS cy0,
         |    min(px) AS bw, min(py) AS bs, max(px) AS be, max(py) AS bn
@@ -505,8 +505,15 @@ object SkiAreaOps {
     // one row's 6dp lat flipping. Integer sums are order-free; the
     // final division replays the identical double formula on both
     // sides, so cx0/cy0 are bit-identical across engines.
+    // quantization itself uses the same engine-agnostic floor form as
+    // the outputs: round(double, 0) HALF_UPs the shortest decimal repr
+    // in Spark but rounds the binary value in DuckDB, so a px*1e8 near
+    // a half would reintroduce the very tie class this fix removes.
+    // floor(x·1e8 + 0.5) is pure IEEE double arithmetic — identical on
+    // identical inputs, half rounds toward +∞ on BOTH sides (sign-
+    // consistent for negative coordinates by construction).
     def exactMean(c: String) =
-      floor(sum(expr(s"CAST(round($c * 100000000.0, 0) AS DECIMAL(38,0))"))
+      floor(sum(expr(s"CAST(floor($c * 100000000.0 + 0.5) AS DECIMAL(38,0))"))
         .cast("double") / count(lit(1)) / 100000000.0
         * 1000000000.0 + 0.5) / 1000000000.0
     val cent = pts.groupBy("area_id")
