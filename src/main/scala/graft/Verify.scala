@@ -15,8 +15,9 @@ object Verify {
     // in-memory threshold (avoids a sort per collect_list partition)
     // OOM'd a 24 GB JVM at sf1-size before the spillable sort path could
     // engage — a correctness run must not need a magic knob to survive
-    // its input. Pick from the input scale: small fixture dirs (the
-    // driver's sf0.01/sf0.1 gates, ≲2 GB) keep the fast in-memory path;
+    // its input. Pick from the input scale: the driver's fixture gates
+    // are ≤17 MB on disk (sf0.1) while the amplified sf1 scaffold that
+    // OOM'd is 154 MB, so ≤64 MB keeps the fast in-memory path and
     // anything larger gets Spark's spill-friendly default (128). The env
     // var remains an explicit override for experiments.
     val sfBytes: Long =
@@ -30,7 +31,7 @@ object Verify {
         } else 0L
       } catch { case _: Throwable => Long.MaxValue }
     val aggFallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK",
-      if (sfBytes <= 2L * 1024 * 1024 * 1024) "10000000" else "128")
+      if (sfBytes <= 64L * 1024 * 1024) "10000000" else "128")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

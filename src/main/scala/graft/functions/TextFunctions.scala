@@ -82,7 +82,8 @@ object TextFunctions {
     val lenScore = least(lit(1.0), size(toks).cast("double") / 50.0)
     val stopScore = least(lit(1.0), stopwordRatio(toks) * 4.0)
     val noise = least(lit(1.0), (punctRatio(text) + digitRatio(text)) * 5.0)
-    round(lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - noise) * 0.2, 6)
+    (floor((lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - noise) * 0.2)
+      * 1e6 + 0.5) / 1e6)
   }
 
   /** Word-n-gram shingles as space-joined strings ("w1 w2 w3").
@@ -136,7 +137,7 @@ object TextFunctions {
       s"md5(array_to_string(list_sort(list_distinct($toks)), ' '))"
     /** Self-contained DuckDB twin of [[qualityScore]] over `text`. */
     val quality: String =
-      s"round(least(1.0, CAST(len($toks) AS DOUBLE) / 50.0) * 0.4" +
+      s"(floor((least(1.0, CAST(len($toks) AS DOUBLE) / 50.0) * 0.4" +
         s" + least(1.0, (CASE WHEN len($toks) = 0 THEN 0.0 ELSE" +
         s" CAST(len(list_filter($toks, t -> t IN" +
         " ('the','a','an','and','of','to','in','is','it','that')))" +
@@ -146,6 +147,6 @@ object TextFunctions {
         " AS DOUBLE) / length(text) END)" +
         " + (CASE WHEN length(text) = 0 THEN 0.0 ELSE" +
         " CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))" +
-        " AS DOUBLE) / length(text) END)) * 5.0)) * 0.2, 6)"
+        " AS DOUBLE) / length(text) END)) * 5.0)) * 0.2) * 1e6 + 0.5) / 1e6)"
   }
 }

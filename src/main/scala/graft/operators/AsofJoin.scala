@@ -261,7 +261,7 @@ object AsofJoin {
     "q_ts_resample",
     s"""WITH e AS (
       |  SELECT event_id, user_id, event_type, $OracleUs AS us,
-      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |    CAST(floor((value * 100) + 0.5) AS BIGINT) AS cents
       |  FROM events),
       |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
       |u AS (SELECT DISTINCT user_id FROM e),
@@ -294,7 +294,7 @@ object AsofJoin {
       |ORDER BY user_id, grid_us""".stripMargin, headline = true) { (s, d) =>
     val step = 21600000000L
     val ev = eventsUs(s, d).withColumn("cents",
-      expr("CAST(round(value * 100) AS BIGINT)"))
+      expr("CAST(floor((value * 100) + 0.5) AS BIGINT)"))
     val bounds = ev.agg(min("us").as("mn"), max("us").as("mx"))
     val grid = ev.select("user_id").distinct()
       .crossJoin(broadcast(bounds)) // 1-row bounds to every user

@@ -180,8 +180,8 @@ object Corpus {
         |SELECT source, bp AS rate_bp, count(*) AS n_total,
         |  CAST(sum(CASE WHEN h < bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN h < bp THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
-        |  round(CAST(sum(CASE WHEN h < bp THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS kept_rate
+        |  (floor((CAST(sum(CASE WHEN h < bp THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * 1e6 + 0.5) / 1e6) AS kept_rate
         |FROM b GROUP BY source, bp ORDER BY source""".stripMargin
     }) { (s, d) =>
     import s.implicits._
@@ -197,7 +197,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
         sum(when(col("kept") === 1, col("n_chars")).otherwise(0L))
           .as("kept_chars"),
-        round(sum("kept").cast("double") / count(lit(1)), 6).as("kept_rate"))
+        (floor((sum("kept").cast("double") / count(lit(1))) * 1e6 + 0.5) / 1e6).as("kept_rate"))
       .orderBy("source")
   }
 
@@ -268,9 +268,9 @@ object Corpus {
         |    OR uniq_ratio < $UniqueRatioMin
         |    OR top_bigram_frac > $TopBigramMax THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged,
-        |  round(avg(top_tok_frac), 6) AS avg_top_tok,
-        |  round(avg(uniq_ratio), 6) AS avg_uniq,
-        |  round(avg(top_bigram_frac), 6) AS avg_top_bigram
+        |  (floor((avg(top_tok_frac)) * 1e6 + 0.5) / 1e6) AS avg_top_tok,
+        |  (floor((avg(uniq_ratio)) * 1e6 + 0.5) / 1e6) AS avg_uniq,
+        |  (floor((avg(top_bigram_frac)) * 1e6 + 0.5) / 1e6) AS avg_top_bigram
         |FROM m GROUP BY source ORDER BY source""".stripMargin
     }) { (s, d) =>
     def topFrac(arr: org.apache.spark.sql.Column) =
@@ -292,9 +292,9 @@ object Corpus {
           || col("uniq_ratio") < UniqueRatioMin
           || col("top_bigram_frac") > TopBigramMax).cast("long"))
           .as("n_flagged"),
-        round(avg("top_tok_frac"), 6).as("avg_top_tok"),
-        round(avg("uniq_ratio"), 6).as("avg_uniq"),
-        round(avg("top_bigram_frac"), 6).as("avg_top_bigram"))
+        (floor((avg("top_tok_frac")) * 1e6 + 0.5) / 1e6).as("avg_top_tok"),
+        (floor((avg("uniq_ratio")) * 1e6 + 0.5) / 1e6).as("avg_uniq"),
+        (floor((avg("top_bigram_frac")) * 1e6 + 0.5) / 1e6).as("avg_top_bigram"))
       .orderBy("source")
   }
 
@@ -314,7 +314,7 @@ object Corpus {
       |  min(dim) AS dim_min, max(dim) AS dim_max,
       |  CAST(sum(CASE WHEN abs(nrm - 1.0) > 1e-6 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_nonunit,
-      |  round(min(nrm), 6) AS norm_min, round(max(nrm), 6) AS norm_max
+      |  (floor((min(nrm)) * 1e6 + 0.5) / 1e6) AS norm_min, (floor((max(nrm)) * 1e6 + 0.5) / 1e6) AS norm_max
       |FROM e GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
     val v = col("embedding").cast("array<double>")
     Tables.embeddings(s, d)
@@ -324,8 +324,8 @@ object Corpus {
       .agg(count(lit(1)).as("n_vecs"),
         min("dim").as("dim_min"), max("dim").as("dim_max"),
         sum((abs(col("nrm") - 1.0) > 1e-6).cast("long")).as("n_nonunit"),
-        round(min("nrm"), 6).as("norm_min"),
-        round(max("nrm"), 6).as("norm_max"))
+        (floor((min("nrm")) * 1e6 + 0.5) / 1e6).as("norm_min"),
+        (floor((max("nrm")) * 1e6 + 0.5) / 1e6).as("norm_max"))
       .orderBy("label")
   }
 
@@ -436,13 +436,13 @@ object Corpus {
         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $sqlBm25Dfs
         |  FROM d),
         |s AS (SELECT doc_id, $sqlBm25Score AS score FROM d, stats)
-        |SELECT doc_id, round(score, 6) AS score FROM s
+        |SELECT doc_id, (floor((score) * 1e6 + 0.5) / 1e6) AS score FROM s
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     }) { (s, d) =>
     bm25Scores(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
-      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .select(col("doc_id"), (floor((col("score")) * 1e6 + 0.5) / 1e6).as("score"))
   }
 
   // ---- sliding-window document chunking (RAG / context-window prep) ------
@@ -629,7 +629,7 @@ object Corpus {
         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $sqlBm25Dfs
         |  FROM d),
         |lexs AS (
-        |  SELECT doc_id, round($sqlBm25Score, 6) AS s6
+        |  SELECT doc_id, (floor(($sqlBm25Score) * 1e6 + 0.5) / 1e6) AS s6
         |  FROM d, stats ORDER BY s6 DESC, doc_id LIMIT $RrfTopK),
         |lex AS (
         |  SELECT doc_id, row_number() OVER (ORDER BY s6 DESC, doc_id)
@@ -646,8 +646,8 @@ object Corpus {
         |       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
         |sems AS (
         |  SELECT vec_id,
-        |    round(list_sum(list_transform(range(1, 65),
-        |      i -> v[i] * qv[i])) / (nrm * qn), 9) AS c9
+        |    (floor((list_sum(list_transform(range(1, 65),
+        |      i -> v[i] * qv[i])) / (nrm * qn)) * 1e9 + 0.5) / 1e9) AS c9
         |  FROM n2, qv ORDER BY c9 DESC, vec_id LIMIT $RrfTopK),
         |sem AS (
         |  SELECT vec_id, row_number() OVER (ORDER BY c9 DESC, vec_id)
@@ -663,7 +663,7 @@ object Corpus {
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
     }) { (s, d) =>
     val lex = bm25Scores(s, d)
-      .select(col("doc_id"), round(col("score"), 6).as("s6"))
+      .select(col("doc_id"), (floor((col("score")) * 1e6 + 0.5) / 1e6).as("s6"))
       .orderBy(col("s6").desc, col("doc_id")).limit(RrfTopK)
       .withColumn("ra", row_number().over( // constant-K input: cheap
         Window.orderBy(col("s6").desc, col("doc_id"))))
@@ -675,8 +675,8 @@ object Corpus {
       .select(col("v").as("qv"), col("nrm").as("qn"))
     val sem = e.crossJoin(broadcast(qv))
       .select(col("vec_id"),
-        round(graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
-          (col("nrm") * col("qn")), 9).as("c9"))
+        (floor((graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qn"))) * 1e9 + 0.5) / 1e9).as("c9"))
       .orderBy(col("c9").desc, col("vec_id")).limit(RrfTopK)
       .withColumn("rb", row_number().over(
         Window.orderBy(col("c9").desc, col("vec_id"))))

@@ -47,8 +47,8 @@ object CorpusProfile {
         |  FROM e LEFT JOIN v ON e.tok = v.tok)
         |SELECT source, count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
-        |  round(CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS DOUBLE)
-        |    / count(*), 6) AS oov_rate,
+        |  (floor((CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*)) * 1e6 + 0.5) / 1e6) AS oov_rate,
         |  CAST(count(DISTINCT CASE WHEN NOT hit THEN tok END) AS BIGINT)
         |    AS n_oov_types
         |FROM j GROUP BY source ORDER BY source""".stripMargin
@@ -62,7 +62,7 @@ object CorpusProfile {
     ex.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"), sum(oov).as("n_oov"),
-        round(sum(oov).cast("double") / count(lit(1)), 6).as("oov_rate"),
+        (floor((sum(oov).cast("double") / count(lit(1))) * 1e6 + 0.5) / 1e6).as("oov_rate"),
         countDistinct(when(col("hit").isNull, col("tok")))
           .as("n_oov_types"))
       .orderBy("source")
@@ -90,8 +90,8 @@ object CorpusProfile {
         |  GROUP BY 1, 2)
         |SELECT source_a, source_b, n_shared,
         |  na.nfp AS n_a, nb.nfp AS n_b,
-        |  round(CAST(n_shared AS DOUBLE)
-        |    / (na.nfp + nb.nfp - n_shared), 6) AS jaccard
+        |  (floor((CAST(n_shared AS DOUBLE)
+        |    / (na.nfp + nb.nfp - n_shared)) * 1e6 + 0.5) / 1e6) AS jaccard
         |FROM p
         |JOIN n na ON na.source = p.source_a
         |JOIN n nb ON nb.source = p.source_b
@@ -113,8 +113,8 @@ object CorpusProfile {
         Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_shared"),
         col("n_a"), col("n_b"),
-        round(col("n_shared").cast("double")
-          / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+        (floor((col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared"))) * 1e6 + 0.5) / 1e6).as("jaccard"))
       .orderBy("source_a", "source_b")
   }
 
@@ -164,7 +164,7 @@ object CorpusProfile {
         |    AS n_dup_docs,
         |  CAST(sum(covered) AS BIGINT) AS dup_tokens,
         |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
-        |  round(CAST(sum(covered) AS DOUBLE) / sum(ntok), 6)
+        |  (floor((CAST(sum(covered) AS DOUBLE) / sum(ntok)) * 1e6 + 0.5) / 1e6)
         |    AS dup_token_frac
         |FROM per GROUP BY source ORDER BY source""".stripMargin
     }) { (s, d) =>
@@ -189,7 +189,7 @@ object CorpusProfile {
         sum((col("covered") > 0).cast("long")).as("n_dup_docs"),
         sum("covered").as("dup_tokens"),
         sum("ntok").as("total_tokens"),
-        round(sum("covered").cast("double") / sum("ntok"), 6)
+        (floor((sum("covered").cast("double") / sum("ntok")) * 1e6 + 0.5) / 1e6)
           .as("dup_token_frac"))
       .orderBy("source")
   }
@@ -221,10 +221,10 @@ object CorpusProfile {
       |    sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z
       |  FROM c)
       |SELECT source, n_docs, n_tokens,
-      |  round(n_tokens / tot, 6) AS nat_share,
-      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS w_alpha,
-      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z * $MixBudgetTokens
-      |    / n_tokens, 6) AS epochs_at_budget
+      |  (floor((n_tokens / tot) * 1e6 + 0.5) / 1e6) AS nat_share,
+      |  (floor((sqrt(CAST(n_tokens AS DOUBLE)) / z) * 1e6 + 0.5) / 1e6) AS w_alpha,
+      |  (floor((sqrt(CAST(n_tokens AS DOUBLE)) / z * $MixBudgetTokens
+      |    / n_tokens) * 1e6 + 0.5) / 1e6) AS epochs_at_budget
       |FROM c, t ORDER BY source""".stripMargin) { (s, d) =>
     val c = Tables.documents(s, d)
       .groupBy("source")
@@ -235,9 +235,9 @@ object CorpusProfile {
     val w = sqrt(col("n_tokens").cast("double")) / col("z")
     c.crossJoin(broadcast(t))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens") / col("tot"), 6).as("nat_share"),
-        round(w, 6).as("w_alpha"),
-        round(w * MixBudgetTokens / col("n_tokens"), 6)
+        (floor((col("n_tokens") / col("tot")) * 1e6 + 0.5) / 1e6).as("nat_share"),
+        (floor((w) * 1e6 + 0.5) / 1e6).as("w_alpha"),
+        (floor((w * MixBudgetTokens / col("n_tokens")) * 1e6 + 0.5) / 1e6)
           .as("epochs_at_budget"))
       .orderBy("source")
   }
@@ -267,7 +267,7 @@ object CorpusProfile {
         |    $bk AS hk
         |  FROM documents),
         |c AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS src_tokens,
-        |        CAST(round(sqrt(CAST(sum(ntok) AS DOUBLE)) * 1e6)
+        |        CAST(floor((sqrt(CAST(sum(ntok) AS DOUBLE)) * 1e6) + 0.5)
         |          AS BIGINT) AS wq
         |      FROM d GROUP BY source),
         |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) // 2 AS budget,
@@ -296,7 +296,7 @@ object CorpusProfile {
         wsTokenCount(col("text")).cast("long").as("ntok"),
         HashFunctions.hash32(col("doc_id")).as("hk"))
     val c = docs.groupBy("source").agg(sum("ntok").as("src_tokens"),
-      round(sqrt(sum("ntok").cast("double")) * lit(1e6)).cast("long")
+      floor((sqrt(sum("ntok").cast("double")) * lit(1e6)) + 0.5).cast("long")
         .as("wq"))
     val t = c.agg((sum("src_tokens") / lit(2)).cast("long").as("budget"),
       sum("wq").cast("long").as("z"))
@@ -345,13 +345,13 @@ object CorpusProfile {
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, fp,
-        |    round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+        |    (floor((least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
         |      + least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
         |          CAST(len(list_filter(toks, t -> t IN
         |            ('the','a','an','and','of','to','in','is','it','that')))
         |            AS DOUBLE) / len(toks) END) * 4.0) * 0.4
-        |      + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 5.0)) * 0.2,
-        |      6) AS score
+        |      + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 5.0)) * 0.2)
+        |      * 1e6 + 0.5) / 1e6) AS score
         |  FROM t),
         |dupfp AS (SELECT fp FROM s GROUP BY fp HAVING count(*) > 1),
         |b AS (
@@ -361,9 +361,9 @@ object CorpusProfile {
         |SELECT bucket, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_docs,
-        |  round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS dup_rate,
-        |  round(min(score), 6) AS score_min, round(max(score), 6) AS score_max
+        |  (floor((CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * 1e6 + 0.5) / 1e6) AS dup_rate,
+        |  (floor((min(score)) * 1e6 + 0.5) / 1e6) AS score_min, (floor((max(score)) * 1e6 + 0.5) / 1e6) AS score_max
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     }) { (s, d) =>
     val scored = Tables.fanout(Tables.documents(s, d))
@@ -376,10 +376,10 @@ object CorpusProfile {
         .as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
-        round(sum(when(col("is_dup"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1)), 6).as("dup_rate"),
-        round(min("score"), 6).as("score_min"),
-        round(max("score"), 6).as("score_max"))
+        (floor((sum(when(col("is_dup"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))) * 1e6 + 0.5) / 1e6).as("dup_rate"),
+        (floor((min("score")) * 1e6 + 0.5) / 1e6).as("score_min"),
+        (floor((max("score")) * 1e6 + 0.5) / 1e6).as("score_max"))
       .orderBy("bucket")
   }
 
@@ -413,8 +413,8 @@ object CorpusProfile {
         |SELECT td.source, count(*) AS n_test_docs,
         |  CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_contaminated,
-        |  round(CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS contam_rate,
+        |  (floor((CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6) AS contam_rate,
         |  coalesce(any_value(shared.n_shared_grams), 0) AS n_shared_grams
         |FROM td
         |LEFT JOIN hit ON td.doc_id = hit.doc_id
@@ -441,8 +441,8 @@ object CorpusProfile {
       .groupBy("source")
       .agg(count(lit(1)).as("n_test_docs"),
         sum(when(col("is_hit"), 1L).otherwise(0L)).as("n_contaminated"),
-        round(sum(when(col("is_hit"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1)), 6).as("contam_rate"))
+        (floor((sum(when(col("is_hit"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))) * 1e6 + 0.5) / 1e6).as("contam_rate"))
       .join(broadcast(shared), Seq("source"), "left")
       .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
       .orderBy("source")

@@ -243,13 +243,13 @@ object Dedup {
     "q_dedup_minhash_lsh",
     s"""WITH $duckMinhashPairs
       |SELECT doc_a, doc_b,
-      |  round(CAST(n_match AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
+      |  (floor((CAST(n_match AS DOUBLE) / $MINHASH_K) * 1e6 + 0.5) / 1e6) AS est_jaccard
       |FROM cand
       |ORDER BY doc_a, doc_b""".stripMargin,
     headline = true) { (s, d) =>
     minhashPairs(s, d)
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_match").cast("double") / MINHASH_K, 6).as("est_jaccard"))
+        (floor((col("n_match").cast("double") / MINHASH_K) * 1e6 + 0.5) / 1e6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -390,7 +390,7 @@ object Dedup {
       |    len(ga) + len(gb) AS tot
       |  FROM pairs WHERE abs(ca - cb) <= 20)
       |SELECT doc_a, doc_b,
-      |  round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
+      |  (floor((CAST(inter AS DOUBLE) / (tot - inter)) * 1e6 + 0.5) / 1e6) AS jaccard
       |FROM j WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     jaccardPairs(s, d).orderBy("doc_a", "doc_b")
@@ -429,7 +429,7 @@ object Dedup {
         (size(col("ga")) + size(col("gb"))).as("tot"))
       .filter(col("inter").cast("double") / (col("tot") - col("inter")) >= 0.5)
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / (col("tot") - col("inter")), 6)
+        (floor((col("inter").cast("double") / (col("tot") - col("inter"))) * 1e6 + 0.5) / 1e6)
           .as("jaccard"))
   }
 
@@ -448,8 +448,8 @@ object Dedup {
       |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
       |      / (a.nrm * b.nrm) AS cos
       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b, round(cos, 6) AS cosine
-      |FROM p WHERE round(cos, 9) >= 0.3
+      |SELECT vec_a, vec_b, (floor((cos) * 1e6 + 0.5) / 1e6) AS cosine
+      |FROM p WHERE (floor((cos) * 1e9 + 0.5) / 1e9) >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     val e = Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"),
@@ -463,8 +463,8 @@ object Dedup {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", dot / (col("na") * col("nb")))
-      .filter(round(col("cos"), 9) >= 0.3)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .filter((floor((col("cos")) * 1e9 + 0.5) / 1e9) >= 0.3)
+      .select(col("vec_a"), col("vec_b"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -718,8 +718,8 @@ object Dedup {
       |cand AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb
       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      |  WHERE round(list_sum(list_transform(range(1, 65),
-      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 9) >= 0.3),
+      |  WHERE (floor((list_sum(list_transform(range(1, 65),
+      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)) * 1e9 + 0.5) / 1e9) >= 0.3),
       |bi AS (
       |  SELECT va AS a, vb AS b FROM cand
       |  UNION ALL SELECT vb, va FROM cand),
@@ -750,7 +750,7 @@ object Dedup {
     val dot = graft.functions.VectorFunctions.dot(col("va"), col("vb"))
     val pairs = a.join(b, Seq("label"))
       .filter(col("a") < col("b"))
-      .filter(round(dot / (col("na") * col("nb")), 9) >= 0.3)
+      .filter((floor((dot / (col("na") * col("nb"))) * 1e9 + 0.5) / 1e9) >= 0.3)
       .select("a", "b")
     val comp = Clustering.minLabelComponents(pairs)
       .select(col("nid").as("vec_id"), col("label").as("comp"))
@@ -798,7 +798,7 @@ object Dedup {
       |    ORDER BY n_match DESC, idx_id) AS rn
       |  FROM est WHERE n_match >= ${MINHASH_K / 2})
       |SELECT inc_id, idx_id AS match_id, n_match,
-      |  round(CAST(n_match AS DOUBLE) / $MINHASH_K, 6) AS est_jaccard
+      |  (floor((CAST(n_match AS DOUBLE) / $MINHASH_K) * 1e6 + 0.5) / 1e6) AS est_jaccard
       |FROM best WHERE rn = 1
       |ORDER BY inc_id""".stripMargin) { (s, d) =>
     // scaffold-backed parquet — re-reads are scans, no checkpoint needed
@@ -824,7 +824,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("inc_id"), col("idx_id").as("match_id"), col("n_match"),
-        round(col("n_match").cast("double") / MINHASH_K, 6)
+        (floor((col("n_match").cast("double") / MINHASH_K) * 1e6 + 0.5) / 1e6)
           .as("est_jaccard"))
       .orderBy("inc_id")
   }

@@ -31,8 +31,8 @@ object Enrichment {
     */
   def locKey(lon: Column, lat: Column): Column =
     concat_ws("_",
-      round(lon * 10000).cast("long"),
-      round(lat * 10000).cast("long"))
+      floor((lon * 10000) + 0.5).cast("long"),
+      floor((lat * 10000) + 0.5).cast("long"))
 
   /** Deterministic stand-in for the elevation backend: meters in
     * [0, 4000) derived from the portable hash of the key.
@@ -68,7 +68,7 @@ object Enrichment {
     "q_ski_elevation_enrich", {
       import SkiFeatures.sql._
       val keyFor = (lon: String, lat: String) =>
-        s"(CAST(round($lon * 10000) AS BIGINT) || '_' || CAST(round($lat * 10000) AS BIGINT))"
+        s"(CAST(floor(($lon * 10000) + 0.5) AS BIGINT) || '_' || CAST(floor(($lat * 10000) + 0.5) AS BIGINT))"
       val e0 = sqlStubElevation(keyFor("lon0", "lat0"))
       val e1 = sqlStubElevation(keyFor("(lon0 + dx)", "(lat0 + dy)"))
       val e2 = sqlStubElevation(keyFor("(lon0 + dx * 2)", "(lat0 + dy)"))
@@ -78,8 +78,8 @@ object Enrichment {
         |  FROM lineitem),
         |k AS (SELECT way_id, $e0 AS e0, $e1 AS e1, $e2 AS e2 FROM f),
         |w AS (SELECT way_id,
-        |      CAST(round(min(least(e0, e1, e2)) * 10) AS BIGINT) AS dmin,
-        |      CAST(round(max(greatest(e0, e1, e2)) * 10) AS BIGINT) AS dmax
+        |      CAST(floor((min(least(e0, e1, e2)) * 10) + 0.5) AS BIGINT) AS dmin,
+        |      CAST(floor((max(greatest(e0, e1, e2)) * 10) + 0.5) AS BIGINT) AS dmax
         |      FROM k GROUP BY way_id)
         |SELECT CAST(way_id % 16 AS BIGINT) AS bucket, count(*) AS n_runs,
         |  CAST((sum(dmax - dmin) * 2000 + count(*)) // (count(*) * 2)
@@ -103,8 +103,8 @@ object Enrichment {
     // integer deci units with integer half-up rounding for the 4-dp
     // average — see the QuerySpec determinism contract
     enriched.groupBy("way_id")
-      .agg(round(max("value") * 10).cast("long").as("dmax"),
-        round(min("value") * 10).cast("long").as("dmin"))
+      .agg(floor((max("value") * 10) + 0.5).cast("long").as("dmax"),
+        floor((min("value") * 10) + 0.5).cast("long").as("dmin"))
       .select(pmod(col("way_id"), lit(16)).cast("long").as("bucket"),
         (col("dmax") - col("dmin")).as("drelief"),
         col("dmin"), col("dmax"))

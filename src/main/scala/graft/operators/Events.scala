@@ -72,16 +72,16 @@ object Events {
   private[operators] val hourlyOracle =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
       |  event_type, count(*) AS n,
-      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      |  CAST(sum(CAST(floor((value * 100) + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
       |    AS total_value,
-      |  CAST((sum(CAST(round(value * 100) AS BIGINT)) * 200 + count(*))
+      |  CAST((sum(CAST(floor((value * 100) + 0.5) AS BIGINT)) * 200 + count(*))
       |    // (count(*) * 2) AS DOUBLE) / 10000.0 AS avg_value
       |FROM events
       |GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
 
   private[graft] def hourlyAggs: Seq[org.apache.spark.sql.Column] = {
-    val cents = "sum(CAST(round(value * 100) AS BIGINT))"
+    val cents = "sum(CAST(floor((value * 100) + 0.5) AS BIGINT))"
     Seq(
       count(lit(1)).as("n"),
       expr(s"CAST($cents AS DOUBLE) / 100.0").as("total_value"),
@@ -328,7 +328,7 @@ object Events {
     "q_stream_events_enrich",
     """SELECT c.c_mktsegment AS segment, e.event_type,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+      |  CAST(sum(CAST(floor((e.value * 100) + 0.5) AS BIGINT)) AS DOUBLE)
       |    / 100.0 AS total_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY segment, e.event_type
@@ -444,11 +444,11 @@ object Events {
         |      AS zero_regs
         |  FROM regs),
         |e AS (
-        |  SELECT round($HllAlpha * $HllM * $HllM / sm, 6) AS estimate,
+        |  SELECT (floor(($HllAlpha * $HllM * $HllM / sm) * 1e6 + 0.5) / 1e6) AS estimate,
         |    zero_regs FROM s),
         |x AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
         |SELECT x.n_exact, e.estimate, e.zero_regs,
-        |  abs(CAST(round(e.estimate) AS BIGINT) - x.n_exact) * 10000
+        |  abs(CAST(floor((e.estimate) + 0.5) AS BIGINT) - x.n_exact) * 10000
         |    // x.n_exact AS err_bp
         |FROM e, x""".stripMargin
     }) { (s, d) =>
@@ -466,13 +466,13 @@ object Events {
         " CAST(mr AS INT)) AS DOUBLE)")).as("sm"),
       sum(when(col("mr") === 0, 1L).otherwise(0L)).as("zero_regs"))
     val est = agg.select(
-      round(lit(HllAlpha) * HllM * HllM / col("sm"), 6).as("estimate"),
+      (floor((lit(HllAlpha) * HllM * HllM / col("sm")) * 1e6 + 0.5) / 1e6).as("estimate"),
       col("zero_regs"))
     val exact = Tables.events(s, d)
       .agg(countDistinct("user_id").as("n_exact"))
     est.crossJoin(exact)
       .select(col("n_exact"), col("estimate"), col("zero_regs"),
-        expr("CAST(abs(CAST(round(estimate) AS BIGINT) - n_exact)" +
+        expr("CAST(abs(CAST(floor((estimate) + 0.5) AS BIGINT) - n_exact)" +
           " * 10000 DIV n_exact AS BIGINT)").as("err_bp"))
   }
 
@@ -528,10 +528,10 @@ object Events {
         |    SELECT count(DISTINCT user_id) AS cnt FROM events
         |    GROUP BY date_trunc('day', ts)))
         |SELECT x.n_days, sd.sum_daily_exact, x.n_exact,
-        |  round($HllAlpha * $HllM * $HllM / s.smm, 6) AS est_merged,
-        |  round($HllAlpha * $HllM * $HllM / s.smd, 6) AS est_direct,
+        |  (floor(($HllAlpha * $HllM * $HllM / s.smm) * 1e6 + 0.5) / 1e6) AS est_merged,
+        |  (floor(($HllAlpha * $HllM * $HllM / s.smd) * 1e6 + 0.5) / 1e6) AS est_direct,
         |  s.reg_diffs,
-        |  abs(CAST(round($HllAlpha * $HllM * $HllM / s.smm) AS BIGINT)
+        |  abs(CAST(floor(($HllAlpha * $HllM * $HllM / s.smm) + 0.5) AS BIGINT)
         |    - x.n_exact) * 10000 // x.n_exact AS err_bp
         |FROM s, x, sd""".stripMargin
     }) { (s, d) =>
@@ -570,12 +570,12 @@ object Events {
       .agg(sum("cnt").as("sum_daily_exact"))
     agg.crossJoin(x).crossJoin(nd).crossJoin(sd)
       .select(col("n_days"), col("sum_daily_exact"), col("n_exact"),
-        round(lit(HllAlpha) * HllM * HllM / col("smm"), 6)
+        (floor((lit(HllAlpha) * HllM * HllM / col("smm")) * 1e6 + 0.5) / 1e6)
           .as("est_merged"),
-        round(lit(HllAlpha) * HllM * HllM / col("smd"), 6)
+        (floor((lit(HllAlpha) * HllM * HllM / col("smd")) * 1e6 + 0.5) / 1e6)
           .as("est_direct"),
         col("reg_diffs"),
-        expr(s"CAST(abs(CAST(round($HllAlpha * $HllM * $HllM / smm)" +
+        expr(s"CAST(abs(CAST(floor(($HllAlpha * $HllM * $HllM / smm) + 0.5)" +
           " AS BIGINT) - n_exact) * 10000 DIV n_exact AS BIGINT)")
           .as("err_bp"))
   }
@@ -620,9 +620,9 @@ object Events {
         |  FROM rm),
         |e AS (
         |  SELECT
-        |    CAST(round($HllAlpha * $HllM * $HllM / sv) AS BIGINT) AS ev,
-        |    CAST(round($HllAlpha * $HllM * $HllM / sp) AS BIGINT) AS ep,
-        |    CAST(round($HllAlpha * $HllM * $HllM / su) AS BIGINT) AS eu
+        |    CAST(floor(($HllAlpha * $HllM * $HllM / sv) + 0.5) AS BIGINT) AS ev,
+        |    CAST(floor(($HllAlpha * $HllM * $HllM / sp) + 0.5) AS BIGINT) AS ep,
+        |    CAST(floor(($HllAlpha * $HllM * $HllM / su) + 0.5) AS BIGINT) AS eu
         |  FROM s),
         |x AS (
         |  SELECT
@@ -657,7 +657,7 @@ object Events {
       s"CAST(1 AS BIGINT), CAST($c AS INT)) AS DOUBLE)")).as(s"s_$c")
     val agg = rm.agg(invSum("mv"), invSum("mp"), invSum("mu"))
     def estOf(c: String) = expr(
-      s"CAST(round($HllAlpha * $HllM * $HllM / s_$c) AS BIGINT)")
+      s"CAST(floor(($HllAlpha * $HllM * $HllM / s_$c) + 0.5) AS BIGINT)")
     val e = agg.select(estOf("mv").as("ev"), estOf("mp").as("ep"),
       estOf("mu").as("eu"))
     val x = ev.agg(
@@ -711,7 +711,7 @@ object Events {
       val pc = poissonCase(s"($h)")
       s"""WITH e AS (
         |  SELECT event_id, event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |    CAST(floor((value * 100) + 0.5) AS BIGINT) AS cents
         |  FROM events),
         |r AS (
         |  SELECT event_type, cents, unnest(range(0, $BootB)) AS b,
@@ -743,7 +743,7 @@ object Events {
     }) { (s, d) =>
     import graft.functions.HashFunctions
     val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      expr("CAST(floor((value * 100) + 0.5) AS BIGINT)").as("cents"))
     val r = e.withColumn("b", explode(expr(s"sequence(0, ${BootB - 1})")))
     val h = HashFunctions.hash64(concat(col("event_id").cast("string"),
       lit(":bs"), col("b").cast("string")))
@@ -815,7 +815,7 @@ object Events {
       |        * (CAST(sum(n) AS DOUBLE) / count(*)), 0.0)) AS sd
       |  FROM d GROUP BY event_type)
       |SELECT d.event_type, d.day, d.n,
-      |  round((CAST(d.n AS DOUBLE) - mu) / sd, 6) AS z
+      |  (floor(((CAST(d.n AS DOUBLE) - mu) / sd) * 1e6 + 0.5) / 1e6) AS z
       |FROM d JOIN s USING (event_type)
       |WHERE sd > 0 AND CAST(d.n AS DOUBLE) > mu + 2 * sd
       |ORDER BY event_type, day""".stripMargin
@@ -847,7 +847,7 @@ object Events {
       .filter(col("sd") > 0
         && col("n").cast("double") > col("mu") + lit(2) * col("sd"))
       .select(col("event_type"), col("day"), col("n"),
-        round((col("n").cast("double") - col("mu")) / col("sd"), 6).as("z"))
+        (floor(((col("n").cast("double") - col("mu")) / col("sd")) * 1e6 + 0.5) / 1e6).as("z"))
       .orderBy("event_type", "day")
   }
 
@@ -1166,7 +1166,7 @@ object Events {
     "q_events_scd_join",
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
-      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(floor((value * 100) + 0.5) AS BIGINT) AS cents,
       |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS k
       |  FROM events),
       |l AS (
@@ -1196,7 +1196,7 @@ object Events {
     val e = eventsMs(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ms"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("CAST(floor((value * 100) + 0.5) AS BIGINT)").as("cents"),
         (get_json_object(col("props"), "$.k").cast("long") % 4).as("k"))
       .localCheckpoint() // intervals + purchases both read it
     val iv = e.filter(col("event_type") === "signup")
@@ -1236,7 +1236,7 @@ object Events {
   private val qStreamMatview = QuerySpec.of(
     "q_stream_events_matview",
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |  CAST(sum(CAST(floor((value * 100) + 0.5) AS BIGINT)) AS BIGINT)
       |    AS total_cents
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -1349,7 +1349,7 @@ object Events {
       |    CAST(EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts) - 1
       |      AS BIGINT) AS midx,
       |    CASE WHEN event_type = 'purchase'
-      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      |      THEN CAST(floor((value * 100) + 0.5) AS BIGINT) ELSE 0 END AS cents
       |  FROM events),
       |f AS (SELECT user_id, min(midx) AS cohort FROM e GROUP BY user_id),
       |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
@@ -1374,7 +1374,7 @@ object Events {
           + month(timestamp_millis(col("ms"))) - 1).cast("long")
           .as("midx"),
         when(col("event_type") === "purchase",
-          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)
+          expr("CAST(floor((value * 100) + 0.5) AS BIGINT)")).otherwise(0L)
           .as("cents"))
       .localCheckpoint() // first-seen + rollup read it
     val f = e.groupBy("user_id").agg(min("midx").as("cohort"))
@@ -1506,7 +1506,7 @@ object Events {
     "q_events_value_histogram",
     s"""WITH b AS (
       |  SELECT event_type,
-      |    CAST(round(value * 100) AS BIGINT) // $HistBinCents AS bin,
+      |    CAST(floor((value * 100) + 0.5) AS BIGINT) // $HistBinCents AS bin,
       |    count(*) AS n
       |  FROM events GROUP BY 1, 2),
       |c AS (
@@ -1527,7 +1527,7 @@ object Events {
     (s, d) =>
     val b = Tables.events(s, d)
       .select(col("event_type"),
-        expr(s"CAST(round(value * 100) AS BIGINT) DIV $HistBinCents")
+        expr(s"CAST(floor((value * 100) + 0.5) AS BIGINT) DIV $HistBinCents")
           .as("bin"))
       .groupBy("event_type", "bin")
       .agg(count(lit(1)).as("n"))
@@ -1753,7 +1753,7 @@ object Events {
     "q_events_time_weighted",
     """WITH t AS (
       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
-      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |    CAST(floor((value * 100) + 0.5) AS BIGINT) AS cents
       |  FROM events),
       |l AS (
       |  SELECT *, lead(ms) OVER (PARTITION BY user_id
@@ -1769,7 +1769,7 @@ object Events {
     val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
     eventsMs(s, d)
       .select(col("user_id"), col("event_id"), col("ms"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        expr("CAST(floor((value * 100) + 0.5) AS BIGINT)").as("cents"))
       .withColumn("nxt", lead("ms", 1).over(byUser))
       .filter(col("nxt").isNotNull)
       .select(col("user_id"),

@@ -82,8 +82,8 @@ object GeoPackage {
         |    concat_ws('|', 'Area #' || CAST(a.area_id AS VARCHAR),
         |      'operating',
         |      CASE WHEN a.area_id % 2 = 0 THEN 'downhill' ELSE 'nordic' END,
-        |      coalesce(CAST(round(mn, 2) AS VARCHAR), ''),
-        |      coalesce(CAST(round(mx, 2) AS VARCHAR), ''),
+        |      coalesce(CAST((floor((mn) * 1e2 + 0.5) / 1e2) AS VARCHAR), ''),
+        |      coalesce(CAST((floor((mx) * 1e2 + 0.5) / 1e2) AS VARCHAR), ''),
         |      ($aconv), printf('%.6f', alon), printf('%.6f', alat)) AS line
         |  FROM areas a LEFT JOIN el ON a.area_id = el.area_id),
         |sp AS (
@@ -169,8 +169,8 @@ object GeoPackage {
           lit("operating"),
           when(pmod(col("area_id"), lit(2)) === 0, "downhill")
             .otherwise("nordic"),
-          coalesce(round(col("mn"), 2).cast("string"), lit("")),
-          coalesce(round(col("mx"), 2).cast("string"), lit("")),
+          coalesce((floor((col("mn")) * 1e2 + 0.5) / 1e2).cast("string"), lit("")),
+          coalesce((floor((col("mx")) * 1e2 + 0.5) / 1e2).cast("string"), lit("")),
           difficultyConvention(col("alon"), col("alat")),
           format_string("%.6f", col("alon")),
           format_string("%.6f", col("alat"))).as("line"))
@@ -436,8 +436,8 @@ object GeoPackage {
         |SELECT s.file, t.n_total, s.n_merged, s.n_base, s.n_inserted,
         |  s.n_null_fid, t.n_total - s.n_merged AS n_skipped,
         |  s.id_checksum, m.meta_dir, m.srs_id,
-        |  round(m.min_x, 6) AS bbox_w, round(m.min_y, 6) AS bbox_s,
-        |  round(m.max_x, 6) AS bbox_e, round(m.max_y, 6) AS bbox_n
+        |  (floor((m.min_x) * 1e6 + 0.5) / 1e6) AS bbox_w, (floor((m.min_y) * 1e6 + 0.5) / 1e6) AS bbox_s,
+        |  (floor((m.max_x) * 1e6 + 0.5) / 1e6) AS bbox_e, (floor((m.max_y) * 1e6 + 0.5) / 1e6) AS bbox_n
         |FROM stats s JOIN totals t USING (file)
         |LEFT JOIN metaf m USING (file)
         |ORDER BY s.file""".stripMargin
@@ -500,10 +500,10 @@ object GeoPackage {
       .select(col("file"), col("n_total"), col("n_merged"), col("n_base"),
         col("n_inserted"), col("n_null_fid"), col("n_skipped"),
         col("id_checksum"), col("meta_dir"), col("srs_id"),
-        round(col("min_x"), 6).as("bbox_w"),
-        round(col("min_y"), 6).as("bbox_s"),
-        round(col("max_x"), 6).as("bbox_e"),
-        round(col("max_y"), 6).as("bbox_n"))
+        (floor((col("min_x")) * 1e6 + 0.5) / 1e6).as("bbox_w"),
+        (floor((col("min_y")) * 1e6 + 0.5) / 1e6).as("bbox_s"),
+        (floor((col("max_x")) * 1e6 + 0.5) / 1e6).as("bbox_e"),
+        (floor((col("max_y")) * 1e6 + 0.5) / 1e6).as("bbox_n"))
       .orderBy("file")
   }
 

@@ -92,9 +92,9 @@ object LiftStations {
             .when(col("sz") >= col("zmax")
               - (col("zmax") - col("zmin")) * 0.25, "top")
             .otherwise("mid")).as("position"),
-        round(col("dist_m"), 2).as("dist_m"),
-        round(col("snap_lon"), 6).as("snap_lon"),
-        round(col("snap_lat"), 6).as("snap_lat"))
+        (floor((col("dist_m")) * 1e2 + 0.5) / 1e2).as("dist_m"),
+        (floor((col("snap_lon")) * 1e6 + 0.5) / 1e6).as("snap_lon"),
+        (floor((col("snap_lat")) * 1e6 + 0.5) / 1e6).as("snap_lat"))
   }
 
   /** Lift-side view of [[associate]]'s output: each lift's stations
@@ -205,8 +205,8 @@ object LiftStations {
         |         WHEN sz >= z0 + 2.0 * rise - (z0 + 2.0 * rise - z0) * 0.25
         |           THEN 'top'
         |         ELSE 'mid' END) AS position,
-        |  round(dist_m, 2) AS dist_m,
-        |  round(snap_lon, 6) AS snap_lon, round(snap_lat, 6) AS snap_lat
+        |  (floor((dist_m) * 1e2 + 0.5) / 1e2) AS dist_m,
+        |  (floor((snap_lon) * 1e6 + 0.5) / 1e6) AS snap_lon, (floor((snap_lat) * 1e6 + 0.5) / 1e6) AS snap_lat
         |FROM best ORDER BY sid""".stripMargin
     }) { (s, d) =>
     val o = graft.Tables.orders(s, d)

@@ -97,7 +97,7 @@ object MultiPart {
         |SELECT area_id, count(*) AS n_members,
         |  CAST(sum(CASE WHEN n_inside = 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_covered,
-        |  round(sum(len_m) / 1000.0, 4) AS total_km
+        |  (floor((sum(len_m) / 1000.0) * 1e4 + 0.5) / 1e4) AS total_km
         |FROM mem GROUP BY area_id
         |ORDER BY area_id""".stripMargin
     }) { (s, d) =>
@@ -130,7 +130,7 @@ object MultiPart {
       .groupBy("area_id")
       .agg(count(lit(1)).as("n_members"),
         sum(when(col("n_inside") === 3, 1L).otherwise(0L)).as("n_covered"),
-        round(sum("len_m") / 1000.0, 4).as("total_km"))
+        (floor((sum("len_m") / 1000.0) * 1e4 + 0.5) / 1e4).as("total_km"))
       .orderBy("area_id")
   }
 
@@ -235,10 +235,10 @@ object MultiPart {
         |    ORDER BY dist_m, k) = 1)
         |SELECT c.area_id, c.part AS part_no,
         |  (i.area_id IS NOT NULL) AS centroid_inside,
-        |  round(CASE WHEN i.area_id IS NOT NULL THEN c.cx0
-        |    ELSE s.snap_lon END, 6) AS lon,
-        |  round(CASE WHEN i.area_id IS NOT NULL THEN c.cy0
-        |    ELSE s.snap_lat END, 6) AS lat
+        |  (floor((CASE WHEN i.area_id IS NOT NULL THEN c.cx0
+        |    ELSE s.snap_lon END) * 1e6 + 0.5) / 1e6) AS lon,
+        |  (floor((CASE WHEN i.area_id IS NOT NULL THEN c.cy0
+        |    ELSE s.snap_lat END) * 1e6 + 0.5) / 1e6) AS lat
         |FROM cent c
         |LEFT JOIN inside i ON c.area_id = i.area_id AND c.part = i.part
         |LEFT JOIN snapped s ON c.area_id = s.area_id AND c.part = s.part
@@ -259,10 +259,10 @@ object MultiPart {
       .withColumn("np", np)
       .select(col("area_id"), col("part_no"),
         col("ins").as("centroid_inside"),
-        round(when(col("ins"), col("cx0"))
-          .otherwise(col("np.lon")), 6).as("lon"),
-        round(when(col("ins"), col("cy0"))
-          .otherwise(col("np.lat")), 6).as("lat"))
+        (floor((when(col("ins"), col("cx0"))
+          .otherwise(col("np.lon"))) * 1e6 + 0.5) / 1e6).as("lon"),
+        (floor((when(col("ins"), col("cy0"))
+          .otherwise(col("np.lat"))) * 1e6 + 0.5) / 1e6).as("lat"))
       .orderBy("area_id", "part_no")
   }
 
@@ -285,7 +285,7 @@ object MultiPart {
         |    $lon0 AS lon0, $lat0 AS lat0
         |  FROM d)
         |SELECT order_id, part_no, 'LineString' AS geom_type,
-        |  round(lon0, 6) AS x0, round(lat0, 6) AS y0, 3 AS npts
+        |  (floor((lon0) * 1e6 + 0.5) / 1e6) AS x0, (floor((lat0) * 1e6 + 0.5) / 1e6) AS y0, 3 AS npts
         |FROM r ORDER BY order_id, part_no""".stripMargin
     }) { (s, d) =>
     val li = graft.Tables.lineitem(s, d)
@@ -312,9 +312,9 @@ object MultiPart {
     Formatters.explodeParts(multi)
       .select(col("order_id"), col("part_no"),
         col("geomType").as("geom_type"),
-        round(element_at(element_at(element_at(col("part"), 1), 1), 1), 6)
+        (floor((element_at(element_at(element_at(col("part"), 1), 1), 1)) * 1e6 + 0.5) / 1e6)
           .as("x0"),
-        round(element_at(element_at(element_at(col("part"), 1), 1), 2), 6)
+        (floor((element_at(element_at(element_at(col("part"), 1), 1), 2)) * 1e6 + 0.5) / 1e6)
           .as("y0"),
         size(element_at(col("part"), 1)).as("npts"))
       .orderBy("order_id", "part_no")

@@ -130,8 +130,8 @@ object Multimodal {
     extractFeatures(mediaTable(s, d))
       .select(col("kind"),
         element_at(col("features"), 1).as("f0"),
-        round(element_at(col("features"), 2) * 1000).cast("long").as("m1"),
-        round(element_at(col("features"), 3) * 1000).cast("long").as("m2"))
+        floor((element_at(col("features"), 2) * 1000) + 0.5).cast("long").as("m1"),
+        floor((element_at(col("features"), 3) * 1000) + 0.5).cast("long").as("m2"))
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
         sum("f0").cast("long").as("total_bytes"),

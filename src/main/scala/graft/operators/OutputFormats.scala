@@ -644,7 +644,7 @@ object OutputFormats {
         |    THEN CAST(floor(mx - mn + 0.5) AS BIGINT) END AS vertical,
         |  CASE WHEN area_id % 2 = 0 THEN true END AS has_downhill,
         |  CASE WHEN area_id % 2 <> 0 THEN true END AS has_nordic,
-        |  round(alon, 6) AS lon, round(alat, 6) AS lat
+        |  (floor((alon) * 1e6 + 0.5) / 1e6) AS lon, (floor((alat) * 1e6 + 0.5) / 1e6) AS lat
         |FROM nm ORDER BY area_id""".stripMargin
     }) { (s, d) =>
     val af = Statistics.areaFrames(s, d)
@@ -680,7 +680,7 @@ object OutputFormats {
           jsRound(col("mx") - col("mn"))).as("vertical"),
         when(pmod(col("area_id"), lit(2)) === 0, true).as("has_downhill"),
         when(pmod(col("area_id"), lit(2)) =!= 0, true).as("has_nordic"),
-        round(col("alon"), 6).as("lon"), round(col("alat"), 6).as("lat"))
+        (floor((col("alon")) * 1e6 + 0.5) / 1e6).as("lon"), (floor((col("alat")) * 1e6 + 0.5) / 1e6).as("lat"))
       .orderBy("area_id")
   }
 
@@ -722,9 +722,9 @@ object OutputFormats {
       |  CASE WHEN spot_type = 'crossing' THEN
       |    CASE event_id % 3 WHEN 0 THEN 'yes' WHEN 1 THEN 'no'
       |      ELSE 'sometimes' END END AS dismount,
-      |  round(CAST((event_id * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0, 6)
+      |  (floor((CAST((event_id * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0) * 1e6 + 0.5) / 1e6)
       |    AS lon,
-      |  round(CAST((event_id * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0, 6)
+      |  (floor((CAST((event_id * 104729) % 120000 AS DOUBLE) / 1000.0 - 60.0) * 1e6 + 0.5) / 1e6)
       |    AS lat
       |FROM s ORDER BY node_id, spot_type""".stripMargin) { (s, d) =>
     val pidx = pmod(floor(col("value")).cast("long"), lit(4))
@@ -758,10 +758,10 @@ object OutputFormats {
           when(pmod(col("node_id"), lit(3)) === 0, "yes")
             .when(pmod(col("node_id"), lit(3)) === 1, "no")
             .otherwise("sometimes")).as("dismount"),
-        round(pmod(col("node_id") * 7919, lit(360000)).cast("double")
-          / 1000.0 - 180.0, 6).as("lon"),
-        round(pmod(col("node_id") * 104729, lit(120000)).cast("double")
-          / 1000.0 - 60.0, 6).as("lat"))
+        (floor((pmod(col("node_id") * 7919, lit(360000)).cast("double")
+          / 1000.0 - 180.0) * 1e6 + 0.5) / 1e6).as("lon"),
+        (floor((pmod(col("node_id") * 104729, lit(120000)).cast("double")
+          / 1000.0 - 60.0) * 1e6 + 0.5) / 1e6).as("lat"))
       .orderBy("node_id", "spot_type")
   }
 

@@ -63,11 +63,11 @@ object PipelineE2E {
       val len2 = hav(D("e.x0"), D("e.y0"), D("e.xn"), D("e.yn"))
       s"""WITH RECURSIVE ${SkiQueries.oraclePrelude},
         |g AS (
-        |  SELECT CAST(round(lon0 * 10000000) AS BIGINT) AS x0,
-        |    CAST(round(lat0 * 10000000) AS BIGINT) AS y0,
-        |    CAST(round((lon0 + dx) * 10000000) AS BIGINT) AS x1,
-        |    CAST(round((lat0 + dy) * 10000000) AS BIGINT) AS y1,
-        |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT) AS x2,
+        |  SELECT CAST(floor((lon0 * 10000000) + 0.5) AS BIGINT) AS x0,
+        |    CAST(floor((lat0 * 10000000) + 0.5) AS BIGINT) AS y0,
+        |    CAST(floor(((lon0 + dx) * 10000000) + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(((lat0 + dy) * 10000000) + 0.5) AS BIGINT) AS y1,
+        |    CAST(floor(((lon0 + dx * 2) * 10000000) + 0.5) AS BIGINT) AS x2,
         |    way_id, uses, difficulty
         |  FROM kept),
         |grp AS (
@@ -151,12 +151,12 @@ object PipelineE2E {
         |  FROM dh GROUP BY 1),
         |sc AS (
         |  SELECT area_id, count(*) AS n_segments,
-        |    round(sum(len_m) / 1000.0, 4) AS total_km,
-        |    round(min(least(z_start, z_end, coalesce(z_mid, z_start))), 1)
+        |    (floor((sum(len_m) / 1000.0) * 1e4 + 0.5) / 1e4) AS total_km,
+        |    (floor((min(least(z_start, z_end, coalesce(z_mid, z_start)))) * 1e1 + 0.5) / 1e1)
         |      AS min_elev,
-        |    round(max(greatest(z_start, z_end, coalesce(z_mid, z_start))), 1)
+        |    (floor((max(greatest(z_start, z_end, coalesce(z_mid, z_start)))) * 1e1 + 0.5) / 1e1)
         |      AS max_elev,
-        |    round(sum(abs(z_end - z_start)), 2) AS vertical_m
+        |    (floor((sum(abs(z_end - z_start))) * 1e2 + 0.5) / 1e2) AS vertical_m
         |  FROM j GROUP BY 1)
         |SELECT area_id, n_segments, total_km, difficulties,
         |  min_elev, max_elev, vertical_m
@@ -297,13 +297,13 @@ object PipelineE2E {
         sum(abs(col("z_end") - col("z_start"))).as("dz"))
       .groupBy("area_id")
       .agg(sum("n").as("n_segments"),
-        round(sum("len_m") / 1000.0, 4).as("total_km"),
+        (floor((sum("len_m") / 1000.0) * 1e4 + 0.5) / 1e4).as("total_km"),
         array_join(array_sort(collect_list(
           concat(col("difficulty"), lit(":"), col("n")))), ";")
           .as("difficulties"),
-        round(min("zmin"), 1).as("min_elev"),
-        round(max("zmax"), 1).as("max_elev"),
-        round(sum("dz"), 2).as("vertical_m"))
+        (floor((min("zmin")) * 1e1 + 0.5) / 1e1).as("min_elev"),
+        (floor((max("zmax")) * 1e1 + 0.5) / 1e1).as("max_elev"),
+        (floor((sum("dz")) * 1e2 + 0.5) / 1e2).as("vertical_m"))
       .select(col("area_id"), col("n_segments"), col("total_km"),
         col("difficulties"), col("min_elev"), col("max_elev"),
         col("vertical_m"))

@@ -42,7 +42,7 @@ object RangeJoin {
       |  FROM events WHERE event_type = 'signup' AND event_id % 97 = 0),
       |e AS (
       |  SELECT event_id, user_id, epoch_us(ts) AS us,
-      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(floor((value * 100) + 0.5) AS BIGINT) AS cents,
       |    event_type
       |  FROM events)
       |SELECT w.promo_id, count(*) AS n_events,
@@ -63,7 +63,7 @@ object RangeJoin {
         |  WHERE event_type = 'signup' AND event_id % 97 = 0),
         |e AS (
         |  SELECT event_id, user_id, us,
-        |    CAST(round(value * 100) AS BIGINT) AS cents, event_type
+        |    CAST(floor((value * 100) + 0.5) AS BIGINT) AS cents, event_type
         |  FROM graft_range_events)
         |SELECT w.promo_id, count(*) AS n_events,
         |  count(DISTINCT e.user_id) AS n_users,

@@ -26,13 +26,13 @@ object RelationalQueries {
   private val q1 = QuerySpec.of(
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
+      |  (floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS sum_base_price,
+      |  (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS sum_disc_price,
+      |  (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2) AS sum_charge,
+      |  (floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4) AS avg_qty,
+      |  (floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4) AS avg_price,
+      |  (floor((avg(l_discount)) * 1e6 + 0.5) / 1e6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,15 +43,15 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        (floor((sum("l_quantity")) * 1e2 + 0.5) / 1e2).as("sum_qty"),
+        (floor((sum("l_extendedprice")) * 1e2 + 0.5) / 1e2).as("sum_base_price"),
+        (floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e2 + 0.5) / 1e2)
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        (floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))) * 1e2 + 0.5) / 1e2).as("sum_charge"),
+        (floor((avg("l_quantity")) * 1e4 + 0.5) / 1e4).as("avg_qty"),
+        (floor((avg("l_extendedprice")) * 1e4 + 0.5) / 1e4).as("avg_price"),
+        (floor((avg("l_discount")) * 1e6 + 0.5) / 1e6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -60,7 +60,7 @@ object RelationalQueries {
   // exercises predicate pushdown to the parquet scan.
   private val q6 = QuerySpec.of(
     "q6_forecast_revenue",
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT (floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2) AS revenue,
       |  count(*) AS n
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -74,7 +74,7 @@ object RelationalQueries {
         && col("l_discount").between(0.03, 0.07)
         && col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        (floor((sum(col("l_extendedprice") * col("l_discount"))) * 1e2 + 0.5) / 1e2).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -83,7 +83,7 @@ object RelationalQueries {
   private val q3 = QuerySpec.of(
     "q3_top_orders",
     """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue,
       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
       |  o_orderpriority
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -101,7 +101,7 @@ object RelationalQueries {
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e2 + 0.5) / 1e2)
         .as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
@@ -114,7 +114,7 @@ object RelationalQueries {
   private val q5 = QuerySpec.of(
     "q5_region_revenue",
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem
       |  JOIN orders   ON l_orderkey = o_orderkey
@@ -139,7 +139,7 @@ object RelationalQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        (floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e2 + 0.5) / 1e2)
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("n_name")
@@ -191,18 +191,18 @@ object RelationalQueries {
   private val qWindow = QuerySpec.of(
     "q_supplier_rank_window",
     """WITH rev AS (
-      |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  SELECT l_suppkey, (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue
       |  FROM lineitem GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name, n_name, revenue,
       |  rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rnk,
-      |  round(sum(revenue) OVER (PARTITION BY n_name), 2) AS nation_revenue
+      |  (floor((sum(revenue) OVER (PARTITION BY n_name)) * 1e2 + 0.5) / 1e2) AS nation_revenue
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY n_name, rnk, s_suppkey""".stripMargin,
     headline = true) { (s, d) =>
     val rev = Tables.lineitem(s, d)
       .groupBy("l_suppkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e2 + 0.5) / 1e2)
         .as("revenue"))
     val sup = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
     val n = Tables.nation(s, d).select("n_nationkey", "n_name")
@@ -212,7 +212,7 @@ object RelationalQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"),
         rank().over(w).as("rnk"),
-        round(sum("revenue").over(Window.partitionBy("n_name")), 2)
+        (floor((sum("revenue").over(Window.partitionBy("n_name"))) * 1e2 + 0.5) / 1e2)
           .as("nation_revenue"))
       .orderBy(col("n_name"), col("rnk"), col("s_suppkey"))
   }
@@ -223,8 +223,8 @@ object RelationalQueries {
     """SELECT c_mktsegment,
       |  count(DISTINCT o_custkey) AS active_customers,
       |  count(*) AS n_orders,
-      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value,
-      |  round(max(o_totalprice), 2) AS max_order
+      |  (floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)) * 1e2 + 0.5) / 1e2) AS finished_value,
+      |  (floor((max(o_totalprice)) * 1e2 + 0.5) / 1e2) AS max_order
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
@@ -235,9 +235,9 @@ object RelationalQueries {
       .agg(
         countDistinct("o_custkey").as("active_customers"),
         count(lit(1)).as("n_orders"),
-        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-          .otherwise(0)), 2).as("finished_value"),
-        round(max("o_totalprice"), 2).as("max_order"))
+        (floor((sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0))) * 1e2 + 0.5) / 1e2).as("finished_value"),
+        (floor((max("o_totalprice")) * 1e2 + 0.5) / 1e2).as("max_order"))
       .orderBy("c_mktsegment")
   }
 
@@ -272,7 +272,7 @@ object RelationalQueries {
   private val qTopCustomers = QuerySpec.of(
     "q10_top_customers",
     """SELECT c_custkey, c_name, n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue
       |FROM customer
       |  JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -292,7 +292,7 @@ object RelationalQueries {
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg((floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 1e2 + 0.5) / 1e2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -308,8 +308,8 @@ object RelationalQueries {
     "q14_promo_revenue",
     """WITH j AS (
       |  SELECT p_type,
-      |    CAST(round(l_extendedprice * 100) AS BIGINT)
-      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+      |    CAST(floor((l_extendedprice * 100) + 0.5) AS BIGINT)
+      |      * (100 - CAST(floor((l_discount * 100) + 0.5) AS BIGINT)) AS rev_e4
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
@@ -324,8 +324,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
         && col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
       .select(col("l_partkey"),
-        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
-          * (lit(100) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+        (expr("CAST(floor((l_extendedprice * 100) + 0.5) AS BIGINT)")
+          * (lit(100) - expr(
+            "CAST(floor((l_discount * 100) + 0.5) AS BIGINT)")))
           .as("rev_e4"))
     val p = Tables.part(s, d).select("p_partkey", "p_type")
     li.join(p, col("l_partkey") === col("p_partkey"))
@@ -346,7 +347,7 @@ object RelationalQueries {
     "q_rollup_revenue",
     """SELECT coalesce(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS y,
       |  coalesce(CAST(EXTRACT(month FROM o_orderdate) AS BIGINT), -1) AS m,
-      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |  CAST(sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS BIGINT)
       |    AS revenue_cents,
       |  count(*) AS n_orders
       |FROM orders
@@ -357,7 +358,7 @@ object RelationalQueries {
       .select(
         year(col("o_orderdate")).cast("bigint").as("y"),
         month(col("o_orderdate")).cast("bigint").as("m"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        expr("CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)").as("cents"))
       .rollup("y", "m")
       .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_orders"))
       .select(coalesce(col("y"), lit(-1L)).as("y"),
@@ -380,7 +381,7 @@ object RelationalQueries {
       |  SELECT c_mktsegment AS segment, o_custkey AS custkey,
       |    max(o_orderdate) AS last_order,
       |    count(*) AS frequency,
-      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    CAST(sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS BIGINT)
       |      AS monetary_cents
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY 1, 2),
@@ -407,7 +408,7 @@ object RelationalQueries {
         col("o_custkey").as("custkey"))
       .agg(max("o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
-        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        sum(expr("CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)"))
           .as("monetary_cents"))
     def q(orderCol: String) = ntile(4).over(Window.partitionBy("segment")
       .orderBy(col(orderCol).desc, col("custkey")))
@@ -478,8 +479,8 @@ object RelationalQueries {
         profInts.map(c => block(c,
           s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")) ++
         profDbls.map(c => block(c,
-          s"CAST(CAST(round(min($c) * 100) AS BIGINT) AS VARCHAR)",
-          s"CAST(CAST(round(max($c) * 100) AS BIGINT) AS VARCHAR)")) ++
+          s"CAST(CAST(floor((min($c) * 100) + 0.5) AS BIGINT) AS VARCHAR)",
+          s"CAST(CAST(floor((max($c) * 100) + 0.5) AS BIGINT) AS VARCHAR)")) ++
         profStrs.map(c => block(c, s"min($c)", s"max($c)")) ++
         profTss.map(c => block(c,
           s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
@@ -490,7 +491,7 @@ object RelationalQueries {
     val all = profInts ++ profDbls ++ profStrs ++ profTss
     def repr(c: String, side: String) =
       if (profDbls.contains(c))
-        expr(s"CAST(CAST(round($side * 100) AS BIGINT) AS STRING)")
+        expr(s"CAST(CAST(floor(($side * 100) + 0.5) AS BIGINT) AS STRING)")
       else if (profTss.contains(c))
         date_format(col(side), "yyyy-MM-dd HH:mm:ss")
       else col(side).cast("string")
@@ -547,7 +548,7 @@ object RelationalQueries {
     "q_bucketed_join",
     """SELECT c_mktsegment,
       |  count(*) AS n_orders,
-      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |  CAST(sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS BIGINT)
       |    AS revenue_cents
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
@@ -557,7 +558,7 @@ object RelationalQueries {
       bucketedJoin(s, d, dir)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          sum(expr("CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)"))
             .as("revenue_cents"))
         .orderBy("c_mktsegment")
         .localCheckpoint() // the scratch tables are dropped on return
@@ -586,7 +587,7 @@ object RelationalQueries {
         .sqlHash32(s"CAST(o_orderkey AS VARCHAR) || ':$tag'")
       s"""WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT) AS cents,
         |    (${h("d")}) % 20 = 0 AS is_del,
         |    (${h("u")}) % 10 = 0 AS is_upd,
         |    (${h("i")}) % 20 = 0 AS spawns_ins
@@ -612,7 +613,7 @@ object RelationalQueries {
       concat(col("o_orderkey").cast("string"), lit(s":$tag")))
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)").as("cents"),
         (pmod(h("d"), lit(20)) === 0).as("is_del"),
         (pmod(h("u"), lit(10)) === 0).as("is_upd"),
         (pmod(h("i"), lit(20)) === 0).as("spawns_ins"))
@@ -695,7 +696,7 @@ object RelationalQueries {
     "q_customer_pareto",
     """WITH c AS (
       |  SELECT o_custkey,
-      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    CAST(sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS BIGINT)
       |      AS cents
       |  FROM orders GROUP BY o_custkey),
       |r AS (
@@ -724,7 +725,7 @@ object RelationalQueries {
       |FROM dec, g ORDER BY dec.decile""".stripMargin) { (s, d) =>
     val c = Tables.orders(s, d)
       .groupBy("o_custkey")
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .agg(sum(expr("CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)"))
         .as("cents"))
     // rank window over the per-customer aggregate — single-partition,
     // but over |customers| rows, not |orders|; at warehouse scale
@@ -867,7 +868,7 @@ object RelationalQueries {
   private val q18 = QuerySpec.of(
     "q18_large_orders",
     """SELECT c_custkey, c_name, o_orderkey,
-      |  round(sum(l_quantity), 2) AS sum_qty
+      |  (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY c_custkey, c_name, o_orderkey
@@ -875,7 +876,7 @@ object RelationalQueries {
       |ORDER BY sum_qty DESC, o_orderkey""".stripMargin) { (s, d) =>
     val big = Tables.lineitem(s, d)
       .groupBy("l_orderkey")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .agg((floor((sum("l_quantity")) * 1e2 + 0.5) / 1e2).as("sum_qty"))
       .filter(col("sum_qty") > 210)
     big.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -894,7 +895,7 @@ object RelationalQueries {
     "q15_top_supplier",
     """WITH rev AS (
       |  SELECT l_suppkey,
-      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)
       |      AS BIGINT)) AS BIGINT) AS rev_cents
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -909,8 +910,8 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
         && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
-      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount)" +
-        " * 100) AS BIGINT)")).as("rev_cents"))
+      .agg(sum(expr("CAST(floor((l_extendedprice * (1 - l_discount)" +
+        " * 100) + 0.5) AS BIGINT)")).as("rev_cents"))
       .localCheckpoint() // max + output read it
     val mx = rev.agg(max("rev_cents").as("m"))
     rev.crossJoin(broadcast(mx))
@@ -933,14 +934,14 @@ object RelationalQueries {
   // IDENTICAL statement.
   private val correlatedSql =
     """SELECT o_custkey, count(*) AS n_big_orders,
-      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |  CAST(sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS BIGINT)
       |    AS big_cents
       |FROM orders o
-      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 * (
+      |WHERE CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT) * 2 * (
       |    SELECT count(*) FROM orders i
       |    WHERE i.o_custkey = o.o_custkey)
       |  >= 3 * (
-      |    SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    SELECT sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT))
       |    FROM orders i WHERE i.o_custkey = o.o_custkey)
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
@@ -960,13 +961,13 @@ object RelationalQueries {
     "q22_dormant_balances",
     """WITH pos AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+      |    CAST(sum(CAST(floor((c_acctbal * 100) + 0.5) AS BIGINT)) AS BIGINT) AS s
       |  FROM customer WHERE c_acctbal > 0),
       |el AS (
       |  SELECT c_custkey, c_nationkey,
-      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |    CAST(floor((c_acctbal * 100) + 0.5) AS BIGINT) AS bal
       |  FROM customer, pos
-      |  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      |  WHERE CAST(floor((c_acctbal * 100) + 0.5) AS BIGINT) * pos.n > pos.s
       |    AND NOT EXISTS (SELECT 1 FROM orders
       |                    WHERE o_custkey = c_custkey))
       |SELECT CAST(c_nationkey AS BIGINT) AS nation,
@@ -975,7 +976,7 @@ object RelationalQueries {
       |FROM el GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"),
-        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+        expr("CAST(floor((c_acctbal * 100) + 0.5) AS BIGINT)").as("bal"))
     val pos = cust.filter(col("bal") > 0)
       .agg(count(lit(1)).as("n"), sum("bal").as("s"))
     cust.crossJoin(broadcast(pos))
@@ -1033,7 +1034,7 @@ object RelationalQueries {
     "q17_small_qty_revenue",
     """WITH li AS (
       |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
-      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |    CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5) AS BIGINT)
       |      AS cents
       |  FROM lineitem),
       |pa AS (
@@ -1050,7 +1051,7 @@ object RelationalQueries {
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity").cast("bigint").as("q"),
-        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100)" +
+        expr("CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)" +
           " AS BIGINT)").as("cents"))
     val pa = li.groupBy("l_partkey")
       .agg(count(lit(1)).as("n_p"), sum("q").as("sum_q"))
@@ -1136,14 +1137,14 @@ object RelationalQueries {
     "q_dpp_join",
     """WITH m AS (
       |  SELECT strftime(o_orderdate, '%Y-%m') AS mon,
-      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    CAST(sum(CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)) AS BIGINT)
       |      AS ord_cents
       |  FROM orders GROUP BY 1),
       |top3 AS (
       |  SELECT mon FROM m ORDER BY ord_cents DESC, mon LIMIT 3)
       |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
       |  count(*) AS n_lines,
-      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |  CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)
       |    AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM lineitem
       |WHERE strftime(l_shipdate, '%Y-%m') IN (SELECT mon FROM top3)
@@ -1162,7 +1163,7 @@ object RelationalQueries {
       Tables.fingerprint(s, d, "lineitem"), Seq("ship_month")) {
       Tables.lineitem(s, d).select(
         date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
-        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100)" +
+        expr("CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)" +
           " AS BIGINT)").as("cents"))
     }
 
@@ -1179,7 +1180,7 @@ object RelationalQueries {
       val w = Window.orderBy(col("ord_cents").desc, col("mon"))
       Tables.orders(s, d)
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          expr("CAST(floor((o_totalprice * 100) + 0.5) AS BIGINT)").as("cents"))
         .groupBy("mon").agg(sum("cents").as("ord_cents"))
         .withColumn("rk", row_number().over(w))
     }
@@ -1203,9 +1204,9 @@ object RelationalQueries {
   private val qProfileCorr = QuerySpec.of(
     "q_profile_corr", {
       def corrSql(x: String, y: String): String =
-        s"""round(CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE) /
+        s"""(floor((CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE) /
            |  sqrt(CAST(n * s_$x$x - s_$x * s_$x AS DOUBLE) *
-           |       CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE)), 6)"""
+           |       CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE))) * 1e6 + 0.5) / 1e6)"""
           .stripMargin
       val pairs = Seq("q" -> "p", "q" -> "d", "q" -> "t",
         "p" -> "d", "p" -> "t", "d" -> "t")
@@ -1216,10 +1217,10 @@ object RelationalQueries {
           s"n, ${corrSql(x, y)} AS corr FROM m"
       }.mkString("\n|", "\n|UNION ALL\n|", "")
       s"""WITH v AS (
-        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
-        |    CAST(round(l_discount * 100) AS BIGINT) AS d,
-        |    CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  SELECT CAST(floor((l_quantity) + 0.5) AS BIGINT) AS q,
+        |    CAST(floor((l_extendedprice * 100) + 0.5) AS BIGINT) AS p,
+        |    CAST(floor((l_discount * 100) + 0.5) AS BIGINT) AS d,
+        |    CAST(floor((l_tax * 100) + 0.5) AS BIGINT) AS t
         |  FROM lineitem),
         |m AS (
         |  SELECT CAST(count(*) AS HUGEINT) AS n,
@@ -1241,11 +1242,11 @@ object RelationalQueries {
     }) { (s, d) =>
     val dec = "DECIMAL(38,0)"
     val v = Tables.lineitem(s, d).selectExpr(
-      "CAST(CAST(round(l_quantity) AS BIGINT) AS " + dec + ") AS q",
-      "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS " + dec +
+      "CAST(CAST(floor((l_quantity) + 0.5) AS BIGINT) AS " + dec + ") AS q",
+      "CAST(CAST(floor((l_extendedprice * 100) + 0.5) AS BIGINT) AS " + dec +
         ") AS p",
-      "CAST(CAST(round(l_discount * 100) AS BIGINT) AS " + dec + ") AS d",
-      "CAST(CAST(round(l_tax * 100) AS BIGINT) AS " + dec + ") AS t")
+      "CAST(CAST(floor((l_discount * 100) + 0.5) AS BIGINT) AS " + dec + ") AS d",
+      "CAST(CAST(floor((l_tax * 100) + 0.5) AS BIGINT) AS " + dec + ") AS t")
     val m = v.agg(
       expr(s"CAST(count(*) AS $dec)").as("n"),
       expr("sum(q)").as("s_q"), expr("sum(p)").as("s_p"),
@@ -1256,9 +1257,9 @@ object RelationalQueries {
       expr("sum(q * t)").as("s_qt"), expr("sum(p * d)").as("s_pd"),
       expr("sum(p * t)").as("s_pt"), expr("sum(d * t)").as("s_dt"))
     def corrOf(x: String, y: String) = expr(
-      s"""round(CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE) /
+      s"""(floor((CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE) /
          |  sqrt(CAST(n * s_$x$x - s_$x * s_$x AS DOUBLE) *
-         |       CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE)), 6)"""
+         |       CAST(n * s_$y$y - s_$y * s_$y AS DOUBLE))) * 1e6 + 0.5) / 1e6)"""
         .stripMargin)
     val names = Map("q" -> "quantity", "p" -> "price_cents",
       "d" -> "discount_pct", "t" -> "tax_pct")

@@ -64,11 +64,11 @@ object Similarity {
       |q AS (SELECT * FROM n WHERE vec_id < $NQUERIES),
       |s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |    (floor((${duckDot("q.v", "c.v")} / (q.nrm * c.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
       |r AS (SELECT *, row_number() OVER
       |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM s)
-      |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk
+      |SELECT query_id, cand_id, (floor((cos) * 1e6 + 0.5) / 1e6) AS cosine, rk
       |FROM r WHERE rk <= $TOPK
       |ORDER BY query_id, rk""".stripMargin,
     headline = true) { (s, d) =>
@@ -82,13 +82,13 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id"))
     c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv"))
-        / (col("qn") * col("cn")), 9))
+      .withColumn("cos", (floor((dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn"))) * 1e9 + 0.5) / 1e9))
       .select(col("query_id"), col("cand_id"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TOPK)
       .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 6).as("cosine"), col("rk"))
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cosine"), col("rk"))
       .orderBy("query_id", "rk")
   }
 
@@ -108,12 +108,12 @@ object Similarity {
       |q AS (SELECT * FROM n WHERE vec_id < $NQUERIES),
       |s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |    (floor((${duckDot("q.v", "c.v")} / (q.nrm * c.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id),
       |r AS (SELECT *, row_number() OVER
       |    (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk,
       |  count(*) OVER (PARTITION BY query_id) AS n_cands FROM s)
-      |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk,
+      |SELECT query_id, cand_id, (floor((cos) * 1e6 + 0.5) / 1e6) AS cosine, rk,
       |  CAST(n_cands AS BIGINT) AS n_cands
       |FROM r WHERE rk <= $TOPK
       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
@@ -128,14 +128,14 @@ object Similarity {
     val wc = Window.partitionBy("query_id")
     c.join(broadcast(q), "label")
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv"))
-        / (col("qn") * col("cn")), 9))
+      .withColumn("cos", (floor((dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn"))) * 1e9 + 0.5) / 1e9))
       .select(col("query_id"), col("cand_id"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .withColumn("n_cands", count(lit(1)).over(wc))
       .filter(col("rk") <= TOPK)
       .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 6).as("cosine"), col("rk"), col("n_cands"))
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cosine"), col("rk"), col("n_cands"))
       .orderBy("query_id", "rk")
   }
 
@@ -153,7 +153,7 @@ object Similarity {
       |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |x AS (
       |  SELECT label, u.i AS dim,
-      |    CAST(round(v[u.i + 1] * 1000000) AS BIGINT) AS q
+      |    CAST(floor((v[u.i + 1] * 1000000) + 0.5) AS BIGINT) AS q
       |  FROM e, unnest(range(0, len(v))) AS u(i)),
       |c AS (
       |  SELECT label, dim,
@@ -167,14 +167,14 @@ object Similarity {
       |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
       |  GROUP BY a.label, b.label)
       |SELECT label_a, label_b, n_a, n_b,
-      |  round(sqrt(CAST(ssq AS DOUBLE)) / 1000000.0, 6) AS centroid_dist
+      |  (floor((sqrt(CAST(ssq AS DOUBLE)) / 1000000.0) * 1e6 + 0.5) / 1e6) AS centroid_dist
       |FROM p ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
     val x = Tables.fanout(Tables.embeddings(s, d))
       .select(col("label"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("dim", "v")))
       .select(col("label"), col("dim"),
-        expr("CAST(round(v * 1000000) AS BIGINT)").as("q"))
+        expr("CAST(floor((v * 1000000) + 0.5) AS BIGINT)").as("q"))
     // FLOOR division, not DIV: per-dim sums go negative and the two
     // engines' integer divisions disagree on sign; the double detour
     // is exact (|sum| < 2^44, fraction ≥ 1/n — see q_events_trend)
@@ -192,7 +192,7 @@ object Similarity {
         sum((col("cqa") - col("cqb")) * (col("cqa") - col("cqb")))
           .as("ssq"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-        round(sqrt(col("ssq").cast("double")) / 1000000.0, 6)
+        (floor((sqrt(col("ssq").cast("double")) / 1000000.0) * 1e6 + 0.5) / 1e6)
           .as("centroid_dist"))
       .orderBy("label_a", "label_b")
   }
@@ -280,12 +280,12 @@ object Similarity {
       |  WHERE c.r1 <= $BUCKET_CAP AND c.vec_id <> q.vec_id),
       |s AS (
       |  SELECT p.query_id, p.cand_id,
-      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |    (floor((${duckDot("q.v", "c.v")} / (q.nrm * c.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM pairs p JOIN b q ON p.query_id = q.vec_id
       |  JOIN b c ON p.cand_id = c.vec_id),
       |r AS (SELECT *, row_number() OVER
       |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM s)
-      |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk
+      |SELECT query_id, cand_id, (floor((cos) * 1e6 + 0.5) / 1e6) AS cosine, rk
       |FROM r WHERE rk <= $TOPK
       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
     // the persisted index scan: vec_id, v, nrm, b0, b1, np (the
@@ -334,13 +334,13 @@ object Similarity {
     pairs
       .join(broadcast(qv.filter(col("query_id") < NQUERIES)), "query_id")
       .join(cv, "cand_id")
-      .withColumn("cos", round(dot(col("qv"), col("cv"))
-        / (col("qn") * col("cn")), 9))
+      .withColumn("cos", (floor((dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn"))) * 1e9 + 0.5) / 1e9))
       .select(col("query_id"), col("cand_id"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TOPK)
       .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 6).as("cosine"), col("rk"))
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cosine"), col("rk"))
       .orderBy("query_id", "rk")
   }
 
@@ -371,7 +371,7 @@ object Similarity {
     s"""cent AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id < $IVF_K),
       |asg0 AS (
       |  SELECT n.vec_id, c.cid,
-      |    round(($assignDot) / (n.nrm * c.nrm), 9) AS cos
+      |    (floor((($assignDot) / (n.nrm * c.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM n CROSS JOIN cent c),
       |asg AS (
       |  SELECT vec_id, cid FROM (
@@ -381,7 +381,7 @@ object Similarity {
       |  WHERE vec_id < $NQUERIES),
       |probe0 AS (
       |  SELECT q.query_id, c.cid,
-      |    round(($probeDot) / (q.nrm * c.nrm), 9) AS cos
+      |    (floor((($probeDot) / (q.nrm * c.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM q CROSS JOIN cent c),
       |probe AS (
       |  SELECT query_id, cid FROM (
@@ -417,7 +417,7 @@ object Similarity {
           "algo" -> "ivf-v1", "k" -> IVF_K, "round" -> 9)) {
       n.crossJoin(broadcast(cent))
         .withColumn("cos",
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 9))
+          (floor((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))) * 1e9 + 0.5) / 1e9))
         .withColumn("rk", row_number().over(wAsg))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("cid"))
@@ -432,7 +432,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("cid"))
     q.crossJoin(broadcast(cent))
       .withColumn("cos",
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
+        (floor((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))) * 1e9 + 0.5) / 1e9))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= IVF_PROBE)
       .select(col("query_id"), col("cid"))
@@ -445,12 +445,12 @@ object Similarity {
         |$duckIvfCtes,
         |sc AS (
         |  SELECT cand.query_id, cand.cand_id,
-        |    round(($scoreDot) / (q.nrm * x.nrm), 9) AS cos
+        |    (floor((($scoreDot) / (q.nrm * x.nrm)) * 1e9 + 0.5) / 1e9) AS cos
         |  FROM cand JOIN q ON cand.query_id = q.query_id
         |  JOIN n x ON cand.cand_id = x.vec_id),
         |r AS (SELECT *, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM sc)
-        |SELECT query_id, cand_id, round(cos, 6) AS cosine, rk
+        |SELECT query_id, cand_id, (floor((cos) * 1e6 + 0.5) / 1e6) AS cosine, rk
         |FROM r WHERE rk <= $TOPK
         |ORDER BY query_id, rk""".stripMargin
     }) { (s, d) =>
@@ -470,12 +470,12 @@ object Similarity {
       .join(n.select(col("vec_id").as("cand_id"), col("v").as("xv"),
         col("nrm").as("xn")), Seq("cand_id"))
       .withColumn("cos",
-        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 9))
+        (floor((dot(col("qv"), col("xv")) / (col("qn") * col("xn"))) * 1e9 + 0.5) / 1e9))
       .select(col("query_id"), col("cand_id"), col("cos"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= TOPK)
       .select(col("query_id"), col("cand_id"),
-        round(col("cos"), 6).as("cosine"), col("rk"))
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cosine"), col("rk"))
       .orderBy("query_id", "rk")
   }
 
@@ -531,8 +531,8 @@ object Similarity {
       |    END AS mean_abs_err
       |  FROM sc)
       |SELECT label, count(*) AS n_vecs,
-      |  round(max(scale), 9) AS max_scale,
-      |  round(max(mean_abs_err), 9) AS max_mean_err
+      |  (floor((max(scale)) * 1e9 + 0.5) / 1e9) AS max_scale,
+      |  (floor((max(mean_abs_err)) * 1e9 + 0.5) / 1e9) AS max_mean_err
       |FROM err GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
     val e = Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"),
@@ -550,8 +550,8 @@ object Similarity {
             / DIM))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        round(max("scale"), 9).as("max_scale"),
-        round(max("mean_abs_err"), 9).as("max_mean_err"))
+        (floor((max("scale")) * 1e9 + 0.5) / 1e9).as("max_scale"),
+        (floor((max("mean_abs_err")) * 1e9 + 0.5) / 1e9).as("max_mean_err"))
       .orderBy("label")
   }
 
@@ -966,10 +966,10 @@ object Similarity {
         |  WHERE c.vec_id <> t0.qid),
         |r AS (
         |  SELECT *, row_number() OVER
-        |    (PARTITION BY qid ORDER BY round(adc, 9), vec_id) AS rk
+        |    (PARTITION BY qid ORDER BY (floor((adc) * 1e9 + 0.5) / 1e9), vec_id) AS rk
         |  FROM adc)
         |SELECT qid AS query_id, vec_id AS cand_id,
-        |  round(adc, 6) AS adc_dist, rk
+        |  (floor((adc) * 1e6 + 0.5) / 1e6) AS adc_dist, rk
         |FROM r WHERE rk <= $TOPK
         |ORDER BY query_id, rk""".stripMargin
     }) { (s, d) =>
@@ -978,14 +978,14 @@ object Similarity {
     val tabRows = adcTables(s, qv, perSub)
     val adc = adcSum
     val w = Window.partitionBy("qid")
-      .orderBy(round(col("adc"), 9), col("vec_id"))
+      .orderBy((floor((col("adc")) * 1e9 + 0.5) / 1e9), col("vec_id"))
     codes.crossJoin(broadcast(tabRows))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adc)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TOPK)
       .select(col("qid").as("query_id"), col("vec_id").as("cand_id"),
-        round(col("adc"), 6).as("adc_dist"), col("rk"))
+        (floor((col("adc")) * 1e6 + 0.5) / 1e6).as("adc_dist"), col("rk"))
       .orderBy("query_id", "rk")
   }
 
@@ -1028,11 +1028,11 @@ object Similarity {
       |s AS (
       |  SELECT q.vec_id AS query_id, q.label AS q_label,
       |    c.vec_id AS cand_id, c.label AS neg_label,
-      |    round(${duckDot("q.v", "c.v")} / (q.nrm * c.nrm), 9) AS cos
+      |    (floor((${duckDot("q.v", "c.v")} / (q.nrm * c.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM q JOIN n c ON c.label <> q.label),
       |r AS (SELECT *, row_number() OVER
       |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk FROM s)
-      |SELECT query_id, cand_id, neg_label, round(cos, 6) AS cosine, rk
+      |SELECT query_id, cand_id, neg_label, (floor((cos) * 1e6 + 0.5) / 1e6) AS cosine, rk
       |FROM r WHERE rk <= $TOPK
       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
     val n = normalized(Tables.embeddings(s, d))
@@ -1045,12 +1045,12 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neg_label") =!= col("q_label"))
-      .withColumn("cos", round(dot(col("qv"), col("cv"))
-        / (col("qn") * col("cn")), 9))
+      .withColumn("cos", (floor((dot(col("qv"), col("cv"))
+        / (col("qn") * col("cn"))) * 1e9 + 0.5) / 1e9))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TOPK)
       .select(col("query_id"), col("cand_id"), col("neg_label"),
-        round(col("cos"), 6).as("cosine"), col("rk"))
+        (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cosine"), col("rk"))
       .orderBy("query_id", "rk")
   }
 
@@ -1101,9 +1101,9 @@ object Similarity {
         |  $tabJoin),
         |r AS (
         |  SELECT *, row_number() OVER
-        |    (PARTITION BY query_id ORDER BY round(adc, 9), cand_id) AS rk
+        |    (PARTITION BY query_id ORDER BY (floor((adc) * 1e9 + 0.5) / 1e9), cand_id) AS rk
         |  FROM adc)
-        |SELECT query_id, cand_id, round(adc, 6) AS adc_dist, rk
+        |SELECT query_id, cand_id, (floor((adc) * 1e6 + 0.5) / 1e6) AS adc_dist, rk
         |FROM r WHERE rk <= $TOPK
         |ORDER BY query_id, rk""".stripMargin
     }) { (s, d) =>
@@ -1118,7 +1118,7 @@ object Similarity {
     val codes = pqCodes(perSub)
     val tabRows = adcTables(s, qv, perSub)
     val w = Window.partitionBy("query_id")
-      .orderBy(round(col("adc"), 9), col("cand_id"))
+      .orderBy((floor((col("adc")) * 1e9 + 0.5) / 1e9), col("cand_id"))
     asg.join(broadcast(probe), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"))
@@ -1128,7 +1128,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TOPK)
       .select(col("query_id"), col("cand_id"),
-        round(col("adc"), 6).as("adc_dist"), col("rk"))
+        (floor((col("adc")) * 1e6 + 0.5) / 1e6).as("adc_dist"), col("rk"))
       .orderBy("query_id", "rk")
   }
 
@@ -1160,8 +1160,8 @@ object Similarity {
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     a.crossJoin(broadcast(b))
       .filter(col("dst") =!= col("src"))
-      .withColumn("cos", round(dot(col("av"), col("bv"))
-        / (col("an") * col("bn")), 9))
+      .withColumn("cos", (floor((dot(col("av"), col("bv"))
+        / (col("an") * col("bn"))) * 1e9 + 0.5) / 1e9))
       .select(col("src"), col("dst"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
@@ -1174,7 +1174,7 @@ object Similarity {
       |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
       |s AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-      |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+      |    (floor((${duckDot("a.v", "b.v")} / (a.nrm * b.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
       |ed AS (
       |  SELECT src, dst, cos, rk FROM (
@@ -1188,7 +1188,7 @@ object Similarity {
       |agg AS (
       |  SELECT src, count(*) AS out_deg,
       |    max(CASE WHEN rk = 1 THEN dst END) AS nn1,
-      |    round(max(cos), 6) AS max_cos
+      |    (floor((max(cos)) * 1e6 + 0.5) / 1e6) AS max_cos
       |  FROM ed GROUP BY src)
       |SELECT a.src AS vec_id, CAST(a.out_deg AS BIGINT) AS out_deg,
       |  CAST(coalesce(m.mutual_deg, 0) AS BIGINT) AS mutual_deg,
@@ -1203,7 +1203,7 @@ object Similarity {
     val agg = e.groupBy("src").agg(
       count(lit(1)).as("out_deg"),
       max(when(col("rk") === 1, col("dst"))).as("nn1"),
-      round(max("cos"), 6).as("max_cos"))
+      (floor((max("cos")) * 1e6 + 0.5) / 1e6).as("max_cos"))
     agg.join(md, Seq("src"), "left")
       .select(col("src").as("vec_id"), col("out_deg"),
         coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"),
@@ -1242,7 +1242,7 @@ object Similarity {
         |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
         |s AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+        |    (floor((${duckDot("a.v", "b.v")} / (a.nrm * b.nrm)) * 1e9 + 0.5) / 1e9) AS cos
         |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
         |ed AS (
         |  SELECT src, dst FROM (
@@ -1320,7 +1320,7 @@ object Similarity {
         |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
         |s AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+        |    (floor((${duckDot("a.v", "b.v")} / (a.nrm * b.nrm)) * 1e9 + 0.5) / 1e9) AS cos
         |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
         |ed AS (
         |  SELECT src, dst FROM (
@@ -1377,7 +1377,7 @@ object Similarity {
       |g AS (SELECT * FROM n WHERE vec_id % 4 = 0),
       |s AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-      |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+      |    (floor((${duckDot("a.v", "b.v")} / (a.nrm * b.nrm)) * 1e9 + 0.5) / 1e9) AS cos
       |  FROM g a JOIN g b ON b.vec_id <> a.vec_id),
       |ed AS (
       |  SELECT src, dst FROM (
@@ -1747,7 +1747,7 @@ object Similarity {
       s"""WITH $duckNorm,
         |pairs AS MATERIALIZED (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    round(${duckDot("a.v", "b.v")} / (a.nrm * b.nrm), 9) AS cos
+        |    (floor((${duckDot("a.v", "b.v")} / (a.nrm * b.nrm)) * 1e9 + 0.5) / 1e9) AS cos
         |  FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
         |rk AS MATERIALIZED (
         |  SELECT *,
@@ -1764,8 +1764,8 @@ object Similarity {
         |  SELECT b_id, ($avgList) / $MarginK.0 AS avg_b
         |  FROM (SELECT b_id, list(cos ORDER BY rkb) AS cl
         |        FROM rk WHERE rkb <= $MarginK GROUP BY b_id))
-        |SELECT r.a_id, r.b_id, round(r.cos, 6) AS cosine,
-        |  round(r.cos / ((avg_a + avg_b) / 2.0), 6) AS margin,
+        |SELECT r.a_id, r.b_id, (floor((r.cos) * 1e6 + 0.5) / 1e6) AS cosine,
+        |  (floor((r.cos / ((avg_a + avg_b) / 2.0)) * 1e6 + 0.5) / 1e6) AS margin,
         |  r.rkb = 1 AS mutual
         |FROM rk r JOIN avga USING (a_id) JOIN avgb USING (b_id)
         |WHERE r.rka = 1
@@ -1779,8 +1779,8 @@ object Similarity {
       .select(col("vec_id").as("b_id"), col("v").as("bv"),
         col("nrm").as("bn"))
     val pairs = b.crossJoin(broadcast(a))
-      .withColumn("cos", round(dot(col("av"), col("bv"))
-        / (col("an") * col("bn")), 9))
+      .withColumn("cos", (floor((dot(col("av"), col("bv"))
+        / (col("an") * col("bn"))) * 1e9 + 0.5) / 1e9))
       .select("a_id", "b_id", "cos")
       // both directions rank the SAME pair set; materialize once so
       // the two windows and the final join don't recompute the dots
@@ -1803,8 +1803,8 @@ object Similarity {
     rk.filter(col("rka") === 1)
       .join(topAvg("a_id", "rka"), "a_id")
       .join(topAvg("b_id", "rkb"), "b_id")
-      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"),
-        round(col("cos") / ((col("avg_a_id") + col("avg_b_id")) / 2.0), 6)
+      .select(col("a_id"), col("b_id"), (floor((col("cos")) * 1e6 + 0.5) / 1e6).as("cosine"),
+        (floor((col("cos") / ((col("avg_a_id") + col("avg_b_id")) / 2.0)) * 1e6 + 0.5) / 1e6)
           .as("margin"),
         (col("rkb") === 1).as("mutual"))
       .orderBy("a_id")

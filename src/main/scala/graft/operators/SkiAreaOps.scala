@@ -106,10 +106,10 @@ object SkiAreaOps {
         |        ELSE list_sort(list_distinct(o.websites ||
         |          coalesce(s.sk_webs, []))) END, ';'), '') AS websites,
         |    coalesce(o.wikidata, w.wikidata) AS wikidata,
-        |    round(CASE WHEN o.placeholder AND f.first_lon IS NOT NULL
-        |      THEN f.first_lon ELSE o.glon END, 6) AS lon,
-        |    round(CASE WHEN o.placeholder AND f.first_lat IS NOT NULL
-        |      THEN f.first_lat ELSE o.glat END, 6) AS lat
+        |    (floor((CASE WHEN o.placeholder AND f.first_lon IS NOT NULL
+        |      THEN f.first_lon ELSE o.glon END) * 1e6 + 0.5) / 1e6) AS lon,
+        |    (floor((CASE WHEN o.placeholder AND f.first_lat IS NOT NULL
+        |      THEN f.first_lat ELSE o.glat END) * 1e6 + 0.5) / 1e6) AS lat
         |  FROM osm o LEFT JOIN msk s ON o.area_id = s.area_id
         |  LEFT JOIN mfirst f ON o.area_id = f.area_id
         |  LEFT JOIN mwk w ON o.area_id = w.area_id),
@@ -117,7 +117,7 @@ object SkiAreaOps {
         |  SELECT sk_id AS area_id, 'skimap' AS source, name,
         |    array_to_string(list_sort(acts), ';') AS activities,
         |    array_to_string(list_sort(websites), ';') AS websites,
-        |    wikidata, round(lon, 6) AS lon, round(lat, 6) AS lat
+        |    wikidata, (floor((lon) * 1e6 + 0.5) / 1e6) AS lon, (floor((lat) * 1e6 + 0.5) / 1e6) AS lat
         |  FROM sk WHERE sk_id NOT IN (SELECT sk_id FROM matched))
         |SELECT * FROM merged
         |UNION ALL SELECT * FROM standalone
@@ -271,10 +271,10 @@ object SkiAreaOps {
               coalesce(col("sk_webs"), array().cast("array<string>")))))))
           .as("websites"),
         coalesce(col("wikidata"), col("sk_wikidata")).as("wikidata"),
-        round(when(col("placeholder") && col("first_lon").isNotNull,
-          col("first_lon")).otherwise(col("glon")), 6).as("lon"),
-        round(when(col("placeholder") && col("first_lat").isNotNull,
-          col("first_lat")).otherwise(col("glat")), 6).as("lat"))
+        (floor((when(col("placeholder") && col("first_lon").isNotNull,
+          col("first_lon")).otherwise(col("glon"))) * 1e6 + 0.5) / 1e6).as("lon"),
+        (floor((when(col("placeholder") && col("first_lat").isNotNull,
+          col("first_lat")).otherwise(col("glat"))) * 1e6 + 0.5) / 1e6).as("lat"))
     val standalone = sk
       .join(matched.select("sk_id").distinct(), Seq("sk_id"), "left_anti")
       .select(col("sk_id").as("area_id"), lit("skimap").as("source"),
@@ -282,7 +282,7 @@ object SkiAreaOps {
         concat_ws(";", sort_array(col("acts"))).as("activities"),
         concat_ws(";", sort_array(col("websites"))).as("websites"),
         col("wikidata"),
-        round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+        (floor((col("lon")) * 1e6 + 0.5) / 1e6).as("lon"), (floor((col("lat")) * 1e6 + 0.5) / 1e6).as("lat"))
     merged.unionByName(standalone)
   }
 
@@ -352,8 +352,8 @@ object SkiAreaOps {
         |  QUALIFY row_number() OVER (PARTITION BY area_id
         |    ORDER BY dist_m, k) = 1)
         |SELECT c.area_id, (i.area_id IS NOT NULL) AS centroid_inside,
-        |  round(CASE WHEN i.area_id IS NOT NULL THEN c.cx0 ELSE s.snap_lon END, 6) AS lon,
-        |  round(CASE WHEN i.area_id IS NOT NULL THEN c.cy0 ELSE s.snap_lat END, 6) AS lat
+        |  (floor((CASE WHEN i.area_id IS NOT NULL THEN c.cx0 ELSE s.snap_lon END) * 1e6 + 0.5) / 1e6) AS lon,
+        |  (floor((CASE WHEN i.area_id IS NOT NULL THEN c.cy0 ELSE s.snap_lat END) * 1e6 + 0.5) / 1e6) AS lat
         |FROM cent c
         |LEFT JOIN inside i ON c.area_id = i.area_id
         |LEFT JOIN snapped s ON c.area_id = s.area_id
@@ -390,10 +390,10 @@ object SkiAreaOps {
     withC
       .withColumn("np", np)
       .select(col("area_id"), col("ins").as("centroid_inside"),
-        round(when(col("ins"), col("cx0"))
-          .otherwise(col("np.lon")), 6).as("lon"),
-        round(when(col("ins"), col("cy0"))
-          .otherwise(col("np.lat")), 6).as("lat"))
+        (floor((when(col("ins"), col("cx0"))
+          .otherwise(col("np.lon"))) * 1e6 + 0.5) / 1e6).as("lon"),
+        (floor((when(col("ins"), col("cy0"))
+          .otherwise(col("np.lat"))) * 1e6 + 0.5) / 1e6).as("lat"))
       .orderBy("area_id")
   }
 
@@ -601,8 +601,8 @@ object SkiAreaOps {
         |  FROM keyg3 GROUP BY area_id),
         |abbox AS (
         |  SELECT g.area_id,
-        |    round((min(r.lon0) + max(r.lon0)) / 2, 6) AS center_lon,
-        |    round((min(r.lat0) + max(r.lat0)) / 2, 6) AS center_lat
+        |    (floor(((min(r.lon0) + max(r.lon0)) / 2) * 1e6 + 0.5) / 1e6) AS center_lon,
+        |    (floor(((min(r.lat0) + max(r.lat0)) / 2) * 1e6 + 0.5) / 1e6) AS center_lat
         |  FROM rasg g JOIN rr r ON g.way_id = r.way_id GROUP BY g.area_id),
         |selfg1 AS (SELECT area_id, alon AS plon, alat AS plat FROM areas),
         |selfg2 AS (SELECT area_id, $lonN AS lonN, $latN AS latN FROM selfg1),
@@ -615,8 +615,8 @@ object SkiAreaOps {
         |  coalesce(m.n_members, 0) AS n_members,
         |  ($conv) AS run_convention,
         |  coalesce(m.places, s.place) AS places,
-        |  coalesce(b.center_lon, round(a.alon, 6)) AS center_lon,
-        |  coalesce(b.center_lat, round(a.alat, 6)) AS center_lat
+        |  coalesce(b.center_lon, (floor((a.alon) * 1e6 + 0.5) / 1e6)) AS center_lon,
+        |  coalesce(b.center_lat, (floor((a.alat) * 1e6 + 0.5) / 1e6)) AS center_lat
         |FROM areas a
         |LEFT JOIN mplaces m ON a.area_id = m.area_id
         |LEFT JOIN abbox b ON a.area_id = b.area_id
@@ -661,8 +661,8 @@ object SkiAreaOps {
         "; ").as("places"),
         count(lit(1)).as("n_members"))
     val abbox = rasg.groupBy("area_id")
-      .agg(round((min("plon") + max("plon")) / 2, 6).as("center_lon"),
-        round((min("plat") + max("plat")) / 2, 6).as("center_lat"))
+      .agg((floor(((min("plon") + max("plon")) / 2) * 1e6 + 0.5) / 1e6).as("center_lon"),
+        (floor(((min("plat") + max("plat")) / 2) * 1e6 + 0.5) / 1e6).as("center_lat"))
     val selfplace = areas.select(col("area_id"),
       Geocoding.stubPlaceFor(
         GeoFunctions.geohash6(col("alon"), col("alat"))).as("self_place"))
@@ -677,8 +677,8 @@ object SkiAreaOps {
         OutputFormats.difficultyConvention(col("alon"), col("alat"))
           .as("run_convention"),
         coalesce(col("places"), col("self_place")).as("places"),
-        coalesce(col("center_lon"), round(col("alon"), 6)).as("center_lon"),
-        coalesce(col("center_lat"), round(col("alat"), 6)).as("center_lat"))
+        coalesce(col("center_lon"), (floor((col("alon")) * 1e6 + 0.5) / 1e6)).as("center_lon"),
+        coalesce(col("center_lat"), (floor((col("alat")) * 1e6 + 0.5) / 1e6)).as("center_lat"))
       .orderBy("area_id")
   }
 
@@ -758,7 +758,7 @@ object SkiAreaOps {
         |SELECT source, src_id,
         |  md5(concat_ws('|', 'skiArea', source, src_id, status, name)) AS id,
         |  status, name, website, wikidata_id, run_convention, activities,
-        |  round(lon, 6) AS lon, round(lat, 6) AS lat
+        |  (floor((lon) * 1e6 + 0.5) / 1e6) AS lon, (floor((lat) * 1e6 + 0.5) / 1e6) AS lat
         |FROM u ORDER BY source, src_id""".stripMargin
     }) { (s, d) =>
     // landuse features: tags + square-ring geometry with deliberate
@@ -828,7 +828,7 @@ object SkiAreaOps {
         col("name"), col("website"), col("wikidata_id"),
         col("run_convention"),
         concat_ws(";", col("activities")).as("activities"),
-        round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+        (floor((col("lon")) * 1e6 + 0.5) / 1e6).as("lon"), (floor((col("lat")) * 1e6 + 0.5) / 1e6).as("lat"))
       .orderBy("source", "src_id")
   }
 

@@ -121,7 +121,7 @@ object SkiQueries {
       |r AS (SELECT coalesce(difficulty, 'other') AS difficulty,
       |  ($lenSql) AS len_m FROM kept)
       |SELECT difficulty, count(*) AS n_runs,
-      |  round(sum(len_m) / 1000.0, 4) AS total_km,
+      |  (floor((sum(len_m) / 1000.0) * 1e4 + 0.5) / 1e4) AS total_km,
       |  CAST(sum(greatest(CAST(2 AS BIGINT), CAST(floor(len_m / 25.0) + 2 AS BIGINT))) AS BIGINT) AS profile_points
       |FROM r GROUP BY difficulty ORDER BY difficulty""".stripMargin,
     headline = true) { (s, d) =>
@@ -130,7 +130,7 @@ object SkiQueries {
         lineLengthM(col("coords")).as("len_m"))
       .groupBy("difficulty")
       .agg(count(lit(1)).as("n_runs"),
-        round(sum("len_m") / 1000.0, 4).as("total_km"),
+        (floor((sum("len_m") / 1000.0) * 1e4 + 0.5) / 1e4).as("total_km"),
         sum(profilePointCount(col("len_m"), 25.0)).as("profile_points"))
       .orderBy("difficulty")
   }
@@ -143,10 +143,10 @@ object SkiQueries {
       |    ($lenSql) AS len_m, z0, (z0 + l_quantity * 2) AS z2
       |  FROM kept, unnest(uses) AS u(activity))
       |SELECT activity, difficulty, count(*) AS n_runs,
-      |  round(sum(len_m) / 1000.0, 4) AS total_km,
-      |  round(min(z0), 1) AS min_elev,
-      |  round(max(z2), 1) AS max_elev,
-      |  round(sum(z2 - z0), 2) AS vertical_m
+      |  (floor((sum(len_m) / 1000.0) * 1e4 + 0.5) / 1e4) AS total_km,
+      |  (floor((min(z0)) * 1e1 + 0.5) / 1e1) AS min_elev,
+      |  (floor((max(z2)) * 1e1 + 0.5) / 1e1) AS max_elev,
+      |  (floor((sum(z2 - z0)) * 1e2 + 0.5) / 1e2) AS vertical_m
       |FROM r GROUP BY activity, difficulty
       |ORDER BY activity, difficulty""".stripMargin,
     headline = true) { (s, d) =>
@@ -158,10 +158,10 @@ object SkiQueries {
         element_at(element_at(col("coords"), 3), 3).as("z2"))
       .groupBy("activity", "difficulty")
       .agg(count(lit(1)).as("n_runs"),
-        round(sum("len_m") / 1000.0, 4).as("total_km"),
-        round(min("z0"), 1).as("min_elev"),
-        round(max("z2"), 1).as("max_elev"),
-        round(sum(col("z2") - col("z0")), 2).as("vertical_m"))
+        (floor((sum("len_m") / 1000.0) * 1e4 + 0.5) / 1e4).as("total_km"),
+        (floor((min("z0")) * 1e1 + 0.5) / 1e1).as("min_elev"),
+        (floor((max("z2")) * 1e1 + 0.5) / 1e1).as("max_elev"),
+        (floor((sum(col("z2") - col("z0"))) * 1e2 + 0.5) / 1e2).as("vertical_m"))
       .orderBy("activity", "difficulty")
   }
 
@@ -245,7 +245,7 @@ object SkiQueries {
         |    CAST(floor(lat0 / $CellDeg) AS BIGINT) AS cy
         |  FROM kept),
         |pairs AS (
-        |  SELECT area_id, way_id, round($hav, 3) AS dist_m
+        |  SELECT area_id, way_id, (floor(($hav) * 1e3 + 0.5) / 1e3) AS dist_m
         |  FROM acells a JOIN rcells r ON a.cx = r.cx AND a.cy = r.cy
         |  WHERE $hav <= $RadiusM),
         |ranked AS (
@@ -269,8 +269,8 @@ object SkiQueries {
     val w = Window.partitionBy("area_id").orderBy("dist_m", "way_id")
     Clustering.distanceJoin(areas, runs, RadiusM, CellDeg)
       .select(col("area_id"), col("way_id"),
-        round(GeoFunctions.haversineM(col("l_lon"), col("l_lat"),
-          col("lon"), col("lat")), 3).as("dist_m"))
+        (floor((GeoFunctions.haversineM(col("l_lon"), col("l_lat"),
+          col("lon"), col("lat"))) * 1e3 + 0.5) / 1e3).as("dist_m"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnPerAnchor)
       .select("area_id", "rk", "way_id", "dist_m")
@@ -334,7 +334,7 @@ object SkiQueries {
         |  SELECT area_id, way_id, min(dist_m) AS dist_m
         |  FROM proj5 GROUP BY 1, 2)
         |SELECT area_id, count(*) AS n_runs,
-        |  round(min(dist_m), 2) AS min_dist_m
+        |  (floor((min(dist_m)) * 1e2 + 0.5) / 1e2) AS min_dist_m
         |FROM best WHERE dist_m <= $RadiusM
         |GROUP BY area_id ORDER BY area_id""".stripMargin
     }) { (s, d) =>
@@ -368,7 +368,7 @@ object SkiQueries {
       .filter(col("dist_m") <= RadiusM)
       .groupBy("area_id")
       .agg(count(lit(1)).as("n_runs"),
-        round(min("dist_m"), 2).as("min_dist_m"))
+        (floor((min("dist_m")) * 1e2 + 0.5) / 1e2).as("min_dist_m"))
       .orderBy("area_id")
   }
 
@@ -422,11 +422,11 @@ object SkiQueries {
       s"""WITH $oraclePrelude,
         |dup AS (
         |  SELECT DISTINCT
-        |    CAST(round(lon0 * 10000000) AS BIGINT) AS x0,
-        |    CAST(round(lat0 * 10000000) AS BIGINT) AS y0,
-        |    CAST(round((lon0 + dx) * 10000000) AS BIGINT) AS x1,
-        |    CAST(round((lat0 + dy) * 10000000) AS BIGINT) AS y1,
-        |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT) AS x2
+        |    CAST(floor((lon0 * 10000000) + 0.5) AS BIGINT) AS x0,
+        |    CAST(floor((lat0 * 10000000) + 0.5) AS BIGINT) AS y0,
+        |    CAST(floor(((lon0 + dx) * 10000000) + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(((lat0 + dy) * 10000000) + 0.5) AS BIGINT) AS y1,
+        |    CAST(floor(((lon0 + dx * 2) * 10000000) + 0.5) AS BIGINT) AS x2
         |  FROM kept),
         |n AS (
         |  SELECT count(*) AS n_in FROM (
@@ -488,11 +488,11 @@ object SkiQueries {
     "q_ski_normalize_props",
     s"""WITH $oraclePrelude,
       |g AS (
-      |  SELECT CAST(round(lon0 * 10000000) AS BIGINT) AS x0,
-      |    CAST(round(lat0 * 10000000) AS BIGINT) AS y0,
-      |    CAST(round((lon0 + dx) * 10000000) AS BIGINT) AS x1,
-      |    CAST(round((lat0 + dy) * 10000000) AS BIGINT) AS y1,
-      |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT) AS x2,
+      |  SELECT CAST(floor((lon0 * 10000000) + 0.5) AS BIGINT) AS x0,
+      |    CAST(floor((lat0 * 10000000) + 0.5) AS BIGINT) AS y0,
+      |    CAST(floor(((lon0 + dx) * 10000000) + 0.5) AS BIGINT) AS x1,
+      |    CAST(floor(((lat0 + dy) * 10000000) + 0.5) AS BIGINT) AS y1,
+      |    CAST(floor(((lon0 + dx * 2) * 10000000) + 0.5) AS BIGINT) AS x2,
       |    way_id, uses, difficulty, grooming, oneway, gladed, patrolled,
       |    snowmaking, snowfarming, tunnel, lit, name, ref, wikidata_id
       |  FROM kept),
@@ -663,7 +663,7 @@ object SkiQueries {
         |    sum(len_m) AS total_m,
         |    sum(CASE WHEN in_site THEN len_m ELSE CAST(0 AS DOUBLE) END) AS site_m
         |  FROM covered GROUP BY area_id)
-        |SELECT area_id, n_runs, n_site, round(total_m / 1000.0, 4) AS total_km
+        |SELECT area_id, n_runs, n_site, (floor((total_m / 1000.0) * 1e4 + 0.5) / 1e4) AS total_km
         |FROM agg
         |WHERE NOT (total_m > 0 AND site_m / total_m > CAST(0.5 AS DOUBLE))
         |ORDER BY area_id""".stripMargin
@@ -705,7 +705,7 @@ object SkiQueries {
         sum(when(col("in_site"), col("len_m")).otherwise(lit(0.0))).as("site_m"))
       .filter(!(col("total_m") > 0 && col("site_m") / col("total_m") > 0.5))
       .select(col("area_id"), col("n_runs"), col("n_site"),
-        round(col("total_m") / 1000.0, 4).as("total_km"))
+        (floor((col("total_m") / 1000.0) * 1e4 + 0.5) / 1e4).as("total_km"))
       .orderBy("area_id")
   }
 

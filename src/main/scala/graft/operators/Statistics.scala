@@ -266,13 +266,13 @@ object Statistics {
       .select(col("area_id"),
         coalesce(col("runs_stats"), lit("")).as("runs_stats"),
         coalesce(col("lifts_stats"), lit("")).as("lifts_stats"),
-        round(when(col("run_min").isNull, col("lift_min"))
+        (floor((when(col("run_min").isNull, col("lift_min"))
           .when(col("lift_min").isNull, col("run_min"))
-          .otherwise(greatest(col("run_min"), col("lift_min"))), 1)
+          .otherwise(greatest(col("run_min"), col("lift_min")))) * 1e1 + 0.5) / 1e1)
           .as("min_elevation"),
-        round(when(col("run_max").isNull, col("lift_max"))
+        (floor((when(col("run_max").isNull, col("lift_max"))
           .when(col("lift_max").isNull, col("run_max"))
-          .otherwise(least(col("run_max"), col("lift_max"))), 1)
+          .otherwise(least(col("run_max"), col("lift_max")))) * 1e1 + 0.5) / 1e1)
           .as("max_elevation"))
   }
 
@@ -319,12 +319,12 @@ object Statistics {
         |SELECT coalesce(r.area_id, l.area_id) AS area_id,
         |  coalesce(rstr.runs_stats, '') AS runs_stats,
         |  coalesce(lstr.lifts_stats, '') AS lifts_stats,
-        |  round(CASE WHEN run_min IS NULL THEN lift_min
+        |  (floor((CASE WHEN run_min IS NULL THEN lift_min
         |    WHEN lift_min IS NULL THEN run_min
-        |    ELSE greatest(run_min, lift_min) END, 1) AS min_elevation,
-        |  round(CASE WHEN run_max IS NULL THEN lift_max
+        |    ELSE greatest(run_min, lift_min) END) * 1e1 + 0.5) / 1e1) AS min_elevation,
+        |  (floor((CASE WHEN run_max IS NULL THEN lift_max
         |    WHEN lift_max IS NULL THEN run_max
-        |    ELSE least(run_max, lift_max) END, 1) AS max_elevation
+        |    ELSE least(run_max, lift_max) END) * 1e1 + 0.5) / 1e1) AS max_elevation
         |FROM rroot r FULL OUTER JOIN lroot l ON r.area_id = l.area_id
         |LEFT JOIN rstr ON coalesce(r.area_id, l.area_id) = rstr.area_id
         |LEFT JOIN lstr ON coalesce(r.area_id, l.area_id) = lstr.area_id

@@ -29,11 +29,11 @@ object TextAnalysis {
     """SELECT doc_id,
       |  len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ws_tokens,
       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
-      |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-      |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
-      |  round(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) = 0 THEN 0.0 ELSE
+      |  (floor((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END) * 1e6 + 0.5) / 1e6) AS punct_ratio,
+      |  (floor((CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) = 0 THEN 0.0 ELSE
       |    CAST(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), t -> strlen(t))) AS DOUBLE)
-      |      / len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) END, 6) AS mean_token_len
+      |      / len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) END) * 1e6 + 0.5) / 1e6) AS mean_token_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin,
     headline = true) { (s, d) =>
@@ -42,8 +42,8 @@ object TextAnalysis {
         col("doc_id"),
         wsTokenCount(col("text")).as("ws_tokens"),
         bpeTokenCount(col("text")).as("bpe_tokens"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"),
-        round(meanTokenLen(tokens(col("text"))), 6).as("mean_token_len"))
+        (floor((punctRatio(col("text"))) * 1e6 + 0.5) / 1e6).as("punct_ratio"),
+        (floor((meanTokenLen(tokens(col("text")))) * 1e6 + 0.5) / 1e6).as("mean_token_len"))
       .orderBy("doc_id")
   }
 
@@ -60,24 +60,24 @@ object TextAnalysis {
       |  FROM documents),
       |s AS (
       |  SELECT source,
-      |    round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+      |    (floor((least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
       |      + least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
       |          CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE) / len(toks) END) * 4.0) * 0.4
-      |      + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 5.0)) * 0.2, 6) AS score
+      |      + (1.0 - least(1.0, (punct_ratio + digit_ratio) * 5.0)) * 0.2) * 1e6 + 0.5) / 1e6) AS score
       |  FROM t)
       |SELECT source, count(*) AS n_docs,
-      |  round(avg(score), 6) AS avg_quality,
-      |  round(min(score), 6) AS min_quality,
-      |  round(max(score), 6) AS max_quality
+      |  (floor((avg(score)) * 1e6 + 0.5) / 1e6) AS avg_quality,
+      |  (floor((min(score)) * 1e6 + 0.5) / 1e6) AS min_quality,
+      |  (floor((max(score)) * 1e6 + 0.5) / 1e6) AS max_quality
       |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     Tables.fanout(Tables.documents(s, d))
       .select(col("source"), qualityScore(col("text")).as("score"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg("score"), 6).as("avg_quality"),
-        round(min("score"), 6).as("min_quality"),
-        round(max("score"), 6).as("max_quality"))
+        (floor((avg("score")) * 1e6 + 0.5) / 1e6).as("avg_quality"),
+        (floor((min("score")) * 1e6 + 0.5) / 1e6).as("min_quality"),
+        (floor((max("score")) * 1e6 + 0.5) / 1e6).as("max_quality"))
       .orderBy("source")
   }
 
@@ -225,8 +225,8 @@ object TextAnalysis {
     "q_dedup_rate_by_source",
     s"""SELECT source, count(*) AS n_docs,
       |  count(DISTINCT ${sql.fingerprint}) AS n_distinct,
-      |  round(1.0 - CAST(count(DISTINCT ${sql.fingerprint}) AS DOUBLE)
-      |    / count(*), 6) AS dup_rate
+      |  (floor((1.0 - CAST(count(DISTINCT ${sql.fingerprint}) AS DOUBLE)
+      |    / count(*)) * 1e6 + 0.5) / 1e6) AS dup_rate
       |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
     (s, d) =>
     Tables.fanout(Tables.documents(s, d))
@@ -234,8 +234,8 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_distinct"),
-        round(lit(1.0) - countDistinct(col("fp")).cast("double")
-          / count(lit(1)), 6).as("dup_rate"))
+        (floor((lit(1.0) - countDistinct(col("fp")).cast("double")
+          / count(lit(1))) * 1e6 + 0.5) / 1e6).as("dup_rate"))
       .orderBy("source")
   }
 

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
 object TpchSuite {
 
   private def cents(e: String) =
-    expr(s"CAST(round($e * 100) AS BIGINT)")
+    expr(s"CAST(floor(($e * 100) + 0.5) AS BIGINT)")
 
   private def epochDay(c: String) =
     expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000 DIV 86400000")
@@ -53,12 +53,12 @@ object TpchSuite {
     "q2_min_cost_supplier",
     """WITH cat AS (
       |  SELECT l_partkey, l_suppkey,
-      |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    CAST(min(CAST(floor((l_extendedprice * 100) + 0.5) AS BIGINT))
       |      AS BIGINT) AS cost_cents
       |  FROM lineitem GROUP BY 1, 2),
       |eu AS (
       |  SELECT s_suppkey, s_name,
-      |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents, n_name
+      |    CAST(floor((s_acctbal * 100) + 0.5) AS BIGINT) AS bal_cents, n_name
       |  FROM supplier
       |    JOIN nation ON s_nationkey = n_nationkey
       |    JOIN region ON n_regionkey = r_regionkey
@@ -111,7 +111,7 @@ object TpchSuite {
     """WITH li AS (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |    strftime(l_shipdate, '%Y') AS l_year,
-      |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)
       |      AS BIGINT) AS cents
       |  FROM lineitem
       |    JOIN orders   ON l_orderkey = o_orderkey
@@ -165,7 +165,7 @@ object TpchSuite {
     "q8_market_share",
     """WITH al AS (
       |  SELECT strftime(o_orderdate, '%Y') AS o_year,
-      |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)
       |      AS BIGINT) AS cents,
       |    CASE WHEN ns.n_name = 'NATION_9' THEN 1 ELSE 0 END AS tgt
       |  FROM lineitem
@@ -229,9 +229,9 @@ object TpchSuite {
     "q9_product_profit",
     """WITH pl AS (
       |  SELECT n_name, strftime(o_orderdate, '%Y') AS o_year,
-      |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)
       |        AS BIGINT)
-      |      - CAST(round(p_retailprice * 10) AS BIGINT)
+      |      - CAST(floor((p_retailprice * 10) + 0.5) AS BIGINT)
       |        * CAST(l_quantity AS BIGINT) AS amount
       |  FROM lineitem
       |    JOIN orders   ON l_orderkey = o_orderkey
@@ -245,7 +245,7 @@ object TpchSuite {
     val pt = (Tables.part(s, d)
       .filter(col("p_name").like("%ring%"))
       .select(col("p_partkey"),
-        expr("CAST(round(p_retailprice * 10) AS BIGINT)")
+        expr("CAST(floor((p_retailprice * 10) + 0.5) AS BIGINT)")
           .as("unit_cost")))
     val su = (Tables.supplier(s, d)
       .select("s_suppkey", "s_nationkey")
@@ -283,8 +283,8 @@ object TpchSuite {
       |  WHERE r_name = 'MIDDLE EAST'),
       |v AS (
       |  SELECT l_partkey,
-      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-      |      * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |    CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+      |      * 100) + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
       |  FROM lineitem JOIN me ON l_suppkey = s_suppkey
       |  GROUP BY 1),
       |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v)
@@ -418,7 +418,7 @@ object TpchSuite {
   private val q19 = QuerySpec.of(
     "q19_bundle_revenue",
     """SELECT count(*) AS n_lines,
-      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |  CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * 100) + 0.5)
       |    AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5

@@ -59,12 +59,12 @@ object ViewportHint {
         |    lx1 * sin(b) + ly1 * cos(b) AS yr1,
         |    lx2 * sin(b) + ly2 * cos(b) AS yr2
         |  FROM rot)
-        |SELECT way_id, round(bearing, 4) AS bearing,
-        |  round(clon, 9) AS center_lon, round(clat, 9) AS center_lat,
-        |  round(least(yr0, yr1, yr2), 4) AS min_camera_y,
-        |  round(greatest(yr0, yr1, yr2) - least(yr0, yr1, yr2), 4)
+        |SELECT way_id, (floor((bearing) * 1e4 + 0.5) / 1e4) AS bearing,
+        |  (floor((clon) * 1e9 + 0.5) / 1e9) AS center_lon, (floor((clat) * 1e9 + 0.5) / 1e9) AS center_lat,
+        |  (floor((least(yr0, yr1, yr2)) * 1e4 + 0.5) / 1e4) AS min_camera_y,
+        |  (floor((greatest(yr0, yr1, yr2) - least(yr0, yr1, yr2)) * 1e4 + 0.5) / 1e4)
         |    AS rotated_height_m,
-        |  round(greatest(xr0, xr1, xr2) - least(xr0, xr1, xr2), 4)
+        |  (floor((greatest(xr0, xr1, xr2) - least(xr0, xr1, xr2)) * 1e4 + 0.5) / 1e4)
         |    AS rotated_width_m
         |FROM r2 ORDER BY way_id""".stripMargin
     }) { (s, d) =>
@@ -72,12 +72,12 @@ object ViewportHint {
       .filter(pmod(col("way_id"), lit(Sample)) === 0)
       .withColumn("h", GeoFunctions.viewportHint(col("coords")))
       .select(col("way_id"),
-        round(col("h.bearing"), 4).as("bearing"),
-        round(col("h.center_lon"), 9).as("center_lon"),
-        round(col("h.center_lat"), 9).as("center_lat"),
-        round(col("h.min_camera_y"), 4).as("min_camera_y"),
-        round(col("h.rotated_height_m"), 4).as("rotated_height_m"),
-        round(col("h.rotated_width_m"), 4).as("rotated_width_m"))
+        (floor((col("h.bearing")) * 1e4 + 0.5) / 1e4).as("bearing"),
+        (floor((col("h.center_lon")) * 1e9 + 0.5) / 1e9).as("center_lon"),
+        (floor((col("h.center_lat")) * 1e9 + 0.5) / 1e9).as("center_lat"),
+        (floor((col("h.min_camera_y")) * 1e4 + 0.5) / 1e4).as("min_camera_y"),
+        (floor((col("h.rotated_height_m")) * 1e4 + 0.5) / 1e4).as("rotated_height_m"),
+        (floor((col("h.rotated_width_m")) * 1e4 + 0.5) / 1e4).as("rotated_width_m"))
       .orderBy("way_id")
   }
 
@@ -93,11 +93,11 @@ object ViewportHint {
       s"""WITH ${SkiQueries.oraclePrelude},
         |dup AS (
         |  SELECT DISTINCT
-        |    CAST(round(lon0 * 10000000) AS BIGINT) AS x0,
-        |    CAST(round(lat0 * 10000000) AS BIGINT) AS y0,
-        |    CAST(round((lon0 + dx) * 10000000) AS BIGINT) AS x1,
-        |    CAST(round((lat0 + dy) * 10000000) AS BIGINT) AS y1,
-        |    CAST(round((lon0 + dx * 2) * 10000000) AS BIGINT) AS x2
+        |    CAST(floor((lon0 * 10000000) + 0.5) AS BIGINT) AS x0,
+        |    CAST(floor((lat0 * 10000000) + 0.5) AS BIGINT) AS y0,
+        |    CAST(floor(((lon0 + dx) * 10000000) + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(((lat0 + dy) * 10000000) + 0.5) AS BIGINT) AS y1,
+        |    CAST(floor(((lon0 + dx * 2) * 10000000) + 0.5) AS BIGINT) AS x2
         |  FROM kept),
         |pts AS (
         |  SELECT ${D("x0")} AS ax0, ${D("y0")} AS ay0,
@@ -111,11 +111,11 @@ object ViewportHint {
         |  FROM pts),
         |mm AS (SELECT *, $m * cos(radians(clat)) AS mlon FROM c)
         |SELECT CAST(NULL AS DOUBLE) AS bearing,
-        |  round(clon, 9) AS center_lon, round(clat, 9) AS center_lat,
-        |  round((least(ay0, ay1, ay2) - clat) * $m, 4) AS min_camera_y,
-        |  round((greatest(ay0, ay1, ay2) - least(ay0, ay1, ay2)) * $m, 4)
+        |  (floor((clon) * 1e9 + 0.5) / 1e9) AS center_lon, (floor((clat) * 1e9 + 0.5) / 1e9) AS center_lat,
+        |  (floor(((least(ay0, ay1, ay2) - clat) * $m) * 1e4 + 0.5) / 1e4) AS min_camera_y,
+        |  (floor(((greatest(ay0, ay1, ay2) - least(ay0, ay1, ay2)) * $m) * 1e4 + 0.5) / 1e4)
         |    AS rotated_height_m,
-        |  round((greatest(ax0, ax1, ax2) - least(ax0, ax1, ax2)) * mlon, 4)
+        |  (floor(((greatest(ax0, ax1, ax2) - least(ax0, ax1, ax2)) * mlon) * 1e4 + 0.5) / 1e4)
         |    AS rotated_width_m
         |FROM mm
         |ORDER BY center_lon, center_lat, rotated_width_m,
@@ -131,11 +131,11 @@ object ViewportHint {
     Normalization.normalizeRuns(dup)
       .withColumn("h", GeoFunctions.viewportHint(col("coords")))
       .select(col("h.bearing").as("bearing"),
-        round(col("h.center_lon"), 9).as("center_lon"),
-        round(col("h.center_lat"), 9).as("center_lat"),
-        round(col("h.min_camera_y"), 4).as("min_camera_y"),
-        round(col("h.rotated_height_m"), 4).as("rotated_height_m"),
-        round(col("h.rotated_width_m"), 4).as("rotated_width_m"))
+        (floor((col("h.center_lon")) * 1e9 + 0.5) / 1e9).as("center_lon"),
+        (floor((col("h.center_lat")) * 1e9 + 0.5) / 1e9).as("center_lat"),
+        (floor((col("h.min_camera_y")) * 1e4 + 0.5) / 1e4).as("min_camera_y"),
+        (floor((col("h.rotated_height_m")) * 1e4 + 0.5) / 1e4).as("rotated_height_m"),
+        (floor((col("h.rotated_width_m")) * 1e4 + 0.5) / 1e4).as("rotated_width_m"))
       .orderBy("center_lon", "center_lat", "rotated_width_m",
         "rotated_height_m", "min_camera_y")
   }

@@ -262,7 +262,7 @@ object EventsStreaming {
           if (batchId > last) {
             val b = df.groupBy("event_type")
               .agg(count(lit(1)).as("n"),
-                sum(expr("CAST(round(value * 100) AS BIGINT)"))
+                sum(expr("CAST(floor((value * 100) + 0.5) AS BIGINT)"))
                   .as("cents"))
             val merged = currentView() match {
               case None => b
@@ -410,7 +410,7 @@ object EventsStreaming {
       .groupBy("segment", "event_type")
       .agg(count(lit(1)).as("n_events"),
         // exact integer-cents sum (see Events.hourlyAggs note)
-        expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)" +
+        expr("CAST(sum(CAST(floor((value * 100) + 0.5) AS BIGINT)) AS DOUBLE)" +
           " / 100.0").as("total_value"))
     val q = stream.writeStream
       .outputMode("complete")

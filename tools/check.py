@@ -2,14 +2,29 @@
 """Local correctness harness mimicking the driver's DuckDB-oracle compare.
 
 Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
-  python3 tools/check.py <sfDir> <outDir>
+  python3 tools/check.py <sfDir> <outDir> [--state FILE] [--only a,b]
+          [--db FILE] [--mem 48GB]
 
 For each <outDir>/<name> parquet dir with an oracle entry in
 <outDir>/oracle_sql.json: run the oracle in DuckDB over the sfDir
 tables, sort columns by name, sort rows, hash both sides, report
 match/mismatch. Dev tooling only — not part of the library.
+
+Scale plumbing (the sf1 sweep's 45-min oracles):
+- Each oracle's top-level CTE chain is MATERIALIZED into DuckDB temp
+  tables, keyed by the sha of the chain prefix up to and including the
+  CTE — so (a) a single-use CTE chain (unrolled closure steps) stops
+  being inlined exponentially, and (b) queries sharing a CTE prefix
+  (the six tile gates replay one feature pipeline) compute it ONCE.
+  Before each query, temp tables whose names are not in ITS chain are
+  dropped, so a query can never silently read another query's CTE.
+- `--state FILE` records per-query results keyed by the oracle's sha;
+  a re-run skips queries already green under the same SQL (logged as
+  CACHED-OK so a resumed sweep log is honest about what re-ran).
+- The connection is file-backed (`--db`) with a memory limit so big
+  materializations spill instead of holding tens of GB resident.
 """
-import sys, json, glob, os
+import sys, json, glob, os, re, hashlib
 import duckdb
 import pandas as pd
 
@@ -40,65 +55,177 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
+def split_ctes(sql):
+    """Parse `WITH [RECURSIVE] n1 AS [MATERIALIZED] (b1), ... SELECT ...`
+    into ([(name, body)], recursive, final_select). Returns None when the
+    text isn't a single top-level WITH chain (then run it as-is)."""
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.I)
+    if not m:
+        return None
+    recursive = bool(m.group(1))
+    i, n = m.end(), len(sql)
+    ctes = []
+    while True:
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(MATERIALIZED\s+)?\(",
+                     sql[i:], re.I)
+        if not m:
+            return None
+        name = m.group(1)
+        j = i + m.end()  # char after the opening paren
+        depth, q = 1, None
+        while depth > 0 and j < n:
+            c = sql[j]
+            if q:
+                if c == q:
+                    q = None
+            elif c == "'":
+                q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth != 0:
+            return None
+        ctes.append((name, sql[i + m.end():j - 1]))
+        m2 = re.match(r"\s*,", sql[j:])
+        if m2:
+            i = j + m2.end()
+            continue
+        return ctes, recursive, sql[j:]
+
+
+class Materializer:
+    """Temp-table CTE materialization with prefix-hash reuse."""
+
+    def __init__(self, con):
+        self.con = con
+        self.live = {}  # name -> prefix sha currently materialized
+
+    def run(self, sql):
+        parsed = split_ctes(sql)
+        if not parsed:
+            return self.con.sql(sql).df()
+        ctes, recursive, final = parsed
+        names = {n for n, _ in ctes}
+        if names & set(TABLES) or len(names) != len(ctes):
+            return self.con.sql(sql).df()  # shadowing/dup — run as-is
+        # drop anything this query doesn't define, so it can never read
+        # another query's CTE by accident
+        for stale in [n for n in self.live if n not in names]:
+            self.con.sql(f'DROP TABLE IF EXISTS "{stale}"')
+            del self.live[stale]
+        h = hashlib.sha1()
+        invalidated = False
+        for name, body in ctes:
+            h.update(name.encode())
+            h.update(body.encode())
+            ph = h.hexdigest()
+            if not invalidated and self.live.get(name) == ph:
+                continue
+            # once one table in the chain is rebuilt, everything after
+            # it depends on it and must be rebuilt too
+            invalidated = True
+            self.con.sql(f'DROP TABLE IF EXISTS "{name}"')
+            if re.search(rf"\b{re.escape(name)}\b", body):
+                # self-referential (recursive) CTE — materialize its result
+                self.con.sql(
+                    f'CREATE TEMP TABLE "{name}" AS WITH RECURSIVE '
+                    f'"{name}" AS ({body}) SELECT * FROM "{name}"')
+            else:
+                self.con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
+            self.live[name] = ph
+        return self.con.sql(final).df()
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    opts = dict(a.split("=", 1) if "=" in a else (a, "")
+                for a in argv if a.startswith("--"))
+    sf_dir, out_dir = args[0], args[1]
+    state_path = opts.get("--state")
+    only = set(opts["--only"].split(",")) if "--only" in opts else None
+    dbfile = opts.get("--db", "")
+    con = duckdb.connect(dbfile) if dbfile else duckdb.connect()
+    if "--mem" in opts:
+        con.sql(f"SET memory_limit='{opts['--mem']}'")
+        con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
             # Spark-written table (a directory of part files), e.g. a
             # ScaleScaffold sf1 dir — DuckDB needs the glob form
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok = bad = 0
-    # several gates deliberately share one oracle (e.g. the four MVT
-    # byte-path queries all replay the identical tile-stats SQL) — at
-    # sf1 that SQL takes tens of minutes, so cache results by SQL text
+    state = {}
+    if state_path and os.path.exists(state_path):
+        state = json.load(open(state_path))
+    mat = Materializer(con)
+    ok = bad = cached = 0
+    # several gates deliberately share one oracle (e.g. the MVT byte-path
+    # queries all replay the identical tile-stats SQL) — cache by SQL text
     oracle_cache = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or (only and name not in only):
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
-            print(f"EMPTY-DIR {name}")
+            print(f"EMPTY-DIR {name}", flush=True)
+            continue
+        if name not in oracles:
+            got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+            print(f"ROWS-ONLY {name}: rows={len(got)}", flush=True)
+            continue
+        sql = oracles[name]
+        sha = hashlib.sha1(sql.encode()).hexdigest()
+        prev = state.get(name)
+        if prev and prev.get("sql_sha") == sha and prev.get("status") == "OK":
+            print(f"CACHED-OK {name}: rows={prev.get('rows')}", flush=True)
+            cached += 1
             continue
         got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
-        if name not in oracles:
-            print(f"ROWS-ONLY {name}: rows={len(got)}")
-            continue
         try:
-            sql = oracles[name]
             if sql in oracle_cache:
                 want = oracle_cache[sql]
             else:
-                want = canon(con.sql(sql).df())
+                want = canon(mat.run(sql))
                 oracle_cache[sql] = want
         except Exception as e:
-            print(f"ORACLE-ERR {name}: {str(e).splitlines()[0][:160]}")
+            print(f"ORACLE-ERR {name}: {str(e).splitlines()[0][:160]}",
+                  flush=True)
             bad += 1
             continue
         if list(got.columns) != list(want.columns):
-            print(f"SCHEMA-MISMATCH {name}: spark={list(got.columns)} oracle={list(want.columns)}")
+            print(f"SCHEMA-MISMATCH {name}: spark={list(got.columns)} "
+                  f"oracle={list(want.columns)}", flush=True)
             bad += 1
         elif len(got) != len(want):
-            print(f"ROWS-MISMATCH {name}: spark={len(got)} oracle={len(want)}")
+            print(f"ROWS-MISMATCH {name}: spark={len(got)} oracle={len(want)}",
+                  flush=True)
             bad += 1
         elif not got.equals(want):
             neq = (got != want) & ~(got.isna() & want.isna())
             cols = [c for c in got.columns if neq[c].any()]
-            print(f"VALUE-MISMATCH {name}: cols={cols}")
+            print(f"VALUE-MISMATCH {name}: cols={cols}", flush=True)
             for c in cols[:3]:
                 i = neq[c].idxmax()
-                print(f"    row {i} col {c}: spark={got[c][i]!r} oracle={want[c][i]!r}")
+                print(f"    row {i} col {c}: spark={got[c][i]!r} "
+                      f"oracle={want[c][i]!r}", flush=True)
             bad += 1
         else:
-            print(f"OK {name}: rows={len(got)}")
+            print(f"OK {name}: rows={len(got)}", flush=True)
             ok += 1
-    print(f"\n{ok} ok, {bad} bad")
+            if state_path is not None:
+                state[name] = {"sql_sha": sha, "status": "OK",
+                               "rows": len(got)}
+                json.dump(state, open(state_path, "w"))
+    extra = f" ({cached} cached)" if cached else ""
+    print(f"\n{ok + cached} ok, {bad} bad{extra}")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1:]))
