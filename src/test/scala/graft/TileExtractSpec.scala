@@ -74,6 +74,51 @@ class TileExtractSpec extends SparkSpec {
     }
   }
 
+  test("extracted layout matches the OPERATORS.md serving contract") {
+    // every file sits at {z}/{x}/{y}.pbf relative to the root, and the
+    // _SUCCESS marker carries the decimal tile count — the CDN-facing
+    // contract OPERATORS.md documents
+    val re = "^[0-9]+/[0-9]+/[0-9]+\\.pbf$".r
+    val rel = {
+      val s = java.nio.file.Files.walk(outDir)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .map[String](p => outDir.relativize(p).toString)
+        .toArray.toSeq.map(_.toString)
+      finally s.close()
+    }
+    val (pbf, other) = rel.partition(_.endsWith(".pbf"))
+    assert(pbf.nonEmpty && pbf.forall(p => re.findFirstIn(p).isDefined),
+      s"non-contract pbf paths: ${pbf.filterNot(p => re.findFirstIn(p).isDefined).take(3)}")
+    assert(other == Seq(MvtTiles.ExtractSuccessMarker),
+      s"unexpected non-tile files: $other")
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      outDir.resolve(MvtTiles.ExtractSuccessMarker)), "UTF-8")
+    assert(marker.toLong == pbf.size.toLong && marker.toLong == nExtracted)
+  }
+
+  test("gzip-mode extraction emits RFC 1952 members (Content-Encoding: gzip)") {
+    import spark.implicits._
+    val tiles = Seq((2, 1L, 1L, 1, Array.tabulate(300)(_.toByte)))
+      .toDF("zoom", "tile_x", "tile_y", "n_layers", "tile")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gzct_")
+    val mb = dir.resolve("gz.mbtiles")
+    val prev = spark.conf.getOption(MvtTiles.GzipKey)
+    spark.conf.set(MvtTiles.GzipKey, "true")
+    try MvtTiles.writeMbtilesOf(spark, tiles, mb)
+    finally prev match {
+      case Some(v) => spark.conf.set(MvtTiles.GzipKey, v)
+      case None => spark.conf.unset(MvtTiles.GzipKey)
+    }
+    val out = dir.resolve("tiles")
+    assert(MvtTiles.extractTiles(spark, mb, out) == 1L)
+    val bytes = java.nio.file.Files.readAllBytes(out.resolve("2/1/1.pbf"))
+    // gzip magic: the file is servable AS-IS with Content-Encoding: gzip
+    assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+    val plain = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readAllBytes()
+    assert(plain.sameElements(Array.tabulate(300)(_.toByte)))
+  }
+
   test("extraction parallelizes across b-tree subtrees") {
     // the fixture container's tiles b-tree must split into multiple
     // independent subtrees (an interior root) — the property the
