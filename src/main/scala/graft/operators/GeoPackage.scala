@@ -801,7 +801,7 @@ object GeoPackage {
         |    AS idx_env_chk
         |FROM unioned GROUP BY layer ORDER BY table_name""".stripMargin
     }) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_db_")
+    val dir = graft.TempDirs.scoped("graft_gpkg_db_")
     val path = dir.resolve("out.gpkg")
     val written = writeGpkgFile(s, d, path)
     // read the CONTAINER BYTES back with the from-scratch reader and

@@ -601,8 +601,8 @@ object MvtTiles {
     val fw = graft.Tables.fanout(withWorldCols(features(s, d)))
     if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
       if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(java.nio.file.Files
-          .createTempDirectory("graft_tiles_ckpt_").toString)
+        s.sparkContext.setCheckpointDir(
+          graft.TempDirs.scoped("graft_tiles_ckpt_").toString)
       fw.checkpoint(false)
     } else fw.localCheckpoint(false)
   }
@@ -885,8 +885,8 @@ object MvtTiles {
       if (!barrier) encoded
       else if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
         if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(java.nio.file.Files
-            .createTempDirectory("graft_tiles_ckpt_").toString)
+          s.sparkContext.setCheckpointDir(
+            graft.TempDirs.scoped("graft_tiles_ckpt_").toString)
         encoded.checkpoint(false)
       } else encoded.localCheckpoint(false)
     // metadata needs the zoom extremes — a tiny pre-aggregate, not a
@@ -943,7 +943,7 @@ object MvtTiles {
         |  CAST(sum((1::BIGINT << zoom) - 1 - tile_y) AS BIGINT) AS row_sum
         |FROM tkeys GROUP BY zoom ORDER BY zoom""".stripMargin
     }) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_mbtiles_")
+    val dir = graft.TempDirs.scoped("graft_mbtiles_")
     val path = dir.resolve("out.mbtiles")
     writeMbtilesFile(s, d, path)
     // roll up from the CONTAINER BYTES read back with the from-scratch
@@ -1054,7 +1054,7 @@ object MvtTiles {
         |$oraclePrepCtes
         |$oracleStatsSelect""".stripMargin
     }) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_extract_")
+    val dir = graft.TempDirs.scoped("graft_extract_")
     val mb = dir.resolve("in.mbtiles")
     writeMbtilesFile(s, d, mb)
     val outDir = dir.resolve("tiles")
@@ -1076,7 +1076,7 @@ object MvtTiles {
         |$oraclePrepCtes
         |$oracleStatsSelect""".stripMargin
     }) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_extract_gz_")
+    val dir = graft.TempDirs.scoped("graft_extract_gz_")
     val mb = dir.resolve("in.mbtiles")
     val prev = s.conf.getOption(GzipKey)
     s.conf.set(GzipKey, "true")

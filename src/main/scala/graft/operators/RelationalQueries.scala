@@ -553,7 +553,7 @@ object RelationalQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    val dir = graft.TempDirs.scoped("graft_bkt_").toString
     try {
       bucketedJoin(s, d, dir)
         .groupBy("c_mktsegment")

@@ -27,7 +27,7 @@ object DocsStreaming {
       shingleN: Int, k: Int): DataFrame = {
     import graft.functions.TextFunctions._
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val outDir = java.nio.file.Files.createTempDirectory(
+    val outDir = graft.TempDirs.scoped(
       s"graft-stream-index-${counter.incrementAndGet()}-").toString
     val stream = spark.readStream
       .schema(schema)

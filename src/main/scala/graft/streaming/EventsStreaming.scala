@@ -134,9 +134,9 @@ object EventsStreaming {
     val maxMs = batch
       .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
       .head.getLong(0)
-    val dir = Files.createTempDirectory("graft_sesst_in_")
-    val outDir = Files.createTempDirectory("graft_sesst_out_")
-    val cpDir = Files.createTempDirectory("graft_sesst_cp_")
+    val dir = graft.TempDirs.scoped("graft_sesst_in_")
+    val outDir = graft.TempDirs.scoped("graft_sesst_out_")
+    val cpDir = graft.TempDirs.scoped("graft_sesst_cp_")
     def runOnce(): Unit = {
       val stream = spark.readStream
         .schema(schema)
@@ -243,9 +243,9 @@ object EventsStreaming {
     import java.nio.file.{Files, Paths}
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-    val dir = Files.createTempDirectory("graft_mv_in_")
-    val viewDir = Files.createTempDirectory("graft_mv_view_")
-    val cpDir = Files.createTempDirectory("graft_mv_cp_")
+    val dir = graft.TempDirs.scoped("graft_mv_in_")
+    val viewDir = graft.TempDirs.scoped("graft_mv_view_")
+    val cpDir = graft.TempDirs.scoped("graft_mv_cp_")
     val pointer = viewDir.resolve("_CURRENT")
     val marker = viewDir.resolve("_last_batch")
     def currentView(): Option[DataFrame] =
@@ -518,7 +518,7 @@ object EventsStreaming {
   private[streaming] def writeEventsFile(df: DataFrame, dir: java.nio.file.Path,
       fileName: String): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
-    val tmp = Files.createTempDirectory("graft_stage_w_")
+    val tmp = graft.TempDirs.scoped("graft_stage_w_")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = tmp.toFile.listFiles()
       .filter(f => f.getName.endsWith(".parquet")).head
@@ -549,7 +549,7 @@ object EventsStreaming {
     val maxMs = spark.read.parquet(s"$sfDir/events.parquet")
       .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
       .head.getLong(0)
-    val dir = Files.createTempDirectory("graft_abandon_")
+    val dir = graft.TempDirs.scoped("graft_abandon_")
     def writeSentinel(fileName: String, ms: Long, idOff: Long): Unit =
       writeEventsFile(sentinelDf(spark, schema, ms, idOff), dir, fileName)
     try {
@@ -643,9 +643,9 @@ object EventsStreaming {
     val maxMs = batch
       .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
       .head.getLong(0)
-    val dir = Files.createTempDirectory("graft_late_in_")
-    val outDir = Files.createTempDirectory("graft_late_out_")
-    val cpDir = Files.createTempDirectory("graft_late_cp_")
+    val dir = graft.TempDirs.scoped("graft_late_in_")
+    val outDir = graft.TempDirs.scoped("graft_late_out_")
+    val cpDir = graft.TempDirs.scoped("graft_late_cp_")
     // Each run ingests exactly the files added since the previous run
     // (the checkpoint remembers the rest) and STARTS from the
     // watermark the previous run committed — restart-driven batch
@@ -717,9 +717,9 @@ object EventsStreaming {
     val maxMs = batch
       .agg(max(graft.operators.Events.msFromTs(schema("ts").dataType)))
       .head.getLong(0)
-    val dir = Files.createTempDirectory("graft_rp_in_")
-    val outDir = Files.createTempDirectory("graft_rp_out_")
-    val cpDir = Files.createTempDirectory("graft_rp_cp_")
+    val dir = graft.TempDirs.scoped("graft_rp_in_")
+    val outDir = graft.TempDirs.scoped("graft_rp_out_")
+    val cpDir = graft.TempDirs.scoped("graft_rp_cp_")
     def runOnce(): Unit = {
       val stream = spark.readStream
         .schema(schema)
@@ -923,9 +923,9 @@ object EventsStreaming {
     val midMs = batch.withColumn("us", usCol)
       .agg(expr("CAST(approx_percentile(us DIV 1000, 0.5) AS BIGINT)"))
       .head.getLong(0)
-    val dir = Files.createTempDirectory("graft_ssasof_in_")
-    val outDir = Files.createTempDirectory("graft_ssasof_out_")
-    val cpDir = Files.createTempDirectory("graft_ssasof_cp_")
+    val dir = graft.TempDirs.scoped("graft_ssasof_in_")
+    val outDir = graft.TempDirs.scoped("graft_ssasof_out_")
+    val cpDir = graft.TempDirs.scoped("graft_ssasof_cp_")
 
     def runOnce(): Unit = {
       val evs = spark.readStream

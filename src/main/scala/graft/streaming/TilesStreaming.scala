@@ -72,10 +72,10 @@ object TilesStreaming {
     import java.nio.file.Files
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val run = counter.incrementAndGet()
-    val stage = Files.createTempDirectory(s"graft_tiles_stage_${run}_")
-    val spotsDir = Files.createTempDirectory(s"graft_tiles_spots_${run}_")
+    val stage = graft.TempDirs.scoped(s"graft_tiles_stage_${run}_")
+    val spotsDir = graft.TempDirs.scoped(s"graft_tiles_spots_${run}_")
       .resolve("store").toString
-    val tilesDir = Files.createTempDirectory(s"graft_tiles_log_${run}_")
+    val tilesDir = graft.TempDirs.scoped(s"graft_tiles_log_${run}_")
       .resolve("store").toString
 
     // stage the events as THREE micro-batch files with pinned mtimes
