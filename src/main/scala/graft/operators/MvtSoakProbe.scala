@@ -105,6 +105,11 @@ object MvtSoakProbe {
     val t0 = System.nanoTime()
     MvtTiles.writeMbtilesOf(spark, tiles, out, barrier = false)
     val secs = (System.nanoTime() - t0) / 1e9
+    // per-phase high-water: the WRITE phase is the sink claim under
+    // test (one page + one partition); the round-trip decode that
+    // follows runs 32 executor threads of kernel workspace in the same
+    // local JVM and must not be attributed to the sink
+    val writeHigh = high
 
     var roundTrip = ""
     if (overflow) {
@@ -136,7 +141,8 @@ object MvtSoakProbe {
     println(f"[soak] events=$n tiles=$nTiles file=$fileMb%.1f MB " +
       f"write=$secs%.1f s heap_baseline=${baseline / 1e6}%.0f MB " +
       f"heap_high=${high / 1e6}%.0f MB " +
-      f"delta=${(high - baseline) / 1e6}%.0f MB$roundTrip")
+      f"delta=${(high - baseline) / 1e6}%.0f MB " +
+      f"write_phase_delta=${(writeHigh - baseline) / 1e6}%.0f MB$roundTrip")
     java.nio.file.Files.deleteIfExists(out)
     spark.stop()
   }
