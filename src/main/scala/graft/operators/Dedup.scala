@@ -376,19 +376,21 @@ object Dedup {
       |      i -> array_to_string(list_slice(toks, i + 1, i + $SHINGLE_N), ' '))) AS grams
       |  FROM t WHERE len(toks) >= $SHINGLE_N),
       |k AS (
-      |  SELECT doc_id, lang, n_chars, grams,
+      |  SELECT doc_id, lang, n_chars,
       |    (n_chars // 20) + o AS band
       |  FROM g, unnest(range(0, 2)) AS u(o)),
       |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    a.n_chars AS ca, b.n_chars AS cb, a.grams AS ga, b.grams AS gb
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM k a JOIN k b
-      |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+      |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |    AND abs(a.n_chars - b.n_chars) <= 20),
       |j AS (
       |  SELECT doc_a, doc_b,
-      |    len(list_filter(ga, x -> list_contains(gb, x))) AS inter,
-      |    len(ga) + len(gb) AS tot
-      |  FROM pairs WHERE abs(ca - cb) <= 20)
+      |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
+      |    len(ga.grams) + len(gb.grams) AS tot
+      |  FROM pairs
+      |  JOIN g ga ON pairs.doc_a = ga.doc_id
+      |  JOIN g gb ON pairs.doc_b = gb.doc_id)
       |SELECT doc_a, doc_b,
       |  (floor((CAST(inter AS DOUBLE) / (tot - inter)) * 1e6 + 0.5) / 1e6) AS jaccard
       |FROM j WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
