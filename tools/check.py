@@ -96,45 +96,106 @@ def split_ctes(sql):
 
 
 class Materializer:
-    """Temp-table CTE materialization with prefix-hash reuse."""
+    """Temp-table CTE materialization with prefix-hash reuse.
+
+    Disk-bounded (sf1-size chains spill tens of GB per table):
+    - Queries should be processed grouped by shared chain prefix
+      (`group_key`), so prefix-sharers run consecutively and the
+      hygiene drop between unrelated queries can't discard a prefix
+      that the next query would rebuild from scratch.
+    - `register`/`unregister` maintain a refcount of still-pending
+      queries per (name, running-sha); once a chain table is no longer
+      referenced by the rest of ITS chain nor reusable by any pending
+      query, it is dropped IMMEDIATELY, so peak temp-disk is the live
+      frontier of the chain, not the whole chain.
+    """
 
     def __init__(self, con):
         self.con = con
-        self.live = {}  # name -> prefix sha currently materialized
+        self.live = {}    # name -> running prefix sha materialized
+        self.future = {}  # (name, sha) -> pending queries able to reuse
 
-    def run(self, sql):
+    @staticmethod
+    def chain_of(sql):
+        """[(name, body, running_sha)], final_select — or None if the
+        query isn't a clean single-level CTE chain."""
         parsed = split_ctes(sql)
         if not parsed:
-            return self.con.sql(sql).df()
-        ctes, recursive, final = parsed
+            return None
+        ctes, _recursive, final = parsed
         names = {n for n, _ in ctes}
         if names & set(TABLES) or len(names) != len(ctes):
-            return self.con.sql(sql).df()  # shadowing/dup — run as-is
-        # drop anything this query doesn't define, so it can never read
-        # another query's CTE by accident
-        for stale in [n for n in self.live if n not in names]:
-            self.con.sql(f'DROP TABLE IF EXISTS "{stale}"')
-            del self.live[stale]
+            return None  # shadowing/dup — run as-is
         h = hashlib.sha1()
-        invalidated = False
+        out = []
         for name, body in ctes:
             h.update(name.encode())
             h.update(body.encode())
-            ph = h.hexdigest()
-            if not invalidated and self.live.get(name) == ph:
-                continue
-            # once one table in the chain is rebuilt, everything after
-            # it depends on it and must be rebuilt too
-            invalidated = True
-            self.con.sql(f'DROP TABLE IF EXISTS "{name}"')
-            if re.search(rf"\b{re.escape(name)}\b", body):
-                # self-referential (recursive) CTE — materialize its result
-                self.con.sql(
-                    f'CREATE TEMP TABLE "{name}" AS WITH RECURSIVE '
-                    f'"{name}" AS ({body}) SELECT * FROM "{name}"')
-            else:
-                self.con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
-            self.live[name] = ph
+            out.append((name, body, h.hexdigest()))
+        return out, final
+
+    def group_key(self, sql):
+        """Sort key clustering queries that share a chain prefix."""
+        c = self.chain_of(sql)
+        return c[0][0][2] if c else ""
+
+    def register(self, sql):
+        c = self.chain_of(sql)
+        if not c:
+            return
+        for name, _, sha in c[0]:
+            self.future[(name, sha)] = self.future.get((name, sha), 0) + 1
+
+    def unregister(self, sql):
+        c = self.chain_of(sql)
+        if not c:
+            return
+        for name, _, sha in c[0]:
+            k = (name, sha)
+            if k in self.future:
+                self.future[k] -= 1
+                if not self.future[k]:
+                    del self.future[k]
+
+    def _drop(self, name):
+        self.con.sql(f'DROP TABLE IF EXISTS "{name}"')
+        del self.live[name]
+
+    def run(self, sql):
+        c = self.chain_of(sql)
+        if not c:
+            return self.con.sql(sql).df()
+        chain, final = c
+        names = {n for n, _, _ in chain}
+        # drop anything this query doesn't define, so it can never read
+        # another query's CTE by accident
+        for stale in [n for n in self.live if n not in names]:
+            self._drop(stale)
+        invalidated = False
+        for idx, (name, body, ph) in enumerate(chain):
+            if invalidated or self.live.get(name) != ph:
+                # once one table in the chain is rebuilt, everything
+                # after it depends on it and must be rebuilt too
+                invalidated = True
+                self.con.sql(f'DROP TABLE IF EXISTS "{name}"')
+                if re.search(rf"\b{re.escape(name)}\b", body):
+                    # self-referential (recursive) CTE — materialize result
+                    self.con.sql(
+                        f'CREATE TEMP TABLE "{name}" AS WITH RECURSIVE '
+                        f'"{name}" AS ({body}) SELECT * FROM "{name}"')
+                else:
+                    self.con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
+                self.live[name] = ph
+            # early drop: anything the REST of this chain and the final
+            # select no longer reference, and no OTHER pending query can
+            # reuse (refcount 1 = only the query being run right now)
+            rest = " ".join(b for _, b, _ in chain[idx + 1:]) + " " + final
+            for n2 in [n for n in self.live if n != name]:
+                if re.search(rf"\b{re.escape(n2)}\b", rest):
+                    continue
+                if self.future.get((n2, self.live[n2]), 0) > 1:
+                    continue
+                self._drop(n2)
         return self.con.sql(final).df()
 
 
@@ -150,6 +211,9 @@ def main(argv):
     if "--mem" in opts:
         con.sql(f"SET memory_limit='{opts['--mem']}'")
         con.sql("SET temp_directory='/tmp/duckdb_spill'")
+        # row order is irrelevant (canon sorts) and ordered
+        # materialization of the big chain tables costs memory/spill
+        con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -167,10 +231,32 @@ def main(argv):
     # several gates deliberately share one oracle (e.g. the MVT byte-path
     # queries all replay the identical tile-stats SQL) — cache by SQL text
     oracle_cache = {}
+    # Processing ORDER: cluster queries sharing a chain prefix so the
+    # materialized prefix is built once and reused consecutively —
+    # alphabetical order interleaves unrelated queries between the six
+    # tile gates, and the hygiene drop would discard (then recompute) a
+    # prefix that spills tens of GB at sf1-size. Ties break by name so
+    # the order stays deterministic.
+    pending = []
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d) or (only and name not in only):
             continue
+        pending.append((name, d))
+    pending.sort(key=lambda nd: (
+        mat.group_key(oracles.get(nd[0], "")), nd[0]))
+    live_sqls = []  # (name, sql) that will actually run an oracle
+    for name, d in pending:
+        sql = oracles.get(name)
+        if sql is None or not glob.glob(f"{d}/*.parquet"):
+            continue
+        sha = hashlib.sha1(sql.encode()).hexdigest()
+        prev = state.get(name)
+        if prev and prev.get("sql_sha") == sha and prev.get("status") == "OK":
+            continue
+        mat.register(sql)
+        live_sqls.append(name)
+    for name, d in pending:
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"EMPTY-DIR {name}", flush=True)
@@ -198,6 +284,12 @@ def main(argv):
                   flush=True)
             bad += 1
             continue
+        finally:
+            # refcount covers PENDING queries: this one is done (any
+            # outcome), so its claim on shared prefix tables lapses
+            if name in live_sqls:
+                mat.unregister(sql)
+                live_sqls.remove(name)
         if list(got.columns) != list(want.columns):
             print(f"SCHEMA-MISMATCH {name}: spark={list(got.columns)} "
                   f"oracle={list(want.columns)}", flush=True)
