@@ -45,7 +45,7 @@ object DedupScaleProbe {
     * ten ids holds one planted near-dup: doc 10g+9 re-derives the
     * token stream of doc 10g+8 with exactly one position substituted.
     */
-  private[operators] def genDocuments(s: SparkSession, n: Long): DataFrame = {
+  private[graft] def genDocuments(s: SparkSession, n: Long): DataFrame = {
     val vocab = array(Seq("batch", "part", "spark", "line", "column",
       "order", "small", "sort", "fast", "value", "scan", "hash", "slow",
       "group", "agg", "filter", "query", "big", "key", "window", "row",
@@ -76,7 +76,7 @@ object DedupScaleProbe {
     * centroid + per-vector noise an order smaller, so IVF/LSH have
     * real structure to index (uniform noise would make every probe a
     * full scan and every top-k a tie party). */
-  private[operators] def genEmbeddings(s: SparkSession, n: Long): DataFrame = {
+  private[graft] def genEmbeddings(s: SparkSession, n: Long): DataFrame = {
     val dims = sequence(lit(0), lit(63))
     s.range(0, n).toDF("vec_id")
       .withColumn("label", pmod(xxhash64(lit("lb"), col("vec_id")),
