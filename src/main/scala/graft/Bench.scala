@@ -102,6 +102,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scale-aware agg fallback (VERDICT r16 #6, mirroring Verify): the
+    // sort-free 10M-key in-memory collect_list tuning is kept at
+    // fixture scale unconditionally, and at sf1-size ONLY when the
+    // heap can actually hold 10M keys per partition (the 48 GB sf1
+    // bench JVM can; a default 24 GB one OOM'd before the spillable
+    // sort path could engage). One binary now benches every SF at
+    // default heap; SPARK_GRAFT_AGG_FALLBACK stays as the override.
+    val sfBytes: Long =
+      try {
+        val root = java.nio.file.Paths.get(sfDir)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        } else 0L
+      } catch { case _: Throwable => Long.MaxValue }
+    val aggFallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK",
+      if (sfBytes <= 64L * 1024 * 1024 ||
+          Runtime.getRuntime.maxMemory >= 40L * 1024 * 1024 * 1024)
+        "10000000"
+      else "128")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -112,7 +134,7 @@ object Bench {
       // collect_set/collect_list groupBy (the normalization edge
       // exchange, stats rollups) was paying an unnecessary sort
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "10000000")
+        aggFallback)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -154,9 +176,17 @@ object Bench {
     val heads = SparkEntry.headlines
       .filter(q => only.forall(_.contains(q.name)))
     val failed = scala.collection.mutable.Set[String]()
-    // warmup pass: codegen + broadcast + listing; also weeds out
-    // queries that can't run at all so timed passes skip them
-    heads.foreach { q =>
+    // warmup pass(es): codegen + broadcast + listing; the first also
+    // weeds out queries that can't run at all so timed passes skip
+    // them. SPARK_GRAFT_BENCH_WARMUPS (default 1) adds passes: the
+    // solo forks set 3, because one warmup leaves C2 still compiling
+    // through the early timed samples — at sf1 that cold-JIT cost
+    // exceeded the profile pollution the fork exists to remove, making
+    // "solo" read SLOWER than in-context and inverting the heavy-tail
+    // judgment rule (VERDICT r16 #2; 16.5 vs 12.35 s on normalize).
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1")
+      .toInt.max(1)
+    for (pass <- 1 to warmups; q <- heads if !failed(q.name)) {
       try runOnce(q.fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -341,7 +371,7 @@ object Bench {
       if (only.nonEmpty) Seq.empty
       else sys.env.get("SPARK_GRAFT_BENCH_SOLO") match {
         case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        case None => Seq("q_tiles_mvt_bytes", "q_pipeline_e2e",
+        case None => Seq("q_tiles_mvt_encode", "q_pipeline_e2e",
           "q_ski_normalize").filter(n => heads.exists(_.name == n))
       }
     val soloOut =
@@ -360,6 +390,10 @@ object Bench {
         val pb = new ProcessBuilder(cmd)
         pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        // steady-state solo: extra warmups so the fresh JVM's C2 has
+        // finished compiling before the timed samples (see warmup doc)
+        if (!sys.env.contains("SPARK_GRAFT_BENCH_WARMUPS"))
+          pb.environment().put("SPARK_GRAFT_BENCH_WARMUPS", "3")
         pb.redirectErrorStream(false)
         System.err.println(s"[bench] solo fork: $name")
         val p = pb.start()

@@ -32,6 +32,11 @@ object Verify {
       } catch { case _: Throwable => Long.MaxValue }
     val aggFallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK",
       if (sfBytes <= 64L * 1024 * 1024) "10000000" else "128")
+    // sf1-size runs stage tens of GB (tile extraction, shuffle spill):
+    // serialize against a concurrent DuckDB compare via the advisory
+    // lock both sides honor (VERDICT r16 #5) — dev-scale runs skip it
+    if (sfBytes >= DiskLock.HeavyInputBytes)
+      DiskLock.acquire(s"graft.Verify $sfDir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -823,17 +823,73 @@ object MvtTiles {
   // decoded back to per-layer stats by MvtDecodeExpr, must hash-match
   // the SAME relational oracle as q_tiles_mvt — so the byte encoding
   // itself sits under the driver's DuckDB gate, not only under
-  // MvtTilesSpec's structural checks.
+  // MvtTilesSpec's structural checks. No longer the bench headline
+  // (q_tiles_mvt_encode is — the decode here is gate-only cost);
+  // still a first-class correctness query.
   private val qBytes = QuerySpec.of(
     "q_tiles_mvt_bytes", {
       s"""WITH ${SkiQueries.oraclePrelude},
         |$oracleFeatPtsCtes,
         |$oraclePrepCtes
         |$oracleStatsSelect""".stripMargin
-    },
-    headline = true) { (s, d) =>
+    }) { (s, d) =>
     decodedStats(tileBytes(s, d))
   }
+
+  // The SERVING-PATH figure (VERDICT r16 #3): same prep → cap → clip →
+  // collect → whole-tile protobuf encode as q_tiles_mvt_bytes, but
+  // WITHOUT the decode round-trip — MvtDecodeExpr re-decoding the
+  // engine's own bytes is pure correctness-gate cost (~⅓ of the sf1
+  // MVT solo figure, SCALING.md) that production tile serving never
+  // pays. The encode stays load-bearing under the oracle through
+  // `n_layers`, which only the encoder's layer-run walk produces; the
+  // per-tile feature/part/point/checksum stats ride the SAME
+  // aggregation that collects the features, so nothing is computed
+  // twice. This is the bench headline; q_tiles_mvt_bytes (decode
+  // round-trip, hash-equal to the same oracle) stays the gate.
+  private val qEncode = QuerySpec.of(
+    "q_tiles_mvt_encode", {
+      s"""WITH ${SkiQueries.oraclePrelude},
+        |$oracleFeatPtsCtes,
+        |$oraclePrepCtes
+        |SELECT zoom, tile_x, tile_y,
+        |  CAST(count(*) AS BIGINT) AS n_layers,
+        |  CAST(sum(n_features) AS BIGINT) AS n_features,
+        |  CAST(sum(n_parts) AS BIGINT) AS n_parts,
+        |  CAST(sum(n_points) AS BIGINT) AS n_points,
+        |  CAST(sum(coord_checksum) AS BIGINT) AS coord_checksum
+        |FROM tile_stats GROUP BY zoom, tile_x, tile_y
+        |ORDER BY zoom, tile_x, tile_y""".stripMargin
+    },
+    headline = true) { (s, d) =>
+    encodeStatsOf(prepped(s, d))
+  }
+
+  /** Per-tile encode + prep-side stats in ONE exchange: the feature
+    * collect and the stat sums share the (z, tx, ty) aggregation, the
+    * encoder runs once per tile (its `n_layers` output keeps the
+    * byte-path load-bearing under the oracle), and the tile bytes are
+    * dropped by the final projection instead of being re-decoded.
+    */
+  private[graft] def encodeStatsOf(prep: DataFrame): DataFrame =
+    prep
+      .select(col("z"), col("tx"), col("ty"),
+        struct(col("layer"), col("fid"), col("gtype"), col("geom"),
+          col("pk").as("pkeys"), col("pv").as("pvals")).as("feat"),
+        col("n_parts"), col("n_points"), col("chk"))
+      .groupBy("z", "tx", "ty")
+      .agg(sort_array(collect_list(col("feat"))).as("feats"),
+        count(lit(1)).as("n_features"),
+        sum("n_parts").as("n_parts"),
+        sum("n_points").as("n_points"),
+        sum("chk").as("coord_checksum"))
+      .select(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
+        col("ty").as("tile_y"),
+        graft.functions.MvtTileEncodeExpr.mvtTile(col("feats"))
+          .getField("n_layers").cast("long").as("n_layers"),
+        col("n_features"), col("n_parts"), col("n_points"),
+        col("coord_checksum"))
+      .orderBy("zoom", "tile_x", "tile_y")
 
   // Incremental maintenance gate: the streaming tile-refresh
   // (graft.streaming.TilesStreaming) must equal the batch rebuild of
@@ -1092,5 +1148,6 @@ object MvtTiles {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(qStats, qBytes, qStreamRefresh, qMbtiles, qExtract, qExtractGzip)
+    Seq(qStats, qBytes, qEncode, qStreamRefresh, qMbtiles, qExtract,
+      qExtractGzip)
 }

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Pins the DedupScaleProbe generator's invariants: the probe's
-  * 99%+ LSH-recall claim at 500k docs is only meaningful if the
-  * planted near-dup structure is exactly what the probe asserts
-  * recall AGAINST — one pair per ten docs, one token of sixty
+  * ≥95%-LSH-recall assertion at 500k docs (99.49% measured, r16) is
+  * only meaningful if the planted near-dup structure is exactly what
+  * the probe asserts recall AGAINST — one pair per ten docs, one
+  * token of sixty
   * substituted, languages shared within a pair, every other text
   * unique, and the whole corpus bit-deterministic across runs. */
 class DedupScaleProbeSpec extends SparkSpec {

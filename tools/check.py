@@ -18,15 +18,51 @@ Scale plumbing (the sf1 sweep's 45-min oracles):
   (the six tile gates replay one feature pipeline) compute it ONCE.
   Before each query, temp tables whose names are not in ITS chain are
   dropped, so a query can never silently read another query's CTE.
-- `--state FILE` records per-query results keyed by the oracle's sha;
-  a re-run skips queries already green under the same SQL (logged as
-  CACHED-OK so a resumed sweep log is honest about what re-ran).
+- `--state FILE` records per-query results keyed by BOTH the oracle's
+  sha AND a content digest of the Spark-side result parquet (the same
+  canon'd frame the compare hashes) — a re-run skips a query only when
+  neither side changed (logged as CACHED-OK with both digests, so a
+  resumed sweep log is honest AND a Spark-side code change can never
+  ride a stale green; VERDICT r16 #1).
 - The connection is file-backed (`--db`) with a memory limit so big
   materializations spill instead of holding tens of GB resident.
+- `--lock` (default on when --db is given; --lock=no disables) takes a
+  process-exclusive advisory lock on /tmp/graft_disk.lock for the
+  whole run — the same POSIX fcntl lock graft.Verify takes for
+  sf1-size inputs — so the two ~50 GB disk phases (oracle chain spill
+  here, Spark extraction staging there) serialize instead of ENOSPCing
+  each other (VERDICT r16 #5; both r16 ENOSPCs were this pair).
+- `--max-temp-gb=N` aborts the run (exit 2) when the DuckDB footprint
+  (db file + spill dir) exceeds N GB after a materialization, before
+  the NEXT one can fill the disk.
 """
 import sys, json, glob, os, re, hashlib
 import duckdb
 import pandas as pd
+
+LOCK_PATH = "/tmp/graft_disk.lock"
+
+
+def acquire_disk_lock():
+    """Blocking process-exclusive advisory lock shared with the Scala
+    side (graft.DiskLock uses java.nio FileLock = POSIX fcntl on
+    Linux, so fcntl.lockf here — NOT flock(), which lives in a
+    separate namespace — is the interoperable choice)."""
+    import fcntl
+    fd = os.open(LOCK_PATH, os.O_CREAT | os.O_WRONLY, 0o666)
+    try:
+        fcntl.lockf(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print(f"[lock] waiting for {LOCK_PATH} "
+              "(another disk-heavy graft phase is running)", flush=True)
+        fcntl.lockf(fd, fcntl.LOCK_EX)
+        print("[lock] acquired", flush=True)
+    os.write(fd, f"check.py pid={os.getpid()}\n".encode())
+    return fd  # held until process exit
+
+
+class BudgetExceeded(Exception):
+    pass
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -53,6 +89,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def spark_digest(df: pd.DataFrame) -> str:
+    """Content digest of a canon'd frame — the state-cache key binding
+    the CACHED-OK decision to the Spark-side OUTPUT, not just the
+    oracle text. hash_pandas_object over the already-sorted frame is
+    deterministic for a given pandas (the driver env is pinned) and
+    ~100x faster than to_csv on the 6.35M-row tile gates."""
+    h = hashlib.sha1()
+    h.update("|".join(map(str, df.columns)).encode())
+    h.update(pd.util.hash_pandas_object(df, index=False).values.tobytes())
+    return h.hexdigest()
 
 
 def split_ctes(sql):
@@ -110,10 +158,39 @@ class Materializer:
       frontier of the chain, not the whole chain.
     """
 
-    def __init__(self, con):
+    def __init__(self, con, dbfile="", budget_bytes=None):
         self.con = con
         self.live = {}    # name -> running prefix sha materialized
         self.future = {}  # (name, sha) -> pending queries able to reuse
+        self.dbfile = dbfile
+        self.budget_bytes = budget_bytes
+
+    def _footprint(self) -> int:
+        """Current temp-disk footprint: db file + DuckDB spill dir."""
+        total = 0
+        if self.dbfile and os.path.exists(self.dbfile):
+            total += os.path.getsize(self.dbfile)
+        for d in (self.dbfile + ".wal", "/tmp/duckdb_spill"):
+            if os.path.isfile(d):
+                total += os.path.getsize(d)
+            elif os.path.isdir(d):
+                for root, _, files in os.walk(d):
+                    for f in files:
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+        return total
+
+    def _check_budget(self):
+        if self.budget_bytes is None:
+            return
+        used = self._footprint()
+        if used > self.budget_bytes:
+            raise BudgetExceeded(
+                f"temp-disk footprint {used / 1e9:.1f} GB exceeds "
+                f"--max-temp-gb={self.budget_bytes / 1e9:.0f} — aborting "
+                "before the next materialization can fill the disk")
 
     @staticmethod
     def chain_of(sql):
@@ -123,7 +200,9 @@ class Materializer:
         if not parsed:
             return None
         ctes, _recursive, final = parsed
-        names = {n for n, _ in ctes}
+        # DuckDB identifiers resolve case-insensitively, so the
+        # shadow/dup guard compares lowercased names
+        names = {n.lower() for n, _ in ctes}
         if names & set(TABLES) or len(names) != len(ctes):
             return None  # shadowing/dup — run as-is
         h = hashlib.sha1()
@@ -156,6 +235,17 @@ class Materializer:
                 self.future[k] -= 1
                 if not self.future[k]:
                     del self.future[k]
+        # a live table whose refcount just hit 0 (cache-hit / error /
+        # final-chain paths never reach run()'s early drop) would
+        # otherwise hold its spill until some later chain's stale-drop
+        # — tens of GB resident at sf1 (ADVICE r16)
+        self.reap()
+
+    def reap(self):
+        """Drop live tables no pending query can reuse."""
+        for n in [n for n, sha in self.live.items()
+                  if not self.future.get((n, sha), 0)]:
+            self._drop(n)
 
     def _drop(self, name):
         self.con.sql(f'DROP TABLE IF EXISTS "{name}"')
@@ -178,7 +268,11 @@ class Materializer:
                 # after it depends on it and must be rebuilt too
                 invalidated = True
                 self.con.sql(f'DROP TABLE IF EXISTS "{name}"')
-                if re.search(rf"\b{re.escape(name)}\b", body):
+                # reference scans are case-INSENSITIVE to match DuckDB
+                # identifier resolution (ADVICE r16): a differently-cased
+                # self-reference is still recursive, and a differently-
+                # cased later reference must still block the early drop
+                if re.search(rf"\b{re.escape(name)}\b", body, re.I):
                     # self-referential (recursive) CTE — materialize result
                     self.con.sql(
                         f'CREATE TEMP TABLE "{name}" AS WITH RECURSIVE '
@@ -186,12 +280,13 @@ class Materializer:
                 else:
                     self.con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
                 self.live[name] = ph
+                self._check_budget()
             # early drop: anything the REST of this chain and the final
             # select no longer reference, and no OTHER pending query can
             # reuse (refcount 1 = only the query being run right now)
             rest = " ".join(b for _, b, _ in chain[idx + 1:]) + " " + final
             for n2 in [n for n in self.live if n != name]:
-                if re.search(rf"\b{re.escape(n2)}\b", rest):
+                if re.search(rf"\b{re.escape(n2)}\b", rest, re.I):
                     continue
                 if self.future.get((n2, self.live[n2]), 0) > 1:
                     continue
@@ -207,12 +302,23 @@ def main(argv):
     state_path = opts.get("--state")
     only = set(opts["--only"].split(",")) if "--only" in opts else None
     dbfile = opts.get("--db", "")
+    # disk-heavy runs (file-backed = sf1-size sweeps) serialize against
+    # Spark's disk-heavy phases via the shared advisory lock; --lock
+    # forces it on for an in-memory run, --lock=no opts out
+    want_lock = opts.get("--lock", "yes" if dbfile else "no")
+    if want_lock != "no":
+        acquire_disk_lock()
     con = duckdb.connect(dbfile) if dbfile else duckdb.connect()
     if "--mem" in opts:
         con.sql(f"SET memory_limit='{opts['--mem']}'")
         con.sql("SET temp_directory='/tmp/duckdb_spill'")
-        # row order is irrelevant (canon sorts) and ordered
-        # materialization of the big chain tables costs memory/spill
+        # Row order is irrelevant (canon sorts) and ordered
+        # materialization of the big chain tables costs memory/spill.
+        # CONSTRAINT this relies on (ADVICE r16): every oracle LIMIT
+        # must sit under an ORDER BY whose keys are row-unique (all 13
+        # current LIMIT oracles tie-break on a group key / id column —
+        # audited 2026-08-16), otherwise which ties survive the LIMIT
+        # becomes nondeterministic under unordered materialization.
         con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -226,7 +332,9 @@ def main(argv):
     state = {}
     if state_path and os.path.exists(state_path):
         state = json.load(open(state_path))
-    mat = Materializer(con)
+    budget = (float(opts["--max-temp-gb"]) * 1e9
+              if "--max-temp-gb" in opts else None)
+    mat = Materializer(con, dbfile=dbfile, budget_bytes=budget)
     ok = bad = cached = 0
     # several gates deliberately share one oracle (e.g. the MVT byte-path
     # queries all replay the identical tile-stats SQL) — cache by SQL text
@@ -245,14 +353,30 @@ def main(argv):
         pending.append((name, d))
     pending.sort(key=lambda nd: (
         mat.group_key(oracles.get(nd[0], "")), nd[0]))
-    live_sqls = []  # (name, sql) that will actually run an oracle
+    def read_spark(d):
+        return canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+
+    def cache_valid(name, sha):
+        """OK under the SAME oracle sha AND the SAME Spark output digest
+        — the digest requires reading the parquet, so it is computed
+        once here and memoized for the compare loop."""
+        prev = state.get(name)
+        if not (prev and prev.get("sql_sha") == sha
+                and prev.get("status") == "OK"):
+            return False
+        if name not in digests:
+            d = os.path.join(out_dir, name)
+            digests[name] = spark_digest(read_spark(d))
+        return prev.get("spark_digest") == digests[name]
+
+    digests = {}  # name -> Spark-side content digest, computed once
+    live_sqls = []  # names that will actually run an oracle
     for name, d in pending:
         sql = oracles.get(name)
         if sql is None or not glob.glob(f"{d}/*.parquet"):
             continue
         sha = hashlib.sha1(sql.encode()).hexdigest()
-        prev = state.get(name)
-        if prev and prev.get("sql_sha") == sha and prev.get("status") == "OK":
+        if cache_valid(name, sha):
             continue
         mat.register(sql)
         live_sqls.append(name)
@@ -262,23 +386,28 @@ def main(argv):
             print(f"EMPTY-DIR {name}", flush=True)
             continue
         if name not in oracles:
-            got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+            got = read_spark(d)
             print(f"ROWS-ONLY {name}: rows={len(got)}", flush=True)
             continue
         sql = oracles[name]
         sha = hashlib.sha1(sql.encode()).hexdigest()
-        prev = state.get(name)
-        if prev and prev.get("sql_sha") == sha and prev.get("status") == "OK":
-            print(f"CACHED-OK {name}: rows={prev.get('rows')}", flush=True)
+        if cache_valid(name, sha):
+            print(f"CACHED-OK {name}: rows={state[name].get('rows')} "
+                  f"sql_sha={sha[:12]} spark_digest={digests[name][:12]}",
+                  flush=True)
             cached += 1
             continue
-        got = canon(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+        got = read_spark(d)
+        dg = digests.get(name) or spark_digest(got)
         try:
             if sql in oracle_cache:
                 want = oracle_cache[sql]
             else:
                 want = canon(mat.run(sql))
                 oracle_cache[sql] = want
+        except BudgetExceeded as e:
+            print(f"ABORT {name}: {e}", flush=True)
+            return 2
         except Exception as e:
             print(f"ORACLE-ERR {name}: {str(e).splitlines()[0][:160]}",
                   flush=True)
@@ -312,8 +441,9 @@ def main(argv):
             ok += 1
             if state_path is not None:
                 state[name] = {"sql_sha": sha, "status": "OK",
-                               "rows": len(got)}
+                               "rows": len(got), "spark_digest": dg}
                 json.dump(state, open(state_path, "w"))
+    mat.reap()  # end-of-run cleanup: nothing pending can reuse anything
     extra = f" ({cached} cached)" if cached else ""
     print(f"\n{ok + cached} ok, {bad} bad{extra}")
     return 1 if bad else 0
