@@ -390,6 +390,12 @@ object Bench {
         val pb = new ProcessBuilder(cmd)
         pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        // the fork starts while the parent's own load is still
+        // decaying — its start-loadavg says nothing about the quiet
+        // of its timed samples, so an inherited REFUSE=1 would make
+        // every solo fork abort (and contamination is judged by the
+        // fork's own mid-run fingerprint + re-run machinery anyway)
+        pb.environment().remove("SPARK_GRAFT_BENCH_REFUSE")
         // steady-state solo: extra warmups so the fresh JVM's C2 has
         // finished compiling before the timed samples (see warmup doc)
         if (!sys.env.contains("SPARK_GRAFT_BENCH_WARMUPS"))

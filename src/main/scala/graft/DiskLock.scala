@@ -24,14 +24,25 @@ object DiskLock {
   val Path = "/tmp/graft_disk.lock"
 
   /** Inputs at least this large make a run "disk-heavy": the sf0.1
-    * fixture is ~17 MB and stages nothing material; the sf1 scaffold
-    * is ~15 GB and its extraction staging + shuffle spill is what
-    * collided with the oracle's. One decade of headroom above the
-    * fixture keeps every dev-loop invocation lock-free.
+    * fixture is ~17 MB (compressed parquet) and stages nothing
+    * material; the sf1 scaffold is ~154 MB on disk but its extraction
+    * staging + shuffle spill expand to tens of GB — which is what
+    * collided with the oracle's spill. Same 64 MB fixture-vs-scale
+    * cutover as the agg-fallback heuristic, so every dev-loop
+    * invocation stays lock-free and every at-scale one serializes.
     */
-  val HeavyInputBytes: Long = 1L << 30
+  val HeavyInputBytes: Long = 64L * 1024 * 1024
 
-  @volatile private var held = false
+  // STRONG references for the JVM lifetime: POSIX record locks die
+  // with the file descriptor, and JDK file descriptors are closed by
+  // a Cleaner when unreachable — without these fields the lock
+  // silently evaporated at the first post-acquire GC (observed: a
+  // Verify that had just written the lock file lost the lock during
+  // SparkSession startup and a concurrent check.py sailed through)
+  @volatile private var channelRef: FileChannel = _
+  @volatile private var lockRef: java.nio.channels.FileLock = _
+
+  private[graft] def held: Boolean = lockRef != null
 
   /** Block until the advisory lock is ours. Idempotent per process. */
   def acquire(why: String): Unit = synchronized {
@@ -50,6 +61,7 @@ object DiskLock {
     ch.write(java.nio.ByteBuffer.wrap(
       s"$why pid=${ProcessHandle.current().pid()}\n"
         .getBytes(StandardCharsets.UTF_8)))
-    held = lock != null // held (and auto-released) for the JVM lifetime
+    channelRef = ch
+    lockRef = lock // held (and auto-released) for the JVM lifetime
   }
 }
