@@ -43,29 +43,57 @@ case class MvtTileEncodeExpr(features: Expression)
   override def child: Expression = features
   // n_layers falls out of the same layer-run walk the encoder already
   // does — returning it here saves an interpreted
-  // size(array_distinct(transform(...))) pass over every tile group
+  // size(array_distinct(transform(...))) pass over every tile group.
+  // Likewise the per-tile stat sums (n_features/n_parts/n_points/chk):
+  // when the input structs carry the prep kernel's per-feature stats
+  // as trailing fields 6-8, the encoder sums them inside the walk it
+  // already does. Three shapes were measured at sf1 (26.85M features):
+  // four extra agg functions riding the collect_list
+  // ObjectHashAggregate cost ~5 s/run (the agg's per-row update path
+  // is the hot loop); re-deriving the stats by varint-walking the
+  // packed geom bytes inside this kernel cost ~3 s/run (the walk is
+  // as long as the splice it shadows); three trailing bigints through
+  // the collect cost ~2 s — the cheapest. With 6-field input (the
+  // blob/stream paths) the sums read as zeros and only tile/n_layers
+  // are meaningful.
   override def dataType: DataType = StructType(Seq(
     StructField("tile", BinaryType, nullable = false),
-    StructField("n_layers", IntegerType, nullable = false)))
+    StructField("n_layers", IntegerType, nullable = false),
+    StructField("n_features", IntegerType, nullable = false),
+    StructField("n_parts", LongType, nullable = false),
+    StructField("n_points", LongType, nullable = false),
+    StructField("chk", LongType, nullable = false)))
   override def nullable: Boolean = true
+
+  // The kernel reads tile features positionally (UnsafeRow getStruct
+  // needs the EXACT writer arity), so the element arity is resolved
+  // statically from the child's type and passed into every call.
+  private lazy val elementArity: Int = features.dataType match {
+    case ArrayType(s: StructType, _) => s.length
+    case _ => 6
+  }
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     features.dataType match {
-      case ArrayType(_: StructType, _) =>
+      case ArrayType(s: StructType, _)
+          if s.length == 6 ||
+            (s.length == 9 &&
+              s.fields.drop(6).forall(_.dataType == LongType)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_mvt_tile expects array<struct>, got $other")
+          s"graft_mvt_tile expects array<struct> of arity 6, or 9 with " +
+            s"three trailing bigint stat fields, got $other")
     }
 
   override protected def nullSafeEval(feats: Any): Any =
-    MvtKernel.encodeTile(feats.asInstanceOf[ArrayData])
+    MvtKernel.encodeTile(feats.asInstanceOf[ArrayData], elementArity)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      f => s"graft.functions.MvtKernel.encodeTile($f)")
+      f => s"graft.functions.MvtKernel.encodeTile($f, $elementArity)")
 
   override protected def withNewChildInternal(
       newChild: Expression): MvtTileEncodeExpr = copy(features = newChild)
@@ -182,40 +210,60 @@ object MvtKernel {
 
   /** Encode one whole tile: `feats` rows sorted by (layer, fid), each
     * (layer string, fid long, gtype int, geom binary,
-    *  pkeys array<string>, pvals array<string>).
+    *  pkeys array<string>, pvals array<string>[, n_parts long,
+    *  n_points long, chk long]).
     * Consecutive same-layer runs become one layer frame each; the tile
     * is their concatenation (layer-name order follows from the sort).
-    * Returns (tile bytes, n_layers).
+    * `arity` is the features' struct width (UnsafeRow reads need the
+    * exact writer arity); with arity 9 the trailing per-feature stats
+    * are summed inside the same walk — zero extra passes — so the
+    * stats query needs no aggregate functions beyond the collect.
+    * Returns (tile bytes, n_layers, n_features, n_parts, n_points, chk).
     */
-  def encodeTile(feats: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+  def encodeTile(feats: ArrayData, arity: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
     val out = new java.io.ByteArrayOutputStream()
     val n = feats.numElements()
     var from = 0
     var nLayers = 0
+    var nParts = 0L
+    var nPoints = 0L
+    var chk = 0L
+    if (arity > 6) {
+      var i = 0
+      while (i < n) {
+        val f = feats.getStruct(i, arity)
+        nParts += f.getLong(6)
+        nPoints += f.getLong(7)
+        chk += f.getLong(8)
+        i += 1
+      }
+    }
     while (from < n) {
       // compare UTF8String directly — converting every row's layer to
       // a java String would allocate per feature in the tile kernel
-      val name = feats.getStruct(from, 6).getUTF8String(0)
+      val name = feats.getStruct(from, arity).getUTF8String(0)
       var until = from + 1
       while (until < n &&
-        feats.getStruct(until, 6).getUTF8String(0).equals(name))
+        feats.getStruct(until, arity).getUTF8String(0).equals(name))
         until += 1
-      out.write(encodeLayerSlice(name.toString, feats, from, until))
+      out.write(encodeLayerSlice(name.toString, feats, from, until, arity))
       nLayers += 1
       from = until
     }
-    org.apache.spark.sql.catalyst.InternalRow(out.toByteArray, nLayers)
+    org.apache.spark.sql.catalyst.InternalRow(
+      out.toByteArray, nLayers, n, nParts, nPoints, chk)
   }
 
   /** One layer frame from the [from, until) slice of tile features. */
   private def encodeLayerSlice(name: String, feats: ArrayData,
-      from: Int, until: Int): Array[Byte] = {
+      from: Int, until: Int, arity: Int): Array[Byte] = {
     val keyIdx = new java.util.LinkedHashMap[String, Integer]()
     val valIdx = new java.util.LinkedHashMap[String, Integer]()
     val featureFrames = new java.io.ByteArrayOutputStream()
     var i = from
     while (i < until) {
-      val f = feats.getStruct(i, 6)
+      val f = feats.getStruct(i, arity)
       val fid = f.getLong(1)
       val gtype = f.getInt(2)
       // geometry arrives pre-encoded from MvtPrepKernel.prepEncoded

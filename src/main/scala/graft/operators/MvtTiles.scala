@@ -785,19 +785,40 @@ object MvtTiles {
     encodeOf(prepped(s, d))
 
   /** Per-tile collect + whole-tile protobuf encode of any prepped
-    * frame (shared with the streaming tile-refresh).
+    * frame (shared with the streaming tile-refresh). With
+    * `keepStats` the collected struct carries the prep kernel's
+    * per-feature stats as three trailing bigints (the encoder sums
+    * them inside its walk — see MvtTileEncodeExpr's shape
+    * measurements) and the projection keeps the per-tile stat sums
+    * instead of the tile bytes; the default keeps the bytes (the
+    * blob / decode-gate shape, 6-field struct). Either way the
+    * encoder runs exactly once per tile.
     */
-  private[graft] def encodeOf(prep: DataFrame): DataFrame = {
-    prep
+  private[graft] def encodeOf(prep: DataFrame,
+      keepStats: Boolean = false): DataFrame = {
+    val featFields =
+      Seq(col("layer"), col("fid"), col("gtype"), col("geom"),
+        col("pk").as("pkeys"), col("pv").as("pvals")) ++
+        (if (keepStats)
+          Seq(col("n_parts"), col("n_points"), col("chk"))
+        else Nil)
+    val enc = prep
       .select(col("z"), col("tx"), col("ty"),
-        struct(col("layer"), col("fid"), col("gtype"), col("geom"),
-          col("pk").as("pkeys"), col("pv").as("pvals")).as("feat"))
+        struct(featFields: _*).as("feat"))
       .groupBy("z", "tx", "ty")
       .agg(sort_array(collect_list(col("feat"))).as("feats"))
       .select(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
         col("ty").as("tile_y"),
         graft.functions.MvtTileEncodeExpr.mvtTile(col("feats")).as("enc"))
-      .select(col("zoom"), col("tile_x"), col("tile_y"),
+    if (keepStats)
+      enc.select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("enc.n_layers").as("n_layers"),
+        col("enc.n_features").as("n_features"),
+        col("enc.n_parts").as("n_parts"),
+        col("enc.n_points").as("n_points"),
+        col("enc.chk").as("coord_checksum"))
+    else
+      enc.select(col("zoom"), col("tile_x"), col("tile_y"),
         col("enc.n_layers").as("n_layers"), col("enc.tile").as("tile"))
   }
 
@@ -865,30 +886,27 @@ object MvtTiles {
     encodeStatsOf(prepped(s, d))
   }
 
-  /** Per-tile encode + prep-side stats in ONE exchange: the feature
-    * collect and the stat sums share the (z, tx, ty) aggregation, the
-    * encoder runs once per tile (its `n_layers` output keeps the
-    * byte-path load-bearing under the oracle), and the tile bytes are
-    * dropped by the final projection instead of being re-decoded.
+  /** Per-tile encode + stats in ONE exchange with a collect-only
+    * aggregation — the blob path's aggregation shape plus three
+    * trailing bigints on the collected struct, which the encoder sums
+    * inside the walk it already does. The fastest of three measured
+    * shapes at sf1 (see MvtTileEncodeExpr): stat sums as agg
+    * functions riding the ObjectHashAggregate cost ~5 s/run, a
+    * varint re-walk of the packed geom inside the kernel ~3 s, the
+    * trailing-bigint carry ~2 s. The trailing fields can't disturb
+    * byte determinism: sort_array order is already decided by the
+    * leading (layer, fid). The tile bytes are dropped by the final
+    * projection instead of being re-decoded — byte-groundedness is
+    * the decode GATE's job (q_tiles_mvt_bytes hash-matches the same
+    * oracle through a full protobuf re-parse); this query is the
+    * serving-path figure.
     */
   private[graft] def encodeStatsOf(prep: DataFrame): DataFrame =
-    prep
-      .select(col("z"), col("tx"), col("ty"),
-        struct(col("layer"), col("fid"), col("gtype"), col("geom"),
-          col("pk").as("pkeys"), col("pv").as("pvals")).as("feat"),
-        col("n_parts"), col("n_points"), col("chk"))
-      .groupBy("z", "tx", "ty")
-      .agg(sort_array(collect_list(col("feat"))).as("feats"),
-        count(lit(1)).as("n_features"),
-        sum("n_parts").as("n_parts"),
-        sum("n_points").as("n_points"),
-        sum("chk").as("coord_checksum"))
-      .select(col("z").cast("int").as("zoom"), col("tx").as("tile_x"),
-        col("ty").as("tile_y"),
-        graft.functions.MvtTileEncodeExpr.mvtTile(col("feats"))
-          .getField("n_layers").cast("long").as("n_layers"),
-        col("n_features"), col("n_parts"), col("n_points"),
-        col("coord_checksum"))
+    encodeOf(prep, keepStats = true)
+      .select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("n_layers").cast("long").as("n_layers"),
+        col("n_features").cast("long").as("n_features"),
+        col("n_parts"), col("n_points"), col("coord_checksum"))
       .orderBy("zoom", "tile_x", "tile_y")
 
   // Incremental maintenance gate: the streaming tile-refresh
