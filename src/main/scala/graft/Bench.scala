@@ -36,6 +36,19 @@ import org.apache.spark.sql.SparkSession
   * a dirty artifact is self-identifying instead of needing forensic
   * minima-vs-medians comparison after the fact. Set
   * SPARK_GRAFT_BENCH_REFUSE=1 to abort instead of stamping.
+  * The start gate alone is blind to load ARRIVING mid-run (BENCH_r17
+  * started at loadavg 6.15, then per-sample load hit 9-20), and
+  * loadavg mid-run is useless — the bench's own 32-thread work
+  * dominates it (quiet sf1 per-sample loadavg medians 21). So every
+  * sample also records the EXTERNAL busy-cores figure — machine busy
+  * cpu-time minus this process's cpu-time over the sample's exact
+  * wall window, from /proc/stat and /proc/self/stat — which is ~0 on
+  * a quiet box regardless of the bench's own intensity. When the
+  * median external-cores over all samples exceeds cpus/4 (the same
+  * threshold the start gate applies), the artifact is stamped
+  * `"contaminated":true` plus `"contaminated_midrun":true` and never
+  * overwrites the regression baseline; the per-sample series ships
+  * under `"load"."ext_cpu"`.
   *
   * MID-RUN contamination guard (the start-only threshold missed it
   * twice — rounds 13 AND 14 shipped artifacts whose start load was
@@ -124,6 +137,17 @@ object Bench {
           Runtime.getRuntime.maxMemory >= 40L * 1024 * 1024 * 1024)
         "10000000"
       else "128")
+    // sf1-size bench chains stage the same tens-of-GB shuffle /
+    // checkpoint spill that ENOSPC'd round 16 when concurrent with a
+    // DuckDB sweep — same lock + same 64 MB cutover as Verify
+    // (VERDICT r17 #2). The solo forks run INSIDE the parent's held
+    // window (the parent holds until JVM exit and blocks on the
+    // fork), so a fork re-acquiring would deadlock against its own
+    // parent: the parent exports SPARK_GRAFT_DISKLOCK_HELD=1 and the
+    // fork skips the acquire.
+    if (sfBytes >= DiskLock.HeavyInputBytes &&
+        !sys.env.get("SPARK_GRAFT_DISKLOCK_HELD").contains("1"))
+      DiskLock.acquire(s"graft.Bench $sfDir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -158,6 +182,33 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+
+    // EXTERNAL-load counters (VERDICT r17 #3): loadavg cannot gate
+    // mid-run contamination because the bench's own 32-thread work
+    // dominates it (quiet sf1 runs read per-sample loadavg ~21 on 32
+    // CPUs). What CAN: machine busy cpu-time minus THIS process's
+    // cpu-time over each sample's exact wall window — ~0 external
+    // cores on a quiet box no matter how hard the bench itself runs,
+    // and the full size of a concurrent DuckDB sweep when one is
+    // there. Returns (machine busy cpu-seconds over all cores, this
+    // process's cpu-seconds); USER_HZ is 100 on Linux.
+    def cpuCounters(): (Double, Double) =
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        // cpu user nice system idle iowait irq softirq steal …
+        // busy = user+nice+system+irq+softirq+steal (idle, iowait out)
+        val f = stat.linesIterator.next().trim.split("\\s+")
+        val busy = Seq(1, 2, 3, 6, 7, 8)
+          .map(i => if (i < f.length) f(i).toLong else 0L).sum / 100.0
+        val self = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+        // comm (field 2) may contain spaces/parens — split after the
+        // LAST ')'; utime/stime are stat fields 14/15 → post-paren
+        // tokens 11/12
+        val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+        (busy, (rest(11).toLong + rest(12).toLong) / 100.0)
+      } catch { case _: Throwable => (-1.0, -1.0) }
 
     val loadStart = loadavg()
     val loadLimit = cpus.toDouble / 4.0
@@ -203,9 +254,12 @@ object Bench {
       String, scala.collection.mutable.ArrayBuffer[Double]]()
     val sampleLoads = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ArrayBuffer[Double]]()
+    val extCpu = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[Double]]()
     heads.foreach { q =>
       samples(q.name) = scala.collection.mutable.ArrayBuffer[Double]()
       sampleLoads(q.name) = scala.collection.mutable.ArrayBuffer[Double]()
+      extCpu(q.name) = scala.collection.mutable.ArrayBuffer[Double]()
     }
     // `passes` timed round-robin passes over `qs`; loadavg is read
     // immediately before each sample so an outlier is attributable to
@@ -232,11 +286,20 @@ object Bench {
         // success — a failed pass must not leave per_sample load arrays
         // misaligned with the sample arrays (ADVICE r15)
         val passLoad = loadavg()
+        val c0 = cpuCounters()
         val t0 = System.nanoTime()
         try {
           runOnce(q.fn)
-          samples(q.name) += (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          val c1 = cpuCounters()
+          samples(q.name) += wall
           sampleLoads(q.name) += passLoad
+          // external busy cores DURING this sample's exact window
+          // (machine busy minus our own cpu over the wall time);
+          // -1 when the counters were unreadable
+          extCpu(q.name) +=
+            (if (c0._1 < 0 || c1._1 < 0 || wall <= 0) -1.0
+             else math.max(0.0, (c1._1 - c0._1) - (c1._2 - c0._2)) / wall)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           failed += q.name
@@ -267,6 +330,23 @@ object Bench {
     }
     val suspectNames = suspects.map(_.name)
     val loadEnd = loadavg()
+    // Mid-run external-load gate (VERDICT r17 #3): r17's driver run
+    // passed the START gate at loadavg 6.15, then external load
+    // tripled mid-run and poisoned the medians — the artifact only
+    // confessed under per-sample forensics. Now the artifact
+    // self-stamps: when the MEDIAN external-cores figure across all
+    // samples exceeds cpus/4 (the same threshold as the start gate,
+    // which loadavg approximates while the bench is still idle), the
+    // run is contaminated no matter what the start load said.
+    val extAll = extCpu.values.flatten.filter(_ >= 0).toSeq
+    val extMedian = if (extAll.isEmpty) -1.0 else median(extAll)
+    val midRunContaminated = extMedian > cpus.toDouble / 4.0
+    if (midRunContaminated)
+      System.err.println(
+        f"[bench] WARNING: median EXTERNAL cpu over the timed samples " +
+          f"was $extMedian%.1f cores (> cpus/4 = ${cpus.toDouble / 4}%.1f)" +
+          " — another process ran concurrently; artifact stamped " +
+          "\"contaminated\":true")
 
     val results = heads.map { q =>
       val s = samples(q.name)
@@ -396,6 +476,11 @@ object Bench {
         // every solo fork abort (and contamination is judged by the
         // fork's own mid-run fingerprint + re-run machinery anyway)
         pb.environment().remove("SPARK_GRAFT_BENCH_REFUSE")
+        // the fork runs inside this process's held disk-lock window;
+        // re-acquiring there would deadlock against us (we block on
+        // the fork, the lock releases only at our exit)
+        if (DiskLock.held)
+          pb.environment().put("SPARK_GRAFT_DISKLOCK_HELD", "1")
         // steady-state solo: extra warmups so the fresh JVM's C2 has
         // finished compiling before the timed samples (see warmup doc)
         if (!sys.env.contains("SPARK_GRAFT_BENCH_WARMUPS"))
@@ -449,6 +534,9 @@ object Bench {
     val perSampleLoadJson = sampleLoads.map { case (k, v) =>
       "\"" + k + "\":" + v.map(d => f"$d%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val extCpuJson = extCpu.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(d => f"$d%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val rerunJson =
       if (rerunCounts.isEmpty) ""
       else rerunCounts.map { case (k, n) => "\"" + k + "\":" + n }
@@ -461,7 +549,10 @@ object Bench {
       if (trimDivergent.isEmpty) ""
       else trimDivergent.map("\"" + _ + "\"")
         .mkString(""","trim_divergent":[""", ",", "]")
-    val flags = (if (contaminated) ""","contaminated":true""" else "") +
+    val flags =
+      (if (contaminated || midRunContaminated)
+        ""","contaminated":true""" else "") +
+      (if (midRunContaminated) ""","contaminated_midrun":true""" else "") +
       (if (only.nonEmpty) ""","partial":true""" else "") +
       rerunJson + suspectJson + trimJson + soloJson
     val line =
@@ -469,13 +560,15 @@ object Bench {
         s""""queries_plain":$qsPlain,""" +
         s""""samples":$sampleJson,""" +
         s""""load":{"start":$loadStart,"end":$loadEnd,""" +
-        s""""per_sample":$perSampleLoadJson}$flags,""" +
+        s""""per_sample":$perSampleLoadJson,""" +
+        f""""ext_cpu_median":$extMedian%.2f,""" +
+        s""""ext_cpu":$extCpuJson}$flags,""" +
         s""""commit":"$commit","sf":"$sfDir"}"""
     // a partial, contaminated, still-suspect, or band-trimmed run never
     // replaces the regression baseline — the next full quiet run must
     // still compare against the last trustworthy artifact
-    if (only.isEmpty && !contaminated && suspectNames.isEmpty &&
-        trimDivergent.isEmpty)
+    if (only.isEmpty && !contaminated && !midRunContaminated &&
+        suspectNames.isEmpty && trimDivergent.isEmpty)
       java.nio.file.Files.write(lastPath, line.getBytes("UTF-8"))
     println(line)
     spark.stop()

@@ -53,8 +53,17 @@ object DiskLock {
     val lock =
       if (tryLock != null) tryLock
       else {
+        // name the blocker: the holder wrote "why pid=" into the lock
+        // file at acquire time, so a stuck wait says WHO holds it
+        // (VERDICT r17 #7 — both sides print the holder)
+        val holder =
+          try {
+            val s = java.nio.file.Files.readString(
+              Paths.get(Path), StandardCharsets.UTF_8).trim
+            if (s.nonEmpty) s else "unknown holder"
+          } catch { case _: Throwable => "unknown holder" }
         System.err.println(s"[disklock] waiting for $Path " +
-          s"(another disk-heavy graft phase is running) — $why")
+          s"(held by: $holder) — $why")
         ch.lock()
       }
     ch.truncate(0)

@@ -54,8 +54,9 @@ case class MvtTileEncodeExpr(features: Expression)
   // packed geom bytes inside this kernel cost ~3 s/run (the walk is
   // as long as the splice it shadows); three trailing bigints through
   // the collect cost ~2 s — the cheapest. With 6-field input (the
-  // blob/stream paths) the sums read as zeros and only tile/n_layers
-  // are meaningful.
+  // blob/stream paths) tile/n_layers/n_features are all meaningful
+  // (n_features is the element count at any arity); only the three
+  // trailing sums n_parts/n_points/chk read as zeros.
   override def dataType: DataType = StructType(Seq(
     StructField("tile", BinaryType, nullable = false),
     StructField("n_layers", IntegerType, nullable = false),
@@ -226,19 +227,10 @@ object MvtKernel {
     val n = feats.numElements()
     var from = 0
     var nLayers = 0
-    var nParts = 0L
-    var nPoints = 0L
-    var chk = 0L
-    if (arity > 6) {
-      var i = 0
-      while (i < n) {
-        val f = feats.getStruct(i, arity)
-        nParts += f.getLong(6)
-        nPoints += f.getLong(7)
-        chk += f.getLong(8)
-        i += 1
-      }
-    }
+    // per-tile stat sums accumulate inside encodeLayerSlice's
+    // per-feature loop (the struct is already fetched there) — the
+    // walk that frames the bytes is the only walk (ADVICE r17)
+    val stats = new Array[Long](3)
     while (from < n) {
       // compare UTF8String directly — converting every row's layer to
       // a java String would allocate per feature in the tile kernel
@@ -247,23 +239,33 @@ object MvtKernel {
       while (until < n &&
         feats.getStruct(until, arity).getUTF8String(0).equals(name))
         until += 1
-      out.write(encodeLayerSlice(name.toString, feats, from, until, arity))
+      out.write(
+        encodeLayerSlice(name.toString, feats, from, until, arity, stats))
       nLayers += 1
       from = until
     }
     org.apache.spark.sql.catalyst.InternalRow(
-      out.toByteArray, nLayers, n, nParts, nPoints, chk)
+      out.toByteArray, nLayers, n, stats(0), stats(1), stats(2))
   }
 
-  /** One layer frame from the [from, until) slice of tile features. */
+  /** One layer frame from the [from, until) slice of tile features.
+    * With arity 9 the trailing per-feature stats (n_parts, n_points,
+    * chk) are added into `stats(0..2)` inside the same loop that
+    * frames each feature — zero extra passes over the array.
+    */
   private def encodeLayerSlice(name: String, feats: ArrayData,
-      from: Int, until: Int, arity: Int): Array[Byte] = {
+      from: Int, until: Int, arity: Int, stats: Array[Long]): Array[Byte] = {
     val keyIdx = new java.util.LinkedHashMap[String, Integer]()
     val valIdx = new java.util.LinkedHashMap[String, Integer]()
     val featureFrames = new java.io.ByteArrayOutputStream()
     var i = from
     while (i < until) {
       val f = feats.getStruct(i, arity)
+      if (arity > 6) {
+        stats(0) += f.getLong(6)
+        stats(1) += f.getLong(7)
+        stats(2) += f.getLong(8)
+      }
       val fid = f.getLong(1)
       val gtype = f.getInt(2)
       // geometry arrives pre-encoded from MvtPrepKernel.prepEncoded

@@ -102,6 +102,10 @@ object DedupScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // decade-up probes stage tens of GB of generated input + shuffle
+    // spill by design — serialize against any concurrent disk-heavy
+    // phase unconditionally (VERDICT r17 #2; same lock as Verify/Bench)
+    graft.DiskLock.acquire(s"graft.operators.DedupScaleProbe n=$nDocs")
 
     val dir = graft.TempDirs.scoped("graft_dedupscale_").toString
     genDocuments(spark, nDocs).repartition(32)

@@ -26,7 +26,12 @@ object MvtProfile {
             .mapToLong(java.nio.file.Files.size(_)).sum()
           finally st.close()
         } else 0L
-      } catch { case _: Throwable => Long.MaxValue }
+      } catch {
+        // conservative fallback for IO failures only — a fatal JVM
+        // error (OOM, interrupt) must propagate, not read as "huge
+        // input" (ADVICE r17)
+        case scala.util.control.NonFatal(_) => Long.MaxValue
+      }
     val aggFallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK",
       if (sfBytes <= 64L * 1024 * 1024 ||
           Runtime.getRuntime.maxMemory >= 40L * 1024 * 1024 * 1024)

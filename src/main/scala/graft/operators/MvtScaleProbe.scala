@@ -25,6 +25,10 @@ object MvtScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // decade-up probes stage tens of GB of generated input + shuffle
+    // spill by design — serialize against any concurrent disk-heavy
+    // phase unconditionally (VERDICT r17 #2; same lock as Verify/Bench)
+    graft.DiskLock.acquire(s"graft.operators.MvtScaleProbe n=$n")
 
     val events = spark.range(0, n).toDF("event_id")
       .select(col("event_id"),

@@ -39,6 +39,10 @@ object MvtSoakProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // decade-up probes stage tens of GB of generated input + shuffle
+    // spill by design — serialize against any concurrent disk-heavy
+    // phase unconditionally (VERDICT r17 #2; same lock as Verify/Bench)
+    graft.DiskLock.acquire(s"graft.operators.MvtSoakProbe n=$n")
 
     val feats: DataFrame =
       if (overflow)

@@ -53,8 +53,17 @@ def acquire_disk_lock():
     try:
         fcntl.lockf(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
+        # name the blocker: the holder wrote "why pid=" into the lock
+        # file at acquire time, so a stuck wait is attributable
+        # without ps archaeology (VERDICT r17 #7)
+        try:
+            with open(LOCK_PATH) as f:
+                holder = f.read().strip() or "unknown holder"
+        except OSError:
+            holder = "unknown holder"
         print(f"[lock] waiting for {LOCK_PATH} "
-              "(another disk-heavy graft phase is running)", flush=True)
+              f"(another disk-heavy graft phase is running: {holder})",
+              flush=True)
         fcntl.lockf(fd, fcntl.LOCK_EX)
         print("[lock] acquired", flush=True)
     os.write(fd, f"check.py pid={os.getpid()}\n".encode())
