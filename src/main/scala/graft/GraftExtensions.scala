@@ -8,7 +8,7 @@ import graft.functions.{AudioMetaExpr, DotProductExpr, GramHashExpr,
   ImageDimsExpr, LineLengthMExpr, MinHashSigExpr, RollingMinExpr,
   STDWithinExpr, ShinglesExpr, SimHash32Expr, VideoMetaExpr}
 import graft.plans.{AsofJoinRule, AsofJoinStrategy, DistanceJoinRule,
-  IntervalJoinRule}
+  IntervalJoinRule, TileStreamEncodeStrategy}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // API (graft.operators.AsofJoin.join) builds the node directly.
     ext.injectOptimizerRule(_ => AsofJoinRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // Sorted-stream whole-tile MVT encode (aggregation-free tile
+    // build): plans TileStreamEncodePlan as the streaming exec.
+    ext.injectPlannerStrategy(_ => TileStreamEncodeStrategy)
   }
 }
 
@@ -262,5 +265,9 @@ object GraftExtensions {
       if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ AsofJoinStrategy
+      if (!spark.experimental.extraStrategies
+          .contains(TileStreamEncodeStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TileStreamEncodeStrategy
     }
 }

@@ -255,9 +255,7 @@ object MvtKernel {
     */
   private def encodeLayerSlice(name: String, feats: ArrayData,
       from: Int, until: Int, arity: Int, stats: Array[Long]): Array[Byte] = {
-    val keyIdx = new java.util.LinkedHashMap[String, Integer]()
-    val valIdx = new java.util.LinkedHashMap[String, Integer]()
-    val featureFrames = new java.io.ByteArrayOutputStream()
+    val ls = new LayerStream(name)
     var i = from
     while (i < until) {
       val f = feats.getStruct(i, arity)
@@ -266,13 +264,32 @@ object MvtKernel {
         stats(1) += f.getLong(7)
         stats(2) += f.getLong(8)
       }
-      val fid = f.getLong(1)
-      val gtype = f.getInt(2)
-      // geometry arrives pre-encoded from MvtPrepKernel.prepEncoded
-      // (the packed varint command body) — splice, don't re-walk
-      val geom = f.getBinary(3)
-      val pkeys = f.getArray(4)
-      val pvals = f.getArray(5)
+      ls.feature(f.getLong(1), f.getInt(2), f.getBinary(3),
+        f.getArray(4), f.getArray(5))
+      i += 1
+    }
+    ls.frame()
+  }
+
+  /** Incremental single-layer frame builder — THE layer framing
+    * implementation, shared between the per-tile array path
+    * (encodeLayerSlice, fed by the collect_list aggregation) and the
+    * sorted-stream path ([[graft.plans.TileStreamEncodeExec]], which
+    * consumes features one at a time off a sorted shuffle and never
+    * materializes a per-tile array). One implementation means the two
+    * paths are byte-identical by construction.
+    */
+  final class LayerStream(name: String) {
+    private val keyIdx = new java.util.LinkedHashMap[String, Integer]()
+    private val valIdx = new java.util.LinkedHashMap[String, Integer]()
+    private val featureFrames = new java.io.ByteArrayOutputStream()
+
+    /** Append one feature frame. `geom` arrives pre-encoded from
+      * MvtPrepKernel.prepEncoded (the packed varint command body) —
+      * splice, don't re-walk.
+      */
+    def feature(fid: Long, gtype: Int, geom: Array[Byte],
+        pkeys: ArrayData, pvals: ArrayData): Unit = {
       val tags = scala.collection.mutable.ArrayBuffer[Long]()
       var k = 0
       while (k < pkeys.numElements()) {
@@ -292,17 +309,22 @@ object MvtKernel {
       tag(fb, 3, 0); varint(fb, gtype.toLong)
       lenDelimited(fb, 4, geom)
       lenDelimited(featureFrames, 2, fb.toByteArray)
-      i += 1
     }
-    val layer = new java.io.ByteArrayOutputStream()
-    lenDelimited(layer, 1, name.getBytes("UTF-8"))
-    layer.write(featureFrames.toByteArray)
-    keyIdx.keySet().forEach(k => lenDelimited(layer, 3, k.getBytes("UTF-8")))
-    valIdx.keySet().forEach(v => lenDelimited(layer, 4, valueMsg(v)))
-    tag(layer, 5, 0); varint(layer, Extent.toLong)
-    tag(layer, 15, 0); varint(layer, Version.toLong)
-    val frame = new java.io.ByteArrayOutputStream()
-    lenDelimited(frame, 3, layer.toByteArray)
-    frame.toByteArray
+
+    /** Close the layer: the complete length-delimited `Tile.layers`
+      * frame (field 3). The builder is spent afterwards.
+      */
+    def frame(): Array[Byte] = {
+      val layer = new java.io.ByteArrayOutputStream()
+      lenDelimited(layer, 1, name.getBytes("UTF-8"))
+      layer.write(featureFrames.toByteArray)
+      keyIdx.keySet().forEach(k => lenDelimited(layer, 3, k.getBytes("UTF-8")))
+      valIdx.keySet().forEach(v => lenDelimited(layer, 4, valueMsg(v)))
+      tag(layer, 5, 0); varint(layer, Extent.toLong)
+      tag(layer, 15, 0); varint(layer, Version.toLong)
+      val frame = new java.io.ByteArrayOutputStream()
+      lenDelimited(frame, 3, layer.toByteArray)
+      frame.toByteArray
+    }
   }
 }

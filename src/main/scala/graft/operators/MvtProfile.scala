@@ -81,6 +81,10 @@ object MvtProfile {
     time("E_full_bytes_query")(
       MvtTiles.decodedStats(MvtTiles.tileBytes(s, d)))
     time("F_encode_stats")(MvtTiles.encodeStatsOf(MvtTiles.prepped(s, d)))
+    time("G_encode_stats_stream")(
+      MvtTiles.encodeStatsOfStreamed(MvtTiles.prepped(s, d)))
+    time("H_encode_bytes_stream")(
+      MvtTiles.encodeOfStreamed(MvtTiles.prepped(s, d)))
     spark.stop()
   }
 }

@@ -707,7 +707,7 @@ object MvtTiles {
     * feeds both the stats rollup and the byte path, and the
     * per-point data never crosses an exchange as nested arrays.
     */
-  private[operators] def prepped(s: SparkSession, d: String): DataFrame =
+  private[graft] def prepped(s: SparkSession, d: String): DataFrame =
     prepOf(capped(s, d))
 
   /** Quantize + simplify + clip + encode any tile-fan-out-shaped
@@ -782,7 +782,8 @@ object MvtTiles {
   // per-layer frames. Group sizes are bounded by the density cap at
   // low zooms and geographic sharding at z9+.
   def tileBytes(s: SparkSession, d: String): DataFrame =
-    encodeOf(prepped(s, d))
+    if (streamEncode(s)) encodeOfStreamed(prepped(s, d))
+    else encodeOf(prepped(s, d))
 
   /** Per-tile collect + whole-tile protobuf encode of any prepped
     * frame (shared with the streaming tile-refresh). With
@@ -821,6 +822,48 @@ object MvtTiles {
       enc.select(col("zoom"), col("tile_x"), col("tile_y"),
         col("enc.n_layers").as("n_layers"), col("enc.tile").as("tile"))
   }
+
+  /** Sorted-stream variant of [[encodeOf]]: same prep input, same
+    * output columns, bytes identical by construction (the exec frames
+    * features through the SAME MvtKernel.LayerStream the aggregate
+    * path uses) — but the per-tile collect_list aggregation is
+    * replaced by one hash exchange on (z, tx, ty) + a spillable local
+    * sort + a streaming walk ([[graft.plans.TileStreamEncodeExec]]).
+    * Memory per task is O(one tile's bytes) instead of O(densest
+    * tile's collected array). Built for the round-18 A/B against the
+    * aggregate shape (VERDICT r17 #5); whichever measures faster at
+    * sf1 owns the serving-path headline.
+    */
+  private[graft] def encodeOfStreamed(prep: DataFrame,
+      keepStats: Boolean = false): DataFrame = {
+    val spark = prep.sparkSession
+    graft.GraftExtensions.registerPlanning(spark)
+    val flat = prep.select(
+      col("z").cast("long").as("z"), col("tx"), col("ty"), col("layer"),
+      col("fid"), col("gtype"), col("geom"), col("pk"), col("pv"),
+      col("n_parts"), col("n_points"), col("chk"))
+    val analyzed = flat.queryExecution.analyzed
+    val enc = org.apache.spark.sql.graftshim.SqlBridge.ofRows(spark,
+      graft.plans.TileStreamEncodePlan(analyzed, analyzed.output))
+    if (keepStats)
+      enc.select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("n_layers"), col("n_features"),
+        col("n_parts"), col("n_points"), col("chk").as("coord_checksum"))
+    else
+      enc.select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("n_layers"), col("tile"))
+  }
+
+  /** [[encodeStatsOf]]'s projection over the streamed shape — the A/B
+    * counterpart of the serving-path headline query.
+    */
+  private[graft] def encodeStatsOfStreamed(prep: DataFrame): DataFrame =
+    encodeOfStreamed(prep, keepStats = true)
+      .select(col("zoom"), col("tile_x"), col("tile_y"),
+        col("n_layers").cast("long").as("n_layers"),
+        col("n_features").cast("long").as("n_features"),
+        col("n_parts"), col("n_points"), col("coord_checksum"))
+      .orderBy("zoom", "tile_x", "tile_y")
 
   /** Decode tile blobs (zoom, tile_x, tile_y, tile) back to the
     * oracled per-layer stats columns (shared by `q_tiles_mvt_bytes`
@@ -902,12 +945,26 @@ object MvtTiles {
     * serving-path figure.
     */
   private[graft] def encodeStatsOf(prep: DataFrame): DataFrame =
-    encodeOf(prep, keepStats = true)
+    if (streamEncode(prep.sparkSession)) encodeStatsOfStreamed(prep)
+    else encodeOf(prep, keepStats = true)
       .select(col("zoom"), col("tile_x"), col("tile_y"),
         col("n_layers").cast("long").as("n_layers"),
         col("n_features").cast("long").as("n_features"),
         col("n_parts"), col("n_points"), col("coord_checksum"))
       .orderBy("zoom", "tile_x", "tile_y")
+
+  /** A/B switch for the serving-path encode shape (VERDICT r17 #5):
+    * `spark.graft.tiles.streamEncode` (or env
+    * SPARK_GRAFT_TILE_ENCODE=stream) flips the headline query between
+    * the collect_list aggregate shape and the sorted-stream exec. The
+    * two are bit-identical (MvtStreamEncodeSpec); the default is the
+    * shape that measured faster at sf1 in matched fresh-JVM solos —
+    * see SCALING.md round-18.
+    */
+  private def streamEncode(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.tiles.streamEncode",
+      if (sys.env.get("SPARK_GRAFT_TILE_ENCODE").contains("stream")) "true"
+      else "false").toBoolean
 
   // Incremental maintenance gate: the streaming tile-refresh
   // (graft.streaming.TilesStreaming) must equal the batch rebuild of

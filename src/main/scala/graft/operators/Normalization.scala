@@ -152,24 +152,31 @@ object Normalization {
     *         pts: array<long> (packed quantized)
     */
   def splitSharedArcs(runs: DataFrame,
-      merge: PropsMerge = StringProps): DataFrame = {
-    // quantize-and-pack one point (array<double>, z ignored) → long.
-    // Half-away-from-zero rounding as pure double math: Spark's
-    // round() goes through BigDecimal via Double.toString — thread
-    // dumps showed it dominating this stage's CPU.
+      merge: PropsMerge = StringProps): DataFrame =
+    ownedSegments(segmented(arcMembers(edgesOf(runs), merge)), merge)
+
+  /** N1 map stage: directed quantized edges with per-run position.
+    *
+    * Quantize-and-pack one point (array<double>, z ignored) → long.
+    * Half-away-from-zero rounding as pure double math: Spark's
+    * round() goes through BigDecimal via Double.toString — thread
+    * dumps showed it dominating this stage's CPU.
+    *
+    * The canonical undirected key is (lo, hi) — two flat longs, the
+    * fast grouping path. Edge pairs are formed with posexplode +
+    * element_at(coords, pos+2), NOT zip_with/slice/transform:
+    * higher-order functions are CodegenFallback (interpreted) and
+    * dominated the map stage (~100 µs/row); this shape keeps the
+    * whole stage codegen'd. (Exposed per-stage for NormalizeProfile's
+    * sf1 attribution — composition is unchanged.)
+    */
+  private[graft] def edgesOf(runs: DataFrame): DataFrame = {
     def roundL(x: Column): Column =
       (x + when(x >= 0, 0.5).otherwise(-0.5)).cast("long")
     def packPt(p: Column): Column = pack(
       roundL(element_at(p, 1) * Q),
       roundL(element_at(p, 2) * Q))
-
-    // directed edges with per-run position; canonical undirected key is
-    // (lo, hi) — two flat longs, the fast grouping path. Edge pairs are
-    // formed with posexplode + element_at(coords, pos+2), NOT
-    // zip_with/slice/transform: higher-order functions are
-    // CodegenFallback (interpreted) and dominated the map stage
-    // (~100 µs/row); this shape keeps the whole stage codegen'd.
-    val edges = runs
+    runs
       .select(col("run_id"), col("props"), col("coords"),
         posexplode(col("coords")))
       .filter(col("pos") < size(col("coords")) - 1)
@@ -179,13 +186,17 @@ object Normalization {
       .filter(col("p1") =!= col("p2"))
       .withColumn("lo", least(col("p1"), col("p2")))
       .withColumn("hi", greatest(col("p1"), col("p2")))
+  }
 
-    // arc membership in ONE exchange: aggregate the member set AND the
-    // merged props per edge, carry every per-run occurrence through the
-    // same groupBy (collect_SET — exact duplicate input rows, e.g.
-    // synthesized way_id collisions, must not duplicate points), then
-    // explode back out — replaces the groupBy + full-table join-back.
-    val withM = edges
+  /** Arc membership in ONE exchange: aggregate the member set AND the
+    * merged props per edge, carry every per-run occurrence through the
+    * same groupBy (collect_SET — exact duplicate input rows, e.g.
+    * synthesized way_id collisions, must not duplicate points), then
+    * explode back out — replaces the groupBy + full-table join-back.
+    */
+  private[graft] def arcMembers(edges: DataFrame,
+      merge: PropsMerge = StringProps): DataFrame =
+    edges
       .groupBy("lo", "hi")
       .agg(
         sort_array(collect_set(col("run_id"))).as("members"),
@@ -200,16 +211,20 @@ object Normalization {
       // long compares in the window instead of array compares
       .withColumn("mh", xxhash64(col("members")))
 
-    // N2: per-run segmentation where membership changes
+  /** N2: per-run segmentation where membership changes. */
+  private[graft] def segmented(withM: DataFrame): DataFrame = {
     val w = Window.partitionBy("run_id").orderBy("idx")
-    val seg = withM
+    withM
       .withColumn("chg",
         when(lag("mh", 1).over(w).isNull
           || lag("mh", 1).over(w) =!= col("mh"), 1).otherwise(0))
       .withColumn("seg_no", sum("chg").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
 
-    // each shared arc once: the least member id owns it
+  /** Each shared arc once: the least member id owns it. */
+  private[graft] def ownedSegments(seg: DataFrame,
+      merge: PropsMerge = StringProps): DataFrame =
     seg.filter(col("run_id") === element_at(col("members"), 1))
       .groupBy(col("run_id").as("seg_run"), col("seg_no"))
       .agg(
@@ -222,6 +237,23 @@ object Normalization {
       .withColumn("seg_id", segId(col("seg_run"), col("seg_no")))
       .withColumn("phash", merge.hash(col("props")))
       .select("seg_run", "seg_id", "members", "props", "phash", "pts")
+
+  /** N3 candidate discovery: joinable endpoints where exactly 2
+    * same-props segments touch (props equality via the flat 64-bit
+    * phash — N3's isPartOfSameRun), as (a, b) seg_id pairs. (Exposed
+    * per-stage for NormalizeProfile's sf1 attribution.)
+    */
+  private[graft] def deg2Pairs(segments: DataFrame): DataFrame = {
+    val ends = segments.select(col("seg_id"), col("phash"),
+      explode(array(element_at(col("pts"), 1),
+        element_at(col("pts"), -1))).as("pt"))
+    ends.groupBy("pt", "phash")
+      .agg(collect_set("seg_id").as("segs"))
+      .filter(size(col("segs")) === 2)
+      .select(
+        element_at(col("segs"), 1).as("a"),
+        element_at(col("segs"), 2).as("b"))
+      .filter(col("a") =!= col("b"))
   }
 
   /** Collision-free segment id: seg_run in the high bits, seg_no in
@@ -265,20 +297,7 @@ object Normalization {
     // would otherwise re-run the whole upstream pipeline per consumer.
     val segments = segmentsIn.localCheckpoint()
 
-    val ends = segments.select(col("seg_id"), col("phash"),
-      explode(array(element_at(col("pts"), 1),
-        element_at(col("pts"), -1))).as("pt"))
-
-    // joinable endpoints: exactly 2 same-props segments touch (props
-    // equality via the flat 64-bit phash — N3's isPartOfSameRun)
-    val deg2 = ends.groupBy("pt", "phash")
-      .agg(collect_set("seg_id").as("segs"))
-      .filter(size(col("segs")) === 2)
-
-    val pairs = deg2.select(
-      element_at(col("segs"), 1).as("a"),
-      element_at(col("segs"), 2).as("b"))
-      .filter(col("a") =!= col("b"))
+    val pairs = deg2Pairs(segments)
 
     // labels over pair participants ONLY — everything else is a
     // singleton component and never enters the loop (shared min-label +

@@ -415,6 +415,24 @@ object SkiQueries {
   // AND checksums the output geometries (orientation-canonical 60-bit
   // hash per distinct geometry, summed mod 1e12), so the merged POINT
   // SEQUENCES are verified, not just the row count.
+  /** q_ski_normalize's input frame: kept runs + whole-geometry
+    * duplicates for every way with way_id % 10 = 4. 3D coords pass
+    * straight through — normalization quantizes on the first two
+    * elements of each point, so no interpreted 2D-projection
+    * transform is needed here. (Shared with NormalizeProfile's
+    * per-stage sf1 attribution.)
+    */
+  private[operators] def normalizeInput(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val kept = formatted(s, d).filter(col("kept"))
+      .select(col("way_id").as("run_id"),
+        coalesce(col("difficulty"), lit("other")).as("props"),
+        col("coords"))
+    kept.unionByName(
+      kept.filter(pmod(col("run_id"), lit(10)) === 4)
+        .withColumn("run_id", col("run_id") + 1000000000L))
+  }
+
   private val qNormalize = QuerySpec.of(
     "q_ski_normalize", {
       val h = graft.functions.HashFunctions.sqlHash64(
@@ -447,16 +465,7 @@ object SkiQueries {
         |FROM r""".stripMargin
     },
     headline = true) { (s, d) =>
-    // 3D coords pass straight through — normalization quantizes on the
-    // first two elements of each point, so no interpreted 2D-projection
-    // transform is needed here.
-    val kept = formatted(s, d).filter(col("kept"))
-      .select(col("way_id").as("run_id"),
-        coalesce(col("difficulty"), lit("other")).as("props"),
-        col("coords"))
-    val dup = kept.unionByName(
-      kept.filter(pmod(col("run_id"), lit(10)) === 4)
-        .withColumn("run_id", col("run_id") + 1000000000L))
+    val dup = normalizeInput(s, d)
     def qi(c: org.apache.spark.sql.Column) =
       (c * 1e7 + when(c >= 0, 0.5).otherwise(-0.5)).cast("long")
     val rendered = Normalization.normalizeRuns(dup)
