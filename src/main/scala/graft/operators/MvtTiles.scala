@@ -946,7 +946,16 @@ object MvtTiles {
     */
   private[graft] def encodeStatsOf(prep: DataFrame): DataFrame =
     if (streamEncode(prep.sparkSession)) encodeStatsOfStreamed(prep)
-    else encodeOf(prep, keepStats = true)
+    else encodeStatsOfAggregate(prep)
+
+  /** The collect_list-aggregate serving-path shape, exposed by name so
+    * the A/B specs can pin agg-vs-stream equality regardless of which
+    * shape owns the default (round 18 flipped it to the stream exec).
+    * Still production-load-bearing: the streaming tile-refresh and the
+    * scale probes call [[encodeOf]] directly.
+    */
+  private[graft] def encodeStatsOfAggregate(prep: DataFrame): DataFrame =
+    encodeOf(prep, keepStats = true)
       .select(col("zoom"), col("tile_x"), col("tile_y"),
         col("n_layers").cast("long").as("n_layers"),
         col("n_features").cast("long").as("n_features"),
@@ -955,16 +964,20 @@ object MvtTiles {
 
   /** A/B switch for the serving-path encode shape (VERDICT r17 #5):
     * `spark.graft.tiles.streamEncode` (or env
-    * SPARK_GRAFT_TILE_ENCODE=stream) flips the headline query between
-    * the collect_list aggregate shape and the sorted-stream exec. The
-    * two are bit-identical (MvtStreamEncodeSpec); the default is the
-    * shape that measured faster at sf1 in matched fresh-JVM solos —
-    * see SCALING.md round-18.
+    * SPARK_GRAFT_TILE_ENCODE=stream|agg) flips the headline query
+    * between the collect_list aggregate shape and the sorted-stream
+    * exec. The two are bit-identical (MvtStreamEncodeSpec). The
+    * DEFAULT is the sorted-stream exec — the round-18 matched
+    * fresh-JVM solos at sf1 read stream 16.8-20.1 s (median 17.7)
+    * against aggregate 19.7-64.1 s (quiet-band medians 21.7-31.2,
+    * with 2-3× GC/spill outlier samples at zero external load); the
+    * stream shape is both faster and far lower-variance because no
+    * per-tile array ever materializes — see SCALING.md round-18.
     */
   private def streamEncode(s: SparkSession): Boolean =
     s.conf.get("spark.graft.tiles.streamEncode",
-      if (sys.env.get("SPARK_GRAFT_TILE_ENCODE").contains("stream")) "true"
-      else "false").toBoolean
+      if (sys.env.get("SPARK_GRAFT_TILE_ENCODE").contains("agg")) "false"
+      else "true").toBoolean
 
   // Incremental maintenance gate: the streaming tile-refresh
   // (graft.streaming.TilesStreaming) must equal the batch rebuild of

@@ -17,7 +17,10 @@ class MvtStreamEncodeSpec extends SparkSpec {
   private def prep = operators.MvtTiles.prepped(spark, sf)
 
   test("streamed stats equal the aggregate path's stats") {
-    val agg = operators.MvtTiles.encodeStatsOf(prep).collect()
+    // encodeStatsOfAggregate by name: encodeStatsOf routes to the
+    // STREAM shape by default since round 18 flipped it, and this
+    // test must stay an agg-vs-stream comparison
+    val agg = operators.MvtTiles.encodeStatsOfAggregate(prep).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
         (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
           r.getLong(7))).toMap

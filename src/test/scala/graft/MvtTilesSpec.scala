@@ -302,13 +302,17 @@ class MvtTilesSpec extends SparkSpec {
   }
 
   test("arity-9 encoder stat-carry equals the stats query's rollup") {
-    // q_tiles_mvt_encode's per-tile sums come from MvtKernel.encodeTile
-    // summing three TRAILING bigints inside the layer-slice walk (the
-    // arity-9 input path) — a completely different code path from
-    // q_tiles_mvt's sum()/count() aggregation. Pinning their equality
-    // in the fast suite means the stat-carry kernel path no longer
-    // rests solely on the external DuckDB sweep (ADVICE r17).
-    val viaKernel = SparkEntry.queries("q_tiles_mvt_encode")(spark, sf)
+    // The AGGREGATE serving-path's per-tile sums come from
+    // MvtKernel.encodeTile summing three TRAILING bigints inside the
+    // layer-slice walk (the arity-9 input path) — a completely
+    // different code path from q_tiles_mvt's sum()/count()
+    // aggregation. Pinning their equality in the fast suite means the
+    // stat-carry kernel path no longer rests solely on the external
+    // DuckDB sweep (ADVICE r17). Called by name because round 18
+    // flipped q_tiles_mvt_encode's default to the stream exec (whose
+    // own stat carry MvtStreamEncodeSpec pins against this shape).
+    val viaKernel = operators.MvtTiles
+      .encodeStatsOfAggregate(operators.MvtTiles.prepped(spark, sf))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
         (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
