@@ -8,7 +8,7 @@ import graft.functions.{AudioMetaExpr, DotProductExpr, GramHashExpr,
   ImageDimsExpr, LineLengthMExpr, MinHashSigExpr, RollingMinExpr,
   STDWithinExpr, ShinglesExpr, SimHash32Expr, VideoMetaExpr}
 import graft.plans.{AsofJoinRule, AsofJoinStrategy, DistanceJoinRule,
-  IntervalJoinRule, TileStreamEncodeStrategy}
+  IntervalJoinRule, NormalizeSegmentsStrategy, TileStreamEncodeStrategy}
 
 /** SQL surface for the library's native Catalyst expressions.
   *
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Sorted-stream whole-tile MVT encode (aggregation-free tile
     // build): plans TileStreamEncodePlan as the streaming exec.
     ext.injectPlannerStrategy(_ => TileStreamEncodeStrategy)
+    // Sorted-stream run re-segmentation (aggregation-free N2):
+    // plans NormalizeSegmentsPlan as the streaming exec.
+    ext.injectPlannerStrategy(_ => NormalizeSegmentsStrategy)
   }
 }
 
@@ -269,5 +272,9 @@ object GraftExtensions {
           .contains(TileStreamEncodeStrategy))
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ TileStreamEncodeStrategy
+      if (!spark.experimental.extraStrategies
+          .contains(NormalizeSegmentsStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ NormalizeSegmentsStrategy
     }
 }

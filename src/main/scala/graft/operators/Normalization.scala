@@ -153,7 +153,48 @@ object Normalization {
     */
   def splitSharedArcs(runs: DataFrame,
       merge: PropsMerge = StringProps): DataFrame =
-    ownedSegments(segmented(arcMembers(edgesOf(runs), merge)), merge)
+    if (streamSegments(runs.sparkSession))
+      streamedOwnedSegments(arcMembers(edgesOf(runs), merge), merge)
+    else
+      ownedSegments(segmented(arcMembers(edgesOf(runs), merge)), merge)
+
+  /** Round-18 A/B switch for the N2 split shape:
+    * `spark.graft.normalize.streamSegments` (or env
+    * SPARK_GRAFT_NORMALIZE_SEGMENTS=stream|agg). Default: the
+    * sorted-stream exec — same exchange + same (run_id, idx) sort,
+    * but the window + collect_list re-aggregation become one
+    * streaming walk (NormalizeSegmentsExec; measured A/B in
+    * SCALING.md). `agg` restores the window/aggregate composition,
+    * which NormalizeProfile still exposes per-stage.
+    */
+  private def streamSegments(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.normalize.streamSegments",
+      if (sys.env.get("SPARK_GRAFT_NORMALIZE_SEGMENTS").contains("agg"))
+        "false"
+      else "true").toBoolean
+
+  /** Sorted-stream variant of `segmented → ownedSegments`: same
+    * arc-membership input, same output columns, values identical by
+    * construction (NormalizeStreamSegmentsSpec pins both shapes
+    * equal on the fixtures) — but the per-run window and the
+    * per-segment collect_list/sort_array aggregation are replaced by
+    * one hash exchange on run_id + a spillable (run_id, idx) local
+    * sort + a streaming walk ([[graft.plans.NormalizeSegmentsExec]]).
+    */
+  private[graft] def streamedOwnedSegments(withM: DataFrame,
+      merge: PropsMerge = StringProps): DataFrame = {
+    val spark = withM.sparkSession
+    graft.GraftExtensions.registerPlanning(spark)
+    val flat = withM.select(col("run_id"), col("idx"), col("p1"),
+      col("p2"), col("members"), col("mprops"), col("mh"))
+    val analyzed = flat.queryExecution.analyzed
+    val seg = org.apache.spark.sql.graftshim.SqlBridge.ofRows(spark,
+      graft.plans.NormalizeSegmentsPlan(analyzed, analyzed.output))
+    seg
+      .withColumn("seg_id", segId(col("seg_run"), col("seg_no")))
+      .withColumn("phash", merge.hash(col("props")))
+      .select("seg_run", "seg_id", "members", "props", "phash", "pts")
+  }
 
   /** N1 map stage: directed quantized edges with per-run position.
     *

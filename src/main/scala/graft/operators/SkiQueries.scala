@@ -422,7 +422,7 @@ object SkiQueries {
     * transform is needed here. (Shared with NormalizeProfile's
     * per-stage sf1 attribution.)
     */
-  private[operators] def normalizeInput(s: org.apache.spark.sql.SparkSession,
+  private[graft] def normalizeInput(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val kept = formatted(s, d).filter(col("kept"))
       .select(col("way_id").as("run_id"),
