@@ -56,7 +56,15 @@ object ExplainFmt {
         => org.apache.spark.sql.DataFrame] = Map(
       "phase_normalize_split" -> ((s, d) =>
         operators.Normalization.splitSharedArcs(
-          operators.SkiQueries.normalizeInput(s, d))))
+          operators.SkiQueries.normalizeInput(s, d))),
+      // q_corpus_prep's quality→dedup→split lineage, minus the
+      // checkpoint that hides it from the full-query dump: _r17 is
+      // the pre-optimization double-derivation shape (kept verbatim
+      // in CorpusPrepProfile), the other the shipped one-scan shape
+      "phase_corpus_prep_split_r17" -> ((s, d) =>
+        operators.CorpusPrepProfile.r17Split(s, d)),
+      "phase_corpus_prep_ck" -> ((s, d) =>
+        operators.CorpusPrepProfile.r18CkFrame(s, d)))
 
     val registry = SparkEntry.queries ++ phases
     names.foreach { name =>

@@ -622,13 +622,23 @@ object CorpusProfile {
         |ORDER BY split, source""".stripMargin
     }) { (s, d) =>
     import graft.functions.HashFunctions
-    val b = Tables.fanout(Tables.documents(s, d))
+    // One scan pays tokenize+quality+md5, then a checkpoint — the
+    // round-18 profiler (CorpusPrepProfile) measured the old shape
+    // re-deriving this projection TWICE (once per side of the dedup
+    // join-back): the qf⋈dd stage cost ~2× the scan's 2.7 s at sf1
+    // while the gram join everyone suspected was ~1 s. text is
+    // dropped here: downstream only needs its md5 (dedup key) and
+    // toks (grams) — narrower checkpoint, narrower join input.
+    val qf = Tables.fanout(Tables.documents(s, d))
       .select(col("doc_id"), col("source"), col("text"),
         tokens(col("text")).as("toks"),
         qualityScore(col("text")).as("score"))
       .withColumn("ntok", size(col("toks")).cast("long"))
-    val qf = b.filter(col("score") >= 0.5)
-    val dd = qf.groupBy(md5(col("text")).as("h"))
+      .filter(col("score") >= 0.5)
+      .select(col("doc_id"), col("source"), col("ntok"), col("toks"),
+        md5(col("text")).as("md5h"))
+      .localCheckpoint()
+    val dd = qf.groupBy(col("md5h").as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val sp = qf.join(dd, "doc_id")
       .withColumn("h", pmod(HashFunctions.hash32(col("doc_id")), lit(100)))
