@@ -64,7 +64,15 @@ object ExplainFmt {
       "phase_corpus_prep_split_r17" -> ((s, d) =>
         operators.CorpusPrepProfile.r17Split(s, d)),
       "phase_corpus_prep_ck" -> ((s, d) =>
-        operators.CorpusPrepProfile.r18CkFrame(s, d)))
+        operators.CorpusPrepProfile.r18CkFrame(s, d)),
+      // q_pipeline_e2e's enrichment frame, minus the localCheckpoint
+      // that hides it from the full-query dump: _r17 is the retired
+      // zarr-collect/zip_with/wide shape (kept verbatim in
+      // PipelineProfile), the other the shipped narrow scalar shape
+      "phase_pipeline_enrich_r17" -> ((s, d) =>
+        operators.PipelineProfile.r17Enriched(s, d)),
+      "phase_pipeline_enrich" -> ((s, d) =>
+        operators.PipelineProfile.r18Enriched(s, d)))
 
     val registry = SparkEntry.queries ++ phases
     names.foreach { name =>

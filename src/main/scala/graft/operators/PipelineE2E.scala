@@ -213,7 +213,9 @@ object PipelineE2E {
       shiftleft(x, 32).bitwiseOR(y.bitwiseAND(lit(0xFFFFFFFFL)))
     def keyStr(k: Column): Column = concat_ws("_",
       shiftright(k, 32), shiftright(shiftleft(k, 32), 32))
-    val withEnds = norm.select(col("run_id").as("okey"), col("props"),
+    val withEnds = norm.select(col("run_id").as("okey"),
+        col("props.uses").as("uses"),
+        coalesce(col("props.difficulty"), lit("other")).as("difficulty"),
         col("coords"),
         qix(element_at(element_at(col("coords"), 1), 1)).as("x0"),
         qix(element_at(element_at(col("coords"), 1), 2)).as("y0"),
@@ -224,15 +226,19 @@ object PipelineE2E {
     // EVERY coordinate gets a z — the reference appends z to every
     // position of every geometry (`/root/reference/src/transforms/Elevation.ts:411-508`),
     // not just segment endpoints: explode positions → packed quantized
-    // key → one cache-aside pass over the distinct keys → rebuild the
-    // 3D geometry in position order. Segment stats then read the full
-    // profile (min/max over ALL points), matching E1's standalone
+    // key → one cache-aside pass over the distinct keys → per-run
+    // profile stats in position order. Segment stats then read the
+    // full profile (min/max over ALL points), matching E1's standalone
     // behavior.
     // Position rows shuffle NARROW: only (okey, pidx, key) goes through
-    // the cache join and only (okey, pidx, z) through the reassembly —
-    // the 2-D coordinates never leave `withEnds`; the 3-D geometry is
-    // rebuilt with a zip against the per-run z array. At corpus scale
-    // this halves the bytes of the two position-row exchanges.
+    // the cache join — the 2-D coordinates never leave `withEnds`.
+    // Downstream consumes only four scalars of the z profile
+    // (first/last/min/max: geodesic length is z-independent), so the
+    // per-run rollup is four DeclarativeAggregates (min_by/max_by over
+    // the unique pidx + min/max) in one HashAggregate — the former
+    // sort_array(collect_list) ObjectHashAggregate materialized every
+    // run's full z array only to reduce it to these scalars (and a
+    // zip_with rebuilt 3-D geometry whose z the length kernel ignores).
     val pts = norm.select(col("run_id").as("okey"),
         posexplode(col("coords")).as(Seq("pidx", "pt")))
       .select(col("okey"), col("pidx"),
@@ -247,26 +253,27 @@ object PipelineE2E {
         Enrichment.stubElevation(keyStr(col("key"))).as("value")))
     val segZ = pts.join(cache, Seq("key"))
       .groupBy("okey")
-      .agg(transform(
-        sort_array(collect_list(struct(col("pidx"), col("value")))),
-        p => p.getField("value")).as("zarr"))
+      .agg(min_by(col("value"), col("pidx")).as("z_start"),
+        max_by(col("value"), col("pidx")).as("z_end"),
+        min(col("value")).as("z_min"),
+        max(col("value")).as("z_max"))
     // checkpoint: enriched feeds the clustering object table AND the
     // final statistics scan — one materialization instead of re-running
-    // the cache join per consumer.
+    // the cache join per consumer. Materialized NARROW: length is
+    // computed here so the coordinate arrays (the fat column) stop at
+    // this boundary; the checkpoint carries only per-run scalars plus
+    // the small uses array.
     val enriched = withEnds.join(segZ, Seq("okey"))
-      .withColumn("coords3d", zip_with(col("coords"), col("zarr"),
-        (p, z) => array(element_at(p, 1), element_at(p, 2), z)))
-      .withColumn("z_start", element_at(col("zarr"), 1))
-      .withColumn("z_end", element_at(col("zarr"), -1))
-      .withColumn("z_min", array_min(col("zarr")))
-      .withColumn("z_max", array_max(col("zarr")))
-      .drop("zarr")
+      .select(col("okey"), col("uses"), col("difficulty"),
+        col("x0"), col("y0"), col("xn"), col("yn"),
+        col("z_start"), col("z_end"), col("z_min"), col("z_max"),
+        lineLengthM(col("coords")).as("len_m"))
       .localCheckpoint()
 
     // ---- stage 4: clustering (J10/J7) on the canonical anchor ----
     val startIsAnchor = col("x0") < col("xn") ||
       (col("x0") === col("xn") && col("y0") <= col("yn"))
-    val objs = enriched.select(col("okey"), col("props.uses").as("uses"),
+    val objs = enriched.select(col("okey"), col("uses"),
       (when(startIsAnchor, col("x0")).otherwise(col("xn"))
         .cast("double") / 1e7).as("lon"),
       (when(startIsAnchor, col("y0")).otherwise(col("yn"))
@@ -287,9 +294,6 @@ object PipelineE2E {
     // difficulty), then a per-area rollup that also renders the sorted
     // difficulty histogram — no second scan, no extra join.
     val assigned = enriched.join(asg, Seq("okey"))
-      .withColumn("len_m", lineLengthM(col("coords3d")))
-      .withColumn("difficulty",
-        coalesce(col("props.difficulty"), lit("other")))
     assigned.groupBy("area_id", "difficulty")
       .agg(count(lit(1)).as("n"), sum("len_m").as("len_m"),
         min(col("z_min")).as("zmin"),
