@@ -46,6 +46,15 @@ object TextFunctions {
       length(regexp_replace(text, "[^0-9]", "")).cast("double") / n)
   }
 
+  /** All six per-document token counters in ONE single-pass kernel
+    * ([[TokenStatsExpr]]) — struct(n_chars, ws_tokens, bpe_tokens,
+    * punct, alnum_chars, alnum_runs). Replaces four independent
+    * regex/array passes where a query consumes several counters of
+    * the same text (q_text_token_stats); the per-counter helpers
+    * below stay for single-counter callers.
+    */
+  def tokenStats(text: Column): Column = TokenStatsExpr.tokenStats(text)
+
   /** English stopword sample used for quality scoring / language ID. */
   val enStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")

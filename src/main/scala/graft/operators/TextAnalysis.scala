@@ -38,12 +38,22 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin,
     headline = true) { (s, d) =>
     val docs = Tables.fanout(Tables.documents(s, d))
-    docs.select(
+    // one single-pass kernel for all four stats (TokenStatsExpr) in
+    // place of four regex/array passes over the same text; the ratio
+    // arithmetic on the counters is identical to the replaced
+    // punctRatio/meanTokenLen forms (TokenStatsSpec pins equality)
+    docs.select(col("doc_id"), tokenStats(col("text")).as("ts"))
+      .select(
         col("doc_id"),
-        wsTokenCount(col("text")).as("ws_tokens"),
-        bpeTokenCount(col("text")).as("bpe_tokens"),
-        (floor((punctRatio(col("text"))) * 1e6 + 0.5) / 1e6).as("punct_ratio"),
-        (floor((meanTokenLen(tokens(col("text")))) * 1e6 + 0.5) / 1e6).as("mean_token_len"))
+        col("ts.ws_tokens").as("ws_tokens"),
+        col("ts.bpe_tokens").as("bpe_tokens"),
+        (floor(when(col("ts.n_chars") === 0, 0.0)
+          .otherwise(col("ts.punct").cast("double") / col("ts.n_chars"))
+          * 1e6 + 0.5) / 1e6).as("punct_ratio"),
+        (floor(when(col("ts.alnum_runs") === 0, 0.0)
+          .otherwise(col("ts.alnum_chars").cast("double")
+            / col("ts.alnum_runs"))
+          * 1e6 + 0.5) / 1e6).as("mean_token_len"))
       .orderBy("doc_id")
   }
 
