@@ -225,10 +225,12 @@ object Dedup {
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
     val pairs = bucketAllPairs(bandsOf(sig))
-    val matches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // native one-pass agreement count (SigMatchCountExpr): the former
+    // aggregate(zip_with(...)) pair of interpreted HOFs allocated an
+    // intermediate array per candidate pair and severed the codegen
+    // span after the signature joins
+    val matches = graft.functions.SigMatchCountExpr.sigMatchCount(
+      col("sig_a"), col("sig_b"))
     pairs
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         Seq("doc_a"))
@@ -810,10 +812,10 @@ object Dedup {
     val inc = bands.filter(isInc)
     val idxb = bands.filter(!isInc)
     val pairs = bucketProbePairs(inc, idxb)
-    val matches = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    // native agreement count (SigMatchCountExpr, see minhashPairs);
+    // cast keeps n_match the LONG the former 1L/0L fold produced
+    val matches = graft.functions.SigMatchCountExpr.sigMatchCount(
+      col("sig_a"), col("sig_b")).cast("long")
     val w = Window.partitionBy("inc_id")
       .orderBy(col("n_match").desc, col("idx_id"))
     pairs
@@ -973,8 +975,12 @@ object Dedup {
       col("lang"), col("band"))
     val b = keyed.select(col("doc_id").as("doc_b"), col("n_chars").as("cb"),
       col("lang"), col("band"))
-    val est = expr(s"size(filter(zip_with(sa, sb, (x, y) -> x = y)," +
-      s" v -> v)) * 10000 DIV $MINHASH_K")
+    // native agreement count; * 10000 then floor-divide — identical
+    // to the former `size(filter(zip_with(...))) * 10000 DIV K` for
+    // the non-negative counts here (downstream casts to long either
+    // way, so the output schema is unchanged)
+    val est = floor((graft.functions.SigMatchCountExpr.sigMatchCount(
+      col("sa"), col("sb")) * 10000) / MINHASH_K)
     val x = a.join(b, Seq("lang", "band"))
       .filter(col("doc_a") < col("doc_b") && abs(col("ca") - col("cb")) <= 20)
       .select("doc_a", "doc_b").distinct()
