@@ -88,9 +88,13 @@ object Clustering {
       scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
     def reached: org.apache.spark.sql.DataFrame =
       reachedParts.reduce(_ unionByName _)
+    // SPARK_GRAFT_CLUSTER_DEBUG=1: per-iteration frontier size + wall
+    // time on stdout (the count is paid either way — convergence test)
+    val dbg = sys.env.get("SPARK_GRAFT_CLUSTER_DEBUG").contains("1")
     var iter = 0
     var done = false
     while (!done && iter < 30) {
+      val t0 = if (dbg) System.nanoTime() else 0L
       val cand = expand(frontier)
       // LAZY checkpoint + count: ONE driver action per iteration both
       // materializes the round's blocks (doCheckpoint completes every
@@ -100,7 +104,10 @@ object Clustering {
         else cand.join(reached.select("area_id", "okey"),
           Seq("area_id", "okey"), "left_anti"))
         .localCheckpoint(false)
-      if (newPairs.count() == 0) done = true
+      val n = newPairs.count()
+      if (dbg) println(f"[cluster] iter=$iter%2d new=$n%9d " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      if (n == 0) done = true
       else {
         reachedParts += newPairs
         frontier = newPairs
