@@ -579,10 +579,11 @@ object Similarity {
   private def kmAssign(qv: DataFrame,
       cents: Array[(Int, Array[Double])]): DataFrame = {
     val candidates = cents.map { case (cid, cv) =>
-      val dist = aggregate(
-        zip_with(col("q"), typedLit(cv.toSeq),
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // native fused L2² (L2SqToLitExpr): the former
+      // aggregate(zip_with(...)) pair of interpreted HOFs ran k times
+      // per row inside least(); the kernel keeps the fold's exact
+      // float order so every k-means oracle hash is unchanged
+      val dist = graft.functions.L2SqToLitExpr.l2sqToLit(col("q"), cv)
       struct(dist.as("dist"), lit(cid).as("cid"))
     }
     qv.withColumn("m", least(candidates: _*))
@@ -775,10 +776,8 @@ object Similarity {
       var assigned: DataFrame = null
       for (_ <- 1 to PqIters) {
         val candidates = cents.map { case (cid, cv) =>
-          val dist = aggregate(
-            zip_with(col("qs"), typedLit(cv.toSeq),
-              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-            lit(0.0), (acc, x) => acc + x)
+          // native fused L2² (see kmAssign) — same fold order
+          val dist = graft.functions.L2SqToLitExpr.l2sqToLit(col("qs"), cv)
           struct(dist.as("dist"), lit(cid).as("cid"))
         }
         assigned = sv.withColumn("m", least(candidates: _*))
