@@ -254,18 +254,13 @@ object GeoFunctions {
     * bit-identical.
     */
   def pointInPolygon(px: Column, py: Column, ring: Column): Column =
-    aggregate(
-      sequence(lit(1), size(ring)),
-      lit(false),
-      (acc, i) => {
-        val v1 = element_at(ring, i)
-        val v2 = element_at(ring, pmod(i, size(ring)) + 1)
-        val x1 = element_at(v1, 1); val y1 = element_at(v1, 2)
-        val x2 = element_at(v2, 1); val y2 = element_at(v2, 2)
-        val crosses = ((y1 > py) =!= (y2 > py)) &&
-          (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
-        when(crosses, !acc).otherwise(acc)
-      })
+    // native per-edge kernel (PointInRingExpr) — bit-identical to the
+    // former aggregate(sequence(...)) fold (same crossing op order,
+    // same null-edge skip algebra), but one fused loop inside
+    // whole-stage codegen instead of an interpreted HOF rebuilding
+    // the edge arithmetic per (point, edge)
+    PointInRingsExpr.pointInPolygon(px.cast("double"), py.cast("double"),
+      ring)
 
   /** Even-odd containment across a full ring set — all outer rings and
     * all interior (hole) rings of a (Multi)Polygon, as
@@ -278,8 +273,10 @@ object GeoFunctions {
     * honors interior rings the same way).
     */
   def pointInRings(px: Column, py: Column, rings: Column): Column =
-    aggregate(rings, lit(false), (acc, ring) =>
-      when(pointInPolygon(px, py, ring), !acc).otherwise(acc))
+    // native ring-set kernel (see pointInPolygon); null rings leave
+    // the parity unchanged exactly like the replaced fold
+    PointInRingsExpr.pointInRings(px.cast("double"), py.cast("double"),
+      rings)
 
   // ---- P12/J6: geometry validity + repair ---------------------------------
   // The reference validates features with turf booleanValid and drops
