@@ -251,24 +251,62 @@ object Clustering {
   /** Containment-join candidate generation shared by [[coveredBy]] and
     * the multipolygon variants: area anchor cell ±reach × run
     * first-vertex cell. areas: (alon, alat, …); runs: (coords, …).
+    *
+    * Default strategy (round 19, guide §3.1/§8): BROADCAST the area
+    * side at its ANCHOR cell and explode the RUN side to the ±reach
+    * neighborhood — the candidate pair set is identical (acx + i = rcx
+    * ⟺ acx = rcx − i over the symmetric ±reach range, one distinct
+    * cell pair per candidate either way), but neither the run coords
+    * nor the ring arrays ever cross an exchange, and the sort-merge
+    * join's per-partition sort of fat array rows disappears. That sort
+    * was the scale killer: at sf1 the partitioned shape cost ~24
+    * CPU-MINUTES at 4 shuffle partitions (spilling sorter, measured
+    * wall 346 s on local[4]) vs 112 CPU-s at 16 partitions — the same
+    * query, 13× the CPU, purely from re-sorting/spilling shuffled
+    * geometry. The ring side is the small one at every realistic scale
+    * (ski-area polygons ≪ runs, mirroring the reference's shape);
+    * when it is not, `spark.graft.containment.broadcast=false`
+    * restores the partitioned exchange join.
     */
   def cellCandidates(areas: DataFrame, runs: DataFrame, cellDeg: Double,
       reach: Int): DataFrame = {
-    val acells = areas
-      .withColumn("cx",
-        explode(transform(sequence(lit(-reach), lit(reach)),
-          i => floor(col("alon") / cellDeg).cast("long") + i)))
-      .withColumn("cyb", floor(col("alat") / cellDeg).cast("long"))
-      .withColumn("cy",
-        explode(transform(sequence(lit(-reach), lit(reach)),
-          j => col("cyb") + j)))
-      .drop("cyb")
-    val rcells = runs
-      .withColumn("cx", floor(element_at(element_at(col("coords"), 1), 1)
-        / cellDeg).cast("long"))
-      .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
-        / cellDeg).cast("long"))
-    acells.join(rcells, Seq("cx", "cy")).drop("cx", "cy")
+    val useBroadcast = areas.sparkSession.conf
+      .getOption("spark.graft.containment.broadcast")
+      .orElse(sys.env.get("SPARK_GRAFT_CONTAIN_BROADCAST"))
+      .forall(_.toBoolean)
+    if (useBroadcast) {
+      val acells = areas
+        .withColumn("cx", floor(col("alon") / cellDeg).cast("long"))
+        .withColumn("cy", floor(col("alat") / cellDeg).cast("long"))
+      val rcells = runs
+        .withColumn("cx",
+          explode(transform(sequence(lit(-reach), lit(reach)),
+            i => floor(element_at(element_at(col("coords"), 1), 1)
+              / cellDeg).cast("long") + i)))
+        .withColumn("cyb", floor(element_at(element_at(col("coords"), 1), 2)
+          / cellDeg).cast("long"))
+        .withColumn("cy",
+          explode(transform(sequence(lit(-reach), lit(reach)),
+            j => col("cyb") + j)))
+        .drop("cyb")
+      rcells.join(broadcast(acells), Seq("cx", "cy")).drop("cx", "cy")
+    } else {
+      val acells = areas
+        .withColumn("cx",
+          explode(transform(sequence(lit(-reach), lit(reach)),
+            i => floor(col("alon") / cellDeg).cast("long") + i)))
+        .withColumn("cyb", floor(col("alat") / cellDeg).cast("long"))
+        .withColumn("cy",
+          explode(transform(sequence(lit(-reach), lit(reach)),
+            j => col("cyb") + j)))
+        .drop("cyb")
+      val rcells = runs
+        .withColumn("cx", floor(element_at(element_at(col("coords"), 1), 1)
+          / cellDeg).cast("long"))
+        .withColumn("cy", floor(element_at(element_at(col("coords"), 1), 2)
+          / cellDeg).cast("long"))
+      acells.join(rcells, Seq("cx", "cy")).drop("cx", "cy")
+    }
   }
 
   /** Both step-2 area-removal rules over [[coveredBy]] output
