@@ -258,8 +258,51 @@ object Formatters {
     * flag (status=operating AND ≥1 valid use) — the reference drops
     * non-kept features outright; keeping them visible exercises the
     * full cascade under the oracle.
+    *
+    * Round 19: the tag cascade runs through the single-pass native
+    * kernel [[graft.functions.RunTagsExpr]] (~80 µs/row of interpreted
+    * map_filter/per-row-regex/HOF evaluation → one map traversal; see
+    * the kernel doc for the measured breakdown). RunTagsSpec pins the
+    * kernel output field-by-field against [[formatRunsLegacy]];
+    * `spark.graft.format.runKernel=false` restores the expression form.
     */
   def formatRuns(features: DataFrame): DataFrame = {
+    val useKernel = features.sparkSession.conf
+      .getOption("spark.graft.format.runKernel")
+      .orElse(sys.env.get("SPARK_GRAFT_FORMAT_KERNEL"))
+      .forall(_.toBoolean)
+    if (!useKernel) return formatRunsLegacy(features)
+    val k = graft.functions.RunTagsExpr.runTags(col("tags"))
+    features
+      .withColumn("__rt", k)
+      .filter(not(col("__rt.st_status") <=> "dropped"))
+      .withColumn("uses", col("__rt.uses"))
+      .withColumn("difficulty", col("__rt.difficulty"))
+      .withColumn("grooming", col("__rt.grooming"))
+      .withColumn("gladed", col("__rt.gladed"))
+      .withColumn("oneway", col("__rt.oneway"))
+      .withColumn("patrolled", col("__rt.patrolled"))
+      .withColumn("snowmaking", col("__rt.snowmaking"))
+      .withColumn("snowfarming", col("__rt.snowfarming"))
+      .withColumn("tunnel", col("__rt.tunnel"))
+      .withColumn("lit", col("__rt.lit"))
+      .withColumn("ref", col("__rt.ref"))
+      .withColumn("name", col("__rt.name"))
+      .withColumn("website", col("__rt.website"))
+      .withColumn("wikidata_id", col("__rt.wikidata_id"))
+      .withColumn("status", col("__rt.status"))
+      .withColumn("kept", col("status") === "operating" && size(col("uses")) > 0)
+      .withColumn("id", HashFunctions.contentId(lit("run"), col("way_id"),
+        col("status"), concat_ws(";", col("uses")), col("difficulty"),
+        col("name")))
+      .drop("__rt", "tags")
+  }
+
+  /** The pre-r19 expression-tree formatter, kept verbatim as the
+    * value-identity reference for RunTagsSpec and as the
+    * `spark.graft.format.runKernel=false` escape hatch.
+    */
+  private[graft] def formatRunsLegacy(features: DataFrame): DataFrame = {
     val tags = col("tags")
     val st = lifecycleStatus(tags, "piste:type")
 

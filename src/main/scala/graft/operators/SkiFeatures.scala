@@ -69,9 +69,21 @@ object SkiFeatures {
   def synthesize(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, memoKey(s, d)), build(s, d))
 
-  private def build(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: SynthTagsSpec builds both conf arms memo-free
+  private[graft] def build(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val part = Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
+    // Round 19: the 27-entry CreateMap-of-when-cascades generated so
+    // much Java that the scaffold's whole-stage-codegen span exceeded
+    // HotSpot's huge-method JIT limit and ran bytecode-interpreted
+    // (measured 4× on the whole 6M-row stage; see SynthTagsExpr doc).
+    // The native kernel emits the identical map (SynthTagsSpec pins
+    // full map equality on real rows); `spark.graft.synth.kernel=false`
+    // restores the expression form.
+    val useKernel = s.conf
+      .getOption("spark.graft.synth.kernel")
+      .orElse(sys.env.get("SPARK_GRAFT_SYNTH_KERNEL"))
+      .forall(_.toBoolean)
     val wayId = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
     val usesRaw =
       when(col("l_returnflag") === "R", "downhill")
@@ -124,6 +136,11 @@ object SkiFeatures {
     val wikidata = when(pk7 === 0,
       concat(lit("Q"), wayId.cast("string"), lit(";Q999")))
 
+    val kernelTags = graft.functions.SynthTagsExpr.synthTags(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("p_name"), col("p_brand"))
+
     val baseVal = when(lifecycle === 1, lit(null).cast("string"))
       .when(lifecycle === 2, lit("disused"))
       .when(lifecycle === 3 && pkEven, lit("demolished"))
@@ -173,19 +190,26 @@ object SkiFeatures {
       array(lon0 + dx * 2, lat0 + dy, z0 + col("l_quantity") * 2))
 
     // repartition: the source is one small parquet file (single input
-    // split) and the tag-map build is interpreted (higher-order
-    // functions don't codegen) — fan out before the heavy projection.
-    // localCheckpoint: a repartition alone is NOT an optimizer barrier
-    // (ColumnPruning pushes projections straight through Repartition,
-    // re-inlining the map construction into every downstream consumer,
-    // join conditions included); checkpointing materializes the built
-    // map once. Memoized per (session, sfDir) so every ski query
-    // shares one materialization.
+    // split) — fan out before the per-row projection; the shuffle
+    // carries the NARROW raw li/part columns, never the built map.
+    //
+    // No checkpoint here since round 19: materializing the 27-entry
+    // tag map cost ~67 s at sf1/local[4] (serialize + store ~6M fat
+    // rows) and BOTH consumers discard it immediately — `formatted`
+    // feeds it straight into the single-pass RunTagsExpr kernel (the
+    // CreateMap inlines into the kernel's child: built once per row,
+    // consumed once, never stored), and Enrichment reads only
+    // way_id/coords (ColumnPruning now deletes the map from its plan
+    // entirely). The materialization barrier every ski query shares
+    // moved one level up, to SkiQueries.formatted's localCheckpoint
+    // of the NARROW formatted columns.
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .repartition(s.sparkContext.defaultParallelism)
-      .select(wayId.as("way_id"), tags.as("tags"), coords.as("coords"))
-      .localCheckpoint()
+      .select(wayId.as("way_id"),
+        (if (useKernel) kernelTags else tags).as("tags"),
+        coords.as("coords"))
   }
+
 
   /** DuckDB twin of the synthesis geometry (lon/lat/z expressions over
     * a joined lineitem×part row), for oracle SQL composition.
