@@ -69,14 +69,30 @@ object Clustering {
       .withColumn("cy", floor(col("lat") / cellDeg).cast("long"))
       .persist()
 
-    def expand(frontier: DataFrame): DataFrame =
+    // Round 19 (guide §3.1): the frontier is the SMALL, shrinking side
+    // (the areas, then each round's newly-reached objects) while
+    // objCells is the persisted FULL object table — yet the sort-merge
+    // grid join re-exchanged and re-sorted every cached object row on
+    // (cx, cy) every iteration. Broadcasting the frontier streams the
+    // cache with no exchange of the big side at all; the only
+    // shuffles left per iteration are the small candidate distinct +
+    // anti-join. `spark.graft.cluster.broadcastFrontier=false`
+    // restores the exchange join for frontiers too big to broadcast.
+    val bcastFrontier = areas.sparkSession.conf
+      .getOption("spark.graft.cluster.broadcastFrontier")
+      .orElse(sys.env.get("SPARK_GRAFT_CLUSTER_BROADCAST"))
+      .forall(_.toBoolean)
+    def expand(frontier: DataFrame): DataFrame = {
+      val f = frontier.select(col("area_id"), col("act"),
+        col("lon"), col("lat"))
       distanceJoin(
-        frontier.select(col("area_id"), col("act"), col("lon"), col("lat")),
+        if (bcastFrontier) broadcast(f) else f,
         objCells, radiusM, cellDeg)
         .filter(array_contains(col("uses"), col("act")))
         .select(col("area_id"), col("act"), col("okey"),
           col("lon"), col("lat"))
         .distinct()
+    }
 
     var frontier = areas.select(col("area_id"), col("act"),
       col("lon"), col("lat"))
